@@ -1,0 +1,213 @@
+"""The flagship analytic: time-slicing an event stream into interval counts.
+
+Re-expresses the reference's ``spark_events_by_time(_parquet).py`` pipeline
+(SURVEY.md §3.2) as a lazy, composable library:
+
+    pulse_times -> with_absolute_time -> count_by_interval /
+    count_in_time_range / count_by_bank_and_interval
+
+Differences from the reference, on purpose (SURVEY.md §7.3):
+
+* The pulse-ordinal window is **partitioned by run** — the reference's
+  unpartitioned ``Window.orderBy`` (spark_events_by_time_parquet.py:121-125)
+  collapses to a single task and cannot scale; per-run partitioning gives
+  identical ordinals per run and distributes.
+* The log-name fallback loop (spark_events_by_time.py:82-113 retries
+  candidate names with eager ``count()`` per attempt) becomes one lazy plan:
+  rank candidate logs by priority and keep the best available per run.
+* No eager ``count()`` progress actions; callers trigger exactly one job.
+
+At 100 TB: events are partitioned by ``(instrument_id, run_number)`` so the
+run filter prunes partitions before the scan; the pulse side is a few
+million rows per run at most — always broadcast; the interval aggregation
+is a map-side-combinable hash aggregate on a derived long key, so the only
+shuffle is the final partial->final agg exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nexus_processor_spark.functions.core import interval_bounds, interval_floor
+
+# Reference fallback order: scripts/spark_events_by_time.py:84.
+PULSE_LOG_CANDIDATES: tuple[str, ...] = (
+    "proton_charge", "SampleProtonCharge", "pcharge", "ProtonCharge",
+)
+
+MICROSECONDS = 1e6
+
+
+def pulse_times(
+    daslogs: DataFrame,
+    candidates: Sequence[str] = PULSE_LOG_CANDIDATES,
+    *,
+    run_col: str = "run_id",
+    log_name_col: str = "log_name",
+    time_col: str = "time",
+) -> DataFrame:
+    """Pulse ordinal sequence per run: ``(run_id, pulse_index, pulse_time)``.
+
+    The reference tries each candidate log name until one has rows
+    (spark_events_by_time.py:82-113). Lazy equivalent: keep only candidate
+    logs, rank them by priority *per run*, keep each run's best, then
+    ``row_number() - 1`` over time order = 0-based ``pulse_index``
+    (W1, SURVEY.md §2.5).
+    """
+    priority = F.array_position(
+        F.array(*[F.lit(c) for c in candidates]), F.col(log_name_col)
+    )
+    best = Window.partitionBy(run_col)
+    order = Window.partitionBy(run_col).orderBy(time_col)
+    return (
+        daslogs
+        .filter(F.col(log_name_col).isin(list(candidates)))
+        .filter(F.col(time_col).isNotNull())
+        .withColumn("_prio", priority)
+        .withColumn("_best", F.min("_prio").over(best))
+        .filter(F.col("_prio") == F.col("_best"))
+        .select(
+            F.col(run_col),
+            (F.row_number().over(order) - F.lit(1)).alias("pulse_index"),
+            F.col(time_col).alias("pulse_time"),
+        )
+    )
+
+
+def with_absolute_time(
+    events: DataFrame,
+    pulses: DataFrame | None = None,
+    *,
+    run_col: str = "run_id",
+    pulse_index_col: str = "pulse_index",
+    pulse_time_col: str = "pulse_time",
+    time_offset_col: str = "time_offset",
+) -> DataFrame:
+    """``absolute_time = pulse_time + time_offset/1e6`` (µs -> s).
+
+    Formula from the reference README "Event Time Extraction" and
+    spark_events_by_time.py:187-190. When ``pulses`` is given, events are
+    enriched by a **broadcast** left equi-join (J1 — the pulse side is tiny
+    relative to events); when None, the denormalized ``pulse_time`` already
+    embedded at ETL time is used (J4 join elimination — the preferred path).
+    Events with no matching pulse keep a null ``absolute_time`` (left join,
+    null propagation pinned by tests).
+    """
+    df = events
+    if pulses is not None:
+        df = df.drop(pulse_time_col).join(
+            F.broadcast(pulses), on=[run_col, pulse_index_col], how="left"
+        )
+    return df.withColumn(
+        "absolute_time",
+        F.col(pulse_time_col) + F.col(time_offset_col) / F.lit(MICROSECONDS),
+    )
+
+
+def _slice_aggs(time_col: Column, bank_col: Column, pulse_col: Column) -> list[Column]:
+    return [
+        F.count(F.lit(1)).alias("event_count"),
+        F.min(time_col).alias("min_time"),
+        F.max(time_col).alias("max_time"),
+        F.count_distinct(bank_col).alias("n_banks"),
+        F.count_distinct(pulse_col).alias("n_pulses"),
+    ]
+
+
+def count_by_interval(
+    events: DataFrame,
+    interval_seconds: float,
+    *,
+    time_col: str = "absolute_time",
+    bank_col: str = "bank",
+    pulse_col: str = "pulse_index",
+) -> DataFrame:
+    """Events per tumbling ``interval_seconds`` bucket (A1, SURVEY.md §2.4).
+
+    Output schema pinned to the reference's (spark_events_by_time.py:222-246):
+    interval, interval_start, interval_end, event_count, n_banks, n_pulses,
+    min_time, max_time. Buckets are half-open ``[kN, (k+1)N)``; events with
+    null time fall out (null bucket dropped, matching the pandas path).
+    """
+    t = F.col(time_col)
+    df = (
+        events
+        .filter(t.isNotNull())
+        .withColumn("interval", interval_floor(t, interval_seconds))
+        .groupBy("interval")
+        .agg(*_slice_aggs(t, F.col(bank_col), F.col(pulse_col)))
+    )
+    start, end = interval_bounds(F.col("interval"), interval_seconds)
+    return df.select(
+        "interval",
+        start.alias("interval_start"),
+        end.alias("interval_end"),
+        "event_count", "n_banks", "n_pulses", "min_time", "max_time",
+    ).orderBy("interval")
+
+
+def count_in_time_range(
+    events: DataFrame,
+    start_time: float,
+    end_time: float,
+    *,
+    time_col: str = "absolute_time",
+    bank_col: str = "bank",
+    pulse_col: str = "pulse_index",
+) -> DataFrame:
+    """Single-row global aggregate over half-open ``[start, end)``
+    (A3 + P4/P12, reference spark_events_by_time.py:267-280)."""
+    t = F.col(time_col)
+    return (
+        events
+        .filter((t >= F.lit(float(start_time))) & (t < F.lit(float(end_time))))
+        .agg(
+            F.lit(float(start_time)).alias("start_time"),
+            F.lit(float(end_time)).alias("end_time"),
+            F.count(F.lit(1)).alias("event_count"),
+            F.min(t).alias("min_time"),
+            F.max(t).alias("max_time"),
+            F.count_distinct(F.col(bank_col)).alias("n_banks"),
+            F.count_distinct(F.col(pulse_col)).alias("n_pulses"),
+        )
+    )
+
+
+def count_by_bank_and_interval(
+    events: DataFrame,
+    interval_seconds: float,
+    *,
+    time_col: str = "absolute_time",
+    bank_col: str = "bank",
+    pulse_col: str = "pulse_index",
+) -> DataFrame:
+    """Per-(interval, bank) slice counts (A2, reference
+    spark_events_by_time.py:304-318)."""
+    t = F.col(time_col)
+    df = (
+        events
+        .filter(t.isNotNull())
+        .withColumn("interval", interval_floor(t, interval_seconds))
+        .groupBy("interval", bank_col)
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.min(t).alias("min_time"),
+            F.max(t).alias("max_time"),
+            F.count_distinct(F.col(pulse_col)).alias("n_pulses"),
+        )
+    )
+    start, end = interval_bounds(F.col("interval"), interval_seconds)
+    return df.select(
+        "interval", bank_col, "event_count", "min_time", "max_time", "n_pulses",
+        start.alias("interval_start"), end.alias("interval_end"),
+    ).orderBy("interval", bank_col)
+
+
+def exclude_error_banks(events: DataFrame, bank_col: str = "bank") -> DataFrame:
+    """Drop error/unmapped detector banks (P6; reference does this by
+    filename — extract_events_by_time.py:83-88 — we do it on the data,
+    which survives any file layout)."""
+    return events.filter(~F.col(bank_col).rlike("(?i)(error|unmapped)"))

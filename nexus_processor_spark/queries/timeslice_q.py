@@ -1,0 +1,154 @@
+"""Flagship time-slice queries bound to the testdata ``events`` table.
+
+Column mapping per FIXTURES.md §4: ``event_type`` -> bank, ``user_id`` ->
+pulse_index, ``epoch(ts)`` -> absolute_time seconds, ``value`` -> µs offset
+analog. Interval = 3600 s over the ~30-day synthetic stream (~720 buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nexus_processor_spark.functions.core import event_seconds
+from nexus_processor_spark.operators import timeslice
+from nexus_processor_spark.sources.tables import load_table
+
+INTERVAL = 3600.0
+# Half-open [2024-01-10, 2024-01-20) in UTC epoch seconds.
+RANGE_START = 1704844800.0
+RANGE_END = 1705708800.0
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        event_seconds("ts").alias("absolute_time"),
+        F.col("event_type").alias("bank"),
+        F.col("user_id").alias("pulse_index"),
+        "value",
+    )
+
+
+def q_timeslice_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeslice.count_by_interval(_events(spark, sf_dir), INTERVAL)
+
+
+def q_timeslice_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeslice.count_in_time_range(_events(spark, sf_dir), RANGE_START, RANGE_END)
+
+
+def q_timeslice_bank_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeslice.count_by_bank_and_interval(_events(spark, sf_dir), INTERVAL)
+
+
+def q_pulse_index_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: 0-based pulse ordinals by time order (unique-key tiebreak so the
+    assignment is deterministic across engines)."""
+    e = _events(spark, sf_dir).filter(F.col("bank") == "click")
+    w = Window.orderBy("absolute_time", "event_id")
+    return e.select(
+        "event_id",
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias("pulse_index"),
+        F.col("absolute_time").alias("pulse_time"),
+    )
+
+
+def q_enrich_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: enrich events with a (broadcast) pulse-time dimension derived as
+    the hourly grid, then absolute-time arithmetic (P9)."""
+    e = _events(spark, sf_dir)
+    hours = (
+        e.select(F.floor(F.col("absolute_time") / INTERVAL).cast("long").alias("h"))
+        .distinct()
+        .withColumn("pulse_time", (F.col("h") * F.lit(INTERVAL)).cast("double"))
+    )
+    return (
+        e.withColumn("h", F.floor(F.col("absolute_time") / INTERVAL).cast("long"))
+        .join(F.broadcast(hours), "h", "left")
+        .select(
+            "event_id",
+            "pulse_time",
+            (F.col("pulse_time") + F.col("value") / F.lit(1e6)).alias("abs_time"),
+        )
+    )
+
+
+def q_replay_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-bank replay summary (reference spark_replay_events.py:302-309)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("bank")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("pulse_index").alias("min_pulse"),
+            F.max("pulse_index").alias("max_pulse"),
+        )
+    )
+
+
+QUERIES = {
+    "timeslice_interval": q_timeslice_interval,
+    "timeslice_range": q_timeslice_range,
+    "timeslice_bank_interval": q_timeslice_bank_interval,
+    "pulse_index_window": q_pulse_index_window,
+    "enrich_broadcast_join": q_enrich_broadcast_join,
+    "replay_summary": q_replay_summary,
+}
+
+_E = "SELECT event_id, epoch(ts) AS t, event_type AS bank, user_id AS pulse_index, value FROM events"
+
+ORACLE = {
+    "timeslice_interval": f"""
+        WITH e AS ({_E})
+        SELECT CAST(floor(t/{INTERVAL}) AS BIGINT) AS interval,
+               CAST(floor(t/{INTERVAL}) AS BIGINT) * {INTERVAL} AS interval_start,
+               (CAST(floor(t/{INTERVAL}) AS BIGINT) + 1) * {INTERVAL} AS interval_end,
+               CAST(count(*) AS BIGINT) AS event_count,
+               CAST(count(DISTINCT bank) AS BIGINT) AS n_banks,
+               CAST(count(DISTINCT pulse_index) AS BIGINT) AS n_pulses,
+               min(t) AS min_time, max(t) AS max_time
+        FROM e WHERE t IS NOT NULL GROUP BY 1
+    """,
+    "timeslice_range": f"""
+        WITH e AS ({_E})
+        SELECT {RANGE_START} AS start_time, {RANGE_END} AS end_time,
+               CAST(count(*) AS BIGINT) AS event_count,
+               min(t) AS min_time, max(t) AS max_time,
+               CAST(count(DISTINCT bank) AS BIGINT) AS n_banks,
+               CAST(count(DISTINCT pulse_index) AS BIGINT) AS n_pulses
+        FROM e WHERE t >= {RANGE_START} AND t < {RANGE_END}
+    """,
+    "timeslice_bank_interval": f"""
+        WITH e AS ({_E})
+        SELECT CAST(floor(t/{INTERVAL}) AS BIGINT) AS interval, bank,
+               CAST(count(*) AS BIGINT) AS event_count,
+               min(t) AS min_time, max(t) AS max_time,
+               CAST(count(DISTINCT pulse_index) AS BIGINT) AS n_pulses,
+               CAST(floor(t/{INTERVAL}) AS BIGINT) * {INTERVAL} AS interval_start,
+               (CAST(floor(t/{INTERVAL}) AS BIGINT) + 1) * {INTERVAL} AS interval_end
+        FROM e WHERE t IS NOT NULL GROUP BY 1, 2
+    """,
+    "pulse_index_window": f"""
+        WITH e AS ({_E})
+        SELECT event_id,
+               row_number() OVER (ORDER BY t, event_id) - 1 AS pulse_index,
+               t AS pulse_time
+        FROM e WHERE bank = 'click'
+    """,
+    "enrich_broadcast_join": f"""
+        WITH e AS ({_E}),
+        hours AS (SELECT DISTINCT CAST(floor(t/{INTERVAL}) AS BIGINT) AS h FROM e),
+        dim AS (SELECT h, CAST(h * {INTERVAL} AS DOUBLE) AS pulse_time FROM hours)
+        SELECT e.event_id, dim.pulse_time,
+               dim.pulse_time + e.value/1e6 AS abs_time
+        FROM e LEFT JOIN dim ON CAST(floor(e.t/{INTERVAL}) AS BIGINT) = dim.h
+    """,
+    "replay_summary": f"""
+        WITH e AS ({_E})
+        SELECT bank, CAST(count(*) AS BIGINT) AS n_events,
+               min(pulse_index) AS min_pulse, max(pulse_index) AS max_pulse
+        FROM e GROUP BY 1
+    """,
+}

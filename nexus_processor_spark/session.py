@@ -1,0 +1,74 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference's Spark jobs call a bare ``SparkSession.builder.getOrCreate()``
+(scripts/spark_events_by_time.py:45-47). We centralize session construction
+so every entry point gets the same tuned configuration:
+
+* AQE on (runtime coalescing, skew-join splitting, auto broadcast).
+* UTC session timezone — all epoch math is timezone-free and matches the
+  DuckDB oracle's ``epoch()``.
+* ``nanosAsLong`` — the events table carries TIMESTAMP(NANOS) parquet,
+  which vanilla Spark rejects; we read it as a long and do exact integer
+  microsecond math (see operators.timeslice.event_seconds).
+* Arrow on for the few pandas-interchange boundaries (ingest, vector UDFs).
+* ZSTD parquet output, honoring the reference's documented intent
+  (SURVEY.md §4 notes the reference's doc/code discrepancy here).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# At 100 TB these knobs are cluster-sized (e.g. shuffle partitions ~= 2-3x
+# total cores, or left to AQE); locally we keep them proportional to the
+# `local[N]` core count so tests and bench exercise realistic parallelism.
+DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.sql.parquet.filterPushdown": "true",
+    # local[] has no dynamic executors; partition counts come from cores.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "nexus-processor-spark", master: str | None = None,
+              extra_confs: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when no cluster is
+    configured; on a real cluster, leave it None and submit via
+    spark-submit so the cluster manager decides.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if master:
+        builder = builder.master(master)
+    for k, v in {**DEFAULT_CONFS, **(extra_confs or {})}.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an existing session.
+
+    Used when the caller (e.g. the verification driver) owns session
+    construction. Static confs (nanosAsLong) cannot be set here; the
+    readers in ``sources.tables`` cope by reading events via an explicit
+    arrow fallback when needed.
+    """
+    for k, v in DEFAULT_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a live session — reader-level fallbacks apply
+    return spark

@@ -22,9 +22,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nexus_processor_spark.queries import timeslice_q
+from nexus_processor_spark.queries import relational_q, timeslice_q
 
-_MODULES = (timeslice_q,)
+_MODULES = (timeslice_q, relational_q)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,396 @@
+"""Relational operator inventory over the star schema (SURVEY.md §2.2-2.8).
+
+Covers projections/filters/predicates (P1-P13), joins (J1-J4 shapes:
+broadcast equi, range, semi/anti), aggregations (A1-A12), windows (W1 +
+per-group stats A12), sorts/top-k (O1-O5), set ops (U1), and the scalar
+function surface (F2-F5, F8-F10) — each paired with DuckDB oracle SQL.
+
+Determinism: double SUM/AVG columns are rounded in both engines
+(accumulation order differs); top-k orders by (rounded measure, unique
+key); window ordinals carry unique-key tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nexus_processor_spark.functions.core import (
+    make_run_id,
+    run_id_to_filename,
+    try_parse_numeric,
+)
+from nexus_processor_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _ntz(date: str) -> F.Column:
+    return F.lit(date).cast("timestamp_ntz")
+
+
+# --- aggregations -----------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide hash aggregate with derived measures (A1/A5).
+
+    Map-side partial aggregation handles the heavy lifting; the shuffle
+    carries only (2-key group x 8 partials) — this is the plan that holds
+    at 100 TB.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= _ntz("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join -> agg -> deterministic top-10 (O4)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ntz("1998-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _ntz("1998-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with small-dim broadcasts (J1 chain)."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz("1996-01-01")) & (F.col("o_orderdate") < _ntz("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + agg (J1): orders x customer by segment."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_group_stats_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: run-level stats repeated per row via a partition window —
+    the reference carries avg/min/max per DAS log row (parquet.py:325-330)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    return ev.select(
+        "event_id",
+        F.col("event_type").alias("bank"),
+        F.round(F.avg("value").over(w), 4).alias("avg_value"),
+        F.min("value").over(w).alias("min_value"),
+        F.max("value").over(w).alias("max_value"),
+    )
+
+
+# --- joins ------------------------------------------------------------------
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers holding at least one urgent order."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no recent (2001+) orders."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= _ntz("2001-01-01"))
+    return cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti").select(
+        "c_custkey", "c_nationkey"
+    )
+
+
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 range-join shape: event value vs half-open band boundaries.
+
+    The band dimension is tiny -> broadcast nested-loop join, the right
+    physical plan for a theta join with a small side.
+    """
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.range(10).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 50.0).alias("lo"),
+        ((F.col("id") + 1) * 50.0).alias("hi"),
+    )
+    return ev.join(
+        F.broadcast(bands),
+        (ev.value >= bands.lo) & (ev.value < bands.hi),
+    ).select("event_id", "band")
+
+
+def q_csr_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/S5 CSR expansion: offsets -> per-element rows via
+    explode(sequence(...)) — the vectorized form of the reference's
+    event_index loop (parquet.py:465-471)."""
+    part = _t(spark, sf_dir, "part")
+    seq = F.sequence(F.lit(1).cast("long"), F.col("p_size").cast("long"))
+    return part.select("p_partkey", F.explode(seq).alias("i"))
+
+
+# --- projections / filters / scalar functions -------------------------------
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P7 + pushdown: range + comparison predicates reaching the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= _ntz("1997-01-01"))
+        & (F.col("l_shipdate") < _ntz("1998-01-01"))
+        & (F.col("l_quantity") > 45)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/F10 twin: pull a typed field out of a JSON payload column."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+def q_run_id_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5: composite run key build, filesystem-safe form, and parse-back."""
+    ev = _t(spark, sf_dir, "events")
+    rid = make_run_id("event_type", "user_id")
+    fs = run_id_to_filename(rid)
+    return ev.select(
+        "event_id",
+        rid.alias("run_id"),
+        fs.alias("run_id_fs"),
+        F.regexp_extract(fs, r"^(.*)_([0-9]+)$", 1).alias("instrument_back"),
+        F.regexp_extract(fs, r"^(.*)_([0-9]+)$", 2).cast("long").alias("run_number_back"),
+    )
+
+
+def q_dual_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3: the DAS-log dual encoding — value as string plus
+    try-parsed numeric (never throws, null on junk)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("value").cast("string").alias("value_str"),
+        try_parse_numeric(F.col("value").cast("string")).alias("value_numeric"),
+        try_parse_numeric(F.col("event_type")).alias("junk_numeric"),
+    )
+
+
+# --- sorts / limits / set ops ----------------------------------------------
+
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: per-group truncation — top-3 orders per customer by price."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: DISTINCT projection (status x priority)."""
+    return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+def q_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: union-all of two filtered subsets with provenance tags."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.lit("click").alias("src")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.lit("error").alias("src")
+    )
+    return clicks.unionByName(errors)
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "topk_revenue": q_topk_revenue,
+    "region_revenue": q_region_revenue,
+    "segment_totals": q_segment_totals,
+    "group_stats_window": q_group_stats_window,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "range_join_bands": q_range_join_bands,
+    "csr_expand": q_csr_expand,
+    "filter_project": q_filter_project,
+    "json_extract": q_json_extract,
+    "run_id_roundtrip": q_run_id_roundtrip,
+    "dual_encoding": q_dual_encoding,
+    "window_topk_per_group": q_window_topk_per_group,
+    "distinct_pairs": q_distinct_pairs,
+    "union_tagged": q_union_tagged,
+}
+
+ORACLE = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY 1, 2
+    """,
+    "topk_revenue": """
+        SELECT l_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY 1, 2
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "region_revenue": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+    "segment_totals": """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """,
+    "group_stats_window": """
+        SELECT event_id, event_type AS bank,
+               round(avg(value) OVER (PARTITION BY event_type), 4) AS avg_value,
+               min(value) OVER (PARTITION BY event_type) AS min_value,
+               max(value) OVER (PARTITION BY event_type) AS max_value
+        FROM events
+    """,
+    "semi_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    "anti_join": """
+        SELECT c_custkey, c_nationkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2001-01-01')
+    """,
+    "range_join_bands": """
+        WITH bands AS (
+            SELECT i AS band, i * 50.0 AS lo, (i + 1) * 50.0 AS hi FROM range(10) t(i)
+        )
+        SELECT e.event_id, b.band
+        FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    """,
+    "csr_expand": """
+        SELECT p_partkey, CAST(u.i AS BIGINT) AS i
+        FROM part, unnest(generate_series(1, p_size)) AS u(i)
+    """,
+    "filter_project": """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS net_price
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_quantity > 45
+    """,
+    "json_extract": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        FROM events
+    """,
+    "run_id_roundtrip": """
+        SELECT event_id,
+               event_type || ':' || CAST(user_id AS VARCHAR) AS run_id,
+               event_type || '_' || CAST(user_id AS VARCHAR) AS run_id_fs,
+               regexp_extract(event_type || '_' || CAST(user_id AS VARCHAR),
+                              '^(.*)_([0-9]+)$', 1) AS instrument_back,
+               CAST(regexp_extract(event_type || '_' || CAST(user_id AS VARCHAR),
+                              '^(.*)_([0-9]+)$', 2) AS BIGINT) AS run_number_back
+        FROM events
+    """,
+    "dual_encoding": """
+        SELECT event_id,
+               CAST(value AS VARCHAR) AS value_str,
+               TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value_numeric,
+               TRY_CAST(event_type AS DOUBLE) AS junk_numeric
+        FROM events
+    """,
+    "window_topk_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    "distinct_pairs": """
+        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+    "union_tagged": """
+        SELECT event_id, 'click' AS src FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT event_id, 'error' AS src FROM events WHERE event_type = 'error'
+    """,
+}

@@ -1,0 +1,90 @@
+"""Text primitives for the training-data pipeline operators.
+
+All JVM-side (split / transform / filter / md5 higher-order expressions) —
+no Python UDFs. Hash-based operators (MinHash, SimHash, fingerprints) use
+**md5 hex strings** as the hash domain: md5 is bit-identical across engines
+(Spark, DuckDB, anything), so every dedup signature here is reproducible by
+the SQL oracle and by any future re-implementation. Lexicographic order on
+the hex strings stands in for integer order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def tokens(text: Column | str, sep: str = " ") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, sep)
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token array (set semantics —
+    Jaccard inputs). Empty array when the doc has fewer than ``n`` tokens
+    (``sequence(1,0)`` would count *down* in Spark, so guard explicitly)."""
+    count = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(F.when(count >= 1, grams).otherwise(F.array().cast("array<string>")))
+
+
+def char_shingles(text: Column | str, k: int = 8) -> Column:
+    """Distinct character k-grams — the rolling-hash fingerprint domain."""
+    c = F.col(text) if isinstance(text, str) else text
+    count = F.length(c) - F.lit(k - 1)
+    grams = F.transform(F.sequence(F.lit(1), count), lambda i: F.substring(c, i, k))
+    return F.array_distinct(F.when(count >= 1, grams).otherwise(F.array().cast("array<string>")))
+
+
+def minhash_band(shingles: Column, band: int) -> Column:
+    """One MinHash value: lexicographic min of salted md5 over the shingle
+    set. ``band`` is the salt — B bands give B independent hash functions.
+    Null (not min-of-empty) for shingle-less docs so they never collide."""
+    salted = F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{band}|"), s)))
+    return F.when(F.size(shingles) > 0, F.array_min(salted))
+
+
+def hex_prefix_value(hash_hex: Column, digits: int = 4) -> Column:
+    """First ``digits`` hex chars of a hash as a long (0..16**digits-1)."""
+    return F.conv(F.substring(hash_hex, 1, digits), 16, 10).cast("long")
+
+
+def simhash(toks: Column, bits: int = 16) -> Column:
+    """SimHash over the distinct-token set: per-token md5 -> ``bits``-bit
+    value; each bit position votes +1/-1; sign of the vote is the output
+    bit. Near-duplicate docs land within small Hamming distance.
+
+    Single pass over the token array per bit, all inside codegen. 16 bits
+    is enough to band on; widen via multiple calls with salted tokens.
+    """
+    hexdigits = (bits + 3) // 4
+    ds = F.transform(F.array_distinct(toks), lambda t: hex_prefix_value(F.md5(t), hexdigits))
+
+    # Bit j via modulo math — F.shiftright chokes on lambda variables (py4j
+    # arg conversion). Closure factory, NOT a default arg: pyspark derives
+    # the lambda's variable count from its arity, so extra params would be
+    # bound to lambda variables.
+    def vote_fn(j: int):
+        lo, hi = 1 << j, 1 << (j + 1)
+        return lambda acc, d: acc + F.when((d % hi) >= lo, F.lit(1)).otherwise(F.lit(-1))
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = F.aggregate(ds, F.lit(0).cast("long"), vote_fn(j))
+        out = out + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+def hamming64(a: Column, b: Column, bits: int = 16) -> Column:
+    """Hamming distance between two ≤64-bit signatures (popcount of XOR)."""
+    x = a.bitwiseXOR(b)
+    bit = lambda j: F.when((x % F.lit(1 << (j + 1))) >= F.lit(1 << j), 1).otherwise(0)
+    out = F.lit(0)
+    for j in range(bits):
+        out = out + bit(j)
+    return out

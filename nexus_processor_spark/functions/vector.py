@@ -1,0 +1,29 @@
+"""Vector math over ``array<float>`` embedding columns — native expressions.
+
+``zip_with`` + ``aggregate`` keep the math in the JVM with a sequential
+(index-order) double accumulator, so results are deterministic and
+reproducible by an oracle that sums in index order. For very wide vectors
+or k-selection-heavy workloads, swap in the Arrow-batched pandas kernel in
+``operators.similarity`` — same semantics, amortized numpy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; null when either side has zero norm."""
+    d = dot(a, b)
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, d / denom)

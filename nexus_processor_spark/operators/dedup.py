@@ -1,0 +1,172 @@
+"""Deduplication operators for web-scale document corpora.
+
+Four families, all shuffle-frugal and driver-collect-free:
+
+* **Exact** — content-hash groupBy. One shuffle on a 16-byte key.
+* **MinHash + LSH** — shingle -> salted-md5 minhash signature -> band
+  bucket join -> Jaccard verification. The classic near-dup pipeline
+  (Broder; used by every large LM data pipeline). Candidate generation
+  touches only band-bucket collisions, never the full n² pair space.
+* **SimHash** — token-vote signature; near-dups collide within small
+  Hamming distance; banding the signature gives O(n) candidate gen.
+* **Embedding cosine** — near-dup pairs above a cosine threshold inside
+  coarse blocks (label/IVF cell), see ``operators.similarity``.
+
+Scale notes (100 TB): every stage is a hash shuffle on bounded-width keys;
+band buckets are salted md5 so skew only appears when true duplicate
+clusters are huge — cap bucket fanout with ``max_bucket`` to keep the
+pair join bounded (dropping only pathological mega-clusters, which are
+exact-dup territory anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nexus_processor_spark.functions.text import minhash_band, simhash, tokens, word_shingles
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content-hash dedup: one row per distinct content with the surviving
+    (minimum) id and the duplicate count."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated corpus itself (first-id-wins survivor rows)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """(id, band, sig): one salted-minhash per band per doc.
+
+    Docs with no shingles (shorter than the shingle width) emit nothing —
+    they cannot meaningfully near-dup match.
+    """
+    sh = word_shingles(tokens(text_col), shingle_words)
+    d = df.select(F.col(id_col), sh.alias("_shingles"))
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"), minhash_band(F.col("_shingles"), b).alias("sig"))
+        for b in range(num_bands)
+    ])
+    return (
+        d.select(id_col, F.explode(bands).alias("bs"))
+        .select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        .filter(F.col("sig").isNotNull())
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing any band bucket.
+
+    Self-equi-join on (band, sig) — a plain shuffle-hash join on a salted
+    key. ``max_bucket`` drops over-full buckets (mega-clusters) to bound
+    the output at planetary scale.
+    """
+    sig = signatures
+    if max_bucket is not None:
+        counts = Window.partitionBy("band", "sig")
+        sig = sig.withColumn("_n", F.count(F.lit(1)).over(counts)).filter(
+            F.col("_n") <= max_bucket
+        ).drop("_n")
+    a = sig.select(F.col("band"), F.col("sig"), F.col(id_col).alias("id_a"))
+    b = sig.select(F.col("band"), F.col("sig"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs.
+
+    The doc->shingle-set map joins in twice; ``array_intersect`` does the
+    set math per pair without exploding shingles through a shuffle.
+    """
+    sh = docs.select(
+        F.col(id_col), word_shingles(tokens(text_col), shingle_words).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.when(union > 0, inter.cast("double") / union.cast("double"))
+            .otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """End-to-end near-dup pair detection: LSH candidates -> Jaccard gate."""
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col,
+        num_bands=num_bands, shingle_words=shingle_words,
+    )
+    cands = lsh_candidate_pairs(sigs, id_col=id_col, max_bucket=max_bucket)
+    return jaccard_verify(
+        cands, df, text_col=text_col, id_col=id_col,
+        shingle_words=shingle_words, threshold=threshold,
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """(id, simhash): token-vote signature per doc."""
+    return df.select(
+        F.col(id_col),
+        simhash(tokens(text_col), bits).alias("simhash"),
+    )

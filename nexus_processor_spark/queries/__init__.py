@@ -22,9 +22,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nexus_processor_spark.queries import relational_q, timeslice_q
+from nexus_processor_spark.queries import (
+    dedup_q,
+    relational_q,
+    similarity_q,
+    text_q,
+    timeslice_q,
+)
 
-_MODULES = (timeslice_q, relational_q)
+_MODULES = (timeslice_q, relational_q, dedup_q, similarity_q, text_q)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

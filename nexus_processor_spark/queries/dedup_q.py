@@ -1,0 +1,165 @@
+"""Dedup operator queries over the ``documents`` table, with DuckDB twins.
+
+The md5-hex hash domain (functions.text) makes every signature —
+minhash bands, simhash bits, fingerprints — reproducible in ANSI-ish SQL,
+so the whole near-dup pipeline is oracle-checkable end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nexus_processor_spark.functions.text import hamming64
+from nexus_processor_spark.operators import dedup
+from nexus_processor_spark.sources.tables import load_table
+
+NUM_BANDS = 8
+SHINGLE_WORDS = 3
+SIMHASH_BITS = 16
+HAMMING_MAX = 4
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir)).select("doc_id", "lang", "n_chars")
+
+
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signatures(
+        _docs(spark, sf_dir), num_bands=NUM_BANDS, shingle_words=SHINGLE_WORDS
+    )
+    return sigs.select("doc_id", F.col("band").cast("long").alias("band"), "sig")
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full LSH pipeline: candidates from band buckets, exact Jaccard out."""
+    return dedup.minhash_dedup_pairs(
+        _docs(spark, sf_dir),
+        num_bands=NUM_BANDS,
+        shingle_words=SHINGLE_WORDS,
+        threshold=0.0,
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(_docs(spark, sf_dir), bits=SIMHASH_BITS)
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs within Hamming <= 4 of the 16-bit simhash.
+
+    Direct pairwise here (correctness harness scale); the scale path bands
+    the signature into 4-bit chunks and joins on chunk equality first.
+    """
+    sigs = dedup.simhash_signatures(_docs(spark, sf_dir), bits=SIMHASH_BITS)
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b"), SIMHASH_BITS).cast("long"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+QUERIES = {
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_exact_survivors": q_dedup_exact_survivors,
+    "dedup_minhash_signatures": q_dedup_minhash_signatures,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+}
+
+# --- oracle SQL -------------------------------------------------------------
+
+# Distinct word 3-gram shingles of each doc (empty when < 3 tokens).
+_SHINGLES = """
+    SELECT doc_id,
+           list_distinct(
+             list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+               i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+             )
+           ) AS sh
+    FROM documents
+"""
+
+# (doc_id, band, sig) minhash signatures, bands 0..7.
+_SIGS = f"""
+    SELECT s.doc_id, b.band,
+           list_aggregate(
+             list_transform(s.sh, x -> md5(CAST(b.band AS VARCHAR) || '|' || x)),
+             'min'
+           ) AS sig
+    FROM ({_SHINGLES}) s, (SELECT unnest(range({NUM_BANDS})) AS band) b
+    WHERE len(s.sh) > 0
+"""
+
+
+def _simhash_sql() -> str:
+    """Mirror functions.text.simhash: hex-digit math on md5(token)."""
+    hexv = "0123456789abcdef"
+    h = lambda k: f"(strpos('{hexv}', substr(md5(t), {k}, 1)) - 1)"
+    d = f"(4096*{h(1)} + 256*{h(2)} + 16*{h(3)} + {h(4)})"
+    ds = f"list_transform(list_distinct(string_split(text, ' ')), t -> {d})"
+    votes = [
+        f"CASE WHEN list_sum(list_transform(ds, d -> CASE WHEN ((d >> {j}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    ]
+    return f"""
+        SELECT doc_id, CAST({' + '.join(votes)} AS BIGINT) AS simhash
+        FROM (SELECT doc_id, {ds} AS ds FROM documents)
+    """
+
+
+_SIMHASH = _simhash_sql()
+
+ORACLE = {
+    "dedup_exact_groups": """
+        SELECT md5(text) AS content_hash,
+               min(doc_id) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_dups
+        FROM documents GROUP BY 1
+    """,
+    "dedup_exact_survivors": """
+        WITH keep AS (SELECT min(doc_id) AS k FROM documents GROUP BY md5(text))
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d JOIN keep ON d.doc_id = keep.k
+    """,
+    "dedup_minhash_signatures": f"SELECT doc_id, band, sig FROM ({_SIGS})",
+    "dedup_minhash_pairs": f"""
+        WITH sh AS ({_SHINGLES}),
+        sig AS ({_SIGS}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               AS jaccard
+        FROM cand c
+        JOIN sh x ON c.id_a = x.doc_id
+        JOIN sh y ON c.id_b = y.doc_id
+    """,
+    "dedup_simhash": _SIMHASH,
+    "dedup_simhash_pairs": f"""
+        WITH s AS ({_SIMHASH})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """,
+}

@@ -1,0 +1,102 @@
+"""Similarity-search queries over the ``embeddings`` table, with oracles.
+
+The DuckDB twin computes cosine with the same index-order double
+accumulation as the Spark ``zip_with``/``aggregate`` expression, so the
+rounded (1e-6) scores match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nexus_processor_spark.operators import similarity
+from nexus_processor_spark.sources.tables import load_table
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 5
+NEAR_DUP_THRESHOLD = 0.3  # synthetic 64-dim corpus: within-label p99 ≈ 0.295
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def q_sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb, TOP_K
+    )
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb, TOP_K
+    )
+
+
+def q_sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_near_dup_pairs(
+        _emb(spark, sf_dir), NEAR_DUP_THRESHOLD
+    )
+
+
+QUERIES = {
+    "sim_brute_topk": q_sim_brute_topk,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_near_dup_pairs": q_sim_near_dup_pairs,
+}
+
+
+def _cos(a: str, b: str) -> str:
+    dot = (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    na = (
+        f"sqrt(list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    )
+    nb = (
+        f"sqrt(list_sum(list_transform(generate_series(1, len({b})), "
+        f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+    )
+    return f"round({dot} / ({na} * {nb}), 6)"
+
+
+_SCORED = f"""
+    SELECT q.query_id, c.vec_id, {_cos('q.qv', 'c.cv')} AS cos
+    FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < {N_QUERIES}) q,
+         (SELECT vec_id, embedding AS cv FROM embeddings) c
+    WHERE c.vec_id <> q.query_id
+"""
+
+_SCORED_IVF = f"""
+    SELECT q.query_id, c.vec_id, {_cos('q.qv', 'c.cv')} AS cos
+    FROM (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings
+          WHERE vec_id < {N_QUERIES}) q
+    JOIN (SELECT vec_id, embedding AS cv, label FROM embeddings) c USING (label)
+    WHERE c.vec_id <> q.query_id
+"""
+
+_TOPK = """
+    SELECT query_id, vec_id, cos, rn AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id) AS rn
+        FROM ({scored})
+    ) WHERE rn <= {k}
+"""
+
+ORACLE = {
+    "sim_brute_topk": _TOPK.format(scored=_SCORED, k=TOP_K),
+    "sim_ivf_topk": _TOPK.format(scored=_SCORED_IVF, k=TOP_K),
+    "sim_near_dup_pairs": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_cos('a.embedding', 'b.embedding')} AS cos
+        FROM embeddings a JOIN embeddings b USING (label)
+        WHERE a.vec_id < b.vec_id
+          AND {_cos('a.embedding', 'b.embedding')} >= {NEAR_DUP_THRESHOLD}
+    """,
+}

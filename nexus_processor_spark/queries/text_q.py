@@ -1,0 +1,91 @@
+"""Text-analysis queries over ``documents``, with DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nexus_processor_spark.operators import textstats
+from nexus_processor_spark.operators.textstats import BPE_TOKEN_RE, LANG_MARKERS, STOPWORDS
+from nexus_processor_spark.sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.text_profile(_docs(spark, sf_dir))
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.language_id(_docs(spark, sf_dir))
+
+
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(_docs(spark, sf_dir))
+
+
+QUERIES = {
+    "text_profile": q_text_profile,
+    "text_langid": q_text_langid,
+    "text_fingerprints": q_text_fingerprints,
+}
+
+
+def _hits(markers: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{m}'" for m in markers)
+    return (
+        "CAST(len(list_filter(string_split(text, ' '), "
+        f"t -> t IN ({quoted}))) AS BIGINT)"
+    )
+
+
+def _langid_sql() -> str:
+    langs = list(LANG_MARKERS)
+    scores = ", ".join(f"{_hits(m)} AS score_{lang}" for lang, m in LANG_MARKERS.items())
+    cases = []
+    for lang in langs:
+        others = ", ".join(f"score_{o}" for o in langs if o != lang)
+        cases.append(
+            f"WHEN score_{lang} > 0 AND score_{lang} >= greatest({others}) THEN '{lang}'"
+        )
+    case = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+        SELECT doc_id, {', '.join(f'score_{lang}' for lang in langs)},
+               {case} AS pred_lang
+        FROM (SELECT doc_id, {scores} FROM documents)
+    """
+
+
+ORACLE = {
+    "text_profile": f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS avg_token_len,
+               {_hits(STOPWORDS)} AS stopword_hits,
+               CAST({_hits(STOPWORDS)} AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stopword_ratio,
+               CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT)
+                 AS bpe_tokens,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
+        FROM documents
+    """,
+    "text_langid": _langid_sql(),
+    "text_fingerprints": """
+        SELECT doc_id,
+               md5(text) AS fp_md5,
+               md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_norm_md5,
+               CASE WHEN length(text) >= 8 THEN
+                 list_aggregate(
+                   list_transform(
+                     list_distinct(
+                       list_transform(generate_series(1, length(text) - 7),
+                                      i -> substr(text, i, 8))
+                     ), s -> md5(s)
+                   ), 'min')
+               END AS fp_rolling_min
+        FROM documents
+    """,
+}

@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is materialized through the ``noop`` sink so the full plan
+(including derived columns) executes — ``count()`` would let Catalyst
+prune the computed columns and measure nothing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from nexus_processor_spark import queries as registry
+from nexus_processor_spark.session import get_spark
+
+# Headline set: flagship time-slice pipeline, heavy relational shapes, and
+# the training-data operators (dedup / similarity / text).
+HEADLINE = (
+    "timeslice_interval",
+    "timeslice_bank_interval",
+    "enrich_broadcast_join",
+    "pricing_summary",
+    "topk_revenue",
+    "region_revenue",
+    "window_topk_per_group",
+    "dedup_exact_groups",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "sim_brute_topk",
+    "sim_near_dup_pairs",
+    "text_profile",
+    "text_fingerprints",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("nexus-bench")
+    qs = registry.queries()
+
+    # Warm the JVM/session so the first measured query isn't paying startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

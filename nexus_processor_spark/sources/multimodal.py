@@ -1,0 +1,132 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real — schemas, Arrow-batched ``mapInPandas``
+transforms, partitioning discipline; only the codec calls are stubbed
+(image/audio libraries are not in this container). ``fake_decode=True``
+swaps the codec for a deterministic synthesizer so the full pipeline is
+testable; with libraries present, implement ``_decode_image_real``.
+
+Design for 100 TB of media:
+
+* Binary payloads ride in their own column so Parquet keeps them in
+  dedicated pages; metadata-only queries never touch the bytes (column
+  pruning), and ``spark.sql.files.maxPartitionBytes`` sizes tasks by bytes
+  not rows.
+* Feature extraction is ``mapInPandas`` over Arrow batches: one Python
+  roundtrip per batch, not per row; batch size bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` to cap executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("kind", StringType(), True),       # image | audio | video
+    StructField("format", StringType(), True),     # png, wav, mp4, ...
+    StructField("payload", BinaryType(), True),    # opaque encoded bytes
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("duration_ms", LongType(), True),
+])
+
+IMAGE_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("sha256", StringType(), True),
+    StructField("n_bytes", LongType(), True),
+    StructField("mean_luma", FloatType(), True),
+    StructField("embedding", ArrayType(FloatType()), True),
+])
+
+
+def _decode_image_real(payload: bytes) -> np.ndarray:  # pragma: no cover
+    """Real codec hook — requires an imaging library (not in container)."""
+    raise NotImplementedError(
+        "image decoding requires Pillow/opencv; install one and implement "
+        "this hook, or run with fake_decode=True"
+    )
+
+
+def _decode_image_fake(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in: bytes -> seeded 8x8 gray image. Keeps the
+    full pipeline (batching, schema, feature math) exercisable."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+
+
+def extract_image_features(
+    media: DataFrame, *, dim: int = 16, fake_decode: bool = False
+) -> DataFrame:
+    """Decode -> luma + tiny embedding, Arrow-batched.
+
+    Output is deterministic for a given payload (hash-seeded fake), so the
+    operator is testable end to end without codecs.
+    """
+    decode = _decode_image_fake if fake_decode else _decode_image_real
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                if payload is None:
+                    out.append((media_id, None, None, None, None))
+                    continue
+                img = decode(bytes(payload)).astype(np.float32)
+                flat = img.ravel()
+                emb = np.resize(flat / 255.0, dim).astype(np.float32)
+                out.append((
+                    int(media_id),
+                    hashlib.sha256(bytes(payload)).hexdigest(),
+                    len(payload),
+                    float(img.mean()),
+                    emb.tolist(),
+                ))
+            yield pd.DataFrame(
+                out, columns=["media_id", "sha256", "n_bytes", "mean_luma", "embedding"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled timestamp.
+
+    The timestamp grid is native (explode over a sequence — no Python);
+    actual frame extraction would join this grid into a codec
+    ``mapInPandas`` like :func:`extract_image_features`.
+    """
+    n_frames = (F.col("duration_ms") / every_ms).cast("long")
+    return (
+        media.filter(F.col("kind") == "video")
+        .filter(F.col("duration_ms").isNotNull())
+        .select(
+            "media_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_frames),
+                    lambda i: i * every_ms,
+                )
+            ).alias("frame_ts_ms"),
+        )
+        .filter(F.col("frame_ts_ms") < F.col("duration_ms"))
+    )

@@ -1,0 +1,144 @@
+"""Event replay: batch and Structured Streaming (SURVEY.md §2.9, S14-S17, T1-T5).
+
+Re-expresses scripts/spark_replay_events.py + scripts/replay_events.py:
+
+* **Marshal** — ``key = run_id``, ``value = to_json(struct(*))`` (the
+  reference's Kafka wire format, spark_replay_events.py:184-187).
+* **Batch replay** — pushdown-filtered scan, deterministic
+  ``(run_id, pulse_index, time_offset)`` order (sre:129), to Kafka /
+  console / collected iterator.
+* **Streaming replay** — file-stream source over the events table
+  (the catalog is plain partitioned parquet; with an Iceberg catalog the
+  same code takes ``readStream.format("iceberg")``), checkpointed sink,
+  micro-batch trigger (sre:269-275).
+* **Rate limiting** — ``maxFilesPerTrigger`` bounds ingest per micro-batch
+  (the reference's batch-mode sleep pacing, replay_events.py:112-133,
+  doesn't translate to distributed writers; trigger pacing does).
+
+Kafka needs the spark-sql-kafka package + brokers; everything else runs
+self-contained (console/memory/foreachBatch), which is what the tests use.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from nexus_processor_spark.schemas import TABLES
+
+
+def filtered_events(
+    events: DataFrame,
+    *,
+    run_id: str | None = None,
+    bank: str | None = None,
+    instrument_id: str | None = None,
+    run_range: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Chained pushdown filters (reference sre:113-126). ``run_id`` prunes
+    partitions via the derived (instrument_id, run_number) pair — filtering
+    only the string column would NOT prune (SURVEY.md §4)."""
+    df = events
+    if run_id is not None:
+        inst, _, num = run_id.rpartition(":")
+        df = df.filter(
+            (F.col("instrument_id") == inst) & (F.col("run_number") == int(num))
+        )
+    if instrument_id is not None:
+        df = df.filter(F.col("instrument_id") == instrument_id)
+    if run_range is not None:
+        df = df.filter(F.col("run_number").between(*run_range))
+    if bank is not None:
+        df = df.filter(F.col("bank") == bank)
+    return df
+
+
+def ordered_replay(events: DataFrame) -> DataFrame:
+    """Deterministic temporal order (T5): global range sort — one shuffle,
+    range-partitioned so it scales out instead of collapsing to a task."""
+    return events.orderBy("run_id", "pulse_index", "time_offset")
+
+
+def marshal_kafka(events: DataFrame) -> DataFrame:
+    """(key, value) wire rows: key=run_id, value=JSON of all columns."""
+    return events.select(
+        F.col("run_id").cast("string").alias("key"),
+        F.to_json(F.struct("*")).alias("value"),
+    )
+
+
+def replay_to_iterator(events: DataFrame, batch_size: int = 10_000) -> Iterator[Row]:
+    """S17 stdout-replay analog: stream rows to the driver without
+    collecting the whole table (toLocalIterator fetches one partition at a
+    time). The caller owns pacing/printing."""
+    return ordered_replay(events).toLocalIterator(prefetchPartitions=False)
+
+
+def write_kafka_batch(
+    events: DataFrame, *, brokers: str, topic: str
+) -> None:  # pragma: no cover - needs Kafka + package
+    """Bulk Kafka write (S14, reference sre:227-238)."""
+    (marshal_kafka(events).write.format("kafka")
+     .option("kafka.bootstrap.servers", brokers)
+     .option("topic", topic).save())
+
+
+def read_events_stream(
+    spark: SparkSession,
+    root: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """T1: unbounded tail of the events table (file-stream source over the
+    partitioned-parquet catalog; new files appended by ingest are picked up
+    per micro-batch)."""
+    schema, _ = TABLES["events"]
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.option("basePath", f"{root}/events").parquet(f"{root}/events")
+
+
+def stream_to_kafka(
+    events: DataFrame, *, brokers: str, topic: str, checkpoint: str,
+    trigger_seconds: int = 10,
+) -> StreamingQuery:  # pragma: no cover - needs Kafka + package
+    """S15/T2/T3: checkpointed exactly-once Kafka sink with a
+    processing-time trigger (reference sre:269-275)."""
+    return (marshal_kafka(events).writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("topic", topic)
+            .option("checkpointLocation", checkpoint)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start())
+
+
+def stream_to_console(events: DataFrame, *, trigger_seconds: int = 10) -> StreamingQuery:
+    """S16: console debug sink (reference sre:480-484)."""
+    return (events.writeStream.format("console")
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start())
+
+
+def stream_foreach_batch(
+    events: DataFrame,
+    fn: Callable[[DataFrame, int], None],
+    *,
+    checkpoint: str,
+    available_now: bool = False,
+    trigger_seconds: int = 10,
+) -> StreamingQuery:
+    """T4 rate-limited/custom replay: micro-batch handoff to ``fn``.
+
+    ``available_now=True`` drains the current table contents then stops —
+    the testable, bounded form of replay.
+    """
+    writer = events.writeStream.foreachBatch(fn).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

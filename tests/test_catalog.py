@@ -1,0 +1,61 @@
+from __future__ import annotations
+
+import json
+
+from nexus_processor_spark.schemas import table_ddl
+from nexus_processor_spark.sources import catalog, nexus
+
+from tests.test_nexus_ingest import fixture_tree
+
+
+def test_write_read_partitioned_roundtrip(spark, tmp_path):
+    p = tmp_path / "run.json"
+    p.write_text(json.dumps(fixture_tree()))
+    df = nexus.ingest_table(spark, [str(p)], "events")
+    root = str(tmp_path / "lake")
+    catalog.write_table(df, root, "events")
+    back = catalog.read_table(spark, root, "events")
+    assert back.count() == 4
+    # partition columns survive the directory layout
+    assert {r.instrument_id for r in back.select("instrument_id").collect()} == {"REF_L"}
+    # partition pruning: the run filter must reach the input paths
+    plan = back.filter(
+        (back.instrument_id == "REF_L") & (back.run_number == 12345)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_routing_by_directory_and_filename():
+    got = catalog.route_files([
+        "/lake/events/part-0.parquet",
+        "/lake/daslogs/a/part-1.parquet",
+        "/drop/REF_L_123_event_summary.parquet",
+        "/drop/REF_L_123_events_part001.parquet",
+        "/drop/REF_L_123_metadata.parquet",
+        "/drop/unrelated.txt",
+    ])
+    assert got == {
+        "events": ["/lake/events/part-0.parquet",
+                    "/drop/REF_L_123_events_part001.parquet"],
+        "daslogs": ["/lake/daslogs/a/part-1.parquet"],
+        "event_summary": ["/drop/REF_L_123_event_summary.parquet"],
+        "experiment_runs": ["/drop/REF_L_123_metadata.parquet"],
+    }
+
+
+def test_ingest_routed_end_to_end(spark, tmp_path):
+    p = tmp_path / "run.json"
+    p.write_text(json.dumps(fixture_tree()))
+    src = str(tmp_path / "drop_events.parquet")
+    nexus.ingest_table(spark, [str(p)], "events").write.parquet(src)
+    root = str(tmp_path / "lake")
+    written = catalog.ingest_routed(spark, [src], root)
+    assert set(written) == {"events"}
+    assert catalog.read_table(spark, root, "events").count() == 4
+
+
+def test_ddl_generation():
+    ddl = table_ddl("events")
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS events")
+    assert "PARTITIONED BY (instrument_id, run_number)" in ddl
+    assert "pulse_time DOUBLE" in ddl

@@ -1,0 +1,93 @@
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from nexus_processor_spark.operators import dedup, similarity
+
+
+@pytest.fixture()
+def docs(spark):
+    near_a = "the quick brown fox jumps over the lazy dog again and again today"
+    near_b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    rows = [
+        (1, near_a),
+        (2, near_b),                       # near-dup of 1
+        (3, near_a),                       # exact dup of 1
+        (4, "completely unrelated words about spark catalyst tungsten engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = {r.keep_id: r.n_dups for r in dedup.exact_dedup_groups(docs).collect()}
+    assert groups[1] == 2          # 1 and 3 collapse
+    survivors = sorted(r.doc_id for r in dedup.exact_dedup(docs).collect())
+    assert survivors == [1, 2, 4]  # min id wins
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.minhash_dedup_pairs(docs, threshold=0.0).collect()}
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0   # exact dup
+    assert (1, 2) in pairs and 0.5 < pairs[(1, 2)] < 1.0
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_lsh_max_bucket_caps_fanout(docs):
+    sigs = dedup.minhash_signatures(docs)
+    capped = dedup.lsh_candidate_pairs(sigs, max_bucket=1)
+    assert capped.count() == 0     # every bucket with a collision is dropped
+
+
+def test_simhash_signatures_stable(docs):
+    a = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
+    b = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
+    assert a == b
+    assert a[1] == a[3]            # identical text, identical signature
+    assert all(0 <= v < 2 ** 16 for v in a.values())
+
+
+@pytest.fixture()
+def embeddings(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8)
+    rows = []
+    for i in range(6):
+        v = base + rng.normal(scale=0.05, size=8) if i < 3 else rng.normal(size=8)
+        rows.append((i, [float(x) for x in v], int(i < 3)))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_matches_numpy(embeddings):
+    rows = embeddings.collect()
+    vecs = {r.vec_id: np.array(r.embedding) for r in rows}
+    out = similarity.brute_force_topk(
+        embeddings.filter("vec_id = 0"), embeddings, k=2
+    ).collect()
+    got = [(r.vec_id, r.cos) for r in sorted(out, key=lambda r: r.rank)]
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    expect = sorted(
+        ((i, cos(vecs[0], v)) for i, v in vecs.items() if i != 0),
+        key=lambda t: -t[1],
+    )[:2]
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for g, e in zip(got, expect):
+        assert math.isclose(g[1], e[1], abs_tol=1e-6)
+
+
+def test_ivf_topk_restricts_to_cell(embeddings):
+    out = similarity.ivf_topk(
+        embeddings.filter("vec_id = 0"), embeddings, k=5
+    ).collect()
+    assert {r.vec_id for r in out} == {1, 2}   # only label-1 cellmates
+
+
+def test_cosine_near_dup_pairs_blocked(embeddings):
+    pairs = {(r.id_a, r.id_b) for r in
+             similarity.cosine_near_dup_pairs(embeddings, 0.9).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert all(a < 3 and b < 3 for a, b in pairs)  # cross-label never compared

@@ -1,0 +1,42 @@
+from __future__ import annotations
+
+import pytest
+
+from nexus_processor_spark.sources import multimodal
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image", "png", bytearray(b"payload-one"), 8, 8, None),
+        (2, "image", "png", bytearray(b"payload-two"), 8, 8, None),
+        (3, "image", "png", None, None, None, None),
+        (4, "video", "mp4", bytearray(b"vid"), 640, 480, 3500),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_fake_decode_features_deterministic(spark, media):
+    out1 = {r.media_id: r for r in
+            multimodal.extract_image_features(media, fake_decode=True).collect()}
+    out2 = {r.media_id: r for r in
+            multimodal.extract_image_features(media, fake_decode=True).collect()}
+    assert out1[1].embedding == out2[1].embedding  # deterministic
+    assert out1[1].sha256 != out1[2].sha256
+    assert len(out1[1].embedding) == 16
+    assert out1[3].sha256 is None  # null payload propagates
+    assert 0.0 <= out1[1].mean_luma <= 255.0
+
+
+def test_real_decode_is_gated(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|imaging"):
+        multimodal.extract_image_features(
+            media.filter("media_id = 1"), fake_decode=False
+        ).collect()
+
+
+def test_frame_sampling_grid(spark, media):
+    rows = multimodal.sample_frames(media, every_ms=1000).collect()
+    assert [(r.media_id, r.frame_ts_ms) for r in rows] == [
+        (4, 0), (4, 1000), (4, 2000), (4, 3000)
+    ]

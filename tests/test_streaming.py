@@ -1,0 +1,83 @@
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from nexus_processor_spark.functions.core import event_timestamp
+from nexus_processor_spark.operators import timeslice
+from nexus_processor_spark.sources import catalog, nexus
+from nexus_processor_spark.sources.tables import load_table
+from nexus_processor_spark.streaming import replay, windows
+
+from tests.test_nexus_ingest import fixture_tree
+
+
+def _lake(spark, tmp_path) -> str:
+    p = tmp_path / "run.json"
+    p.write_text(json.dumps(fixture_tree()))
+    df = nexus.ingest_table(spark, [str(p)], "events")
+    root = str(tmp_path / "lake")
+    catalog.write_table(df, root, "events")
+    return root
+
+
+def test_filtered_events_prunes_on_run_key(spark, tmp_path):
+    root = _lake(spark, tmp_path)
+    ev = catalog.read_table(spark, root, "events")
+    out = replay.filtered_events(ev, run_id="REF_L:12345", bank="bank1_events")
+    assert out.count() == 4
+    assert replay.filtered_events(ev, run_id="REF_L:999").count() == 0
+    assert replay.filtered_events(ev, run_range=(12000, 13000)).count() == 4
+
+
+def test_marshal_kafka_shape(spark, tmp_path):
+    root = _lake(spark, tmp_path)
+    ev = catalog.read_table(spark, root, "events")
+    row = replay.marshal_kafka(replay.ordered_replay(ev)).first()
+    assert row.key == "REF_L:12345"
+    payload = json.loads(row.value)
+    assert payload["bank"] == "bank1_events" and "pulse_time" in payload
+
+
+def test_replay_iterator_ordered(spark, tmp_path):
+    root = _lake(spark, tmp_path)
+    ev = catalog.read_table(spark, root, "events")
+    offs = [r.time_offset for r in replay.replay_to_iterator(ev)]
+    assert offs == sorted(offs)
+
+
+def test_stream_drain_matches_batch(spark, tmp_path):
+    """T6 anchor: draining the file stream through foreachBatch reproduces
+    the batch table exactly-once."""
+    root = _lake(spark, tmp_path)
+    stream = replay.read_events_stream(spark, root, max_files_per_trigger=1)
+    assert stream.isStreaming
+    got: list[int] = []
+    q = replay.stream_foreach_batch(
+        stream,
+        lambda df, epoch: got.append(df.count()),
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(60)
+    assert sum(got) == 4
+
+
+def test_windowed_counts_match_floor_bucketing(spark, tmp_path):
+    """Streaming tumbling windows == batch floor(t/N) buckets on the same
+    data (semantics anchored to operators.timeslice)."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        event_timestamp("ts").alias("event_time"),
+        F.col("event_type").alias("bank"),
+        F.col("user_id").alias("pulse_index"),
+    )
+    # batch twin via the flagship operator
+    batch = timeslice.count_by_interval(
+        ev.withColumn("absolute_time", F.col("event_time").cast("double")),
+        3600.0,
+    ).select("interval", "event_count")
+    # "streaming" semantics applied to the same bounded frame
+    win = windows.windowed_counts(ev, 3600.0)
+    agg = win.groupBy("interval").agg(F.sum("event_count").alias("event_count"))
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, agg.collect()))

@@ -1,0 +1,74 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexus_processor_spark.operators import timeslice
+
+
+@pytest.fixture()
+def daslogs(spark):
+    rows = [
+        # run A has proton_charge (priority 1) AND pcharge (priority 3):
+        # only proton_charge rows must become pulses.
+        ("A:1", "proton_charge", 2.0), ("A:1", "proton_charge", 1.0),
+        ("A:1", "pcharge", 99.0),
+        # run B only has the fallback name.
+        ("B:2", "SampleProtonCharge", 5.0), ("B:2", "SampleProtonCharge", 6.0),
+        # unrelated log never contributes.
+        ("A:1", "temperature", 0.5),
+    ]
+    return spark.createDataFrame(rows, "run_id string, log_name string, time double")
+
+
+def test_pulse_times_candidate_priority_and_ordinals(daslogs):
+    out = timeslice.pulse_times(daslogs).collect()
+    got = {(r.run_id, r.pulse_index): r.pulse_time for r in out}
+    assert got == {
+        ("A:1", 0): 1.0, ("A:1", 1): 2.0,   # sorted by time, 0-based
+        ("B:2", 0): 5.0, ("B:2", 1): 6.0,   # fallback name used
+    }
+
+
+def test_with_absolute_time_left_join_nulls(spark, daslogs):
+    pulses = timeslice.pulse_times(daslogs)
+    events = spark.createDataFrame(
+        [("A:1", 0, 500_000.0), ("A:1", 7, 1.0)],  # pulse 7 doesn't exist
+        "run_id string, pulse_index long, time_offset double",
+    )
+    rows = {r.pulse_index: r for r in
+            timeslice.with_absolute_time(events, pulses).collect()}
+    assert rows[0].absolute_time == 1.0 + 0.5  # µs -> s
+    assert rows[7].absolute_time is None       # kept, null-enriched
+
+
+def test_count_by_interval_half_open_buckets(spark):
+    events = spark.createDataFrame(
+        [(0.0, "b1", 0), (59.9, "b2", 0), (60.0, "b1", 1), (None, "b1", 2)],
+        "absolute_time double, bank string, pulse_index long",
+    )
+    rows = {r.interval: r for r in
+            timeslice.count_by_interval(events, 60.0).collect()}
+    assert set(rows) == {0, 1}                      # null time drops out
+    assert rows[0].event_count == 2 and rows[0].n_banks == 2
+    assert rows[0].interval_start == 0.0 and rows[0].interval_end == 60.0
+    assert rows[1].event_count == 1 and rows[1].min_time == 60.0
+
+
+def test_count_in_time_range_half_open(spark):
+    events = spark.createDataFrame(
+        [(10.0, "b", 0), (19.999, "b", 1), (20.0, "b", 2)],
+        "absolute_time double, bank string, pulse_index long",
+    )
+    row = timeslice.count_in_time_range(events, 10.0, 20.0).first()
+    assert row.event_count == 2 and row.max_time == 19.999
+    assert row.start_time == 10.0 and row.end_time == 20.0
+
+
+def test_exclude_error_banks(spark):
+    events = spark.createDataFrame(
+        [("bank1_events",), ("bank_error_events",), ("bank_unmapped",)],
+        "bank string",
+    )
+    kept = [r.bank for r in timeslice.exclude_error_banks(events).collect()]
+    assert kept == ["bank1_events"]

@@ -24,7 +24,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from nexus_processor_spark.functions.text import minhash_band, simhash, tokens, word_shingles
+from nexus_processor_spark.functions.text import (
+    BANDS_PER_MD5,
+    band_sig_from_hashes,
+    minhash_band,
+    salted_md5s,
+    simhash,
+    tokens,
+    word_shingles,
+)
+from nexus_processor_spark.plans.layout import spread
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -64,7 +73,9 @@ def minhash_signatures(
     they cannot meaningfully near-dup match.
     """
     sh = word_shingles(tokens(text_col), shingle_words)
-    d = df.select(F.col(id_col), sh.alias("_shingles"))
+    d = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), sh.alias("_shingles")
+    )
     bands = F.array(*[
         F.struct(F.lit(b).alias("band"), minhash_band(F.col("_shingles"), b).alias("sig"))
         for b in range(num_bands)
@@ -145,16 +156,55 @@ def minhash_dedup_pairs(
     shingle_words: int = 3,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    persist_shingles: bool = True,
 ) -> DataFrame:
-    """End-to-end near-dup pair detection: LSH candidates -> Jaccard gate."""
-    sigs = minhash_signatures(
-        df, text_col=text_col, id_col=id_col,
-        num_bands=num_bands, shingle_words=shingle_words,
+    """End-to-end near-dup pair detection: LSH candidates -> Jaccard gate.
+
+    The doc -> shingle-set projection feeds four plan branches (both sides
+    of the bucket join and both sides of the verification join); without
+    reuse Catalyst recomputes the md5 shingling each time. ``persist_shingles``
+    materializes it once (MEMORY_AND_DISK) — at warehouse scale, checkpoint
+    this projection to the lake instead and share it across dedup runs.
+    """
+    n_salts = -(-num_bands // BANDS_PER_MD5)
+    raw = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), word_shingles(tokens(text_col), shingle_words).alias("sh")
+    )
+    sh = raw.select(
+        id_col, "sh",
+        *[salted_md5s(F.col("sh"), k).alias(f"_h{k}") for k in range(n_salts)],
+    )
+    if persist_shingles:
+        # Prime the cache with an explicit action: four plan branches read
+        # this projection, and a lazily-persisted DF would be recomputed by
+        # each branch racing within the first job (measured 3x slower).
+        sh = sh.persist()
+        sh.count()
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            band_sig_from_hashes(F.col(f"_h{b // BANDS_PER_MD5}"), b).alias("sig"),
+        )
+        for b in range(num_bands)
+    ])
+    sigs = (
+        sh.select(id_col, F.explode(bands).alias("bs"))
+        .select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        .filter(F.col("sig").isNotNull())
     )
     cands = lsh_candidate_pairs(sigs, id_col=id_col, max_bucket=max_bucket)
-    return jaccard_verify(
-        cands, df, text_col=text_col, id_col=id_col,
-        shingle_words=shingle_words, threshold=threshold,
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.when(union > 0, inter.cast("double") / union.cast("double"))
+            .otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
     )
 
 
@@ -166,7 +216,7 @@ def simhash_signatures(
     bits: int = 16,
 ) -> DataFrame:
     """(id, simhash): token-vote signature per doc."""
-    return df.select(
+    return spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         simhash(tokens(text_col), bits).alias("simhash"),
     )

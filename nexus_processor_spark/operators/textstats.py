@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nexus_processor_spark.functions.text import char_shingles, tokens
+from nexus_processor_spark.plans.layout import spread
 
 # Marker stopwords per language for the n-gram/stopword-hit heuristic.
 # Deterministic tie-break: earlier entry wins (en > fr > de > es).
@@ -90,6 +91,7 @@ def fingerprints(
     rolling = F.when(
         F.size(grams) > 0, F.array_min(F.transform(grams, F.md5))
     )
+    df = spread(df.select(F.col(id_col), t))
     return df.select(
         F.col(id_col),
         F.md5(t).alias("fp_md5"),

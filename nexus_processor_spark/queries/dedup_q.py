@@ -94,11 +94,14 @@ _SHINGLES = """
     FROM documents
 """
 
-# (doc_id, band, sig) minhash signatures, bands 0..7.
+# (doc_id, band, sig) minhash signatures, bands 0..7. Chunk scheme mirrors
+# functions.text.band_sig_from_hashes: salt = band//4, 8-hex chunk = band%4.
 _SIGS = f"""
     SELECT s.doc_id, b.band,
            list_aggregate(
-             list_transform(s.sh, x -> md5(CAST(b.band AS VARCHAR) || '|' || x)),
+             list_transform(s.sh,
+               x -> substr(md5(CAST(b.band // 4 AS VARCHAR) || '|' || x),
+                           1 + 8 * (b.band % 4), 8)),
              'min'
            ) AS sig
     FROM ({_SHINGLES}) s, (SELECT unnest(range({NUM_BANDS})) AS band) b

@@ -88,7 +88,47 @@ def q_replay_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: min/max pulse-time summary (reference sebt:121-124)."""
+    e = _events(spark, sf_dir)
+    return e.agg(
+        F.min("absolute_time").alias("t_min"),
+        F.max("absolute_time").alias("t_max"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.col("absolute_time")).alias("n_nonnull_times"),  # P5
+    )
+
+
+def q_interval_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: sum over the interval-count result set (reference sebt:454)."""
+    intervals = timeslice.count_by_interval(_events(spark, sf_dir), INTERVAL)
+    return intervals.agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("event_count").alias("total_events"),
+        F.max("event_count").alias("peak_events"),
+    )
+
+
+def q_attribute_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F7: key-value attribute bags — build a map from typed fields,
+    filter out nulls, strip a key prefix. Map columns don't hash stably
+    across engines, so this is a rows-only check; the semantics are pinned
+    by unit tests instead."""
+    ev = load_table(spark, sf_dir, "events")
+    bag = F.create_map(
+        F.lit("attr_type"), F.col("event_type"),
+        F.lit("attr_k"), F.get_json_object("props", "$.k"),
+        F.lit("attr_missing"), F.lit(None).cast("string"),
+    )
+    cleaned = F.map_filter(bag, lambda _, v: v.isNotNull())
+    stripped = F.transform_keys(cleaned, lambda k, _: F.regexp_replace(k, "^attr_", ""))
+    return ev.select("event_id", stripped.alias("attributes"))
+
+
 QUERIES = {
+    "time_bounds": q_time_bounds,
+    "interval_totals": q_interval_totals,
+    "attribute_maps": q_attribute_maps,
     "timeslice_interval": q_timeslice_interval,
     "timeslice_range": q_timeslice_range,
     "timeslice_bank_interval": q_timeslice_bank_interval,
@@ -100,6 +140,26 @@ QUERIES = {
 _E = "SELECT event_id, epoch(ts) AS t, event_type AS bank, user_id AS pulse_index, value FROM events"
 
 ORACLE = {
+    # attribute_maps intentionally absent: map-typed output -> rows-only.
+    "time_bounds": f"""
+        WITH e AS ({_E})
+        SELECT min(t) AS t_min, max(t) AS t_max,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(t) AS BIGINT) AS n_nonnull_times
+        FROM e
+    """,
+    "interval_totals": f"""
+        WITH e AS ({_E}),
+        iv AS (
+            SELECT CAST(floor(t/{INTERVAL}) AS BIGINT) AS interval,
+                   CAST(count(*) AS BIGINT) AS event_count
+            FROM e WHERE t IS NOT NULL GROUP BY 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(sum(event_count) AS BIGINT) AS total_events,
+               max(event_count) AS peak_events
+        FROM iv
+    """,
     "timeslice_interval": f"""
         WITH e AS ({_E})
         SELECT CAST(floor(t/{INTERVAL}) AS BIGINT) AS interval,

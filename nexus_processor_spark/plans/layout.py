@@ -11,6 +11,32 @@ layout for a trivial shuffle of the narrow input projection.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    *,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: fan the small side out ``n_salt`` ways.
+
+    A hot key concentrates its big-side rows on one reducer; salting
+    splits each key into ``n_salt`` synthetic sub-keys (big side hashed,
+    small side replicated) so the hot key spreads over ``n_salt`` tasks.
+    Same rows out as a plain join. AQE's skew-join handles *sort-merge*
+    skew automatically; this helper is for the cases AQE can't re-split
+    (aggregation feeding joins, deliberate pre-partitioning).
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salt))
+    bs = big.withColumn("_salt", salt)
+    ss = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return bs.join(ss, [*on, "_salt"], how).drop("_salt")
 
 
 def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:

@@ -250,7 +250,105 @@ def q_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.unionByName(errors)
 
 
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12/Q14 shape: CASE-gated aggregation in one pass."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= _ntz("1997-01-01"))
+            & (F.col("l_shipdate") < _ntz("1998-01-01"))
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+            F.round(
+                100.0 * F.sum(
+                    F.when(
+                        F.col("o_orderstatus") == "F",
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    ).otherwise(0.0)
+                ) / F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("finished_revenue_pct"),
+        )
+    )
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-group minimum then join back (the decorrelated
+    form of a correlated subquery)."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    mins = sup.groupBy(F.col("s_nationkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        sup.join(
+            F.broadcast(mins),
+            (sup.s_nationkey == mins.mk) & (sup.s_acctbal == mins.min_bal),
+        )
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", F.col("s_acctbal").alias("min_acctbal"))
+    )
+
+
+def q_like_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-ish: LIKE / NOT LIKE predicates + distinct counting."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_type").like("%ECONOMY%") | F.col("p_name").like("%bolt%"))
+        .filter(~F.col("p_brand").like("Brand#4%"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.count_distinct("p_type").alias("n_types"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface: truncation, extraction, formatting, diff."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_ym"),
+        F.date_trunc("month", "o_orderdate").alias("o_month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long").alias("days_to_2002"),
+    )
+
+
+def q_yearly_revenue_pivotish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: share-of-total via windowed sum over a grouped agg."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    yearly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    total = Window.partitionBy()
+    return yearly.select(
+        "o_year",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(total), 6).alias("share"),
+    )
+
+
 QUERIES = {
+    "conditional_agg": q_conditional_agg,
+    "min_cost_supplier": q_min_cost_supplier,
+    "like_filter_agg": q_like_filter_agg,
+    "date_functions": q_date_functions,
+    "yearly_revenue_share": q_yearly_revenue_pivotish,
     "pricing_summary": q_pricing_summary,
     "topk_revenue": q_topk_revenue,
     "region_revenue": q_region_revenue,
@@ -270,6 +368,64 @@ QUERIES = {
 }
 
 ORACLE = {
+    "conditional_agg": """
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count,
+               round(100.0 * sum(CASE WHEN o_orderstatus = 'F'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4)
+                 AS finished_revenue_pct
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+    "min_cost_supplier": """
+        WITH mins AS (
+            SELECT s_nationkey AS mk, min(s_acctbal) AS min_bal
+            FROM supplier GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, n_name, s_acctbal AS min_acctbal
+        FROM supplier
+        JOIN mins ON s_nationkey = mk AND s_acctbal = min_bal
+        JOIN nation ON s_nationkey = n_nationkey
+    """,
+    "like_filter_agg": """
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(count(DISTINCT p_type) AS BIGINT) AS n_types,
+               round(avg(p_retailprice), 4) AS avg_price
+        FROM part
+        WHERE (p_type LIKE '%ECONOMY%' OR p_name LIKE '%bolt%')
+          AND p_brand NOT LIKE 'Brand#4%'
+        GROUP BY 1
+    """,
+    "date_functions": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+               CAST(month(o_orderdate) AS BIGINT) AS o_month,
+               strftime(o_orderdate, '%Y-%m') AS o_ym,
+               date_trunc('month', o_orderdate) AS o_month_start,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+                    AS BIGINT) AS days_to_2002
+        FROM orders
+    """,
+    "yearly_revenue_share": """
+        WITH yearly AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   sum(l_extendedprice * (1 - l_discount)) AS rev
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        )
+        SELECT o_year, round(rev, 2) AS revenue,
+               round(rev / sum(rev) OVER (), 6) AS share
+        FROM yearly
+    """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,

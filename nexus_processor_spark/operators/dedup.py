@@ -170,6 +170,11 @@ def minhash_dedup_pairs(
     raw = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), word_shingles(tokens(text_col), shingle_words).alias("sh")
     )
+    # The salted md5 arrays are the expensive columns; they live INSIDE the
+    # persisted projection so they're computed exactly once. (Computing all
+    # band sigs in one projection instead does NOT help: codegen
+    # subexpression elimination doesn't reach inside higher-order lambdas,
+    # so each band would re-hash its salt's whole array — measured 2x worse.)
     sh = raw.select(
         id_col, "sh",
         *[salted_md5s(F.col("sh"), k).alias(f"_h{k}") for k in range(n_salts)],
@@ -180,16 +185,12 @@ def minhash_dedup_pairs(
         # each branch racing within the first job (measured 3x slower).
         sh = sh.persist()
         sh.count()
-    bands = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            band_sig_from_hashes(F.col(f"_h{b // BANDS_PER_MD5}"), b).alias("sig"),
-        )
+    band_arr = F.array(*[
+        band_sig_from_hashes(F.col(f"_h{b // BANDS_PER_MD5}"), b)
         for b in range(num_bands)
     ])
     sigs = (
-        sh.select(id_col, F.explode(bands).alias("bs"))
-        .select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        sh.select(id_col, F.posexplode(band_arr).alias("band", "sig"))
         .filter(F.col("sig").isNotNull())
     )
     cands = lsh_candidate_pairs(sigs, id_col=id_col, max_bucket=max_bucket)

@@ -75,6 +75,31 @@ def q_enrich_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_summary_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: recompute the per-bank ETL summary from the fact table
+    (reference parquet.py:761-772: events, pulses = max index + 1)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("bank")
+        .agg(
+            F.count(F.lit(1)).alias("events_extracted"),
+            (F.max("pulse_index") + 1).alias("n_pulses"),
+        )
+    )
+
+
+def q_per_bank_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: max-events-per-bank truncation (reference parquet.py:460-461)
+    as a per-group windowed cut with a deterministic order."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("bank").orderBy("absolute_time", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 100)
+        .select("bank", "event_id", "rn")
+    )
+
+
 def q_replay_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: per-bank replay summary (reference spark_replay_events.py:302-309)."""
     return (
@@ -129,6 +154,8 @@ QUERIES = {
     "time_bounds": q_time_bounds,
     "interval_totals": q_interval_totals,
     "attribute_maps": q_attribute_maps,
+    "event_summary_recompute": q_event_summary_recompute,
+    "per_bank_truncate": q_per_bank_truncate,
     "timeslice_interval": q_timeslice_interval,
     "timeslice_range": q_timeslice_range,
     "timeslice_bank_interval": q_timeslice_bank_interval,
@@ -159,6 +186,21 @@ ORACLE = {
                CAST(sum(event_count) AS BIGINT) AS total_events,
                max(event_count) AS peak_events
         FROM iv
+    """,
+    "event_summary_recompute": f"""
+        WITH e AS ({_E})
+        SELECT bank, CAST(count(*) AS BIGINT) AS events_extracted,
+               max(pulse_index) + 1 AS n_pulses
+        FROM e GROUP BY 1
+    """,
+    "per_bank_truncate": f"""
+        WITH e AS ({_E})
+        SELECT bank, event_id, rn FROM (
+            SELECT bank, event_id,
+                   row_number() OVER (PARTITION BY bank
+                                      ORDER BY t, event_id) AS rn
+            FROM e
+        ) WHERE rn <= 100
     """,
     "timeslice_interval": f"""
         WITH e AS ({_E})

@@ -51,14 +51,21 @@ def main() -> None:
     spark = get_spark("nexus-bench")
     qs = registry.queries()
 
-    # Warm the JVM/session so the first measured query isn't paying startup.
+    # Warm the JVM/session so the first measured query isn't paying one-time
+    # startup: codegen infra, Hadoop FS classes, and each table's footer.
     spark.range(1000).selectExpr("sum(id)").collect()
+    from nexus_processor_spark.sources.tables import TESTDATA_TABLES, load_table
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).limit(1).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Queries are timed independently: drop any operator-internal
+        # persisted frames so one query's cache doesn't tax the next.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -1,0 +1,110 @@
+"""CLI entry points — the engine's analog of the reference's ``cli.py``.
+
+    python -m nexus_processor_spark ingest FILE... --output LAKE
+    python -m nexus_processor_spark timeslice --root LAKE --interval 60
+    python -m nexus_processor_spark replay --root LAKE [--run-id R] [--rate N]
+    python -m nexus_processor_spark ddl [TABLE]
+
+Unlike the reference CLI (one file, one process), ``ingest`` fans every
+input file out to an executor task and writes all nine tables partitioned
+by run key.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from datetime import datetime, timezone
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="nexus-processor-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="NeXus files -> partitioned lake tables")
+    ing.add_argument("files", nargs="+")
+    ing.add_argument("--output", required=True, help="lake root directory")
+    ing.add_argument("--tables", default=None,
+                     help="comma-separated subset (default: all nine)")
+    ing.add_argument("--mode", default="append", choices=["append", "overwrite"])
+
+    ts = sub.add_parser("timeslice", help="events per interval per bank")
+    ts.add_argument("--root", required=True)
+    ts.add_argument("--interval", type=float, default=60.0)
+    ts.add_argument("--run-id", default=None)
+    ts.add_argument("--bank", default=None)
+    ts.add_argument("--by-bank", action="store_true")
+    ts.add_argument("--output", default=None, help="write result parquet here")
+
+    rp = sub.add_parser("replay", help="ordered JSONL replay to stdout")
+    rp.add_argument("--root", required=True)
+    rp.add_argument("--run-id", default=None)
+    rp.add_argument("--bank", default=None)
+    rp.add_argument("--rate", type=float, default=None, help="events/sec")
+
+    ddl = sub.add_parser("ddl", help="print CREATE TABLE statements")
+    ddl.add_argument("table", nargs="?", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    if args.cmd == "ddl":
+        from nexus_processor_spark.schemas import TABLES, table_ddl
+
+        names = [args.table] if args.table else list(TABLES)
+        for n in names:
+            print(table_ddl(n) + ";")
+        return 0
+
+    from pyspark.sql import SparkSession
+
+    from nexus_processor_spark.session import get_spark
+    from nexus_processor_spark.sources import catalog
+
+    # Stop only a session we created — embedding callers (tests, notebooks)
+    # keep theirs.
+    owned = SparkSession.getActiveSession() is None
+    spark = get_spark(f"nexus-{args.cmd}")
+    try:
+        if args.cmd == "ingest":
+            from nexus_processor_spark.schemas import TABLES
+            from nexus_processor_spark.sources import nexus
+
+            tables = tuple(args.tables.split(",")) if args.tables else tuple(TABLES)
+            stamp = datetime.now(timezone.utc).isoformat()
+            frames = nexus.ingest_all(spark, args.files, ingestion_time=stamp,
+                                      tables=tables)
+            for name, df in frames.items():
+                path = catalog.write_table(df, args.output, name, mode=args.mode)
+                print(f"wrote {name} -> {path}", file=sys.stderr)
+        elif args.cmd == "timeslice":
+            from nexus_processor_spark.operators import timeslice
+            from nexus_processor_spark.streaming import replay as rp
+
+            events = catalog.read_table(spark, args.root, "events")
+            events = rp.filtered_events(events, run_id=args.run_id, bank=args.bank)
+            enriched = timeslice.with_absolute_time(events)
+            fn = (timeslice.count_by_bank_and_interval if args.by_bank
+                  else timeslice.count_by_interval)
+            result = fn(enriched, args.interval)
+            if args.output:
+                result.write.mode("overwrite").parquet(args.output)
+            else:
+                result.show(100, truncate=False)
+        elif args.cmd == "replay":
+            from nexus_processor_spark.streaming import replay as rp
+
+            events = catalog.read_table(spark, args.root, "events")
+            events = rp.filtered_events(events, run_id=args.run_id, bank=args.bank)
+            n = rp.replay_to_jsonl(events, rate_events_per_sec=args.rate)
+            print(f"replayed {n} events", file=sys.stderr)
+    finally:
+        if owned:
+            spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

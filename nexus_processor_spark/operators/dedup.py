@@ -193,6 +193,11 @@ def minhash_dedup_pairs(
         sh.select(id_col, F.posexplode(band_arr).alias("band", "sig"))
         .filter(F.col("sig").isNotNull())
     )
+    if persist_shingles:
+        # Tiny (id, band, sig) frame read by both sides of the bucket
+        # self-join — persisting it skips a second band-min pass.
+        sigs = sigs.persist()
+        sigs.count()
     cands = lsh_candidate_pairs(sigs, id_col=id_col, max_bucket=max_bucket)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

@@ -169,9 +169,22 @@ TABLES: dict[str, tuple[StructType, tuple[str, ...]]] = {
 
 def table_ddl(name: str) -> str:
     """CREATE TABLE DDL for a catalog table — the Spark-native analog of
-    the reference's schema->Iceberg DDL generator (schemas.py:234-268)."""
+    the reference's schema->Iceberg DDL generator (schemas.py:234-268).
+
+    Rendered in pure Python (``simpleString`` type names, which the Spark
+    DDL parser accepts) so the CLI ``ddl`` command needs no live session —
+    ``StructType.toDDL`` would require a JVM.
+    """
     schema, parts = TABLES[name]
-    ddl = f"CREATE TABLE IF NOT EXISTS {name} ({schema.toDDL()}) USING parquet"
+
+    def col_ddl(f: StructField) -> str:
+        t = f.dataType.simpleString()
+        if not t.startswith(("map", "array", "struct")):
+            t = t.upper()  # primitives uppercase; nested keep field casing
+        return f"{f.name} {t}" + ("" if f.nullable else " NOT NULL")
+
+    cols = ", ".join(col_ddl(f) for f in schema.fields)
+    ddl = f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING parquet"
     if parts:
         ddl += f" PARTITIONED BY ({', '.join(parts)})"
     return ddl

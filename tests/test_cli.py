@@ -1,0 +1,45 @@
+"""CLI behavior tests (the reference pins its CLI the same way,
+tests/test_cli.py there)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from nexus_processor_spark.__main__ import main
+
+from tests.test_nexus_ingest import fixture_tree
+
+
+def test_ddl_command(capsys):
+    assert main(["ddl", "events"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("CREATE TABLE IF NOT EXISTS events")
+    assert "PARTITIONED BY (instrument_id, run_number)" in out
+
+
+def test_ddl_all_tables(capsys):
+    assert main(["ddl"]) == 0
+    assert capsys.readouterr().out.count("CREATE TABLE") == 9
+
+
+def test_missing_subcommand_exits():
+    with pytest.raises(SystemExit):
+        main([])
+
+
+def test_ingest_and_timeslice_cli(spark, tmp_path, capsys):
+    # main() reuses (and doesn't stop) the fixture's active session.
+    p = tmp_path / "run.json"
+    p.write_text(json.dumps(fixture_tree()))
+    lake = str(tmp_path / "lake")
+    assert main(["ingest", str(p), "--output", lake, "--tables", "events,daslogs"]) == 0
+    err = capsys.readouterr().err
+    assert "wrote events" in err and "wrote daslogs" in err
+    out_dir = str(tmp_path / "slice")
+    assert main(["timeslice", "--root", lake, "--interval", "1",
+                 "--run-id", "REF_L:12345", "--output", out_dir]) == 0
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == 1 and got[0].event_count == 4
+    assert spark.sparkContext._jsc is not None  # session survived main()

@@ -199,12 +199,15 @@ def minhash_dedup_pairs(
         sigs = sigs.persist()
         sigs.count()
     cands = lsh_candidate_pairs(sigs, id_col=id_col, max_bucket=max_bucket)
+    # The shingle-set side of the verification join is one row per doc —
+    # broadcast explicitly: the cached relation's size estimate includes
+    # the fat hash columns and blocks auto-broadcast after pruning.
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cands.join(a, "id_a").join(b, "id_b")
+        cands.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
         .select(
             "id_a", "id_b",
             F.when(union > 0, inter.cast("double") / union.cast("double"))

@@ -71,7 +71,37 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-5-gram Jaccard over pairs blocked by (lang, source) —
+    the no-LSH near-dup baseline. Blocking bounds the pair space the way a
+    coarse key always must at scale; LSH (dedup_minhash_pairs) is the
+    unblocked-recall upgrade."""
+    from nexus_processor_spark.functions.text import char_shingles
+    from nexus_processor_spark.plans.layout import spread
+
+    docs = spread(_docs(spark, sf_dir).select("doc_id", "lang", "source", "text"))
+    grams = docs.select(
+        "doc_id", "lang", "source", char_shingles(F.col("text"), 5).alias("g")
+    )
+    a = grams.select(F.col("doc_id").alias("id_a"), "lang", "source",
+                     F.col("g").alias("g_a"))
+    b = grams.select(F.col("doc_id").alias("id_b"), "lang", "source",
+                     F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size("g_a") + F.size("g_b") - inter
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
 QUERIES = {
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_exact_survivors": q_dedup_exact_survivors,
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
@@ -129,6 +159,25 @@ def _simhash_sql() -> str:
 _SIMHASH = _simhash_sql()
 
 ORACLE = {
+    "dedup_ngram_jaccard": """
+        WITH g AS (
+            SELECT doc_id, lang, source,
+                   list_distinct(
+                     list_transform(generate_series(1, greatest(length(text) - 4, 0)),
+                                    i -> substr(text, i, 5))
+                   ) AS gr
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+               / CAST(len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))
+                      AS DOUBLE) AS jaccard
+        FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+              / CAST(len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))
+                     AS DOUBLE) >= 0.2
+    """,
     "dedup_exact_groups": """
         SELECT md5(text) AS content_hash,
                min(doc_id) AS keep_id,

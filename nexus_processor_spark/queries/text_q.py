@@ -25,10 +25,30 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprints(_docs(spark, sf_dir))
 
 
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score from profile features — the gating signal a
+    training-data pipeline thresholds on. Exact per-row arithmetic (no
+    accumulation), so the doubles match the oracle bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    prof = textstats.text_profile(_docs(spark, sf_dir))
+    length_ok = F.when((F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000), 1.0).otherwise(0.0)
+    token_ok = F.when(F.col("n_tokens") >= 20, 1.0).otherwise(0.0)
+    digit_pen = F.col("n_digits").cast("double") / F.col("n_chars")
+    score = (length_ok * 0.4 + token_ok * 0.4
+             + F.col("stopword_ratio") * 2.0 - digit_pen)
+    return prof.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
 QUERIES = {
     "text_profile": q_text_profile,
     "text_langid": q_text_langid,
     "text_fingerprints": q_text_fingerprints,
+    "text_quality": q_text_quality,
 }
 
 
@@ -58,6 +78,36 @@ def _langid_sql() -> str:
 
 
 ORACLE = {
+    # Same left-to-right association as the Spark expression so the double
+    # arithmetic is bit-identical.
+    "text_quality": f"""
+        WITH p AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   {_hits(STOPWORDS)} AS stop_hits,
+                   CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
+            FROM documents
+        )
+        SELECT doc_id,
+               (CASE WHEN n_chars >= 100 AND n_chars <= 2000
+                     THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+                   * CAST(0.4 AS DOUBLE)
+                 + (CASE WHEN n_tokens >= 20
+                         THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+                   * CAST(0.4 AS DOUBLE)
+                 + (CAST(stop_hits AS DOUBLE) / n_tokens) * CAST(2.0 AS DOUBLE)
+                 - CAST(n_digits AS DOUBLE) / n_chars AS quality_score,
+               ((CASE WHEN n_chars >= 100 AND n_chars <= 2000
+                      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+                   * CAST(0.4 AS DOUBLE)
+                 + (CASE WHEN n_tokens >= 20
+                         THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+                   * CAST(0.4 AS DOUBLE)
+                 + (CAST(stop_hits AS DOUBLE) / n_tokens) * CAST(2.0 AS DOUBLE)
+                 - CAST(n_digits AS DOUBLE) / n_chars) >= CAST(0.5 AS DOUBLE) AS keep
+        FROM p
+    """,
     "text_profile": f"""
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars,

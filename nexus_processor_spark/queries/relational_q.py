@@ -250,6 +250,70 @@ def q_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.unionByName(errors)
 
 
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: stddev/variance/correlation/
+    covariance (sample forms). Accumulation-order-sensitive -> rounded."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+            F.round(F.var_samp("value"), 4).alias("var_value"),
+            F.round(F.corr("value", F.col("user_id").cast("double")), 4).alias("corr_vu"),
+            F.round(F.covar_samp("value", F.col("user_id").cast("double")), 4)
+            .alias("cov_vu"),
+        )
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90) per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        )
+    )
+
+
+def q_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by status per market segment (explicit value
+    list -> deterministic columns)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "c_mktsegment",
+            F.coalesce("F", F.lit(0)).alias("n_finished"),
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface over the embedding column: length, slicing,
+    element access, per-row extremes (exact float->double casts)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(v).cast("long").alias("dim"),
+        v.getItem(0).cast("double").alias("first_val"),
+        F.element_at(v, -1).cast("double").alias("last_val"),
+        F.array_max(v).cast("double").alias("max_val"),
+        F.array_min(v).cast("double").alias("min_val"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
 def q_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals via ROLLUP (flag -> flag+status -> grand
     total); subtotal rows carry NULL keys in both engines."""
@@ -357,6 +421,10 @@ def q_yearly_revenue_pivotish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "stats_agg": q_stats_agg,
+    "percentiles": q_percentiles,
+    "pivot_status_counts": q_pivot_status_counts,
+    "array_ops": q_array_ops,
     "rollup_totals": q_rollup_totals,
     "conditional_agg": q_conditional_agg,
     "min_cost_supplier": q_min_cost_supplier,
@@ -382,6 +450,42 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stats_agg": """
+        SELECT event_type,
+               round(stddev_samp(value), 4) AS sd_value,
+               round(var_samp(value), 4) AS var_value,
+               round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
+               round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cov_vu
+        FROM events GROUP BY 1
+    """,
+    "percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+               round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+        FROM lineitem GROUP BY 1
+    """,
+    "pivot_status_counts": """
+        SELECT c_mktsegment,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_finished,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_open,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pending
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """,
+    "array_ops": """
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               CAST(embedding[1] AS DOUBLE) AS first_val,
+               CAST(embedding[-1] AS DOUBLE) AS last_val,
+               CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val,
+               CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_val,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+        FROM embeddings
+    """,
     "rollup_totals": """
         SELECT l_returnflag, l_linestatus,
                CAST(count(*) AS BIGINT) AS n_rows,

@@ -11,8 +11,11 @@ from nexus_processor_spark.session import get_spark  # noqa: E402
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("nexus-tests", master="local[8]",
-                  extra_confs={"spark.sql.shuffle.partitions": "8"})
+def spark(tmp_path_factory):
+    s = get_spark("nexus-tests", master="local[8]", extra_confs={
+        "spark.sql.shuffle.partitions": "8",
+        # static conf; bucketed-table tests saveAsTable into here
+        "spark.sql.warehouse.dir": str(tmp_path_factory.mktemp("warehouse")),
+    })
     yield s
     s.stop()

@@ -217,6 +217,74 @@ def minhash_dedup_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    *,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph -> (id, cluster_id).
+
+    Iterative min-label propagation: every vertex adopts the smallest label
+    among itself and its neighbors until fixpoint. Each round is one
+    shuffle join + aggregate; ``localCheckpoint`` truncates lineage so the
+    plan doesn't grow with iterations. Near-dup graphs have tiny diameters
+    (dup clusters are quasi-cliques), so this converges in a few rounds —
+    the driver loop runs O(diameter) jobs, not O(rows) work.
+
+    Input: (id_a, id_b) columns. Output cluster_id = min member id.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                  F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The near-deduplicated corpus: one survivor (minimum id) per dup
+    cluster; docs outside any cluster survive untouched."""
+    clusters = dup_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash_signatures(
     df: DataFrame,
     *,

@@ -100,7 +100,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dedup pipeline: LSH pairs -> connected components -> one
+    survivor per cluster. Iterative (driver-looped label propagation), so
+    no SQL oracle — the driver records the rows-only check; semantics are
+    pinned by tests/test_dedup_similarity.py."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(
+        docs, num_bands=NUM_BANDS, shingle_words=SHINGLE_WORDS, threshold=0.5
+    )
+    return dedup.near_dedup(docs, pairs).select("doc_id", "lang", "n_chars")
+
+
 QUERIES = {
+    "dedup_near_corpus": q_dedup_near_corpus,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_exact_survivors": q_dedup_exact_survivors,

@@ -100,6 +100,37 @@ def q_per_bank_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3 generalized: backward as-of join — every event picks up the
+    most recent signup time within its user cohort (user_id % 10)."""
+    from nexus_processor_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 10).alias("g"),
+        event_seconds("ts").alias("t"),
+        F.col("event_type"),
+    )
+    left = e.select("event_id", "g", "t")
+    right = e.filter(F.col("event_type") == "signup").select(
+        "g", "t", F.col("t").alias("signup_t")
+    )
+    out = asof_join(left, right, on="t", by="g", value_cols=["signup_t"])
+    return out.select("event_id", "signup_t")
+
+
+def q_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6h gap) per user — lag + running sum."""
+    from nexus_processor_spark.operators.asof import sessionize
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", event_seconds("ts").alias("t")
+    )
+    return sessionize(e, 21600.0, time_col="t", key_col="user_id").select(
+        "event_id", "user_id", "session_id"
+    )
+
+
 def q_replay_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: per-bank replay summary (reference spark_replay_events.py:302-309)."""
     return (
@@ -154,6 +185,8 @@ QUERIES = {
     "time_bounds": q_time_bounds,
     "interval_totals": q_interval_totals,
     "attribute_maps": q_attribute_maps,
+    "asof_last_signup": q_asof_last_signup,
+    "sessionize_users": q_sessionize_users,
     "event_summary_recompute": q_event_summary_recompute,
     "per_bank_truncate": q_per_bank_truncate,
     "timeslice_interval": q_timeslice_interval,
@@ -186,6 +219,27 @@ ORACLE = {
                CAST(sum(event_count) AS BIGINT) AS total_events,
                max(event_count) AS peak_events
         FROM iv
+    """,
+    "asof_last_signup": """
+        WITH e AS (SELECT event_id, user_id % 10 AS g, epoch(ts) AS t,
+                          event_type FROM events),
+        s AS (SELECT g, t, t AS signup_t FROM e WHERE event_type = 'signup')
+        SELECT e.event_id, s.signup_t
+        FROM e ASOF LEFT JOIN s ON e.g = s.g AND e.t >= s.t
+    """,
+    "sessionize_users": """
+        WITH e AS (SELECT event_id, user_id, epoch(ts) AS t FROM events),
+        x AS (
+            SELECT event_id, user_id, t,
+                   CASE WHEN lag(t) OVER w IS NULL
+                          OR t - lag(t) OVER w > 21600 THEN 1 ELSE 0 END AS nw
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+        )
+        SELECT event_id, user_id,
+               CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY t
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                 AS session_id
+        FROM x
     """,
     "event_summary_recompute": f"""
         WITH e AS ({_E})

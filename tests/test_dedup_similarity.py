@@ -50,6 +50,22 @@ def test_simhash_signatures_stable(docs):
     assert all(0 <= v < 2 ** 16 for v in a.values())
 
 
+def test_dup_clusters_connected_components(spark):
+    # chain 1-2-3, pair 10-11, isolated vertices don't appear
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster_id for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_near_dedup_survivors(spark, docs):
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5, persist_shingles=False)
+    survivors = sorted(r.doc_id for r in dedup.near_dedup(docs, pairs).collect())
+    # docs 1,2,3 are one near-dup cluster (1 survives); 4 is clean
+    assert survivors == [1, 4]
+
+
 @pytest.fixture()
 def embeddings(spark):
     rng = np.random.default_rng(7)

@@ -250,6 +250,61 @@ def q_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.unionByName(errors)
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table scan-dominated conditional revenue —
+    everything pushes to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ntz("1997-01-01"))
+            & (F.col("l_shipdate") < _ntz("1998-01-01"))
+            & (F.col("l_discount").between(0.02, 0.04))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_priority_order_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-gated per-priority order counts."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz("1997-01-01"))
+        & (F.col("o_orderdate") < _ntz("1997-07-01"))
+    )
+    late_lines = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= _ntz("1998-06-01")
+    ).select("l_orderkey")
+    return (
+        orders.join(late_lines, orders.o_orderkey == late_lines.l_orderkey,
+                    "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-part average subquery gating a detail scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg((F.avg("l_quantity") * 0.5).alias("half_avg"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == avg_qty.pk)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate surface: stddev/variance/correlation/
     covariance (sample forms). Accumulation-order-sensitive -> rounded."""
@@ -421,6 +476,9 @@ def q_yearly_revenue_pivotish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "forecast_revenue": q_forecast_revenue,
+    "priority_order_check": q_priority_order_check,
+    "small_qty_revenue": q_small_qty_revenue,
     "stats_agg": q_stats_agg,
     "percentiles": q_percentiles,
     "pivot_status_counts": q_pivot_status_counts,
@@ -450,6 +508,37 @@ QUERIES = {
 }
 
 ORACLE = {
+    "forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.04
+          AND l_quantity < 24
+    """,
+    "priority_order_check": """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate >= TIMESTAMP '1998-06-01')
+        GROUP BY 1
+    """,
+    "small_qty_revenue": """
+        WITH avg_qty AS (
+            SELECT l_partkey AS pk, avg(l_quantity) * 0.5 AS half_avg
+            FROM lineitem GROUP BY 1
+        )
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+        JOIN avg_qty ON l_partkey = pk
+        WHERE l_quantity < half_avg
+    """,
     "stats_agg": """
         SELECT event_type,
                round(stddev_samp(value), 4) AS sd_value,

@@ -17,6 +17,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def session_counts(
+    events: DataFrame,
+    gap_seconds: float,
+    *,
+    time_col: str = "event_time",
+    key_col: str = "user_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-key session aggregation via ``session_window`` — the streaming
+    twin of ``operators.asof.sessionize`` (same gap semantics: a session
+    extends while consecutive events arrive within ``gap_seconds``).
+    Output: key, session bounds, event count."""
+    win = F.session_window(F.col(time_col), f"{int(gap_seconds)} seconds")
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(win.alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "event_count",
+        )
+    )
+
+
 def windowed_counts(
     events: DataFrame,
     interval_seconds: float,

@@ -89,6 +89,28 @@ def test_stateful_running_totals_match_batch(spark, tmp_path):
         assert got[bank].total_weight == b.w
 
 
+def test_session_window_matches_batch_sessionize(spark, tmp_path):
+    """session_window session count per user == batch gap sessionization."""
+    from nexus_processor_spark.operators.asof import sessionize
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id",
+        event_timestamp("ts").alias("event_time"),
+    )
+    stream_form = windows.session_counts(ev, 21600.0)
+    got = {r.user_id: r.n for r in
+           stream_form.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    batch = sessionize(
+        ev.withColumn("t", F.col("event_time").cast("double")),
+        21600.0, time_col="t", key_col="user_id",
+    )
+    want = {r.user_id: r.n for r in
+            batch.groupBy("user_id")
+            .agg((F.max("session_id") + 1).alias("n")).collect()}
+    assert got == want
+
+
 def test_windowed_counts_match_floor_bucketing(spark, tmp_path):
     """Streaming tumbling windows == batch floor(t/N) buckets on the same
     data (semantics anchored to operators.timeslice)."""

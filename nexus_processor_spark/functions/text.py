@@ -51,14 +51,19 @@ def salted_md5s(shingles: Column, salt: int) -> Column:
     return F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{salt}|"), s)))
 
 
-def band_sig_from_hashes(hashes: Column, band: int) -> Column:
-    """Band signature: lexicographic min of the band's 8-hex-char chunk of
-    the salted md5 (salt = band//4, chunk = band%4). 32 bits of minhash
-    strength per band at a quarter of the hashing cost of per-band md5s.
-    Null (not min-of-empty) for shingle-less docs so they never collide."""
-    chunk = band % BANDS_PER_MD5
-    sigs = F.transform(hashes, lambda h: F.substring(h, 1 + 8 * chunk, 8))
+def chunk_min(hashes: Column, chunk: int) -> Column:
+    """One minhash: lexicographic min of an 8-hex-char (32-bit) chunk of a
+    salted-md5 array. A 32-hex md5 carries four chunks. Null (not
+    min-of-empty) for shingle-less docs so they never collide."""
+    sigs = F.transform(hashes, lambda h: F.substring(h, 1 + 8 * (chunk % BANDS_PER_MD5), 8))
     return F.when(F.size(hashes) > 0, F.array_min(sigs))
+
+
+def band_sig_from_hashes(hashes: Column, band: int) -> Column:
+    """Single-row band signature (r=1): chunk ``band%4`` of salt ``band//4``
+    — kept for the standalone signature operator; the LSH pipeline bands
+    multiple minhashes per signature (see dedup.minhash_dedup_pairs)."""
+    return chunk_min(hashes, band)
 
 
 def minhash_band(shingles: Column, band: int) -> Column:

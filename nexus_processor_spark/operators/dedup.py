@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from nexus_processor_spark.functions.text import (
     BANDS_PER_MD5,
-    band_sig_from_hashes,
+    chunk_min,
     minhash_band,
     salted_md5s,
     simhash,
@@ -153,6 +153,7 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_bands: int = 8,
+    rows_per_band: int = 2,
     shingle_words: int = 3,
     threshold: float = 0.5,
     max_bucket: int | None = None,
@@ -160,13 +161,20 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """End-to-end near-dup pair detection: LSH candidates -> Jaccard gate.
 
+    Classic (b, r) banding: each of ``num_bands`` signatures concatenates
+    ``rows_per_band`` independent minhashes, so two docs collide on a band
+    with probability j**r — at r=2 the accidental-candidate rate for
+    unrelated docs collapses (j=0.1: 8*j**2 ≈ 8% vs 57% at r=1) while
+    true near-dups (j >= 0.5) still collide with >85% probability.
+
     The doc -> shingle-set projection feeds four plan branches (both sides
     of the bucket join and both sides of the verification join); without
     reuse Catalyst recomputes the md5 shingling each time. ``persist_shingles``
     materializes it once (MEMORY_AND_DISK) — at warehouse scale, checkpoint
     this projection to the lake instead and share it across dedup runs.
     """
-    n_salts = -(-num_bands // BANDS_PER_MD5)
+    n_minhashes = num_bands * rows_per_band
+    n_salts = -(-n_minhashes // BANDS_PER_MD5)
     raw = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), word_shingles(tokens(text_col), shingle_words).alias("sh")
     )
@@ -185,19 +193,21 @@ def minhash_dedup_pairs(
         # each branch racing within the first job (measured 3x slower).
         sh = sh.persist()
         sh.count()
-    band_arr = F.array(*[
-        band_sig_from_hashes(F.col(f"_h{b // BANDS_PER_MD5}"), b)
-        for b in range(num_bands)
-    ])
+
+    def band_sig(b: int) -> F.Column:
+        # F.concat (not concat_ws): null minhash (shingle-less doc) must
+        # null the whole signature, never collapse to a colliding "".
+        parts = [
+            chunk_min(F.col(f"_h{j // BANDS_PER_MD5}"), j)
+            for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+    band_arr = F.array(*[band_sig(b) for b in range(num_bands)])
     sigs = (
         sh.select(id_col, F.posexplode(band_arr).alias("band", "sig"))
         .filter(F.col("sig").isNotNull())
     )
-    if persist_shingles:
-        # Tiny (id, band, sig) frame read by both sides of the bucket
-        # self-join — persisting it skips a second band-min pass.
-        sigs = sigs.persist()
-        sigs.count()
     cands = lsh_candidate_pairs(sigs, id_col=id_col, max_bucket=max_bucket)
     # The shingle-set side of the verification join is one row per doc —
     # broadcast explicitly: the cached relation's size estimate includes

@@ -137,8 +137,8 @@ _SHINGLES = """
     FROM documents
 """
 
-# (doc_id, band, sig) minhash signatures, bands 0..7. Chunk scheme mirrors
-# functions.text.band_sig_from_hashes: salt = band//4, 8-hex chunk = band%4.
+# (doc_id, band, sig) minhash signatures, bands 0..7, r=1. Chunk scheme
+# mirrors functions.text.chunk_min: salt = chunk//4, 8-hex slice = chunk%4.
 _SIGS = f"""
     SELECT s.doc_id, b.band,
            list_aggregate(
@@ -147,6 +147,24 @@ _SIGS = f"""
                            1 + 8 * (b.band % 4), 8)),
              'min'
            ) AS sig
+    FROM ({_SHINGLES}) s, (SELECT unnest(range({NUM_BANDS})) AS band) b
+    WHERE len(s.sh) > 0
+"""
+
+
+def _chunk_sql(j: str) -> str:
+    return (
+        "list_aggregate(list_transform(s.sh, "
+        f"x -> substr(md5(CAST(({j}) // 4 AS VARCHAR) || '|' || x), "
+        f"1 + 8 * (({j}) % 4), 8)), 'min')"
+    )
+
+
+# r=2 banded signatures used by the LSH pipeline (dedup.minhash_dedup_pairs):
+# band b concatenates minhashes 2b and 2b+1.
+_SIGS_R2 = f"""
+    SELECT s.doc_id, b.band,
+           {_chunk_sql('2 * b.band')} || {_chunk_sql('2 * b.band + 1')} AS sig
     FROM ({_SHINGLES}) s, (SELECT unnest(range({NUM_BANDS})) AS band) b
     WHERE len(s.sh) > 0
 """
@@ -205,7 +223,7 @@ ORACLE = {
     "dedup_minhash_signatures": f"SELECT doc_id, band, sig FROM ({_SIGS})",
     "dedup_minhash_pairs": f"""
         WITH sh AS ({_SHINGLES}),
-        sig AS ({_SIGS}),
+        sig AS ({_SIGS_R2}),
         cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig

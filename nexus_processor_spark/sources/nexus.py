@@ -350,21 +350,25 @@ def pulse_times_from_tree(tree: dict[str, Any]) -> np.ndarray:
     return np.array([], dtype="float64")
 
 
-def extract_events(
+def event_bank_frames(
     tree: dict[str, Any], *, max_events: int | None = None
-) -> list[dict[str, Any]]:
-    """Per-bank event rows with CSR pulse expansion, vectorized.
+) -> list[pd.DataFrame]:
+    """Per-bank event frames with CSR pulse expansion — fully vectorized.
 
     Pinned semantics (reference parquet.py:402-499 + tests :403-441):
     banks are ``*_events`` / ``monitor*`` groups; ``event_index[p]`` is the
     first event ordinal of pulse p, last pulse owns the tail; pulse_time
     is a bounds-checked lookup into the sorted pulse clock; event_weight
     defaults to 1.0; ``max_events`` truncates per bank.
+
+    Rows never pass through Python objects: columns are numpy arrays end
+    to end (a billion-event bank costs array ops, not a billion dicts),
+    and ``ingest_table`` hands the frames to Arrow unchanged.
     """
     entry = tree.get("entry", {})
     pulse_clock = pulse_times_from_tree(tree)
-    key = _keyed(tree)
-    rows: list[dict[str, Any]] = []
+    inst, run, rid = run_key(tree)
+    frames: list[pd.DataFrame] = []
     for gname, grp in sorted(_groups(entry).items()):
         if not (gname.endswith("_events") or gname.startswith("monitor")):
             continue
@@ -396,17 +400,31 @@ def extract_events(
             ptimes = np.where(pulse_idx < len(pulse_clock), lookup, np.nan)
         else:
             ptimes = np.full(n, np.nan)
-        for i in range(n):
-            rows.append({
-                **key,
-                "bank": gname,
-                "event_idx": int(ordinals[i]),
-                "pulse_index": int(pulse_idx[i]),
-                "pulse_time": None if math.isnan(ptimes[i]) else float(ptimes[i]),
-                "event_id": int(ids[i]),
-                "time_offset": float(offs[i]),
-                "event_weight": float(w[i]),
-            })
+        frames.append(pd.DataFrame({
+            "instrument_id": inst,
+            "run_number": np.int64(run),
+            "run_id": rid,
+            "bank": gname,
+            "event_idx": ordinals,
+            "pulse_index": pulse_idx,
+            "pulse_time": ptimes,
+            "event_id": ids,
+            "time_offset": offs,
+            "event_weight": w,
+        }))
+    return frames
+
+
+def extract_events(
+    tree: dict[str, Any], *, max_events: int | None = None
+) -> list[dict[str, Any]]:
+    """Row-dict view of :func:`event_bank_frames` (tests / small inputs)."""
+    rows: list[dict[str, Any]] = []
+    for frame in event_bank_frames(tree, max_events=max_events):
+        for rec in frame.to_dict("records"):
+            pt = rec["pulse_time"]
+            rec["pulse_time"] = None if pt is None or math.isnan(pt) else float(pt)
+            rows.append(rec)
     return rows
 
 
@@ -499,6 +517,11 @@ def ingest_table(
         for batch in batches:
             for path in batch["path"]:
                 tree = load_tree(path)
+                if table == "events":
+                    # vectorized fast path: numpy-backed frames straight
+                    # into Arrow, no per-event Python objects
+                    yield from (f[cols] for f in event_bank_frames(tree))
+                    continue
                 rows = extractor(tree, source_path=path, ingestion_time=ingestion_time) \
                     if table in ("metadata", "experiment_runs") else extractor(tree)
                 if rows:

@@ -27,6 +27,8 @@ def _build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--tables", default=None,
                      help="comma-separated subset (default: all nine)")
     ing.add_argument("--mode", default="append", choices=["append", "overwrite"])
+    ing.add_argument("--skip-bad-files", action="store_true",
+                     help="log and skip unreadable files instead of failing")
 
     ts = sub.add_parser("timeslice", help="events per interval per bank")
     ts.add_argument("--root", required=True)
@@ -34,6 +36,8 @@ def _build_parser() -> argparse.ArgumentParser:
     ts.add_argument("--run-id", default=None)
     ts.add_argument("--bank", default=None)
     ts.add_argument("--by-bank", action="store_true")
+    ts.add_argument("--include-error-events", action="store_true",
+                    help="keep error/unmapped banks (excluded by default)")
     ts.add_argument("--output", default=None, help="write result parquet here")
 
     rp = sub.add_parser("replay", help="ordered JSONL replay to stdout")
@@ -74,8 +78,11 @@ def main(argv: list[str] | None = None) -> int:
 
             tables = tuple(args.tables.split(",")) if args.tables else tuple(TABLES)
             stamp = datetime.now(timezone.utc).isoformat()
-            frames = nexus.ingest_all(spark, args.files, ingestion_time=stamp,
-                                      tables=tables)
+            frames = {
+                t: nexus.ingest_table(spark, args.files, t, ingestion_time=stamp,
+                                      skip_bad_files=args.skip_bad_files)
+                for t in tables
+            }
             for name, df in frames.items():
                 path = catalog.write_table(df, args.output, name, mode=args.mode)
                 print(f"wrote {name} -> {path}", file=sys.stderr)
@@ -85,6 +92,8 @@ def main(argv: list[str] | None = None) -> int:
 
             events = catalog.read_table(spark, args.root, "events")
             events = rp.filtered_events(events, run_id=args.run_id, bank=args.bank)
+            if not args.include_error_events:
+                events = timeslice.exclude_error_banks(events)
             enriched = timeslice.with_absolute_time(events)
             fn = (timeslice.count_by_bank_and_interval if args.by_bank
                   else timeslice.count_by_interval)

@@ -250,6 +250,16 @@ def q_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.unionByName(errors)
 
 
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long) via stack: one row per (line, metric)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey", "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, "
+        "'discount', l_discount) AS (metric, value)",
+    )
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: single-table scan-dominated conditional revenue —
     everything pushes to the parquet scan."""
@@ -476,6 +486,7 @@ def q_yearly_revenue_pivotish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "unpivot_metrics": q_unpivot_metrics,
     "forecast_revenue": q_forecast_revenue,
     "priority_order_check": q_priority_order_check,
     "small_qty_revenue": q_small_qty_revenue,
@@ -508,6 +519,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "unpivot_metrics": """
+        SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+               l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    """,
     "forecast_revenue": """
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
                CAST(count(*) AS BIGINT) AS n_lines

@@ -501,12 +501,18 @@ def ingest_table(
     table: str,
     *,
     ingestion_time: str = "",
+    skip_bad_files: bool = False,
 ) -> DataFrame:
     """Parse ``paths`` into one typed DataFrame for ``table``.
 
     One task per file (repartition on the path list); extraction happens
     executor-side inside ``mapInPandas``; the output schema is the declared
     StructType — never inferred.
+
+    ``skip_bad_files`` trades fail-fast for availability: unreadable or
+    malformed files are logged to task stderr and skipped, so one corrupt
+    file among a hundred thousand doesn't kill the ingest job (the
+    reference's single-process CLI simply exits 1, cli.py:74-85).
     """
     schema, _ = TABLES[table]
     extractor = EXTRACTORS[table]
@@ -514,16 +520,26 @@ def ingest_table(
     path_list = list(paths)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
         for batch in batches:
             for path in batch["path"]:
-                tree = load_tree(path)
-                if table == "events":
-                    # vectorized fast path: numpy-backed frames straight
-                    # into Arrow, no per-event Python objects
-                    yield from (f[cols] for f in event_bank_frames(tree))
+                try:
+                    tree = load_tree(path)
+                    if table == "events":
+                        # vectorized fast path: numpy-backed frames
+                        # straight into Arrow, no per-event Python objects
+                        yield from (f[cols] for f in event_bank_frames(tree))
+                        continue
+                    rows = extractor(tree, source_path=path,
+                                     ingestion_time=ingestion_time) \
+                        if table in ("metadata", "experiment_runs") else extractor(tree)
+                except Exception:
+                    if not skip_bad_files:
+                        raise
+                    print(f"nexus ingest: skipping bad file {path!r}",
+                          file=sys.stderr)
                     continue
-                rows = extractor(tree, source_path=path, ingestion_time=ingestion_time) \
-                    if table in ("metadata", "experiment_runs") else extractor(tree)
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
 
@@ -538,9 +554,11 @@ def ingest_all(
     *,
     ingestion_time: str = "",
     tables: tuple[str, ...] = tuple(TABLES),
+    skip_bad_files: bool = False,
 ) -> dict[str, DataFrame]:
     path_list = list(paths)
     return {
-        t: ingest_table(spark, path_list, t, ingestion_time=ingestion_time)
+        t: ingest_table(spark, path_list, t, ingestion_time=ingestion_time,
+                        skip_bad_files=skip_bad_files)
         for t in tables
     }

@@ -147,6 +147,20 @@ def test_ingest_table_distributed(spark, tmp_path, table):
                    and r.run_id == "REF_L:12345" for r in rows)
 
 
+def test_ingest_skip_bad_files(spark, tmp_path):
+    good = tmp_path / "good.json"
+    good.write_text(json.dumps(fixture_tree()))
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json at all")
+    paths = [str(good), str(bad)]
+    # fail-fast by default
+    with pytest.raises(Exception):
+        nexus.ingest_table(spark, paths, "events").count()
+    # availability mode: the good file's rows survive
+    df = nexus.ingest_table(spark, paths, "events", skip_bad_files=True)
+    assert df.count() == 4
+
+
 def test_ingest_multiple_files_parallel(spark, tmp_path):
     trees = []
     for i in range(3):

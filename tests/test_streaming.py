@@ -89,6 +89,47 @@ def test_stateful_running_totals_match_batch(spark, tmp_path):
         assert got[bank].total_weight == b.w
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """T6 conservative late-data policy: an event arriving behind the
+    watermark is dropped from its (already finalized) window."""
+    from datetime import datetime
+
+    src = tmp_path / "stream_src"
+    sink_ck = tmp_path / "ck_wm"
+
+    def frame(*ts):
+        return spark.createDataFrame(
+            [(datetime(2024, 1, 1, h, m), "b1") for h, m in ts],
+            "event_time timestamp, bank string",
+        )
+
+    # batch 1: on-time events across four hours
+    frame((0, 30), (1, 30), (2, 30), (3, 30)).write.parquet(str(src))
+    stream = spark.readStream.schema("event_time timestamp, bank string") \
+        .parquet(str(src))
+    agg = windows.windowed_counts(stream, 3600.0, watermark="10 minutes")
+    q = (agg.writeStream.format("memory").queryName("wm_out")
+         .option("checkpointLocation", str(sink_ck))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()  # watermark -> 03:20
+        # batch 2: one late straggler (00:45, behind the watermark) plus a
+        # future event that advances the watermark and flushes hours 1-3
+        frame((0, 45), (20, 0)).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        frame((21, 0)).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.interval: r.event_count
+           for r in spark.sql("select * from wm_out").collect()}
+    base = int(datetime(2024, 1, 1).timestamp() // 3600)
+    # hour-0 window finalized with ONE event: the 00:45 straggler was
+    # dropped at the watermark, exactly the documented policy
+    assert got[base] == 1
+    assert got[base + 1] == 1 and got[base + 2] == 1 and got[base + 3] == 1
+
+
 def test_session_window_matches_batch_sessionize(spark, tmp_path):
     """session_window session count per user == batch gap sessionization."""
     from nexus_processor_spark.operators.asof import sessionize

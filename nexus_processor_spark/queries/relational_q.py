@@ -250,6 +250,39 @@ def q_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.unionByName(errors)
 
 
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: case, trim, pad, slice, replace, split."""
+    cust = _t(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return cust.select(
+        "c_custkey",
+        F.upper(name).alias("upper_name"),
+        F.lower(name).alias("lower_name"),
+        F.length(name).cast("long").alias("name_len"),
+        F.substring(name, 1, 8).alias("prefix8"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.regexp_replace(name, "[aeiou]", "_").alias("devoweled"),
+        F.split(name, "#").getItem(0).alias("name_head"),
+        F.concat_ws("|", name, F.col("c_mktsegment")).alias("tagged"),
+    )
+
+
+def q_regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates per group (slope/intercept/r2/count) —
+    the built-in form of per-group model fitting."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("user_id").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope(F.col("value"), x), 6).alias("slope"),
+            F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
+            F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+            F.regr_count(F.col("value"), x).alias("n"),
+        )
+    )
+
+
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (wide -> long) via stack: one row per (line, metric)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -486,6 +519,8 @@ def q_yearly_revenue_pivotish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "string_functions": q_string_functions,
+    "regression_agg": q_regression_agg,
     "unpivot_metrics": q_unpivot_metrics,
     "forecast_revenue": q_forecast_revenue,
     "priority_order_check": q_priority_order_check,
@@ -519,6 +554,26 @@ QUERIES = {
 }
 
 ORACLE = {
+    "string_functions": """
+        SELECT c_custkey,
+               upper(c_name) AS upper_name,
+               lower(c_name) AS lower_name,
+               CAST(length(c_name) AS BIGINT) AS name_len,
+               substr(c_name, 1, 8) AS prefix8,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+               regexp_replace(c_name, '[aeiou]', '_', 'g') AS devoweled,
+               string_split(c_name, '#')[1] AS name_head,
+               c_name || '|' || c_mktsegment AS tagged
+        FROM customer
+    """,
+    "regression_agg": """
+        SELECT event_type,
+               round(regr_slope(value, CAST(user_id AS DOUBLE)), 6) AS slope,
+               round(regr_intercept(value, CAST(user_id AS DOUBLE)), 6) AS intercept,
+               round(regr_r2(value, CAST(user_id AS DOUBLE)), 6) AS r2,
+               CAST(regr_count(value, CAST(user_id AS DOUBLE)) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    """,
     "unpivot_metrics": """
         SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
                l_quantity AS value FROM lineitem

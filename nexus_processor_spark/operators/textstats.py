@@ -7,7 +7,7 @@ is scan -> project, and column pruning keeps the scan to the text column.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from nexus_processor_spark.functions.text import char_shingles, tokens
@@ -76,6 +76,79 @@ def language_id(
         F.col(id_col),
         *[scores[lang].alias(f"score_{lang}") for lang in langs],
         pred.alias("pred_lang"),
+    )
+
+
+def normalize_text(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Training-corpus text normalization: lowercase, collapse whitespace,
+    strip non-alphanumeric-basic punctuation, trim. Map-only."""
+    t = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), "[^a-z0-9 ]", " "),
+            " +", " ",
+        )
+    )
+    return df.select(F.col(id_col), norm.alias("norm_text"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    pretraining-corpus chunker. One row per (doc, chunk); chunk k covers
+    tokens [k*stride, k*stride + chunk_tokens). All native: sequence +
+    transform + slice, no UDF, no shuffle."""
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.concat_ws(" ", F.slice(toks, k * stride + 1, chunk_tokens)),
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        .withColumn("chunk_id", F.col("chunk_id").cast("long"))
+        .withColumn("chunk_tokens",
+                    F.size(F.split(F.col("chunk_text"), " ")).cast("long"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = 512,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-budget training packs by running token
+    count (deterministic id-order greedy-by-cumsum). A cumulative sum over
+    one window pass: pack_id = floor(cumsum_before / budget) — packs can
+    overflow by at most one document, the standard streaming-packing
+    approximation (exact bin packing is NP-hard and order-destroying).
+
+    Unsharded packing is a single global window (one task) — fine for a
+    shard's worth of docs, wrong for a corpus; at scale pass ``shard_col``
+    (e.g. a hash bucket assigned at ingest) so each shard packs
+    independently and pack ids are (shard, pack_id) pairs.
+    """
+    base = Window.partitionBy(shard_col) if shard_col else Window.partitionBy()
+    w = base.orderBy(id_col).rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)
+    cum = F.sum(tokens_col).over(w) - F.col(tokens_col)  # tokens before me
+    cols = [F.col(shard_col)] if shard_col else []
+    return df.select(
+        *cols, F.col(id_col), F.col(tokens_col),
+        F.floor(cum / F.lit(budget_tokens)).cast("long").alias("pack_id"),
     )
 
 

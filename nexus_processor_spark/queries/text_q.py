@@ -44,7 +44,35 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 8
+PACK_BUDGET = 2000
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.normalize_text(_docs(spark, sf_dir))
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return textstats.pack_sequences(docs, PACK_BUDGET)
+
+
 QUERIES = {
+    "text_normalize": q_text_normalize,
+    "doc_chunks": q_doc_chunks,
+    "pack_sequences": q_pack_sequences,
     "text_profile": q_text_profile,
     "text_langid": q_text_langid,
     "text_fingerprints": q_text_fingerprints,
@@ -77,7 +105,40 @@ def _langid_sql() -> str:
     """
 
 
+_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
 ORACLE = {
+    "text_normalize": """
+        SELECT doc_id,
+               trim(regexp_replace(
+                    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                    ' +', ' ', 'g')) AS norm_text
+        FROM documents
+    """,
+    "doc_chunks": f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        c AS (SELECT doc_id, toks,
+                     greatest(CAST(ceil((len(toks) - {CHUNK_OVERLAP}) / {float(_STRIDE)})
+                                   AS BIGINT), 1) AS n_chunks
+              FROM t)
+        SELECT doc_id, CAST(u.k AS BIGINT) AS chunk_id,
+               array_to_string(toks[u.k * {_STRIDE} + 1 : u.k * {_STRIDE} + {CHUNK_TOKENS}],
+                               ' ') AS chunk_text,
+               CAST(len(string_split(
+                   array_to_string(toks[u.k * {_STRIDE} + 1 : u.k * {_STRIDE} + {CHUNK_TOKENS}],
+                                   ' '), ' ')) AS BIGINT) AS chunk_tokens
+        FROM c, unnest(generate_series(0, n_chunks - 1)) AS u(k)
+    """,
+    "pack_sequences": f"""
+        WITH d AS (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents)
+        SELECT doc_id, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                                               ROWS UNBOUNDED PRECEDING)
+                           - n_tokens) / {float(PACK_BUDGET)}) AS BIGINT) AS pack_id
+        FROM d
+    """,
     # Same left-to-right association as the Spark expression so the double
     # arithmetic is bit-identical.
     "text_quality": f"""

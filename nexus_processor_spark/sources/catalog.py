@@ -152,6 +152,34 @@ def upsert_table(
     shutil.move(tmp, final)
 
 
+def delete_from_table(
+    spark: SparkSession,
+    root: str,
+    table: str,
+    keys_df: DataFrame,
+    keys: list[str],
+) -> int:
+    """Row-level delete (takedown/GDPR path): rewrite the table without
+    rows matching ``keys_df``. Returns rows removed. Same rewrite-and-swap
+    mechanics as :func:`upsert_table`; with Delta/Iceberg this is
+    ``DELETE FROM``."""
+    import shutil
+
+    existing = read_table(spark, root, table)
+    kept = existing.join(keys_df.select(*keys).distinct(), keys, "left_anti")
+    before = existing.count()
+    _, parts = TABLES[table]
+    tmp = f"{root}/_delete_{table}"
+    writer = kept.write.mode("overwrite")
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(tmp)
+    final = f"{root}/{table}"
+    shutil.rmtree(final)
+    shutil.move(tmp, final)
+    return before - read_table(spark, root, table).count()
+
+
 def ingest_routed(
     spark: SparkSession,
     paths: Iterable[str],

@@ -92,6 +92,21 @@ def test_upsert_table(spark, tmp_path):
     assert 99 in got                          # inserted
 
 
+def test_delete_from_table(spark, tmp_path):
+    p = tmp_path / "run.json"
+    p.write_text(json.dumps(fixture_tree()))
+    df = nexus.ingest_table(spark, [str(p)], "events")
+    root = str(tmp_path / "lake")
+    catalog.write_table(df, root, "events")
+    victims = spark.createDataFrame([(100,), (103,)], "event_id long")
+    removed = catalog.delete_from_table(spark, root, "events", victims,
+                                        keys=["event_id"])
+    assert removed == 2
+    left = {r.event_id for r in
+            catalog.read_table(spark, root, "events").collect()}
+    assert left == {101, 102}
+
+
 def test_ddl_generation():
     ddl = table_ddl("events")
     assert ddl.startswith("CREATE TABLE IF NOT EXISTS events")

@@ -89,6 +89,36 @@ def test_stateful_running_totals_match_batch(spark, tmp_path):
         assert got[bank].total_weight == b.w
 
 
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """T3: a restarted query on the same checkpoint never re-emits
+    already-processed data, and picks up only the new files."""
+    root = _lake(spark, tmp_path)
+    ck = str(tmp_path / "ck_restart")
+    seen: list[int] = []
+
+    def drain():
+        got: list[int] = []
+        q = replay.stream_foreach_batch(
+            replay.read_events_stream(spark, root),
+            lambda df, e: got.append(df.count()),
+            checkpoint=ck, available_now=True,
+        )
+        q.awaitTermination(60)
+        return got
+
+    assert sum(drain()) == 4        # first run: everything
+    seen = drain()                   # restart, no new data
+    assert sum(seen) == 0
+    # append one more run's events -> only the delta arrives
+    t = fixture_tree()
+    t["entry"]["run_number"] = 99999
+    p = tmp_path / "extra.json"
+    p.write_text(json.dumps(t))
+    extra = nexus.ingest_table(spark, [str(p)], "events")
+    catalog.write_table(extra, root, "events")
+    assert sum(drain()) == 4
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """T6 conservative late-data policy: an event arriving behind the
     watermark is dropped from its (already finalized) window."""

@@ -250,6 +250,45 @@ def q_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.unionByName(errors)
 
 
+def q_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin surface: which row holds the group's extreme.
+
+    Ties on value are real (2-decimal values over 100k rows) and bare
+    arg_min picks an arbitrary tied row per engine. The ordering key packs
+    (value, event_id) into one exact integer — cents * 1e7 + id — since
+    DuckDB 1.0's arg_min takes only scalar comparators."""
+    ev = _t(spark, sf_dir, "events")
+    key = (F.round(F.col("value") * 100).cast("long") * F.lit(10_000_000)
+           + F.col("event_id"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.max_by("event_id", key).alias("max_value_event"),
+            F.min_by("event_id", key).alias("min_value_event"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null discipline: nulls from NULLIF, null-safe equality, coalesce,
+    and null grouping — pinned against the oracle since engines love to
+    disagree here."""
+    cust = _t(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return (
+        cust.select(
+            "c_custkey",
+            seg.alias("seg_or_null"),
+            F.coalesce(seg, F.lit("(redacted)")).alias("seg_filled"),
+            seg.eqNullSafe(F.lit(None).cast("string")).alias("is_null_safe"),
+            (seg == "AUTOMOBILE").alias("plain_eq"),  # null for BUILDING rows
+        )
+        .groupBy("seg_or_null", "seg_filled", "is_null_safe", "plain_eq")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String scalar surface: case, trim, pad, slice, replace, split."""
     cust = _t(spark, sf_dir, "customer")
@@ -519,6 +558,8 @@ def q_yearly_revenue_pivotish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "argmax_agg": q_argmax_agg,
+    "null_semantics": q_null_semantics,
     "string_functions": q_string_functions,
     "regression_agg": q_regression_agg,
     "unpivot_metrics": q_unpivot_metrics,
@@ -554,6 +595,32 @@ QUERIES = {
 }
 
 ORACLE = {
+    "argmax_agg": """
+        SELECT event_type,
+               arg_max(event_id,
+                       CAST(round(value * 100) AS BIGINT) * 10000000 + event_id)
+                 AS max_value_event,
+               arg_min(event_id,
+                       CAST(round(value * 100) AS BIGINT) * 10000000 + event_id)
+                 AS min_value_event,
+               max(value) AS max_value
+        FROM events GROUP BY 1
+    """,
+    "null_semantics": """
+        WITH c AS (
+            SELECT c_custkey,
+                   nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+                   coalesce(nullif(c_mktsegment, 'BUILDING'), '(redacted)')
+                     AS seg_filled,
+                   nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM
+                     CAST(NULL AS VARCHAR) AS is_null_safe,
+                   nullif(c_mktsegment, 'BUILDING') = 'AUTOMOBILE' AS plain_eq
+            FROM customer
+        )
+        SELECT seg_or_null, seg_filled, is_null_safe, plain_eq,
+               CAST(count(*) AS BIGINT) AS n
+        FROM c GROUP BY 1, 2, 3, 4
+    """,
     "string_functions": """
         SELECT c_custkey,
                upper(c_name) AS upper_name,

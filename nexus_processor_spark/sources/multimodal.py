@@ -108,6 +108,62 @@ def extract_image_features(
     )
 
 
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("n_samples", LongType(), True),
+    StructField("rms", FloatType(), True),
+    StructField("peak", FloatType(), True),
+    StructField("zero_crossings", LongType(), True),
+])
+
+
+def _decode_audio_real(payload: bytes) -> np.ndarray:  # pragma: no cover
+    """Real codec hook — requires an audio library (not in container)."""
+    raise NotImplementedError(
+        "audio decoding requires soundfile/librosa; install one and "
+        "implement this hook, or run with fake_decode=True"
+    )
+
+
+def _decode_audio_fake(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in: bytes -> seeded 1-second 8kHz waveform."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "big")
+    rng = np.random.default_rng(seed)
+    return rng.normal(scale=0.1, size=8000).astype(np.float32)
+
+
+def extract_audio_features(
+    media: DataFrame, *, fake_decode: bool = False
+) -> DataFrame:
+    """Waveform summary features (RMS/peak/zero-crossings), Arrow-batched —
+    same plumbing contract as :func:`extract_image_features`."""
+    decode = _decode_audio_fake if fake_decode else _decode_audio_real
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                if payload is None:
+                    out.append((media_id, None, None, None, None))
+                    continue
+                wav = decode(bytes(payload))
+                out.append((
+                    int(media_id),
+                    len(wav),
+                    float(np.sqrt(np.mean(wav ** 2))),
+                    float(np.abs(wav).max()),
+                    int(np.count_nonzero(np.diff(np.signbit(wav)))),
+                ))
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_samples", "rms", "peak",
+                              "zero_crossings"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one row per sampled timestamp.
 

@@ -35,6 +35,20 @@ def test_real_decode_is_gated(spark, media):
         ).collect()
 
 
+def test_audio_features_fake_decode(spark, media):
+    out = {r.media_id: r for r in
+           multimodal.extract_audio_features(
+               media.filter("media_id <= 2"), fake_decode=True).collect()}
+    assert out[1].n_samples == 8000
+    assert 0 < out[1].rms < out[1].peak
+    assert out[1].zero_crossings > 0
+    # deterministic per payload, distinct across payloads
+    again = {r.media_id: r.rms for r in
+             multimodal.extract_audio_features(
+                 media.filter("media_id <= 2"), fake_decode=True).collect()}
+    assert again[1] == out[1].rms and again[2] != again[1]
+
+
 def test_frame_sampling_grid(spark, media):
     rows = multimodal.sample_frames(media, every_ms=1000).collect()
     assert [(r.media_id, r.frame_ts_ms) for r in rows] == [

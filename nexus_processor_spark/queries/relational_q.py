@@ -238,6 +238,21 @@ def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics: customers active in both halves
+    of the order history vs early-only."""
+    orders = _t(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_orderdate") < _ntz("1998-01-01")).select("o_custkey")
+    late = orders.filter(F.col("o_orderdate") >= _ntz("1998-01-01")).select("o_custkey")
+    both = early.intersect(late).select(
+        F.col("o_custkey"), F.lit("both").alias("cohort")
+    )
+    early_only = early.exceptAll(late).distinct().select(
+        F.col("o_custkey"), F.lit("early_only").alias("cohort")
+    )
+    return both.unionByName(early_only)
+
+
 def q_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1: union-all of two filtered subsets with provenance tags."""
     ev = _t(spark, sf_dir, "events")
@@ -591,6 +606,7 @@ QUERIES = {
     "dual_encoding": q_dual_encoding,
     "window_topk_per_group": q_window_topk_per_group,
     "distinct_pairs": q_distinct_pairs,
+    "set_ops": q_set_ops,
     "union_tagged": q_union_tagged,
 }
 
@@ -898,6 +914,17 @@ ORACLE = {
     """,
     "distinct_pairs": """
         SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+    "set_ops": """
+        WITH early AS (SELECT o_custkey FROM orders
+                       WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        late AS (SELECT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+        SELECT o_custkey, 'both' AS cohort
+        FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late)
+        UNION ALL
+        SELECT DISTINCT o_custkey, 'early_only' AS cohort
+        FROM (SELECT o_custkey FROM early EXCEPT ALL SELECT o_custkey FROM late)
     """,
     "union_tagged": """
         SELECT event_id, 'click' AS src FROM events WHERE event_type = 'click'

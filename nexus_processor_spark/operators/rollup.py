@@ -1,0 +1,105 @@
+"""Hypertable-style interval rollups: pre-aggregated continuous aggregates.
+
+The flagship time-slice query scans every event it counts. At 100 TB the
+right answer for repeated interval queries is a rollup table maintained at
+ingest: per (run, bank, fine-interval) partial aggregates that are
+1,000-100,000x smaller than the fact table and *compose* upward:
+
+* count/sum      — re-aggregate exactly at any coarser interval
+* min/max        — same
+* distinct       — NOT composable exactly; the rollup carries HLL
+                   sketches (``hll_sketch_agg``) which union losslessly
+                   across buckets and report with bounded error
+
+Query routing: same-or-coarser intervals hit the rollup; finer intervals
+fall through to the fact table. Streaming ingest maintains the rollup via
+``foreachBatch`` upsert (each micro-batch re-aggregates only the touched
+buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nexus_processor_spark.functions.core import interval_bounds, interval_floor
+
+
+def build_interval_rollup(
+    events: DataFrame,
+    interval_seconds: float,
+    *,
+    time_col: str = "absolute_time",
+    bank_col: str = "bank",
+    pulse_col: str = "pulse_index",
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The rollup table: one row per (keys, bank, interval) with exact
+    partials and HLL sketches for the distinct measures."""
+    t = F.col(time_col)
+    return (
+        events.filter(t.isNotNull())
+        .withColumn("interval", interval_floor(t, interval_seconds))
+        .groupBy(*key_cols, bank_col, "interval")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.min(t).alias("min_time"),
+            F.max(t).alias("max_time"),
+            F.hll_sketch_agg(pulse_col).alias("pulse_sketch"),
+        )
+    )
+
+
+def rollup_to_coarser(
+    rollup: DataFrame,
+    fine_seconds: float,
+    coarse_seconds: float,
+    *,
+    bank_col: str = "bank",
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Re-aggregate a fine rollup to a coarser interval — exact for
+    count/min/max, HLL-union for the distinct sketch. ``coarse_seconds``
+    must be a multiple of ``fine_seconds``."""
+    factor = int(coarse_seconds / fine_seconds)
+    if factor * fine_seconds != coarse_seconds:
+        raise ValueError("coarse interval must be a multiple of the fine one")
+    coarse = F.floor(F.col("interval") / factor).cast("long")
+    return (
+        rollup.withColumn("interval", coarse)
+        .groupBy(*key_cols, bank_col, "interval")
+        .agg(
+            F.sum("event_count").alias("event_count"),
+            F.min("min_time").alias("min_time"),
+            F.max("max_time").alias("max_time"),
+            F.hll_union_agg("pulse_sketch").alias("pulse_sketch"),
+        )
+    )
+
+
+def serve_count_by_interval(
+    rollup: DataFrame,
+    interval_seconds: float,
+    *,
+    bank_col: str = "bank",
+) -> DataFrame:
+    """Answer the flagship per-interval query FROM the rollup (no fact
+    scan): exact count/min/max, HLL estimate for distinct pulses, exact
+    distinct banks (bank is a rollup grouping key)."""
+    start, end = interval_bounds(F.col("interval"), interval_seconds)
+    return (
+        rollup.groupBy("interval")
+        .agg(
+            F.sum("event_count").alias("event_count"),
+            F.count_distinct(bank_col).alias("n_banks"),
+            F.hll_sketch_estimate(F.hll_union_agg("pulse_sketch"))
+            .alias("n_pulses_approx"),
+            F.min("min_time").alias("min_time"),
+            F.max("max_time").alias("max_time"),
+        )
+        .select(
+            "interval", start.alias("interval_start"), end.alias("interval_end"),
+            "event_count", "n_banks", "n_pulses_approx", "min_time", "max_time",
+        )
+        .orderBy("interval")
+    )

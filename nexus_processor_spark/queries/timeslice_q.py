@@ -100,6 +100,17 @@ def q_per_bank_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_served_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup path: build a fine (60s) rollup, compose it to
+    3600s, and serve the interval query from the rollup — exact measures
+    only (the HLL distinct column is pinned by tolerance tests instead)."""
+    from nexus_processor_spark.operators import rollup as ru
+
+    fine = ru.build_interval_rollup(_events(spark, sf_dir), 60.0)
+    coarse = ru.rollup_to_coarser(fine, 60.0, INTERVAL)
+    return ru.serve_count_by_interval(coarse, INTERVAL).drop("n_pulses_approx")
+
+
 def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/J3 generalized: backward as-of join — every event picks up the
     most recent signup time within its user cohort (user_id % 10)."""
@@ -185,6 +196,7 @@ QUERIES = {
     "time_bounds": q_time_bounds,
     "interval_totals": q_interval_totals,
     "attribute_maps": q_attribute_maps,
+    "rollup_served_interval": q_rollup_served_interval,
     "asof_last_signup": q_asof_last_signup,
     "sessionize_users": q_sessionize_users,
     "event_summary_recompute": q_event_summary_recompute,
@@ -219,6 +231,28 @@ ORACLE = {
                CAST(sum(event_count) AS BIGINT) AS total_events,
                max(event_count) AS peak_events
         FROM iv
+    """,
+    "rollup_served_interval": f"""
+        WITH e AS ({_E}),
+        fine AS (
+            SELECT bank, CAST(floor(t/60.0) AS BIGINT) AS f_interval,
+                   CAST(count(*) AS BIGINT) AS event_count,
+                   min(t) AS min_time, max(t) AS max_time
+            FROM e WHERE t IS NOT NULL GROUP BY 1, 2
+        ),
+        coarse AS (
+            SELECT bank, CAST(floor(f_interval / 60) AS BIGINT) AS interval,
+                   CAST(sum(event_count) AS BIGINT) AS event_count,
+                   min(min_time) AS min_time, max(max_time) AS max_time
+            FROM fine GROUP BY 1, 2
+        )
+        SELECT interval,
+               interval * {INTERVAL} AS interval_start,
+               (interval + 1) * {INTERVAL} AS interval_end,
+               CAST(sum(event_count) AS BIGINT) AS event_count,
+               CAST(count(DISTINCT bank) AS BIGINT) AS n_banks,
+               min(min_time) AS min_time, max(max_time) AS max_time
+        FROM coarse GROUP BY 1
     """,
     "asof_last_signup": """
         WITH e AS (SELECT event_id, user_id % 10 AS g, epoch(ts) AS t,

@@ -1,0 +1,59 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexus_processor_spark.functions.core import event_seconds
+from nexus_processor_spark.operators import rollup, timeslice
+from nexus_processor_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF, "events").select(
+        event_seconds("ts").alias("absolute_time"),
+        F.col("event_type").alias("bank"),
+        F.col("user_id").alias("pulse_index"),
+    )
+
+
+def test_rollup_serves_flagship_query_exactly(spark, events):
+    """Same-grain serving: exact columns identical to the direct scan;
+    the HLL distinct lands within sketch tolerance."""
+    direct = {r.interval: r for r in
+              timeslice.count_by_interval(events, 3600.0).collect()}
+    ru = rollup.build_interval_rollup(events, 3600.0)
+    served = {r.interval: r for r in
+              rollup.serve_count_by_interval(ru, 3600.0).collect()}
+    assert served.keys() == direct.keys()
+    for k, d in direct.items():
+        s = served[k]
+        assert (s.event_count, s.n_banks) == (d.event_count, d.n_banks)
+        assert (s.min_time, s.max_time) == (d.min_time, d.max_time)
+        assert abs(s.n_pulses_approx - d.n_pulses) <= max(2, 0.1 * d.n_pulses)
+
+
+def test_rollup_composes_to_coarser(spark, events):
+    """60s rollup re-aggregated to 3600s == direct 3600s aggregation for
+    every composable measure."""
+    fine = rollup.build_interval_rollup(events, 60.0)
+    coarse = rollup.rollup_to_coarser(fine, 60.0, 3600.0)
+    served = {r.interval: r for r in
+              rollup.serve_count_by_interval(coarse, 3600.0).collect()}
+    direct = {r.interval: r for r in
+              timeslice.count_by_interval(events, 3600.0).collect()}
+    assert served.keys() == direct.keys()
+    for k, d in direct.items():
+        s = served[k]
+        assert s.event_count == d.event_count
+        assert (s.min_time, s.max_time) == (d.min_time, d.max_time)
+    # size win that motivates the rollup
+    assert fine.count() < events.count()
+
+
+def test_rollup_rejects_non_multiple(spark, events):
+    fine = rollup.build_interval_rollup(events, 60.0)
+    with pytest.raises(ValueError, match="multiple"):
+        rollup.rollup_to_coarser(fine, 60.0, 90.0)

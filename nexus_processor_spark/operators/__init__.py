@@ -3,6 +3,7 @@
 from nexus_processor_spark.operators import (  # noqa: F401
     asof,
     dedup,
+    pipeline,
     similarity,
     textstats,
     timeslice,

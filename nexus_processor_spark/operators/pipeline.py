@@ -1,0 +1,236 @@
+"""Corpus-pipeline operators: deterministic sampling / splits / shuffles,
+repetition quality signals, and PII scrubbing for training-data curation.
+
+All selection decisions hash a stable key through md5 and compare the hex
+prefix lexicographically — the repo's portable hash domain (identical in
+Spark, DuckDB, and any future engine), so a sample drawn today is
+reproducible bit-for-bit tomorrow and by the SQL oracle. No randomness, no
+driver state: every operator is a map-only filter/projection except
+``repetition_signals`` (two partial-aggregating groupBys) and
+``shuffle_shards`` (per-shard window — shards bound task size, so the sort
+never collapses to one partition at corpus scale).
+
+Reference anchor: the reference engine has no corpus operators (its P*/A*
+surface stops at relational analytics — see SURVEY.md §2); these extend the
+engine toward the 100 TB training-data workload the driver's
+``documents``/``embeddings`` tables model.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nexus_processor_spark.functions.text import tokens
+
+HEX_WIDTH = 8  # 32 bits of md5 prefix: plenty below 1e-9 rate granularity
+
+
+def hash_hex(key: Column, *, salt: str = "", width: int = HEX_WIDTH) -> Column:
+    """Deterministic uniform hash of a key as a fixed-width hex string."""
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, width)
+
+
+def hex_threshold(fraction: float, width: int = HEX_WIDTH) -> str:
+    """Hex string such that P[hash_hex < threshold] == fraction (to 1/16^w).
+
+    ``"g"`` (sorts after every hex digit) for fraction >= 1 so the
+    comparison stays a fixed-width string compare in both engines.
+    """
+    n = int(round(fraction * 16**width))
+    if n <= 0:
+        return "0" * width
+    if n >= 16**width:
+        return "g"
+    return format(n, f"0{width}x")
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, *, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff md5(salt+key) lands
+    below the fraction threshold. Unlike ``df.sample`` this is stable
+    across runs, partitionings, and engines — the property a training
+    pipeline needs for reproducible corpus draws. Map-only; the filter
+    does not push to the scan (it's computed), but column pruning does.
+    """
+    return df.filter(hash_hex(F.col(key_col), salt=salt) < F.lit(hex_threshold(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    *,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group deterministic sampling — the domain-mixing primitive
+    (e.g. keep 50% of English, 10% of everything else). One map-only
+    filter; no shuffle regardless of group count.
+    """
+    thr: Column = F.lit(hex_threshold(default_rate))
+    for group, rate in rates.items():
+        thr = F.when(F.col(group_col) == group, F.lit(hex_threshold(rate))).otherwise(thr)
+    return df.filter(hash_hex(F.col(key_col), salt=salt) < thr)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    *,
+    key_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/valid/test) by hash range.
+
+    Weights are cumulative left-to-right; the last label absorbs any
+    floating-point remainder so assignment is total. Disjoint and
+    exhaustive by construction, stable under any row order or
+    repartitioning — the contamination-proof split a training pipeline
+    requires (a given doc_id is ALWAYS in the same split).
+    """
+    labels = list(weights)
+    if not labels:
+        raise ValueError("weights must name at least one split")
+    h = hash_hex(F.col(key_col), salt=salt)
+    expr: Column = F.lit(labels[-1])
+    cum = 0.0
+    bounds: list[tuple[str, str]] = []
+    for label in labels[:-1]:
+        cum += weights[label]
+        bounds.append((label, hex_threshold(cum)))
+    for label, bound in reversed(bounds):
+        expr = F.when(h < F.lit(bound), F.lit(label)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    salt: str = "",
+    shard_chars: int = 2,
+) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization:
+    shard = first ``shard_chars`` hex of md5 (16^n shards), rank = position
+    within the shard by the remaining hash bits. Readers stream shards in
+    any order and rows within a shard by rank — a reproducible permutation
+    with NO global sort: each shard sorts independently (256 shards at the
+    default), so the operator scales with executors instead of collapsing
+    to a single ordered partition.
+    """
+    full = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    with_h = df.withColumn("_h", full)
+    shard = F.substring(F.col("_h"), 1, shard_chars)
+    rest = F.substring(F.col("_h"), shard_chars + 1, 32 - shard_chars)
+    w = Window.partitionBy("shard").orderBy("_rest", key_col)
+    return (
+        with_h.withColumn("shard", shard)
+        .withColumn("_rest", rest)
+        .withColumn("shard_rank", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_h", "_rest")
+    )
+
+
+def repetition_signals(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals: type/token ratio and the
+    mass of the single most frequent token. Low TTR or a dominant token
+    marks boilerplate/spam for corpus filtering.
+
+    Shape: explode -> (doc, token) count -> per-doc agg. Both groupBys
+    partial-aggregate map-side, and the second groups a strict subset of
+    the first's keys, so the heavy shuffle happens once on (doc, token).
+    Exact-rational divisions only — bit-identical cross-engine.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    counts = tok.groupBy(id_col, "token").agg(F.count("*").alias("c"))
+    n_toks = F.sum("c").cast("long")
+    n_unique = F.count("*").cast("long")
+    top = F.max("c").cast("long")
+    return counts.groupBy(id_col).agg(
+        n_toks.alias("n_tokens"),
+        n_unique.alias("n_unique_tokens"),
+        top.alias("top_token_count"),
+        (n_unique.cast("double") / n_toks).alias("type_token_ratio"),
+        (top.cast("double") / n_toks).alias("top_token_fraction"),
+    )
+
+
+# Conservative, RE2-compatible (no backreferences/lookaround) so the same
+# pattern runs identically under Java regex (Spark) and RE2 (DuckDB).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[^ ]+"
+PHONE_RE = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def scrub_pii(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / URLs / phone numbers with typed placeholder tokens
+    and count what was removed (the audit trail a takedown pipeline logs).
+    URL first so mailto-ish URLs don't leave half-scrubbed emails behind.
+    Map-only, single projection."""
+    t = F.col(text_col)
+    n_urls = F.size(F.regexp_extract_all(t, F.lit(URL_RE), 0)).cast("long")
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).cast("long")
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).cast("long")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed_text"),
+        n_urls.alias("n_urls"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    tf = term count in doc; idf = ln((N+1)/(df+1)). The corpus size N
+    arrives via a crossJoin of a 1-row aggregate (broadcast — no driver
+    collect, stays one lazy job). Scores are rounded so cross-engine ln()
+    ulp differences can't flip the top-k ordering; ties after rounding
+    break on the term itself.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("dfreq"))
+    n_docs = df.agg(F.count("*").cast("long").alias("n_docs"))
+    idf = F.log((F.col("n_docs").cast("double") + 1) / (F.col("dfreq").cast("double") + 1))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.round(F.col("tf") * idf, round_digits).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

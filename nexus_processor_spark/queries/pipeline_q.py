@@ -1,0 +1,172 @@
+"""Corpus-pipeline queries (sampling / splits / shuffle / quality /
+scrubbing / tf-idf) over ``documents``, with DuckDB oracles.
+
+Every selection below is md5-hex-threshold based (see operators.pipeline),
+so the oracle reproduces the exact sample/split/shuffle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nexus_processor_spark.operators import pipeline
+from nexus_processor_spark.operators.pipeline import (
+    EMAIL_RE,
+    PHONE_RE,
+    URL_RE,
+    hex_threshold,
+)
+from nexus_processor_spark.sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+SAMPLE_FRACTION = 0.1
+STRATA_RATES = {"en": 0.5, "de": 0.2}
+STRATA_DEFAULT = 0.05
+SPLIT_WEIGHTS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+TFIDF_K = 3
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.hash_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"), SAMPLE_FRACTION
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        STRATA_RATES,
+        default_rate=STRATA_DEFAULT,
+    )
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.hash_split(
+        _docs(spark, sf_dir).select("doc_id"), SPLIT_WEIGHTS
+    )
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.shuffle_shards(_docs(spark, sf_dir).select("doc_id"))
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.repetition_signals(_docs(spark, sf_dir))
+
+
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.scrub_pii(_docs(spark, sf_dir))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.tfidf_top_terms(_docs(spark, sf_dir), TFIDF_K)
+
+
+QUERIES = {
+    "sample_hash": q_sample_hash,
+    "sample_stratified": q_sample_stratified,
+    "split_assign": q_split_assign,
+    "shuffle_shards": q_shuffle_shards,
+    "text_repetition": q_text_repetition,
+    "text_scrub": q_text_scrub,
+    "tfidf_top_terms": q_tfidf_top_terms,
+}
+
+
+def _strata_case() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{g}' THEN '{hex_threshold(r)}'"
+        for g, r in STRATA_RATES.items()
+    )
+    return f"CASE {whens} ELSE '{hex_threshold(STRATA_DEFAULT)}' END"
+
+
+def _split_case() -> str:
+    labels = list(SPLIT_WEIGHTS)
+    cum = 0.0
+    whens = []
+    for label in labels[:-1]:
+        cum += SPLIT_WEIGHTS[label]
+        whens.append(
+            f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+            f" < '{hex_threshold(cum)}' THEN '{label}'"
+        )
+    return "CASE " + " ".join(whens) + f" ELSE '{labels[-1]}' END"
+
+
+ORACLE = {
+    "sample_hash": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              < '{hex_threshold(SAMPLE_FRACTION)}'
+    """,
+    "sample_stratified": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < {_strata_case()}
+    """,
+    "split_assign": f"""
+        SELECT doc_id, {_split_case()} AS split FROM documents
+    """,
+    "shuffle_shards": """
+        WITH h AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents
+        )
+        SELECT doc_id, substr(hh, 1, 2) AS shard,
+               CAST(row_number() OVER (
+                   PARTITION BY substr(hh, 1, 2)
+                   ORDER BY substr(hh, 3), doc_id) - 1 AS BIGINT) AS shard_rank
+        FROM h
+    """,
+    "text_repetition": """
+        WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+        c AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_unique_tokens,
+               CAST(max(c) AS BIGINT) AS top_token_count,
+               CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+                   AS type_token_ratio,
+               CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+                   AS top_token_fraction
+        FROM c GROUP BY doc_id
+    """,
+    "text_scrub": f"""
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{URL_RE}', '<URL>', 'g'),
+                       '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed_text,
+               CAST(len(regexp_extract_all(text, '{URL_RE}')) AS BIGINT)
+                   AS n_urls,
+               CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT)
+                   AS n_phones
+        FROM documents
+    """,
+    "tfidf_top_terms": f"""
+        WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM t GROUP BY 1, 2),
+        dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq
+                FROM tf GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        s AS (SELECT doc_id, term, tf,
+                     round(tf * ln((CAST(n_docs AS DOUBLE) + 1)
+                                   / (CAST(dfreq AS DOUBLE) + 1)),
+                           4) AS tfidf
+              FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        SELECT doc_id, term, tf, tfidf FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+            FROM s
+        ) WHERE rk <= {TFIDF_K}
+    """,
+}

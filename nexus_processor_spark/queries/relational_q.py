@@ -479,6 +479,18 @@ def q_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping-set combinations in
+    one pass; ``grouping_id`` distinguishes subtotal NULLs from genuine
+    NULL keys (first cube column = most significant bit in both engines)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12/Q14 shape: CASE-gated aggregation in one pass."""
     orders = _t(spark, sf_dir, "orders")
@@ -586,6 +598,7 @@ QUERIES = {
     "pivot_status_counts": q_pivot_status_counts,
     "array_ops": q_array_ops,
     "rollup_totals": q_rollup_totals,
+    "cube_status_priority": q_cube_status_priority,
     "conditional_agg": q_conditional_agg,
     "min_cost_supplier": q_min_cost_supplier,
     "like_filter_agg": q_like_filter_agg,
@@ -738,6 +751,14 @@ ORACLE = {
                round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "cube_status_priority": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     "conditional_agg": """
         SELECT l_linestatus,

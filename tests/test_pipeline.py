@@ -1,0 +1,130 @@
+"""Corpus-pipeline operator tests: deterministic sampling/splits/shuffle,
+repetition signals, PII scrubbing, tf-idf."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexus_processor_spark.operators import pipeline
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"doc {i} filler tokens", ["en", "de", "fr"][i % 3]) for i in range(300)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_hash_sample_deterministic_and_sized(docs):
+    a = pipeline.hash_sample(docs, 0.2)
+    b = pipeline.hash_sample(docs, 0.2)
+    ids_a = sorted(r.doc_id for r in a.collect())
+    ids_b = sorted(r.doc_id for r in b.collect())
+    assert ids_a == ids_b  # same draw every run
+    assert 30 <= len(ids_a) <= 90  # ~60 expected; loose binomial bounds
+    # a bigger fraction strictly contains the smaller draw (nested samples)
+    wider = sorted(r.doc_id for r in pipeline.hash_sample(docs, 0.5).collect())
+    assert set(ids_a) <= set(wider)
+
+
+def test_hash_sample_salt_changes_draw(docs):
+    a = {r.doc_id for r in pipeline.hash_sample(docs, 0.3).collect()}
+    b = {r.doc_id for r in pipeline.hash_sample(docs, 0.3, salt="v2").collect()}
+    assert a != b
+
+
+def test_stratified_rates_respected(docs):
+    out = pipeline.stratified_sample(
+        docs, {"en": 1.0, "de": 0.0}, default_rate=0.2
+    ).groupBy("lang").count().collect()
+    by_lang = {r.lang: r["count"] for r in out}
+    assert by_lang.get("en") == 100  # rate 1.0 keeps every row
+    assert "de" not in by_lang  # rate 0.0 keeps none
+    assert 5 <= by_lang.get("fr", 0) <= 45  # default 0.2 of 100
+
+
+def test_hash_split_total_and_disjoint(docs):
+    out = pipeline.hash_split(docs, {"train": 0.8, "valid": 0.1, "test": 0.1})
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 300  # exhaustive
+    assert counts["train"] > counts.get("valid", 0)
+    # stability: the same doc never migrates between splits
+    again = pipeline.hash_split(docs, {"train": 0.8, "valid": 0.1, "test": 0.1})
+    assert sorted(map(tuple, out.select("doc_id", "split").collect())) == sorted(
+        map(tuple, again.select("doc_id", "split").collect())
+    )
+
+
+def test_shuffle_shards_is_permutation(docs):
+    out = pipeline.shuffle_shards(docs).collect()
+    assert sorted(r.doc_id for r in out) == list(range(300))
+    # ranks are dense 0..n-1 within each shard
+    by_shard: dict[str, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.shard_rank)
+    for ranks in by_shard.values():
+        assert sorted(ranks) == list(range(len(ranks)))
+    # and the shuffle actually permutes (not identity order)
+    first_shard = min(by_shard)
+    sharded_ids = [r.doc_id for r in sorted(out, key=lambda r: (r.shard, r.shard_rank))]
+    assert sharded_ids != list(range(300))
+
+
+def test_repetition_signals_flag_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),
+            (2, "all tokens here are unique words"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pipeline.repetition_signals(df).collect()}
+    assert rows[1].n_unique_tokens == 1
+    assert rows[1].top_token_fraction == 1.0
+    assert rows[1].type_token_ratio == pytest.approx(0.2)
+    assert rows[2].type_token_ratio == 1.0
+    assert rows[2].top_token_count == 1
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com or visit https://x.io/a?b=1 now"),
+            (2, "call 555-867-5309 twice: 555-867-5309"),
+            (3, "clean text, nothing to scrub"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pipeline.scrub_pii(df).collect()}
+    assert rows[1].scrubbed_text == "mail <EMAIL> or visit <URL> now"
+    assert (rows[1].n_emails, rows[1].n_urls) == (1, 1)
+    assert rows[2].scrubbed_text == "call <PHONE> twice: <PHONE>"
+    assert rows[2].n_phones == 2
+    assert rows[3].scrubbed_text == rows[3].scrubbed_text == "clean text, nothing to scrub"
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "shared shared rareword"),
+            (2, "shared shared shared"),
+            (3, "shared other other"),
+        ],
+        "doc_id long, text string",
+    )
+    top = pipeline.tfidf_top_terms(df, 1).collect()
+    best = {r.doc_id: r.term for r in top}
+    # 'shared' appears in every doc -> idf ln(4/4)=0; rare terms win
+    assert best[1] == "rareword"
+    assert best[3] == "other"
+    assert len(top) == 3  # k=1 per doc, ties included deterministically
+
+
+def test_hex_threshold_edges():
+    assert pipeline.hex_threshold(0.0) == "00000000"
+    assert pipeline.hex_threshold(1.0) == "g"
+    assert pipeline.hex_threshold(0.5) == "80000000"
+    # every hex string sorts below the >=1.0 sentinel
+    assert "ffffffff" < "g"

@@ -479,6 +479,44 @@ def q_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding frame spec (ROWS 6 PRECEDING): 7-day moving average over
+    daily revenue. The window is unpartitioned but runs over the *daily
+    aggregate* (one row per date — thousands of rows at any corpus scale),
+    not raw orders, so the single-partition sort is bounded by the
+    calendar, never by data volume."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("day_revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        # ISO string so the hash domain is engine-neutral (DATE surfaces
+        # as Timestamp via DuckDB->pandas, date via Spark).
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "day_revenue",
+        "n_orders",
+        F.round(F.avg("day_revenue").over(w), 2).alias("ma7"),
+    )
+
+
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() deltas per customer: days since previous order and price
+    change — the frame-free ranking/offset surface (lag, row_number) the
+    reference never exercises. Deterministic order by (date, orderkey)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    day = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(day, F.lag(day, 1).over(w)).cast("long").alias("days_since_prev"),
+        (F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w)).alias("price_delta"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
 def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, priority): all four grouping-set combinations in
     one pass; ``grouping_id`` distinguishes subtotal NULLs from genuine
@@ -599,6 +637,8 @@ QUERIES = {
     "array_ops": q_array_ops,
     "rollup_totals": q_rollup_totals,
     "cube_status_priority": q_cube_status_priority,
+    "moving_avg_revenue": q_moving_avg_revenue,
+    "order_gaps": q_order_gaps,
     "conditional_agg": q_conditional_agg,
     "min_cost_supplier": q_min_cost_supplier,
     "like_filter_agg": q_like_filter_agg,
@@ -751,6 +791,30 @@ ORACLE = {
                round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "moving_avg_revenue": """
+        WITH d AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS day_revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, day_revenue, n_orders,
+               round(avg(day_revenue) OVER (
+                   ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                   2) AS ma7
+        FROM d
+    """,
+    "order_gaps": """
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('day',
+                              lag(CAST(o_orderdate AS DATE)) OVER w,
+                              CAST(o_orderdate AS DATE)) AS BIGINT)
+                   AS days_since_prev,
+               o_totalprice - lag(o_totalprice) OVER w AS price_delta,
+               CAST(row_number() OVER w AS BIGINT) AS order_seq
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
     "cube_status_priority": """
         SELECT o_orderstatus, o_orderpriority,

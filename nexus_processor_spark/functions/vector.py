@@ -27,3 +27,28 @@ def cosine(a: Column, b: Column) -> Column:
     d = dot(a, b)
     denom = norm(a) * norm(b)
     return F.when(denom > 0, d / denom)
+
+
+def l2_normalize(a: Column, digits: int = 6) -> Column:
+    """Unit-length projection (rounded so the doubles are engine-neutral);
+    null for zero-norm vectors rather than a divide-by-zero Inf."""
+    n = norm(a)
+    return F.when(n > 0, F.transform(a, lambda x: F.round(x.cast("double") / n, digits)))
+
+
+def quant_scale(a: Column) -> Column:
+    """Symmetric int8 quantization scale: max|x| (q = round(x/scale*127))."""
+    return F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+
+
+def quantize_int8(a: Column) -> Column:
+    """Symmetric int8 quantization of an embedding: the 4x/8x shrink that
+    makes a 100 TB vector corpus scan-affordable; dequantize with
+    q*scale/127. Null for all-zero vectors (no scale)."""
+    s = quant_scale(a)
+    return F.when(
+        s > 0,
+        F.transform(
+            a, lambda x: F.round(x.cast("double") / s * 127, 0).cast("long")
+        ),
+    )

@@ -479,6 +479,29 @@ def q_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_full_outer_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation: BUILDING-segment customers vs
+    per-customer order totals — unmatched rows on *both* sides survive
+    with nulls (the audit-join shape; the reference's surface stops at
+    inner/left). Both inputs shuffle on the key; AQE picks the strategy."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+    )
+    agg = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
+    return cust.join(agg, cust.c_custkey == agg.o_custkey, "full_outer").select(
+        "c_custkey", "c_name", "o_custkey", "n_orders", "total_spend"
+    )
+
+
 def q_moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding frame spec (ROWS 6 PRECEDING): 7-day moving average over
     daily revenue. The window is unpartitioned but runs over the *daily
@@ -637,6 +660,7 @@ QUERIES = {
     "array_ops": q_array_ops,
     "rollup_totals": q_rollup_totals,
     "cube_status_priority": q_cube_status_priority,
+    "full_outer_recon": q_full_outer_recon,
     "moving_avg_revenue": q_moving_avg_revenue,
     "order_gaps": q_order_gaps,
     "conditional_agg": q_conditional_agg,
@@ -791,6 +815,17 @@ ORACLE = {
                round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "full_outer_recon": """
+        WITH agg AS (
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                   round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_spend
+            FROM orders GROUP BY 1
+        )
+        SELECT c_custkey, c_name, o_custkey, n_orders, total_spend
+        FROM (SELECT c_custkey, c_name FROM customer
+              WHERE c_mktsegment = 'BUILDING') c
+        FULL OUTER JOIN agg ON c_custkey = o_custkey
     """,
     "moving_avg_revenue": """
         WITH d AS (

@@ -42,10 +42,26 @@ def q_sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantization + unit normalization of the embedding column —
+    the storage-shrink projections a vector corpus applies before
+    indexing. Map-only, array math entirely in codegen."""
+    from nexus_processor_spark.functions import vector
+
+    v = F.col("embedding")
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        vector.quant_scale(v).alias("scale"),
+        vector.quantize_int8(v).alias("q8"),
+        vector.l2_normalize(v).alias("unit"),
+    )
+
+
 QUERIES = {
     "sim_brute_topk": q_sim_brute_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_near_dup_pairs": q_sim_near_dup_pairs,
+    "vector_quantize": q_vector_quantize,
 }
 
 
@@ -98,5 +114,26 @@ ORACLE = {
         FROM embeddings a JOIN embeddings b USING (label)
         WHERE a.vec_id < b.vec_id
           AND {_cos('a.embedding', 'b.embedding')} >= {NEAR_DUP_THRESHOLD}
+    """,
+    "vector_quantize": """
+        WITH s AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS scale,
+                   sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+            FROM embeddings
+        )
+        SELECT vec_id, scale,
+               CASE WHEN scale > 0 THEN
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) / scale * 127, 0)
+                                 AS BIGINT))
+               END AS q8,
+               CASE WHEN n > 0 THEN
+                   list_transform(embedding,
+                       x -> round(CAST(x AS DOUBLE) / n, 6))
+               END AS unit
+        FROM s
     """,
 }

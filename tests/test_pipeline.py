@@ -128,3 +128,34 @@ def test_hex_threshold_edges():
     assert pipeline.hex_threshold(0.5) == "80000000"
     # every hex string sorts below the >=1.0 sentinel
     assert "ffffffff" < "g"
+
+
+def test_quantize_int8_roundtrip(spark):
+    """Dequantized int8 vectors approximate the original within one
+    quantization step; unit vectors have norm 1."""
+    import math
+
+    from nexus_processor_spark.functions import vector
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    v = F.col("embedding")
+    rows = {
+        r.vec_id: r
+        for r in df.select(
+            "vec_id",
+            vector.quant_scale(v).alias("scale"),
+            vector.quantize_int8(v).alias("q8"),
+            vector.l2_normalize(v).alias("unit"),
+        ).collect()
+    }
+    r1 = rows[1]
+    assert r1.scale == 1.0
+    assert r1.q8 == [64, -127, 32]  # round(x/scale*127)
+    for orig, q in zip([0.5, -1.0, 0.25], r1.q8):
+        assert abs(q * r1.scale / 127 - orig) <= r1.scale / 127
+    assert math.isclose(sum(u * u for u in r1.unit), 1.0, rel_tol=1e-4)
+    # zero vector: no scale, no quantization, no unit projection
+    assert rows[2].q8 is None and rows[2].unit is None

@@ -199,3 +199,36 @@ def test_windowed_counts_match_floor_bucketing(spark, tmp_path):
     win = windows.windowed_counts(ev, 3600.0)
     agg = win.groupBy("interval").agg(F.sum("event_count").alias("event_count"))
     assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, agg.collect()))
+
+
+def test_dedup_stream_drops_repeats_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: a key re-arriving in a later micro-batch
+    (inside the watermark horizon) is dropped; the drained stream equals
+    the batch dropDuplicates set."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    src = tmp_path / "dedup_src"
+    schema = "event_id long, event_time timestamp"
+    spark.createDataFrame(
+        [(1, t0), (2, t0 + dt.timedelta(seconds=1))], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=2)), (3, t0 + dt.timedelta(seconds=3))],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = windows.dedup_stream(stream, time_col="event_time")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .trigger(availableNow=True).outputMode("append").start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r.event_id for r in spark.sql("select * from dedup_out").collect())
+    assert ids == [1, 2, 3]

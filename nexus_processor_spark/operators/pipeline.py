@@ -197,6 +197,139 @@ def scrub_pii(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, how many distinct word
+    n-grams it shares with an eval/benchmark set (and a 0/1 flag).
+
+    The eval side reduces to its distinct n-gram set — small even for big
+    benchmarks, so it BROADCASTS and the contamination probe is a map-side
+    semi-join over the corpus: the 100 TB side never shuffles on gram. Only
+    the per-doc hit counts (≤ corpus rows) shuffle, on ``id_col``. Keeping
+    every corpus row (hits or not) makes the result a stable audit table a
+    curation run can filter or join downstream.
+    """
+    from nexus_processor_spark.functions.text import word_shingles
+
+    eval_grams = eval_df.select(
+        F.explode(word_shingles(tokens(text_col), n)).alias("gram")
+    ).distinct()
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_shingles(tokens(text_col), n)).alias("gram")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_eval_grams"))
+    )
+    found = F.coalesce(F.col("n_eval_grams"), F.lit(0)).cast("long")
+    return corpus.select(id_col).join(hits, id_col, "left").select(
+        F.col(id_col),
+        found.alias("n_eval_grams"),
+        (found > 0).cast("long").alias("contaminated"),
+    )
+
+
+def quantile_filter(
+    df: DataFrame,
+    q: float = 0.25,
+    *,
+    metric_col: str = "n_chars",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Keep rows at/above the corpus q-quantile of a quality metric — the
+    "drop the worst quartile" curation gate. The exact threshold comes from
+    a one-row aggregate broadcast back over the corpus (no driver collect,
+    one lazy job). Threshold is rounded so cross-engine interpolation ulps
+    can't flip membership of a row sitting exactly on the cut."""
+    thr = df.agg(
+        F.round(
+            F.percentile(F.col(metric_col).cast("double"), F.lit(q)), round_digits
+        ).alias("q_threshold")
+    )
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .filter(F.col(metric_col).cast("double") >= F.col("q_threshold"))
+        .select(id_col, metric_col, "q_threshold")
+    )
+
+
+def source_mix(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    weight_col: str = "n_chars",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Domain-mixing report: per-source doc count, char mass, corpus share,
+    and cumulative share in descending-count order — the table a data-mix
+    decision reads. One shuffle (the groupBy); the windows then run over
+    group-count rows (tiny at any corpus scale), so the unpartitioned
+    window is safe here and only here."""
+    agg = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(weight_col).cast("long").alias("sum_chars"),
+    )
+    w_all = Window.partitionBy()
+    share = F.round(
+        F.col("n_docs").cast("double") / F.sum("n_docs").over(w_all).cast("double"),
+        round_digits,
+    )
+    shared = agg.withColumn("share", share)
+    w_cum = Window.orderBy(F.col("n_docs").desc(), F.col(group_col)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return shared.withColumn(
+        "cum_share", F.round(F.sum("share").over(w_cum), round_digits)
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 20, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Global vocabulary head: top-k tokens by occurrence count with their
+    document frequency — the Zipf-curve summary a tokenizer/quality pass
+    starts from. Partial map-side counts collapse the token space before
+    the shuffle; top-k is a tiny ordered limit after the agg. Ties break
+    on the token itself so the cut is deterministic cross-engine."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(k)
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Nightly-ingest dedup: batch docs whose exact content hash is not
+    already in the corpus. The corpus side reduces to its DISTINCT hash set
+    before the anti-join, so the shuffle carries 32-byte hashes, not
+    documents — at 100 TB the join key set is ~3 orders of magnitude
+    smaller than the data. Null text hashes to null and survives (an
+    anti-join can't prove a null was seen), matching NOT EXISTS."""
+    seen = corpus.select(F.md5(F.col(text_col)).alias("content_hash")).distinct()
+    return batch.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+    ).join(seen, "content_hash", "left_anti")
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

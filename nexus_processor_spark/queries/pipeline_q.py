@@ -66,6 +66,51 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.tfidf_top_terms(_docs(spark, sf_dir), TFIDF_K)
 
 
+EVAL_FRACTION = 0.05
+EVAL_SALT = "eval"
+QUANTILE_Q = 0.25
+VOCAB_K = 20
+BATCH_SALT = "batch"
+BATCH_THRESHOLD = hex_threshold(0.5)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-carve an eval set out of documents, then flag the rest of the
+    corpus for word-3-gram overlap with it."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    h = pipeline.hash_hex(F.col("doc_id"), salt=EVAL_SALT)
+    thr = hex_threshold(EVAL_FRACTION)
+    eval_df = docs.filter(h < F.lit(thr))
+    corpus = docs.filter(h >= F.lit(thr))
+    return pipeline.decontaminate(corpus, eval_df)
+
+
+def q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.quantile_filter(_docs(spark, sf_dir), QUANTILE_Q)
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.source_mix(_docs(spark, sf_dir))
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.vocab_topk(_docs(spark, sf_dir), VOCAB_K)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-split documents into an existing corpus half and a new batch;
+    keep batch docs whose content hash the corpus hasn't seen."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    h = pipeline.hash_hex(F.col("doc_id"), salt=BATCH_SALT)
+    corpus = docs.filter(h < F.lit(BATCH_THRESHOLD))
+    batch = docs.filter(h >= F.lit(BATCH_THRESHOLD))
+    return pipeline.incremental_dedup(batch, corpus)
+
+
 QUERIES = {
     "sample_hash": q_sample_hash,
     "sample_stratified": q_sample_stratified,
@@ -74,6 +119,11 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_scrub": q_text_scrub,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "decontaminate": q_decontaminate,
+    "quality_quantile": q_quality_quantile,
+    "source_mix": q_source_mix,
+    "vocab_topk": q_vocab_topk,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 
@@ -168,5 +218,88 @@ ORACLE = {
                 PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
             FROM s
         ) WHERE rk <= {TFIDF_K}
+    """,
+    "decontaminate": f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   substr(md5('{EVAL_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS h,
+                   list_distinct(list_transform(
+                       generate_series(1,
+                           greatest(len(string_split(text, ' ')) - 2, 0)),
+                       i -> array_to_string(
+                           (string_split(text, ' '))[i:i+2], ' '))) AS grams
+            FROM documents
+        ),
+        eval_grams AS (
+            SELECT DISTINCT unnest(grams) AS gram FROM sh
+            WHERE h < '{hex_threshold(EVAL_FRACTION)}'
+        ),
+        corpus AS (
+            SELECT doc_id, grams FROM sh
+            WHERE h >= '{hex_threshold(EVAL_FRACTION)}'
+        ),
+        hits AS (
+            SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_eval_grams
+            FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) c
+            JOIN eval_grams USING (gram)
+            GROUP BY 1
+        )
+        SELECT corpus.doc_id,
+               CAST(COALESCE(hits.n_eval_grams, 0) AS BIGINT) AS n_eval_grams,
+               CAST(COALESCE(hits.n_eval_grams, 0) > 0 AS BIGINT)
+                   AS contaminated
+        FROM corpus LEFT JOIN hits USING (doc_id)
+    """,
+    "quality_quantile": f"""
+        WITH thr AS (
+            SELECT round(quantile_cont(CAST(n_chars AS DOUBLE), {QUANTILE_Q}),
+                         6) AS q_threshold
+            FROM documents
+        )
+        SELECT doc_id, n_chars, q_threshold
+        FROM documents, thr
+        WHERE CAST(n_chars AS DOUBLE) >= q_threshold
+    """,
+    "source_mix": """
+        WITH a AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1
+        ),
+        s AS (
+            SELECT *, round(CAST(n_docs AS DOUBLE)
+                            / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS share
+            FROM a
+        )
+        SELECT source, n_docs, sum_chars, share,
+               round(sum(share) OVER (
+                   ORDER BY n_docs DESC, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   6) AS cum_share
+        FROM s
+    """,
+    "vocab_topk": f"""
+        SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token
+        LIMIT {VOCAB_K}
+    """,
+    "dedup_incremental": f"""
+        WITH h AS (
+            SELECT doc_id, md5(text) AS content_hash,
+                   substr(md5('{BATCH_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS hb
+            FROM documents
+        ),
+        corpus AS (SELECT content_hash FROM h WHERE hb < '{BATCH_THRESHOLD}')
+        SELECT b.doc_id, b.content_hash
+        FROM h b
+        WHERE b.hb >= '{BATCH_THRESHOLD}'
+          AND NOT EXISTS (SELECT 1 FROM corpus c
+                          WHERE c.content_hash = b.content_hash)
     """,
 }

@@ -159,3 +159,71 @@ def test_quantize_int8_roundtrip(spark):
     assert math.isclose(sum(u * u for u in r1.unit), 1.0, rel_tol=1e-4)
     # zero vector: no scale, no quantization, no unit projection
     assert rows[2].q8 is None and rows[2].unit is None
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox today"),  # shares 2 eval 3-grams
+            (2, "completely unrelated words entirely here"),
+            (3, "short doc"),  # < 3 tokens: no grams, never contaminated
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pipeline.decontaminate(corpus, eval_df).collect()}
+    assert rows[1].contaminated == 1 and rows[1].n_eval_grams == 2
+    assert rows[2].contaminated == 0 and rows[2].n_eval_grams == 0
+    assert rows[3].contaminated == 0
+    assert len(rows) == 3  # audit table keeps every corpus row
+
+
+def test_quantile_filter_drops_bottom_quarter(spark):
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 101)], "doc_id long, n_chars long"
+    )
+    out = pipeline.quantile_filter(df, 0.25).collect()
+    # p25 of 10..1000 = 257.5 -> keep n_chars >= 257.5 (docs 26..100)
+    assert len(out) == 75
+    assert min(r.n_chars for r in out) == 260
+    assert all(r.q_threshold == 257.5 for r in out)
+
+
+def test_source_mix_shares_sum_to_one(spark):
+    df = spark.createDataFrame(
+        [(i, ["web", "web", "web", "books"][i % 4], 100 + i) for i in range(40)],
+        "doc_id long, source string, n_chars long",
+    )
+    rows = sorted(pipeline.source_mix(df).collect(), key=lambda r: -r.n_docs)
+    assert [r.source for r in rows] == ["web", "books"]
+    assert rows[0].share == 0.75 and rows[1].share == 0.25
+    assert rows[-1].cum_share == 1.0  # cumulative reaches the full corpus
+
+
+def test_vocab_topk_orders_by_frequency(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b z")], "doc_id long, text string"
+    )
+    rows = pipeline.vocab_topk(df, 2).collect()
+    assert [(r.token, r.n_occurrences, r.n_docs) for r in rows] == [
+        ("a", 4, 2),
+        ("b", 3, 2),
+    ]
+
+
+def test_incremental_dedup_anti_joins_seen_hashes(spark):
+    corpus = spark.createDataFrame(
+        [(1, "already ingested"), (2, "also known")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "already ingested"),  # exact content repeat -> dropped
+            (11, "genuinely new text"),
+            (12, None),  # null text: can't be proven seen -> kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in pipeline.incremental_dedup(batch, corpus).collect()}
+    assert kept == {11, 12}

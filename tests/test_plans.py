@@ -38,6 +38,36 @@ def test_semi_anti_stay_joins_not_subquery_loops(spark):
     assert "LeftAnti" in plan
 
 
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval n-gram set must broadcast: the corpus side (the 100 TB
+    side) joins map-side and never shuffles on gram — only the per-doc hit
+    counts exchange. A shuffled gram join here would be the scale killer."""
+    from nexus_processor_spark.queries import pipeline_q
+
+    plan = explain.executed_plan(pipeline_q.q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_quantile_threshold_broadcasts_back(spark):
+    """The 1-row quantile aggregate re-joins the corpus as a broadcast
+    nested-loop (1-row cross), not a shuffled cartesian."""
+    from nexus_processor_spark.queries import pipeline_q
+
+    plan = explain.executed_plan(pipeline_q.q_quality_quantile(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_antijoin_on_hashes(spark):
+    """The corpus reduces to distinct hashes before the anti-join, so the
+    exchange carries 32-char hashes, not documents."""
+    from nexus_processor_spark.queries import pipeline_q
+
+    plan = explain.executed_plan(pipeline_q.q_dedup_incremental(spark, SF))
+    assert "LeftAnti" in plan
+    assert "HashAggregate" in plan  # the distinct() on the corpus side
+
+
 def test_agg_is_partial_then_final_hash(spark):
     """One shuffle total: map-side partial aggregation combines before the
     exchange, the final hash agg after — the plan that holds at 100 TB.

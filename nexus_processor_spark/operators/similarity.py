@@ -207,3 +207,49 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b", _cos().alias("cos"))
         .filter(F.col("cos") >= F.lit(threshold))
     )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """One Lloyd assignment step (the IVF-index training primitive):
+    each corpus vector gets its nearest centroid by squared L2.
+
+    Centroids broadcast (there are k of them, never data-scale), so the
+    scoring pass is map-side over the corpus; the argmin is a
+    ``min(struct(dist, centroid_id))`` groupBy — map-side partial min
+    combines k candidate rows per vector down before the one shuffle on
+    ``id_col``. Distances round to ``round_digits`` with a centroid-id
+    tiebreak, so the assignment is deterministic cross-engine. Iterating
+    to full k-means = alternate this with a centroid-mean groupBy.
+
+    Output: ``id_col``, centroid_id, dist.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cv")
+    )
+    sq = F.zip_with(
+        F.col(vec_col),
+        F.col("_cv"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    dist = F.round(F.aggregate(sq, F.lit(0.0), lambda acc, d: acc + d), round_digits)
+    pairs = (
+        spread(corpus)
+        .crossJoin(F.broadcast(c))
+        .select(F.col(id_col), F.col("centroid_id"), dist.alias("dist"))
+    )
+    best = pairs.groupBy(id_col).agg(
+        F.min(F.struct("dist", "centroid_id")).alias("_m")
+    )
+    return best.select(
+        id_col,
+        F.col("_m.centroid_id").alias("centroid_id"),
+        F.col("_m.dist").alias("dist"),
+    )

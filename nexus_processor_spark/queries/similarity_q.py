@@ -57,11 +57,25 @@ def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8  # vec_id < 8 seed the coarse quantizer
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd E-step: nearest-centroid assignment of the whole corpus to
+    deterministic seed centroids (vec_id < 8) — how an IVF cell map is
+    trained before `ivf_topk` serves from it."""
+    emb = _emb(spark, sf_dir)
+    return similarity.kmeans_assign(
+        emb, emb.filter(F.col("vec_id") < N_CENTROIDS)
+    )
+
+
 QUERIES = {
     "sim_brute_topk": q_sim_brute_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_near_dup_pairs": q_sim_near_dup_pairs,
     "vector_quantize": q_vector_quantize,
+    "kmeans_assign": q_kmeans_assign,
 }
 
 
@@ -135,5 +149,26 @@ ORACLE = {
                        x -> round(CAST(x AS DOUBLE) / n, 6))
                END AS unit
         FROM s
+    """,
+    "kmeans_assign": f"""
+        WITH c AS (
+            SELECT vec_id AS centroid_id, embedding AS cv
+            FROM embeddings WHERE vec_id < {N_CENTROIDS}
+        ),
+        p AS (
+            SELECT e.vec_id, c.centroid_id,
+                   round(list_sum(list_transform(
+                       generate_series(1, len(e.embedding)),
+                       i -> (CAST(e.embedding[i] AS DOUBLE)
+                             - CAST(c.cv[i] AS DOUBLE))
+                          * (CAST(e.embedding[i] AS DOUBLE)
+                             - CAST(c.cv[i] AS DOUBLE)))), 6) AS dist
+            FROM embeddings e, c
+        )
+        SELECT vec_id, centroid_id, dist FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+            FROM p
+        ) WHERE rn = 1
     """,
 }

@@ -107,3 +107,25 @@ def test_cosine_near_dup_pairs_blocked(embeddings):
              similarity.cosine_near_dup_pairs(embeddings, 0.9).collect()}
     assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
     assert all(a < 3 and b < 3 for a, b in pairs)  # cross-label never compared
+
+
+def test_kmeans_assign_nearest_and_ties(spark):
+    from nexus_processor_spark.operators.similarity import kmeans_assign
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),   # centroid 0
+            (1, [10.0, 0.0]),  # centroid 1
+            (2, [1.0, 0.0]),   # near centroid 0
+            (3, [9.0, 1.0]),   # near centroid 1
+            (4, [5.0, 0.0]),   # equidistant -> lower centroid_id wins
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = emb.filter("vec_id < 2")
+    rows = {r.vec_id: r for r in kmeans_assign(emb, cents).collect()}
+    assert len(rows) == 5  # every vector assigned exactly once
+    assert rows[0].centroid_id == 0 and rows[0].dist == 0.0
+    assert rows[2].centroid_id == 0 and rows[2].dist == 1.0
+    assert rows[3].centroid_id == 1 and rows[3].dist == 2.0
+    assert rows[4].centroid_id == 0  # tie at dist 25 breaks to smaller id

@@ -211,3 +211,47 @@ def exclude_error_banks(events: DataFrame, bank_col: str = "bank") -> DataFrame:
     filename — extract_events_by_time.py:83-88 — we do it on the data,
     which survives any file layout)."""
     return events.filter(~F.col(bank_col).rlike("(?i)(error|unmapped)"))
+
+
+def gapfill_intervals(
+    events: DataFrame,
+    interval_seconds: float,
+    *,
+    time_col: str = "absolute_time",
+) -> DataFrame:
+    """Zero-filled tumbling-interval counts: every bucket between the
+    first and last observed interval appears, gaps carried as
+    ``event_count = 0`` with an ``is_gap`` flag — the hypertable
+    "time_bucket_gapfill" shape a monitoring query needs (a plain groupBy
+    silently drops empty buckets; a beamline outage looks like missing
+    rows instead of zeros).
+
+    The heavy shuffle is the same per-interval groupBy as
+    ``count_by_interval``; the spine is generated from a 1-row min/max
+    aggregate (``explode(sequence(lo, hi))`` — interval count ≪ row
+    count at any scale) and left-joins the aggregated counts, so the
+    gap-fill itself adds no data-scale work.
+    """
+    t = F.col(time_col)
+    counts = (
+        events.filter(t.isNotNull())
+        .withColumn("interval", interval_floor(t, interval_seconds))
+        .groupBy("interval")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    bounds = counts.agg(F.min("interval").alias("lo"), F.max("interval").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("interval")
+    )
+    start, end = interval_bounds(F.col("interval"), interval_seconds)
+    return (
+        spine.join(counts, "interval", "left")
+        .select(
+            "interval",
+            start.alias("interval_start"),
+            end.alias("interval_end"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("event_count"),
+            F.col("_n").isNull().cast("long").alias("is_gap"),
+        )
+        .orderBy("interval")
+    )

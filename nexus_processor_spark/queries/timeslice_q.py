@@ -192,8 +192,19 @@ def q_attribute_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", stripped.alias("attributes"))
 
 
+GAPFILL_BANK = "purchase"
+
+
+def q_timeslice_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style zero-filled hourly counts for one sparse bank —
+    outage hours surface as explicit zero rows, not missing rows."""
+    e = _events(spark, sf_dir).filter(F.col("bank") == GAPFILL_BANK)
+    return timeslice.gapfill_intervals(e, INTERVAL)
+
+
 QUERIES = {
     "time_bounds": q_time_bounds,
+    "timeslice_gapfill": q_timeslice_gapfill,
     "interval_totals": q_interval_totals,
     "attribute_maps": q_attribute_maps,
     "rollup_served_interval": q_rollup_served_interval,
@@ -213,6 +224,23 @@ _E = "SELECT event_id, epoch(ts) AS t, event_type AS bank, user_id AS pulse_inde
 
 ORACLE = {
     # attribute_maps intentionally absent: map-typed output -> rows-only.
+    "timeslice_gapfill": f"""
+        WITH e AS ({_E}),
+        c AS (
+            SELECT CAST(floor(t/{INTERVAL}) AS BIGINT) AS interval,
+                   CAST(count(*) AS BIGINT) AS event_count
+            FROM e WHERE t IS NOT NULL AND bank = '{GAPFILL_BANK}'
+            GROUP BY 1
+        ),
+        b AS (SELECT min(interval) AS lo, max(interval) AS hi FROM c),
+        spine AS (SELECT unnest(generate_series(lo, hi)) AS interval FROM b)
+        SELECT s.interval,
+               CAST(s.interval * {INTERVAL} AS DOUBLE) AS interval_start,
+               CAST((s.interval + 1) * {INTERVAL} AS DOUBLE) AS interval_end,
+               CAST(COALESCE(c.event_count, 0) AS BIGINT) AS event_count,
+               CAST(c.interval IS NULL AS BIGINT) AS is_gap
+        FROM spine s LEFT JOIN c ON s.interval = c.interval
+    """,
     "time_bounds": f"""
         WITH e AS ({_E})
         SELECT min(t) AS t_min, max(t) AS t_max,

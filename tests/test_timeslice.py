@@ -72,3 +72,18 @@ def test_exclude_error_banks(spark):
     )
     kept = [r.bank for r in timeslice.exclude_error_banks(events).collect()]
     assert kept == ["bank1_events"]
+
+
+def test_gapfill_zero_fills_missing_buckets(spark):
+    from nexus_processor_spark.operators.timeslice import gapfill_intervals
+
+    # events in buckets 0, 1, and 4 (of 10s) — 2 and 3 are outage gaps
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 12.0), (3, 15.0), (4, 41.0), (5, None)],
+        "event_id long, absolute_time double",
+    )
+    rows = gapfill_intervals(df, 10.0).collect()
+    assert [r.interval for r in rows] == [0, 1, 2, 3, 4]  # dense spine
+    assert [r.event_count for r in rows] == [1, 2, 0, 0, 1]
+    assert [r.is_gap for r in rows] == [0, 0, 1, 1, 0]
+    assert rows[2].interval_start == 20.0 and rows[2].interval_end == 30.0

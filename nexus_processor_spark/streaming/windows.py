@@ -90,3 +90,23 @@ def dedup_stream(
     return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    key_col: str = "bank",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a (small)
+    static dimension, broadcast so the probe stays map-side — the
+    streaming twin of the reference's J1 pulse-time enrichment
+    (spark_events_by_time.py:179-184) for a live event feed.
+
+    Stream-static joins are stateless (no watermark, no stream-side
+    buffering — only the current micro-batch joins), so this adds zero
+    state at any stream volume; Spark re-reads the static side per batch,
+    which also picks up slowly-changing dimension updates for free.
+    """
+    return events.join(F.broadcast(dim), key_col, how)

@@ -232,3 +232,35 @@ def test_dedup_stream_drops_repeats_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     ids = sorted(r.event_id for r in spark.sql("select * from dedup_out").collect())
     assert ids == [1, 2, 3]
+
+
+def test_enrich_stream_matches_batch_join(spark, tmp_path):
+    """Stream-static broadcast enrichment: the drained stream equals the
+    batch left join, including the unmatched-key null row."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    src = tmp_path / "enrich_src"
+    schema = "event_id long, event_time timestamp, bank string"
+    rows = [(1, t0, "click"), (2, t0, "view"), (3, t0, "mystery")]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+    dim = spark.createDataFrame(
+        [("click", "interactive"), ("view", "passive")],
+        "bank string, bank_kind string",
+    )
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = windows.enrich_stream(stream, dim)
+    q = (
+        out.writeStream.format("memory").queryName("enrich_out")
+        .option("checkpointLocation", str(tmp_path / "ck_enrich"))
+        .trigger(availableNow=True).outputMode("append").start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.event_id, r.bank_kind)
+        for r in spark.sql("select * from enrich_out").collect()
+    )
+    batch = spark.createDataFrame(rows, schema).join(dim, "bank", "left")
+    want = sorted((r.event_id, r.bank_kind) for r in batch.collect())
+    assert got == want and (3, None) in got

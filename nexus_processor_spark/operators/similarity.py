@@ -253,3 +253,92 @@ def kmeans_assign(
         F.col("_m.centroid_id").alias("centroid_id"),
         F.col("_m.dist").alias("dist"),
     )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Full Lloyd's k-means over an embedding column — trains the coarse
+    quantizer that `ivf_topk` serves from.
+
+    Seeds deterministically (the k smallest ``id_col`` rows — reproducible
+    without a driver RNG), then alternates the broadcast-assign E-step
+    (`kmeans_assign`) with a centroid-mean M-step. Each iteration is two
+    shuffles (argmin groupBy + mean groupBy) over (id, dist) pairs — the
+    vectors themselves move only through the broadcast, so iteration cost
+    at 100 TB is k·dim per row of map-side math, not a data-scale join.
+    The per-iteration ``persist``/``count`` materialization keeps Spark
+    from replaying the whole iteration chain each pass (lineage doubles
+    otherwise) — the same pattern as `dedup.dup_clusters`.
+
+    Returns the trained centroids: (centroid_id, centroid, n_members).
+    Iterative — no single-statement SQL twin; correctness is pinned by
+    convergence tests on separable synthetic clusters.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+        )
+    )
+    vecs = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_col),
+    )
+    vecs.persist()
+    last = None
+    try:
+        for _ in range(iters):
+            assigned = kmeans_assign(
+                vecs,
+                centroids.select(
+                    F.col("centroid_id").alias(id_col),
+                    F.col("centroid").alias(vec_col),
+                ),
+                id_col=id_col,
+                vec_col=vec_col,
+                round_digits=round_digits,
+            )
+            member_vecs = vecs.join(assigned.select(id_col, "centroid_id"), id_col)
+            # mean per dimension: posexplode -> (centroid, pos) mean -> regroup
+            exploded = member_vecs.select(
+                "centroid_id", F.posexplode(vec_col).alias("pos", "x")
+            )
+            dims = exploded.groupBy("centroid_id", "pos").agg(
+                F.avg("x").alias("m"), F.count(F.lit(1)).alias("n")
+            )
+            new_centroids = (
+                dims.groupBy("centroid_id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "m"))
+                    ).alias("pm"),
+                    F.first("n").alias("n_members"),
+                )
+                .select(
+                    "centroid_id",
+                    F.transform(F.col("pm"), lambda s: s.getField("m")).alias(
+                        "centroid"
+                    ),
+                    "n_members",
+                )
+            )
+            new_centroids.persist()
+            new_centroids.count()  # materialize: cut lineage growth per pass
+            if last is not None:
+                last.unpersist()
+            last = new_centroids
+            centroids = new_centroids.select("centroid_id", "centroid")
+        return last.select("centroid_id", "centroid", "n_members")
+    finally:
+        vecs.unpersist()

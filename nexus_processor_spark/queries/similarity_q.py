@@ -70,12 +70,27 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd training of the IVF coarse quantizer (iterative — no
+    single-statement SQL twin, so this is a rows-only driver check;
+    convergence semantics are pinned by unit tests)."""
+    cents = similarity.kmeans_fit(_emb(spark, sf_dir), k=N_CENTROIDS, iters=2)
+    return cents.select(
+        "centroid_id",
+        "n_members",
+        F.round(F.aggregate("centroid", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "centroid_mass"
+        ),
+    )
+
+
 QUERIES = {
     "sim_brute_topk": q_sim_brute_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_near_dup_pairs": q_sim_near_dup_pairs,
     "vector_quantize": q_vector_quantize,
     "kmeans_assign": q_kmeans_assign,
+    "kmeans_fit": q_kmeans_fit,
 }
 
 

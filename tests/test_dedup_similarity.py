@@ -129,3 +129,21 @@ def test_kmeans_assign_nearest_and_ties(spark):
     assert rows[2].centroid_id == 0 and rows[2].dist == 1.0
     assert rows[3].centroid_id == 1 and rows[3].dist == 2.0
     assert rows[4].centroid_id == 0  # tie at dist 25 breaks to smaller id
+
+
+def test_kmeans_fit_converges_on_separable_clusters(spark):
+    from nexus_processor_spark.operators.similarity import kmeans_fit
+
+    # two tight clusters around (0,0) and (100,100); seed ids 0 and 1
+    # land one in each, so Lloyd must recover the true means.
+    rows = [(0, [0.0, 1.0]), (1, [101.0, 100.0])]
+    rows += [(i, [float(i % 3), float(i % 2)]) for i in range(2, 12)]
+    rows += [(i, [100.0 + (i % 3), 100.0 + (i % 2)]) for i in range(12, 22)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = {r.centroid_id: r for r in kmeans_fit(emb, k=2, iters=4).collect()}
+    assert set(cents) == {0, 1}
+    assert cents[0].n_members == 11 and cents[1].n_members == 11
+    cx, cy = cents[0].centroid
+    assert 0 <= cx <= 2 and 0 <= cy <= 2        # near the low-cluster mean
+    cx, cy = cents[1].centroid
+    assert 100 <= cx <= 102 and 100 <= cy <= 102

@@ -243,17 +243,25 @@ def quantile_filter(
     metric_col: str = "n_chars",
     id_col: str = "doc_id",
     round_digits: int = 6,
+    exact: bool = False,
 ) -> DataFrame:
     """Keep rows at/above the corpus q-quantile of a quality metric — the
-    "drop the worst quartile" curation gate. The exact threshold comes from
-    a one-row aggregate broadcast back over the corpus (no driver collect,
+    "drop the worst quartile" curation gate. The threshold comes from a
+    one-row aggregate broadcast back over the corpus (no driver collect,
     one lazy job). Threshold is rounded so cross-engine interpolation ulps
-    can't flip membership of a row sitting exactly on the cut."""
-    thr = df.agg(
-        F.round(
-            F.percentile(F.col(metric_col).cast("double"), F.lit(q)), round_digits
-        ).alias("q_threshold")
+    can't flip membership of a row sitting exactly on the cut.
+
+    Default is ``approx_percentile`` (t-digest sketch: bounded memory,
+    mergeable map-side — the only shape that survives 100 TB). ``exact``
+    uses interpolated ``percentile``, which buffers every value in the
+    final aggregate — reserved for oracle comparison at test scale."""
+    m = F.col(metric_col).cast("double")
+    pct = (
+        F.percentile(m, F.lit(q))
+        if exact
+        else F.approx_percentile(m, F.lit(q), F.lit(10_000))
     )
+    thr = df.agg(F.round(pct, round_digits).alias("q_threshold"))
     return (
         df.crossJoin(F.broadcast(thr))
         .filter(F.col(metric_col).cast("double") >= F.col("q_threshold"))

@@ -88,7 +88,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pipeline.quantile_filter(_docs(spark, sf_dir), QUANTILE_Q)
+    """Exact percentile here so the DuckDB twin (quantile_cont) matches
+    bit-for-bit; production default is the approx_percentile sketch."""
+    return pipeline.quantile_filter(_docs(spark, sf_dir), QUANTILE_Q, exact=True)
 
 
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:

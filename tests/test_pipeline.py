@@ -184,7 +184,7 @@ def test_quantile_filter_drops_bottom_quarter(spark):
     df = spark.createDataFrame(
         [(i, i * 10) for i in range(1, 101)], "doc_id long, n_chars long"
     )
-    out = pipeline.quantile_filter(df, 0.25).collect()
+    out = pipeline.quantile_filter(df, 0.25, exact=True).collect()
     # p25 of 10..1000 = 257.5 -> keep n_chars >= 257.5 (docs 26..100)
     assert len(out) == 75
     assert min(r.n_chars for r in out) == 260
@@ -227,3 +227,13 @@ def test_incremental_dedup_anti_joins_seen_hashes(spark):
     )
     kept = {r.doc_id for r in pipeline.incremental_dedup(batch, corpus).collect()}
     assert kept == {11, 12}
+
+
+def test_quantile_filter_approx_close_to_exact(spark):
+    """The scale-path t-digest threshold lands on a real value near the
+    exact cut (within a few percent of corpus rank)."""
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 101)], "doc_id long, n_chars long"
+    )
+    out = pipeline.quantile_filter(df, 0.25).collect()
+    assert 70 <= len(out) <= 80  # exact keeps 75

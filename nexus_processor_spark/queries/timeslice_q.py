@@ -178,9 +178,10 @@ def q_interval_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_attribute_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6/F7: key-value attribute bags — build a map from typed fields,
-    filter out nulls, strip a key prefix. Map columns don't hash stably
-    across engines, so this is a rows-only check; the semantics are pinned
-    by unit tests instead."""
+    filter out nulls, strip a key prefix. The map itself isn't hashable
+    downstream (pandas canonicalizers choke on dict cells), so the query
+    serializes the map as its sorted entry list joined ``k=v,...`` — same
+    information, deterministic, and SQL-expressible for the oracle."""
     ev = load_table(spark, sf_dir, "events")
     bag = F.create_map(
         F.lit("attr_type"), F.col("event_type"),
@@ -189,7 +190,12 @@ def q_attribute_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cleaned = F.map_filter(bag, lambda _, v: v.isNotNull())
     stripped = F.transform_keys(cleaned, lambda k, _: F.regexp_replace(k, "^attr_", ""))
-    return ev.select("event_id", stripped.alias("attributes"))
+    # array_sort over struct<key,value> orders by key — deterministic entry order.
+    entries = F.array_sort(F.map_entries(stripped))
+    serialized = F.array_join(
+        F.transform(entries, lambda x: F.concat(x["key"], F.lit("="), x["value"])), ","
+    )
+    return ev.select("event_id", serialized.alias("attributes"))
 
 
 GAPFILL_BANK = "purchase"
@@ -223,7 +229,19 @@ QUERIES = {
 _E = "SELECT event_id, epoch(ts) AS t, event_type AS bank, user_id AS pulse_index, value FROM events"
 
 ORACLE = {
-    # attribute_maps intentionally absent: map-typed output -> rows-only.
+    # Sorted-entry serialization of the attribute map: keys after prefix-strip
+    # are 'k' (from props.$.k) and 'type' (event_type); 'missing' is filtered
+    # as null. 'k' < 'type' lexicographically, so the join order is fixed.
+    "attribute_maps": """
+        SELECT event_id,
+               concat_ws(',',
+                   CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                        THEN 'k=' || json_extract_string(props, '$.k') END,
+                   CASE WHEN event_type IS NOT NULL
+                        THEN 'type=' || event_type END
+               ) AS attributes
+        FROM events
+    """,
     "timeslice_gapfill": f"""
         WITH e AS ({_E}),
         c AS (

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from nexus_processor_spark.functions.text import (
     BANDS_PER_MD5,
     chunk_min,
+    hamming64,
     minhash_band,
     salted_md5s,
     simhash,
@@ -158,6 +159,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     max_bucket: int | None = None,
     persist_shingles: bool = True,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """End-to-end near-dup pair detection: LSH candidates -> Jaccard gate.
 
@@ -209,15 +211,30 @@ def minhash_dedup_pairs(
         .filter(F.col("sig").isNotNull())
     )
     cands = lsh_candidate_pairs(sigs, id_col=id_col, max_bucket=max_bucket)
-    # The shingle-set side of the verification join is one row per doc —
-    # broadcast explicitly: the cached relation's size estimate includes
-    # the fat hash columns and blocks auto-broadcast after pruning.
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    if persist_shingles:
+        # Three plan branches read the candidate set below (the pair join
+        # and both prune semi-joins); it's tiny after r=2 banding.
+        cands = cands.persist()
+        cands.count()
+    # Verification joins the per-doc shingle projection in twice. Broadcasting
+    # the full projection would scale with the CORPUS, not the candidate set
+    # (OOM at warehouse scale), so each side is first pruned to the docs that
+    # actually appear in a candidate pair; the pruned side is bounded by the
+    # candidate set and explicitly broadcast (the cached relation's size
+    # estimate includes the fat hash columns and blocks auto-broadcast).
+    # ``broadcast_verify=False`` keeps plain shuffle joins for runs where even
+    # the candidate doc set exceeds broadcast limits.
+    shn = sh.select(F.col(id_col), F.col("sh"))
+    a = shn.join(cands.select(F.col("id_a").alias(id_col)), id_col, "left_semi")
+    b = shn.join(cands.select(F.col("id_b").alias(id_col)), id_col, "left_semi")
+    a = a.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = b.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    if broadcast_verify:
+        a, b = F.broadcast(a), F.broadcast(b)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cands.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+        cands.join(a, "id_a").join(b, "id_b")
         .select(
             "id_a", "id_b",
             F.when(union > 0, inter.cast("double") / union.cast("double"))
@@ -242,6 +259,11 @@ def dup_clusters(
     the driver loop runs O(diameter) jobs, not O(rows) work.
 
     Input: (id_a, id_b) columns. Output cluster_id = min member id.
+
+    If the iteration cap is reached before fixpoint (pathological
+    chain-shaped components with diameter > ``max_iterations``), a warning
+    is logged and ``dup_clusters.last_converged`` is set False so callers
+    can distinguish a fixpoint from a cutoff.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -256,6 +278,7 @@ def dup_clusters(
         .withColumn("cluster_id", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -277,6 +300,16 @@ def dup_clusters(
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    dup_clusters.last_converged = changed == 0
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"dup_clusters hit max_iterations={max_iterations} before "
+            "fixpoint; labels may be unconverged (raise max_iterations).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -306,4 +339,92 @@ def simhash_signatures(
     return spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         simhash(tokens(text_col), bits).alias("simhash"),
+    )
+
+
+def simhash_band_candidates(
+    sigs: DataFrame,
+    *,
+    bits: int = 16,
+    hamming_max: int = 4,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Banded Hamming-ball candidate pairs — O(collisions), never n².
+
+    Pigeonhole: split the ``bits``-bit signature into ``hamming_max + 1``
+    contiguous bit bands; two signatures within Hamming distance
+    ``hamming_max`` differ in at most ``hamming_max`` bands, so they agree
+    EXACTLY on at least one band. An equi-self-join per band therefore has
+    perfect recall for the Hamming ball while touching only bucket
+    collisions (the standard simhash sharding scheme, cf. Manku et al.,
+    WWW'07 — public literature). ``max_bucket`` drops over-full buckets
+    (mega-clusters) exactly like :func:`lsh_candidate_pairs`.
+
+    Output: (id_a, id_b, sh_a, sh_b) distinct pairs with id_a < id_b; the
+    signatures ride along so the exact Hamming verify needs no extra join.
+    """
+    n_bands = hamming_max + 1
+    bounds = [bits * i // n_bands for i in range(n_bands + 1)]
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col(sig_col), bounds[i])
+            .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+            .alias("val"),
+        )
+        for i in range(n_bands)
+    ])
+    banded = (
+        sigs.select(F.col(id_col), F.col(sig_col), F.explode(bands).alias("b"))
+        .select(
+            F.col(id_col), F.col(sig_col),
+            F.col("b.band").alias("band"), F.col("b.val").alias("val"),
+        )
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "val")
+        banded = (
+            banded.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    a = banded.select(
+        "band", "val", F.col(id_col).alias("id_a"), F.col(sig_col).alias("sh_a")
+    )
+    b = banded.select(
+        "band", "val", F.col(id_col).alias("id_b"), F.col(sig_col).alias("sh_b")
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    hamming_max: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs within ``hamming_max`` of the simhash signature:
+    banded candidate generation (perfect recall by pigeonhole) + exact
+    Hamming verification. No cross join anywhere in the plan."""
+    sigs = simhash_signatures(df, text_col=text_col, id_col=id_col, bits=bits)
+    cands = simhash_band_candidates(
+        sigs, bits=bits, hamming_max=hamming_max, id_col=id_col,
+        max_bucket=max_bucket,
+    )
+    return (
+        cands.withColumn(
+            "hamming", hamming64(F.col("sh_a"), F.col("sh_b"), bits).cast("long")
+        )
+        .filter(F.col("hamming") <= hamming_max)
+        .select("id_a", "id_b", "hamming")
     )

@@ -10,7 +10,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nexus_processor_spark.functions.text import hamming64
 from nexus_processor_spark.operators import dedup
 from nexus_processor_spark.sources.tables import load_table
 
@@ -54,32 +53,38 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs within Hamming <= 4 of the 16-bit simhash.
-
-    Direct pairwise here (correctness harness scale); the scale path bands
-    the signature into 4-bit chunks and joins on chunk equality first.
-    """
-    sigs = dedup.simhash_signatures(_docs(spark, sf_dir), bits=SIMHASH_BITS)
-    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b"), SIMHASH_BITS).cast("long"))
-        .filter(F.col("hamming") <= HAMMING_MAX)
-        .select("id_a", "id_b", "hamming")
+    """Near-dup pairs within Hamming <= 4 of the 16-bit simhash, via banded
+    candidate generation (pigeonhole over hamming_max+1 bit bands gives
+    perfect recall) + exact Hamming verify. Same rows as an all-pairs scan,
+    no cross join in the plan — pinned by tests/test_plans.py."""
+    return dedup.simhash_dedup_pairs(
+        _docs(spark, sf_dir), bits=SIMHASH_BITS, hamming_max=HAMMING_MAX
     )
+
+
+NGRAM_MAX_BLOCK = 4096
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact char-5-gram Jaccard over pairs blocked by (lang, source) —
-    the no-LSH near-dup baseline. Blocking bounds the pair space the way a
-    coarse key always must at scale; LSH (dedup_minhash_pairs) is the
-    unblocked-recall upgrade."""
+    the no-LSH near-dup baseline. Blocks larger than ``NGRAM_MAX_BLOCK``
+    are dropped before the self-join (same ``max_bucket`` guard as the LSH
+    path), so the within-block n² is bounded at any corpus size: a
+    quasi-global block at 100 TB is skipped, not exploded. LSH
+    (dedup_minhash_pairs) is the unblocked-recall upgrade. Oracle is
+    unchanged: every test-scale block is far below the cap."""
+    from pyspark.sql import Window
+
     from nexus_processor_spark.functions.text import char_shingles
     from nexus_processor_spark.plans.layout import spread
 
     docs = spread(_docs(spark, sf_dir).select("doc_id", "lang", "source", "text"))
+    w = Window.partitionBy("lang", "source")
+    docs = (
+        docs.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") <= NGRAM_MAX_BLOCK)
+        .drop("_n")
+    )
     grams = docs.select(
         "doc_id", "lang", "source", char_shingles(F.col("text"), 5).alias("g")
     )

@@ -50,6 +50,61 @@ def test_simhash_signatures_stable(docs):
     assert all(0 <= v < 2 ** 16 for v in a.values())
 
 
+def test_simhash_banded_pairs_match_brute_force(spark):
+    """Pigeonhole recall check: banded candidates + Hamming verify must
+    equal the all-pairs scan for every pair within the Hamming ball."""
+    import itertools
+
+    rows = [(i, f"token{i % 5} alpha beta gamma delta word{i} tail{i % 3}")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 4
+    }
+    banded = {(r.id_a, r.id_b): r.hamming
+              for r in dedup.simhash_dedup_pairs(docs, hamming_max=4).collect()}
+    assert banded == brute
+
+
+def test_simhash_band_max_bucket_caps_fanout(spark):
+    docs = spark.createDataFrame(
+        [(i, "same text every row") for i in range(10)], "doc_id long, text string"
+    )
+    sigs = dedup.simhash_signatures(docs)
+    capped = dedup.simhash_band_candidates(sigs, max_bucket=1)
+    assert capped.count() == 0
+
+
+def test_ngram_jaccard_drops_overfull_blocks(spark, monkeypatch, tmp_path):
+    """Blocks above NGRAM_MAX_BLOCK are dropped whole, never self-joined."""
+    from nexus_processor_spark.queries import dedup_q
+
+    rows = [(i, "en", "big", f"shared text body number {i}") for i in range(6)]
+    rows += [(100, "en", "small", "tiny block one"), (101, "en", "small", "tiny block one")]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    monkeypatch.setattr(dedup_q, "NGRAM_MAX_BLOCK", 4)
+    got = dedup_q.q_dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    ids = {x for r in got for x in (r.id_a, r.id_b)}
+    assert ids == {100, 101}       # the 6-doc block exceeded the cap
+
+
+def test_dup_clusters_convergence_flag(spark):
+    # a 25-long chain needs ~24 rounds of min-label propagation; cap at 3
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)], "id_a long, id_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="max_iterations"):
+        dedup.dup_clusters(pairs, max_iterations=3).collect()
+    assert dedup.dup_clusters.last_converged is False
+    dedup.dup_clusters(pairs, max_iterations=50).collect()
+    assert dedup.dup_clusters.last_converged is True
+
+
 def test_dup_clusters_connected_components(spark):
     # chain 1-2-3, pair 10-11, isolated vertices don't appear
     pairs = spark.createDataFrame(

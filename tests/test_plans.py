@@ -68,6 +68,29 @@ def test_incremental_dedup_antijoin_on_hashes(spark):
     assert "HashAggregate" in plan  # the distinct() on the corpus side
 
 
+def test_simhash_pairs_has_no_cross_join(spark):
+    """Banded simhash candidates are an equi-join on (band, bitfield);
+    nothing in the plan may degenerate to the n² pair space."""
+    from nexus_processor_spark.queries import dedup_q
+
+    plan = explain.executed_plan(dedup_q.q_dedup_simhash_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_block_fanout_bounded(spark):
+    """The (lang, source) self-join only sees blocks below the cap: the
+    window count filter precedes the join, so a quasi-global block at
+    corpus scale is dropped, not exploded."""
+    from nexus_processor_spark.queries import dedup_q
+
+    plan = explain.executed_plan(dedup_q.q_dedup_ngram_jaccard(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the bounding window count over the block key is in the plan
+    assert plan.count("windowspecdefinition") >= 1 or "Window" in plan
+
+
 def test_agg_is_partial_then_final_hash(spark):
     """One shuffle total: map-side partial aggregation combines before the
     exchange, the final hash agg after — the plan that holds at 100 TB.

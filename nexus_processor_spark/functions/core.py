@@ -69,13 +69,14 @@ def to_attribute_map(prefix: str, *pairs: tuple[str, Column]) -> Column:
 def event_micros(ts_nanos: Column | str) -> Column:
     """Long microseconds from a long nanosecond timestamp, exactly.
 
-    Integer division (SQL ``div``) — never ``/``, which is double division
-    in Spark and loses precision for 2024-epoch nanos (> 2**53).
+    Never ``/`` (double division loses precision for 2024-epoch nanos,
+    > 2**53). Both input forms build the same floor-of-decimal expression
+    so pre-1970 (negative) nanos round toward -inf identically — SQL
+    ``div`` truncates toward zero and would disagree on negatives.
     """
-    if isinstance(ts_nanos, str):
-        return F.expr(f"({ts_nanos} div 1000)")
-    # Column input: go through decimal so the division stays exact.
-    return F.floor(ts_nanos.cast("decimal(25,0)") / F.lit(1000)).cast("long")
+    c = F.col(ts_nanos) if isinstance(ts_nanos, str) else ts_nanos
+    # decimal division is exact; floor keeps negative inputs consistent.
+    return F.floor(c.cast("decimal(25,0)") / F.lit(1000)).cast("long")
 
 
 def event_seconds(ts_nanos: Column | str) -> Column:

@@ -280,6 +280,13 @@ def kmeans_fit(
     Returns the trained centroids: (centroid_id, centroid, n_members).
     Iterative — no single-statement SQL twin; correctness is pinned by
     convergence tests on separable synthetic clusters.
+
+    Centroids that capture zero members in an E-step drop out of the
+    mean groupBy and every later iteration, so the trained quantizer can
+    end up with fewer than ``k`` cells (likewise when the corpus has fewer
+    than ``k`` rows). That shrinkage is surfaced: a RuntimeWarning fires
+    and ``kmeans_fit.last_k`` records the actual trained cell count so IVF
+    callers can size ``n_probe`` accordingly.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -334,11 +341,22 @@ def kmeans_fit(
                 )
             )
             new_centroids.persist()
-            new_centroids.count()  # materialize: cut lineage growth per pass
+            n_cells = new_centroids.count()  # materialize: cut lineage growth
             if last is not None:
                 last.unpersist()
             last = new_centroids
             centroids = new_centroids.select("centroid_id", "centroid")
+        kmeans_fit.last_k = n_cells
+        if n_cells < k:
+            import warnings
+
+            warnings.warn(
+                f"kmeans_fit trained {n_cells} < k={k} centroids (empty "
+                "cells or undersized corpus); IVF callers should size "
+                "n_probe against kmeans_fit.last_k.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return last.select("centroid_id", "centroid", "n_members")
     finally:
         vecs.unpersist()

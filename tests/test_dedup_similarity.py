@@ -186,6 +186,16 @@ def test_kmeans_assign_nearest_and_ties(spark):
     assert rows[4].centroid_id == 0  # tie at dist 25 breaks to smaller id
 
 
+def test_kmeans_fit_surfaces_centroid_shrinkage(spark):
+    """Fewer rows than k => fewer trained cells, warned and recorded."""
+    rows = [(i, [float(i), 0.0]) for i in range(3)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.warns(RuntimeWarning, match="trained 3 < k=8"):
+        got = similarity.kmeans_fit(corpus, k=8, iters=1)
+        assert got.count() == 3
+    assert similarity.kmeans_fit.last_k == 3
+
+
 def test_kmeans_fit_converges_on_separable_clusters(spark):
     from nexus_processor_spark.operators.similarity import kmeans_fit
 

@@ -39,6 +39,29 @@ def test_salted_join_left_keeps_unmatched(spark):
     assert rows == {"a": 10, "b": None}
 
 
+def test_salted_join_rejects_small_side_preserving_outer(spark):
+    import pytest
+
+    big = spark.createDataFrame([("a", 1)], "k string, v int")
+    small = spark.createDataFrame([("a", 10), ("z", 99)], "k string, dim int")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(big, small, ["k"], how=how)
+
+
+def test_event_micros_negative_nanos_consistent(spark):
+    """String and Column input paths must agree on pre-1970 nanos: both
+    floor toward -inf (-1 ns -> -1 us, not 0)."""
+    from nexus_processor_spark.functions.core import event_micros
+
+    df = spark.createDataFrame(
+        [(-1,), (-1999,), (1999,), (0,)], "ns long"
+    )
+    via_str = [r[0] for r in df.select(event_micros("ns")).collect()]
+    via_col = [r[0] for r in df.select(event_micros(F.col("ns"))).collect()]
+    assert via_str == via_col == [-1, -2, 1, 0]
+
+
 def test_replay_to_jsonl(spark, tmp_path):
     p = tmp_path / "run.json"
     p.write_text(json.dumps(fixture_tree()))

@@ -167,9 +167,13 @@ TABLES: dict[str, tuple[StructType, tuple[str, ...]]] = {
 }
 
 
-def table_ddl(name: str) -> str:
+def table_ddl(name: str, *, fmt: str = "parquet", qualifier: str = "") -> str:
     """CREATE TABLE DDL for a catalog table — the Spark-native analog of
     the reference's schema->Iceberg DDL generator (schemas.py:234-268).
+
+    ``fmt="iceberg"`` emits the DDL the reference's lakehouse init issues
+    (init_neutron_data.py:129-201): same columns, same PARTITIONED BY
+    specs, ``USING iceberg``. ``qualifier`` prefixes a catalog.namespace.
 
     Rendered in pure Python (``simpleString`` type names, which the Spark
     DDL parser accepts) so the CLI ``ddl`` command needs no live session —
@@ -183,8 +187,9 @@ def table_ddl(name: str) -> str:
             t = t.upper()  # primitives uppercase; nested keep field casing
         return f"{f.name} {t}" + ("" if f.nullable else " NOT NULL")
 
+    target = f"{qualifier}.{name}" if qualifier else name
     cols = ", ".join(col_ddl(f) for f in schema.fields)
-    ddl = f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING parquet"
+    ddl = f"CREATE TABLE IF NOT EXISTS {target} ({cols}) USING {fmt}"
     if parts:
         ddl += f" PARTITIONED BY ({', '.join(parts)})"
     return ddl

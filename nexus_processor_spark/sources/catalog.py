@@ -6,8 +6,9 @@ Spark-native re-expression of the reference's Iceberg scripts
 * Tables are directories of ZSTD parquet partitioned by the run key —
   Hive-style layout gives the same partition pruning the reference gets
   from Iceberg specs (init_neutron_data.py:129,156,179,201). With an
-  Iceberg catalog configured, ``write_table(..., iceberg=True)`` uses
-  ``writeTo`` instead; nothing else changes.
+  Iceberg catalog configured, ``write_table(..., fmt="iceberg")`` creates
+  the table from the reference's DDL and appends via the v2 writer;
+  nothing else changes (a config change, not a code change, in prod).
 * File routing (S19): the reference embeds an ``iceberg_table`` key in
   parquet footer metadata and falls back to filename patterns
   (ingest_neutron_data.py:34-93). Spark can't write custom footer keys, so
@@ -59,6 +60,23 @@ def route_files(paths: Iterable[str]) -> dict[str, list[str]]:
     return out
 
 
+def require_iceberg_catalog(spark: SparkSession, qualifier: str) -> str:
+    """Validate that the Iceberg catalog named by ``qualifier``
+    (``catalog`` or ``catalog.namespace``) is configured on the session;
+    returns the catalog name. The jars + catalog config are deploy-time
+    concerns (spark.sql.catalog.<name>=org.apache.iceberg...SparkCatalog);
+    this check turns the missing-config case into a clear error instead of
+    an opaque analysis failure."""
+    cat = qualifier.split(".", 1)[0]
+    if spark.conf.get(f"spark.sql.catalog.{cat}", None) is None:
+        raise RuntimeError(
+            f"Iceberg catalog {cat!r} is not configured: set "
+            f"spark.sql.catalog.{cat} (and the iceberg-spark-runtime jar) "
+            "on the session, or use fmt='parquet'."
+        )
+    return cat
+
+
 def write_table(
     df: DataFrame,
     root: str,
@@ -66,9 +84,29 @@ def write_table(
     *,
     mode: str = "append",
     max_records_per_file: int | None = None,
+    fmt: str = "parquet",
 ) -> str:
-    """Write a run table with its declared partitioning; returns the path."""
+    """Write a run table with its declared partitioning; returns the path
+    (parquet) or table identifier (iceberg).
+
+    ``fmt="iceberg"`` mirrors the reference's lakehouse writes
+    (ingest_neutron_data.py:209-211): ``root`` is then a
+    ``catalog.namespace`` qualifier, the table is created from
+    ``schemas.table_ddl(..., fmt="iceberg")`` with the reference's
+    partition spec if absent, and rows append via the v2 writer. Only the
+    catalog config differs from production — the codepath is identical.
+    """
     _, parts = TABLES[table]
+    if fmt == "iceberg":
+        spark = df.sparkSession
+        require_iceberg_catalog(spark, root)
+        ident = f"{root}.{table}"
+        spark.sql(table_ddl(table, fmt="iceberg", qualifier=root))
+        if mode == "overwrite":
+            df.writeTo(ident).overwritePartitions()
+        else:
+            df.writeTo(ident).append()
+        return ident
     if max_records_per_file is None and table == "events":
         max_records_per_file = MAX_EVENTS_PER_FILE
     path = f"{root}/{table}"
@@ -81,9 +119,17 @@ def write_table(
     return path
 
 
-def read_table(spark: SparkSession, root: str, table: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, root: str, table: str, *, fmt: str = "parquet"
+) -> DataFrame:
     """Read back with the declared schema (partition columns come from the
-    directory layout; basePath keeps them when globbing subtrees)."""
+    directory layout; basePath keeps them when globbing subtrees). With
+    ``fmt="iceberg"``, ``root`` is a catalog.namespace qualifier and the
+    read goes through the catalog (snapshot isolation, hidden-partition
+    pruning come from Iceberg itself)."""
+    if fmt == "iceberg":
+        require_iceberg_catalog(spark, root)
+        return spark.read.table(f"{root}.{table}")
     return spark.read.option("basePath", f"{root}/{table}").parquet(f"{root}/{table}")
 
 

@@ -124,15 +124,32 @@ def read_events_stream(
     root: str,
     *,
     max_files_per_trigger: int | None = None,
+    start_timestamp: str | None = None,
 ) -> DataFrame:
     """T1: unbounded tail of the events table (file-stream source over the
     partitioned-parquet catalog; new files appended by ingest are picked up
-    per micro-batch)."""
+    per micro-batch).
+
+    ``start_timestamp`` mirrors the reference's Iceberg
+    ``stream-from-timestamp`` option (spark_replay_events.py:150-163):
+    only data committed after the given ISO timestamp replays. The
+    file-stream analog of a snapshot's commit time is the data file's
+    modification time, exposed by the hidden ``_metadata`` column — the
+    predicate is evaluated source-side per file batch, so earlier files
+    contribute zero rows (with an Iceberg catalog the same parameter
+    passes straight through to ``stream-from-timestamp``).
+    """
     schema, _ = TABLES["events"]
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.option("basePath", f"{root}/events").parquet(f"{root}/events")
+    df = reader.option("basePath", f"{root}/events").parquet(f"{root}/events")
+    if start_timestamp is not None:
+        df = df.filter(
+            F.col("_metadata.file_modification_time")
+            >= F.lit(start_timestamp).cast("timestamp")
+        )
+    return df
 
 
 def stream_to_kafka(

@@ -129,3 +129,29 @@ def test_ddl_generation():
     assert ddl.startswith("CREATE TABLE IF NOT EXISTS events")
     assert "PARTITIONED BY (instrument_id, run_number)" in ddl
     assert "pulse_time DOUBLE" in ddl
+
+
+def test_iceberg_ddl_matches_reference_partition_specs():
+    """The emitted Iceberg DDL must carry the reference's partition specs
+    (init_neutron_data.py:129-201): run-key pair for the big tables,
+    instrument only for experiment_runs."""
+    for table in ("events", "daslogs", "event_summary"):
+        ddl = table_ddl(table, fmt="iceberg", qualifier="lake.nexus")
+        assert f"CREATE TABLE IF NOT EXISTS lake.nexus.{table}" in ddl
+        assert "USING iceberg" in ddl
+        assert "PARTITIONED BY (instrument_id, run_number)" in ddl
+    runs = table_ddl("experiment_runs", fmt="iceberg", qualifier="lake.nexus")
+    assert "PARTITIONED BY (instrument_id)" in runs
+    assert "USING iceberg" in runs
+    # unpartitioned dims emit no partition clause
+    assert "PARTITIONED BY" not in table_ddl("sample", fmt="iceberg")
+
+
+def test_iceberg_write_requires_configured_catalog(spark):
+    import pytest
+
+    df = spark.createDataFrame([("REF_L", 1)], "instrument_id string, run_number long")
+    with pytest.raises(RuntimeError, match="spark.sql.catalog.lake"):
+        catalog.write_table(df, "lake.nexus", "events", fmt="iceberg")
+    with pytest.raises(RuntimeError, match="not configured"):
+        catalog.read_table(spark, "lake.nexus", "events", fmt="iceberg")

@@ -64,6 +64,41 @@ def test_stream_drain_matches_batch(spark, tmp_path):
     assert sum(got) == 4
 
 
+def test_stream_start_timestamp_drops_earlier_files(spark, tmp_path):
+    """stream-from-timestamp analog: a mid-stream start replays only data
+    committed after the given timestamp — earlier files contribute nothing."""
+    import datetime
+    import time
+
+    root = _lake(spark, tmp_path)                       # 4 rows, written now
+    time.sleep(1.2)
+    cut = datetime.datetime.now().isoformat()
+    time.sleep(1.2)
+    late = catalog.read_table(spark, root, "events").withColumn(
+        "event_id", F.col("event_id") + F.lit(1000))
+    catalog.write_table(late, root, "events")           # 4 more rows, after cut
+    stream = replay.read_events_stream(spark, root, start_timestamp=cut)
+    got: list[list[int]] = []
+    q = replay.stream_foreach_batch(
+        stream,
+        lambda df, epoch: got.append([r.event_id for r in df.collect()]),
+        checkpoint=str(tmp_path / "ckpt_ts"),
+        available_now=True,
+    )
+    q.awaitTermination(60)
+    ids = sorted(x for batch in got for x in batch)
+    assert len(ids) == 4 and all(i >= 1000 for i in ids)
+    # and without the cut, everything replays
+    all_stream = replay.read_events_stream(spark, root)
+    total: list[int] = []
+    q2 = replay.stream_foreach_batch(
+        all_stream, lambda df, epoch: total.append(df.count()),
+        checkpoint=str(tmp_path / "ckpt_all"), available_now=True,
+    )
+    q2.awaitTermination(60)
+    assert sum(total) == 8
+
+
 def test_stateful_running_totals_match_batch(spark, tmp_path):
     """applyInPandasWithState accumulator: after draining the stream, the
     running totals equal the batch per-bank summary."""

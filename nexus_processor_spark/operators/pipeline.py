@@ -109,21 +109,44 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def shards_for(n_rows: int, *, target_rows_per_shard: int = 1_000_000) -> int:
+    """Hex digits of shard key needed so the per-shard window sort stays
+    bounded: the smallest ``shard_chars`` with 16^n shards >= rows/target.
+    1M rows/shard keeps a shard's sort comfortably in one task's memory at
+    any corpus size (capped at 8 digits = 4B shards)."""
+    import math
+
+    need = max(1, -(-n_rows // target_rows_per_shard))
+    return min(8, max(1, math.ceil(math.log(need, 16))))
+
+
 def shuffle_shards(
     df: DataFrame,
     *,
     key_col: str = "doc_id",
     salt: str = "",
-    shard_chars: int = 2,
+    shard_chars: int | None = None,
+    target_rows_per_shard: int = 1_000_000,
 ) -> DataFrame:
     """Deterministic global shuffle for training-order randomization:
     shard = first ``shard_chars`` hex of md5 (16^n shards), rank = position
     within the shard by the remaining hash bits. Readers stream shards in
     any order and rows within a shard by rank — a reproducible permutation
-    with NO global sort: each shard sorts independently (256 shards at the
-    default), so the operator scales with executors instead of collapsing
-    to a single ordered partition.
+    with NO global sort: each shard sorts independently, so the operator
+    scales with executors instead of collapsing to a single ordered
+    partition.
+
+    ``shard_chars`` defaults to scaling with the input: one count job picks
+    the smallest hex-prefix width that keeps every shard at or under
+    ``target_rows_per_shard`` expected rows (md5 spreads uniformly), so the
+    per-shard window sort is bounded at 100 TB instead of fixed at 256
+    shards. Pass an explicit ``shard_chars`` for a reproducible shard
+    *count* across differently-sized runs.
     """
+    if shard_chars is None:
+        shard_chars = shards_for(
+            df.count(), target_rows_per_shard=target_rows_per_shard
+        )
     full = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     with_h = df.withColumn("_h", full)
     shard = F.substring(F.col("_h"), 1, shard_chars)

@@ -51,7 +51,11 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pipeline.shuffle_shards(_docs(spark, sf_dir).select("doc_id"))
+    # shard_chars pinned so the shard ids are stable across scale factors
+    # (and SQL-expressible); production auto-sizes via target_rows_per_shard.
+    return pipeline.shuffle_shards(
+        _docs(spark, sf_dir).select("doc_id"), shard_chars=2
+    )
 
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:

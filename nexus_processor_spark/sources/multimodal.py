@@ -1,10 +1,12 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real — schemas, Arrow-batched ``mapInPandas``
-transforms, partitioning discipline; only the codec calls are stubbed
-(image/audio libraries are not in this container). ``fake_decode=True``
-swaps the codec for a deterministic synthesizer so the full pipeline is
-testable; with libraries present, implement ``_decode_image_real``.
+transforms, partitioning discipline. The codecs are import-gated optional
+dependencies (PIL for images, soundfile for audio — the same pattern as
+h5py in ``sources.nexus``): present, they decode for real; absent, a clear
+ImportError names the missing library. ``fake_decode=True`` swaps in a
+deterministic synthesizer with the SAME output contract, so the full
+pipeline (batching, schema, feature math) is testable in any container.
 
 Design for 100 TB of media:
 
@@ -56,12 +58,22 @@ IMAGE_FEATURES_SCHEMA = StructType([
 ])
 
 
-def _decode_image_real(payload: bytes) -> np.ndarray:  # pragma: no cover
-    """Real codec hook — requires an imaging library (not in container)."""
-    raise NotImplementedError(
-        "image decoding requires Pillow/opencv; install one and implement "
-        "this hook, or run with fake_decode=True"
-    )
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    """Real codec: PIL if importable (same optional-dependency gate as the
+    h5py path in sources.nexus), clear ImportError otherwise. Returns a
+    2-D uint8 luma array — the identical contract as the fake, so every
+    feature downstream is shared between the paths."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional, gated
+    except ImportError as e:
+        raise ImportError(
+            "image decoding requires Pillow (pip install pillow); or run "
+            "with fake_decode=True for the deterministic synthetic path"
+        ) from e
+    import io  # noqa: PLC0415
+
+    img = Image.open(io.BytesIO(payload)).convert("L")  # pragma: no cover
+    return np.asarray(img, dtype=np.uint8)  # pragma: no cover
 
 
 def _decode_image_fake(payload: bytes) -> np.ndarray:
@@ -117,12 +129,20 @@ AUDIO_FEATURES_SCHEMA = StructType([
 ])
 
 
-def _decode_audio_real(payload: bytes) -> np.ndarray:  # pragma: no cover
-    """Real codec hook — requires an audio library (not in container)."""
-    raise NotImplementedError(
-        "audio decoding requires soundfile/librosa; install one and "
-        "implement this hook, or run with fake_decode=True"
-    )
+def _decode_audio_real(payload: bytes) -> np.ndarray:
+    """Real codec: soundfile if importable (same gate as h5py/PIL). Returns
+    a float32 mono waveform — the identical contract as the fake."""
+    try:
+        import soundfile  # noqa: PLC0415 — optional, gated
+    except ImportError as e:
+        raise ImportError(
+            "audio decoding requires soundfile (pip install soundfile); or "
+            "run with fake_decode=True for the deterministic synthetic path"
+        ) from e
+    import io  # noqa: PLC0415
+
+    wav, _sr = soundfile.read(io.BytesIO(payload), dtype="float32")  # pragma: no cover
+    return wav if wav.ndim == 1 else wav.mean(axis=1).astype(np.float32)  # pragma: no cover
 
 
 def _decode_audio_fake(payload: bytes) -> np.ndarray:

@@ -110,13 +110,52 @@ def replay_to_jsonl(
     return emitted
 
 
+def kafka_options(
+    *,
+    brokers: str,
+    topic: str,
+    checkpoint: str | None = None,
+    extra: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Kafka sink option map (pure — unit-testable without brokers).
+
+    Both Kafka sinks route through this so the option spelling
+    (``kafka.bootstrap.servers``/``topic``/``checkpointLocation``,
+    reference sre:227-238, 269-275) is pinned in one place. ``extra``
+    passes through e.g. ``kafka.security.protocol``.
+    """
+    if not brokers:
+        raise ValueError("brokers must be a non-empty bootstrap list")
+    if not topic:
+        raise ValueError("topic must be non-empty")
+    opts = {"kafka.bootstrap.servers": brokers, "topic": topic}
+    if checkpoint is not None:
+        opts["checkpointLocation"] = checkpoint
+    if extra:
+        opts.update(extra)
+    return opts
+
+
+def trigger_spec(
+    *, trigger_seconds: int | None = None, available_now: bool = False
+) -> dict[str, object]:
+    """Kwargs for ``DataStreamWriter.trigger`` (pure). ``available_now``
+    drains-and-stops; otherwise a processing-time cadence."""
+    if available_now:
+        if trigger_seconds is not None:
+            raise ValueError("available_now excludes a processing-time trigger")
+        return {"availableNow": True}
+    if trigger_seconds is None or trigger_seconds <= 0:
+        raise ValueError("trigger_seconds must be positive")
+    return {"processingTime": f"{trigger_seconds} seconds"}
+
+
 def write_kafka_batch(
     events: DataFrame, *, brokers: str, topic: str
 ) -> None:  # pragma: no cover - needs Kafka + package
     """Bulk Kafka write (S14, reference sre:227-238)."""
     (marshal_kafka(events).write.format("kafka")
-     .option("kafka.bootstrap.servers", brokers)
-     .option("topic", topic).save())
+     .options(**kafka_options(brokers=brokers, topic=topic)).save())
 
 
 def read_events_stream(
@@ -158,11 +197,10 @@ def stream_to_kafka(
 ) -> StreamingQuery:  # pragma: no cover - needs Kafka + package
     """S15/T2/T3: checkpointed exactly-once Kafka sink with a
     processing-time trigger (reference sre:269-275)."""
+    opts = kafka_options(brokers=brokers, topic=topic, checkpoint=checkpoint)
     return (marshal_kafka(events).writeStream.format("kafka")
-            .option("kafka.bootstrap.servers", brokers)
-            .option("topic", topic)
-            .option("checkpointLocation", checkpoint)
-            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .options(**opts)
+            .trigger(**trigger_spec(trigger_seconds=trigger_seconds))
             .start())
 
 

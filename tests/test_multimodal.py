@@ -29,8 +29,28 @@ def test_fake_decode_features_deterministic(spark, media):
 
 
 def test_real_decode_is_gated(spark, media):
-    with pytest.raises(Exception, match="NotImplementedError|imaging"):
+    """With codec libs absent the real path fails with a clear ImportError
+    naming the library; with them present it decodes (skip — not this
+    container's path)."""
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow present: real decode path active")
+    except ImportError:
+        pass
+    with pytest.raises(Exception, match="Pillow"):
         multimodal.extract_image_features(
+            media.filter("media_id = 1"), fake_decode=False
+        ).collect()
+
+
+def test_real_audio_decode_is_gated(spark, media):
+    try:
+        import soundfile  # noqa: F401
+        pytest.skip("soundfile present: real decode path active")
+    except ImportError:
+        pass
+    with pytest.raises(Exception, match="soundfile"):
+        multimodal.extract_audio_features(
             media.filter("media_id = 1"), fake_decode=False
         ).collect()
 

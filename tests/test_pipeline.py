@@ -72,6 +72,28 @@ def test_shuffle_shards_is_permutation(docs):
     assert sharded_ids != list(range(300))
 
 
+def test_shards_scale_with_input():
+    """Auto-sized shard width keeps expected rows/shard <= target at any
+    corpus size; never fewer than 16 shards, capped at 16^8."""
+    t = 1_000_000
+    assert pipeline.shards_for(1, target_rows_per_shard=t) == 1
+    assert pipeline.shards_for(16 * t, target_rows_per_shard=t) == 1
+    assert pipeline.shards_for(16 * t + 1, target_rows_per_shard=t) == 2
+    assert pipeline.shards_for(256 * t, target_rows_per_shard=t) == 2
+    # 100 TB-ish: 100B rows -> 16^5 = 1M shards -> ~100k rows/shard
+    n = 100_000_000_000
+    c = pipeline.shards_for(n, target_rows_per_shard=t)
+    assert 16**c >= n / t and 16 ** (c - 1) < n / t
+    assert pipeline.shards_for(10**30) == 8  # cap
+
+
+def test_shuffle_shards_auto_width(docs):
+    """300 rows with a 100-row target -> ceil(log16(3)) = 1 hex digit."""
+    out = pipeline.shuffle_shards(docs, target_rows_per_shard=100).collect()
+    assert {len(r.shard) for r in out} == {1}
+    assert sorted(r.doc_id for r in out) == list(range(300))
+
+
 def test_repetition_signals_flag_boilerplate(spark):
     df = spark.createDataFrame(
         [

@@ -64,6 +64,33 @@ def test_stream_drain_matches_batch(spark, tmp_path):
     assert sum(got) == 4
 
 
+def test_kafka_option_plumbing():
+    """The option/trigger builders are pure — exercised without brokers."""
+    import pytest
+
+    opts = replay.kafka_options(
+        brokers="b1:9092,b2:9092", topic="events",
+        checkpoint="/ck", extra={"kafka.security.protocol": "SSL"},
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "topic": "events",
+        "checkpointLocation": "/ck",
+        "kafka.security.protocol": "SSL",
+    }
+    assert "checkpointLocation" not in replay.kafka_options(brokers="b", topic="t")
+    with pytest.raises(ValueError):
+        replay.kafka_options(brokers="", topic="t")
+    with pytest.raises(ValueError):
+        replay.kafka_options(brokers="b", topic="")
+    assert replay.trigger_spec(trigger_seconds=10) == {"processingTime": "10 seconds"}
+    assert replay.trigger_spec(available_now=True) == {"availableNow": True}
+    with pytest.raises(ValueError):
+        replay.trigger_spec(trigger_seconds=0)
+    with pytest.raises(ValueError):
+        replay.trigger_spec(trigger_seconds=5, available_now=True)
+
+
 def test_stream_start_timestamp_drops_earlier_files(spark, tmp_path):
     """stream-from-timestamp analog: a mid-stream start replays only data
     committed after the given timestamp — earlier files contribute nothing."""

@@ -43,6 +43,58 @@ HEADLINE = (
 )
 
 
+BIG_ROWS = int(os.environ.get("SPARK_GRAFT_BIG_ROWS", "100000000"))
+BIG_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "sfbig")
+
+
+def ensure_big_events(spark) -> None:
+    """Synthesize a seeded ~100M-row events table once (reused across
+    rounds). Deterministic xxhash64-derived columns — no RNG state, so any
+    run regenerates identical data. At 100M rows the interval query is
+    scan-bound (GBs, not KBs), making throughput comparable to the
+    reference's 1B-event single-node envelope instead of extrapolated."""
+    from pyspark.sql import functions as F
+
+    marker = Path(BIG_DIR) / "events.parquet" / "_SUCCESS"
+    if marker.exists():
+        return
+    base = 1_700_000_000 * 10**9
+    span = 30 * 24 * 3600 * 10**9
+    kinds = F.array(*[F.lit(x) for x in
+                      ("click", "view", "purchase", "signup", "error")])
+    h = lambda s: F.xxhash64(F.col("id"), F.lit(s))
+    df = spark.range(BIG_ROWS).select(
+        F.col("id").alias("event_id"),
+        (F.lit(base) + F.pmod(h(1), F.lit(span))).alias("ts"),
+        F.element_at(kinds, (F.pmod(h(2), F.lit(5)) + 1).cast("int")).alias("event_type"),
+        F.pmod(h(3), F.lit(1_000_000)).alias("user_id"),
+        (F.pmod(h(4), F.lit(10_000_000)) / F.lit(1e5)).alias("value"),
+        F.concat(F.lit('{"k": '), F.pmod(h(5), F.lit(100)).cast("string"),
+                 F.lit("}")).alias("props"),
+    )
+    (df.repartition(64).write.mode("overwrite")
+       .option("compression", "zstd").parquet(f"{BIG_DIR}/events.parquet"))
+
+
+def run_big(spark, qs) -> dict[str, object]:
+    """Scan-bound throughput on the synthesized table: best-of-2 of the
+    flagship interval rollup, reported as events/s."""
+    ensure_big_events(spark)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        qs["timeslice_interval"](spark, BIG_DIR).write.format("noop").mode(
+            "overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    return {
+        "rows": BIG_ROWS,
+        "query": "timeslice_interval",
+        "sec": round(best, 3),
+        "events_per_sec": round(BIG_ROWS / best),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -73,14 +125,21 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
+    big = None
+    if os.environ.get("SPARK_GRAFT_BIGBENCH", "1") != "0":
+        big = run_big(spark, qs)
+
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if big is not None:
+        out["bigbench"] = big
+    print(json.dumps(out))
     spark.stop()
 
 

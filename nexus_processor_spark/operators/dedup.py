@@ -211,31 +211,24 @@ def minhash_dedup_pairs(
         .filter(F.col("sig").isNotNull())
     )
     cands = lsh_candidate_pairs(sigs, id_col=id_col, max_bucket=max_bucket)
-    if persist_shingles:
-        # Three plan branches read the candidate set below (the pair join
-        # and both prune semi-joins); it's tiny after r=2 banding.
-        cands = cands.persist()
-        cands.count()
-    # Verification joins the per-doc shingle projection in twice. Broadcasting
-    # the full projection would scale with the CORPUS, not the candidate set
-    # (OOM at warehouse scale), so each side is first pruned to the docs that
-    # actually appear in a candidate pair; the pruned side is bounded by the
-    # candidate set and explicitly broadcast (the cached relation's size
-    # estimate includes the fat hash columns and blocks auto-broadcast).
-    # ``broadcast_verify=False`` keeps plain shuffle joins for runs where even
-    # the candidate doc set exceeds broadcast limits.
-    shn = sh.select(F.col(id_col), F.col("sh"))
-    a = shn.join(cands.select(F.col("id_a").alias(id_col)), id_col, "left_semi")
-    b = shn.join(cands.select(F.col("id_b").alias(id_col)), id_col, "left_semi")
-    a = a.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = b.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # Verification joins the per-doc shingle projection in twice. The SMALL
+    # side of both joins is the candidate set (banding collapsed it), so
+    # that's what broadcasts — the corpus-sized projection streams map-side
+    # through both joins and is never shuffled OR broadcast (broadcasting
+    # the projection would scale with the corpus and OOM at warehouse
+    # scale). ``broadcast_verify=False`` drops the hints for pathological
+    # runs where even the candidate pair set exceeds broadcast limits —
+    # joins then plan as shuffle joins.
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     if broadcast_verify:
-        a, b = F.broadcast(a), F.broadcast(b)
+        paired = F.broadcast(F.broadcast(cands).join(a, "id_a")).join(b, "id_b")
+    else:
+        paired = cands.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cands.join(a, "id_a").join(b, "id_b")
-        .select(
+        paired.select(
             "id_a", "id_b",
             F.when(union > 0, inter.cast("double") / union.cast("double"))
             .otherwise(F.lit(0.0)).alias("jaccard"),

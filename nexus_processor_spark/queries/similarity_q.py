@@ -71,9 +71,11 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full Lloyd training of the IVF coarse quantizer (iterative — no
-    single-statement SQL twin, so this is a rows-only driver check;
-    convergence semantics are pinned by unit tests)."""
+    """Full Lloyd training of the IVF coarse quantizer. Two iterations
+    unroll into chained SQL CTEs (assign -> per-dim mean, twice), so this
+    pins a full hash-checked oracle despite being an iterative operator:
+    distances round at 1e-6 with a centroid-id tiebreak (deterministic
+    cross-engine), centroid mass rounds at 1e-4."""
     cents = similarity.kmeans_fit(_emb(spark, sf_dir), k=N_CENTROIDS, iters=2)
     return cents.select(
         "centroid_id",
@@ -134,7 +136,56 @@ _TOPK = """
     ) WHERE rn <= {k}
 """
 
+# --- kmeans_fit oracle: two unrolled Lloyd iterations ----------------------
+
+def _lloyd_assign(cents: str) -> str:
+    """Nearest-centroid assignment CTE body against centroid relation
+    ``cents`` (centroid_id, cv) — round-6 distance, centroid-id tiebreak,
+    mirroring operators.similarity.kmeans_assign."""
+    dist = (
+        "round(list_sum(list_transform(generate_series(1, len(e.v)), "
+        "i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6)"
+    )
+    return f"""
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist}, c.centroid_id) AS rn
+            FROM e, {cents} c
+        ) WHERE rn = 1
+    """
+
+
+_LLOYD_MEANS = """
+    SELECT centroid_id, pos, avg(x) AS m, count(*) AS n FROM (
+        SELECT a.centroid_id,
+               unnest(generate_series(1, len(e.v))) AS pos,
+               unnest(e.v) AS x
+        FROM {assign} a JOIN e USING (vec_id)
+    ) GROUP BY 1, 2
+"""
+
+_KMEANS_FIT_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+           WHERE vec_id < {N_CENTROIDS}),
+    a1 AS ({_lloyd_assign('c0')}),
+    d1 AS ({_LLOYD_MEANS.format(assign='a1')}),
+    c1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cv FROM d1 GROUP BY 1),
+    a2 AS ({_lloyd_assign('c1')}),
+    d2 AS ({_LLOYD_MEANS.format(assign='a2')})
+    SELECT centroid_id,
+           CAST(min(n) AS BIGINT) AS n_members,
+           round(list_sum(list(m ORDER BY pos)), 4) AS centroid_mass
+    FROM d2 GROUP BY 1
+"""
+
+
 ORACLE = {
+    "kmeans_fit": _KMEANS_FIT_SQL,
     "sim_brute_topk": _TOPK.format(scored=_SCORED, k=TOP_K),
     "sim_ivf_topk": _TOPK.format(scored=_SCORED_IVF, k=TOP_K),
     "sim_near_dup_pairs": f"""

@@ -35,12 +35,19 @@ def broadcast_join_count(df: DataFrame) -> int:
 
 
 def scan_columns(df: DataFrame) -> list[str]:
-    """Columns actually read from the first parquet scan (ReadSchema) —
-    proves column pruning for narrow projections."""
+    """Union of columns actually read across every parquet scan
+    (ReadSchema) — proves column pruning for narrow projections. Plans
+    with several scan branches (e.g. a plain agg joined to a bitmap
+    distinct agg) contribute each branch's read set."""
     plan = executed_plan(df)
+    cols: list[str] = []
     for line in plan.splitlines():
         if "ReadSchema" in line:
             schema = line.split("ReadSchema:", 1)[1].strip()
             inner = schema[schema.find("<") + 1: schema.rfind(">")]
-            return [p.split(":")[0] for p in inner.split(",") if ":" in p]
-    return []
+            for p in inner.split(","):
+                if ":" in p:
+                    name = p.split(":")[0]
+                    if name not in cols:
+                        cols.append(name)
+    return cols

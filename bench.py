@@ -77,22 +77,53 @@ def ensure_big_events(spark) -> None:
 
 
 def run_big(spark, qs) -> dict[str, object]:
-    """Scan-bound throughput on the synthesized table: best-of-2 of the
-    flagship interval rollup, reported as events/s."""
+    """Scan-bound throughput on the synthesized table, reported as
+    events/s for two shapes:
+
+    * ``timeslice_interval`` — the full flagship rollup (incl. two exact
+      distincts), the engine's hardest per-event path.
+    * ``timeslice_range`` — scan 2-3 columns, half-open time filter, one
+      global aggregate: the literal shape of BASELINE.md rows 1-4
+      (1B events in 40-80s single-node = 12-25M events/s).
+    """
+    from pyspark.sql import functions as F
+
+    from nexus_processor_spark.functions.core import event_seconds
+    from nexus_processor_spark.operators import timeslice
+
     ensure_big_events(spark)
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        qs["timeslice_interval"](spark, BIG_DIR).write.format("noop").mode(
-            "overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-        spark.catalog.clearCache()
-    return {
-        "rows": BIG_ROWS,
-        "query": "timeslice_interval",
-        "sec": round(best, 3),
-        "events_per_sec": round(BIG_ROWS / best),
+
+    def _events(sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return ev.select(
+            "event_id",
+            event_seconds("ts").alias("absolute_time"),
+            F.col("event_type").alias("bank"),
+            F.col("user_id").alias("pulse_index"),
+        )
+
+    # 10-day slice in the middle of the synthetic 30-day domain.
+    t0 = 1_700_000_000.0
+    day = 86_400.0
+    shapes = {
+        "timeslice_interval": lambda: qs["timeslice_interval"](spark, BIG_DIR),
+        "timeslice_range": lambda: timeslice.count_in_time_range(
+            _events(BIG_DIR), t0 + 5 * day, t0 + 15 * day
+        ),
     }
+    out: dict[str, object] = {"rows": BIG_ROWS, "queries": {}}
+    for name, build in shapes.items():
+        best = float("inf")
+        for _ in range(2):
+            s = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - s)
+            spark.catalog.clearCache()
+        out["queries"][name] = {
+            "sec": round(best, 3),
+            "events_per_sec": round(BIG_ROWS / best),
+        }
+    return out
 
 
 def main() -> None:

@@ -104,10 +104,9 @@ def simhash(toks: Column, bits: int = 16) -> Column:
 
 
 def hamming64(a: Column, b: Column, bits: int = 16) -> Column:
-    """Hamming distance between two ≤64-bit signatures (popcount of XOR)."""
-    x = a.bitwiseXOR(b)
-    bit = lambda j: F.when((x % F.lit(1 << (j + 1))) >= F.lit(1 << j), 1).otherwise(0)
-    out = F.lit(0)
-    for j in range(bits):
-        out = out + bit(j)
-    return out
+    """Hamming distance between two ≤64-bit signatures: native popcount of
+    XOR (one codegen intrinsic — the per-bit conditional chain this
+    replaces was the hot path of simhash pair verification). ``bits`` is
+    accepted for signature compatibility; popcount covers all 64."""
+    del bits  # popcount is width-agnostic for non-negative signatures
+    return F.bit_count(a.bitwiseXOR(b))

@@ -343,6 +343,7 @@ def simhash_band_candidates(
     id_col: str = "doc_id",
     sig_col: str = "simhash",
     max_bucket: int | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Banded Hamming-ball candidate pairs — O(collisions), never n².
 
@@ -355,8 +356,11 @@ def simhash_band_candidates(
     WWW'07 — public literature). ``max_bucket`` drops over-full buckets
     (mega-clusters) exactly like :func:`lsh_candidate_pairs`.
 
-    Output: (id_a, id_b, sh_a, sh_b) distinct pairs with id_a < id_b; the
+    Output: (id_a, id_b, sh_a, sh_b) pairs with id_a < id_b; the
     signatures ride along so the exact Hamming verify needs no extra join.
+    ``distinct=False`` skips the multi-band dedup shuffle — callers that
+    filter the pairs further (e.g. the Hamming gate) dedup AFTER their
+    filter, which shrinks the dedup exchange to survivors only.
     """
     n_bands = hamming_max + 1
     bounds = [bits * i // n_bands for i in range(n_bands + 1)]
@@ -389,12 +393,12 @@ def simhash_band_candidates(
     b = banded.select(
         "band", "val", F.col(id_col).alias("id_b"), F.col(sig_col).alias("sh_b")
     )
-    return (
+    out = (
         a.join(b, ["band", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def simhash_dedup_pairs(
@@ -412,12 +416,16 @@ def simhash_dedup_pairs(
     sigs = simhash_signatures(df, text_col=text_col, id_col=id_col, bits=bits)
     cands = simhash_band_candidates(
         sigs, bits=bits, hamming_max=hamming_max, id_col=id_col,
-        max_bucket=max_bucket,
+        max_bucket=max_bucket, distinct=False,
     )
+    # Hamming-gate BEFORE deduping multi-band collisions: the exact verify
+    # is map-side math, so filtering first shrinks the distinct() exchange
+    # from every band collision to the surviving near-dup pairs.
     return (
         cands.withColumn(
             "hamming", hamming64(F.col("sh_a"), F.col("sh_b"), bits).cast("long")
         )
         .filter(F.col("hamming") <= hamming_max)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )

@@ -91,6 +91,16 @@ def test_ngram_jaccard_block_fanout_bounded(spark):
     assert plan.count("windowspecdefinition") >= 1 or "Window" in plan
 
 
+def test_interval_distincts_use_bitmaps_not_expand(spark):
+    """The data-scale pulse distinct must go through bitmap aggregates
+    (bucket bitmaps exchanged) — a multi-distinct Expand plan (input x 3
+    rows through the shuffle) is the 100 TB killer this replaced."""
+    df = timeslice_q.q_timeslice_interval(spark, SF)
+    plan = explain.executed_plan(df)
+    assert "bitmap_construct_agg" in plan
+    assert "Expand" not in plan
+
+
 def test_agg_is_partial_then_final_hash(spark):
     """One shuffle total: map-side partial aggregation combines before the
     exchange, the final hash agg after — the plan that holds at 100 TB.

@@ -360,3 +360,156 @@ def kmeans_fit(
         return last.select("centroid_id", "centroid", "n_members")
     finally:
         vecs.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's storage/compute path). A vector of dim d
+# splits into m contiguous subvectors; each subvector is replaced by the id
+# of its nearest per-subspace codebook centroid. Storage drops from 4·d
+# bytes to m code bytes; approximate (asymmetric, ADC) distances become m
+# table lookups + adds instead of d multiplies. The shapes that matter at
+# 100 TB: codebooks are m·k rows (broadcast everywhere), encoding is
+# map-side, and the ADC scan carries codes — never raw vectors — through
+# the shuffle. (Jégou, Douze, Schmid, "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011 — public literature.)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    seeds: DataFrame,
+    m: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic per-subspace codebooks from seed rows: codebook of
+    subspace ``s`` holds every seed's ``s``-th subvector (code_id = seed
+    id). Production trains each subspace with `kmeans_fit` over
+    subvectors; seeding keeps the operator reproducible cross-engine.
+
+    Output: (sub, code_id, centroid array<double>), m rows per seed.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sublen = (F.size(v) / F.lit(m)).cast("int")
+    subs = F.array(*[
+        F.struct(
+            F.lit(s).alias("sub"),
+            F.slice(v, F.lit(s) * sublen + 1, sublen).alias("centroid"),
+        )
+        for s in range(m)
+    ])
+    return (
+        seeds.select(F.col(id_col).alias("code_id"), F.explode(subs).alias("b"))
+        .select(F.col("b.sub").alias("sub"), "code_id",
+                F.col("b.centroid").alias("centroid"))
+    )
+
+
+def _sq_l2(a: F.Column, b: F.Column, round_digits: int) -> F.Column:
+    sq = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.round(F.aggregate(sq, F.lit(0.0), lambda acc, d: acc + d),
+                   round_digits)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """PQ-encode the corpus: each row becomes ``m`` small integer codes
+    (nearest per-subspace centroid by squared L2; round + code-id tiebreak
+    keeps the argmin deterministic cross-engine).
+
+    Codebooks broadcast (m·k rows); scoring is map-side; the only shuffle
+    is the per-(row, sub) argmin groupBy, carrying m rows per vector.
+
+    Output: (id, codes array<int> ordered by subspace).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sublen = (F.size(v) / F.lit(m)).cast("int")
+    cb = F.broadcast(codebooks)
+    pairs = (
+        spread(corpus).select(F.col(id_col), v.alias("_v"),
+                              sublen.alias("_sl"))
+        .crossJoin(cb)
+        .select(
+            id_col, "sub", "code_id",
+            _sq_l2(
+                F.slice(F.col("_v"), F.col("sub") * F.col("_sl") + 1, F.col("_sl")),
+                F.col("centroid"), round_digits,
+            ).alias("dist"),
+        )
+    )
+    best = pairs.groupBy(id_col, "sub").agg(
+        F.min(F.struct("dist", "code_id")).alias("_m")
+    )
+    return (
+        best.groupBy(id_col)
+        .agg(F.array_sort(
+            F.collect_list(F.struct(F.col("sub"), F.col("_m.code_id").alias("code")))
+        ).alias("sc"))
+        .select(
+            id_col,
+            F.transform(F.col("sc"), lambda s: s.getField("code").cast("int"))
+            .alias("codes"),
+        )
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query keeps its raw vector,
+    the corpus is represented by its PQ codes. Per query, the distance to
+    every codebook centroid of every subspace is precomputed (m·k values —
+    a lookup table, broadcast); a corpus row's approximate distance is the
+    sum of its m looked-up entries. The corpus-side work is a broadcast
+    join on (sub, code) + a sum — no vector math per pair, no raw vectors
+    in any exchange.
+
+    Output: query_id, vec_id, adist, rank (ascending distance).
+    """
+    enc = pq_encode(corpus, codebooks, m, id_col=id_col, vec_col=vec_col,
+                    round_digits=round_digits)
+    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sublen = (F.size(qv) / F.lit(m)).cast("int")
+    lut = (
+        queries.select(F.col(id_col).alias("query_id"), qv.alias("_q"),
+                       sublen.alias("_sl"))
+        .crossJoin(F.broadcast(codebooks))
+        .select(
+            "query_id", "sub", "code_id",
+            _sq_l2(
+                F.slice(F.col("_q"), F.col("sub") * F.col("_sl") + 1, F.col("_sl")),
+                F.col("centroid"), round_digits,
+            ).alias("d"),
+        )
+    )
+    per_sub = (
+        enc.select(id_col, F.posexplode("codes").alias("_s", "_c"))
+        .join(F.broadcast(lut),
+              (F.col("_s") == F.col("sub")) & (F.col("_c") == F.col("code_id")))
+        .select(F.col(id_col).alias("vec_id"), "query_id", "d")
+    )
+    scored = (
+        per_sub.filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d"), round_digits).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

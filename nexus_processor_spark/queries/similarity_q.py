@@ -86,7 +86,35 @@ def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 4  # subspaces; 64-dim corpus -> 16-dim subvectors
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: every corpus vector becomes PQ_M
+    nearest-subspace-centroid codes (codebooks seeded from vec_id <
+    N_CENTROIDS for cross-engine determinism)."""
+    emb = _emb(spark, sf_dir)
+    cb = similarity.pq_codebooks(
+        emb.filter(F.col("vec_id") < N_CENTROIDS), PQ_M
+    )
+    return similarity.pq_encode(emb, cb, PQ_M)
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over PQ codes: per-query lookup table against the
+    codebooks, corpus scored by m table adds — no raw vectors per pair."""
+    emb = _emb(spark, sf_dir)
+    cb = similarity.pq_codebooks(
+        emb.filter(F.col("vec_id") < N_CENTROIDS), PQ_M
+    )
+    return similarity.pq_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb, cb, TOP_K, PQ_M
+    )
+
+
 QUERIES = {
+    "pq_encode": q_pq_encode,
+    "pq_topk": q_pq_topk,
     "sim_brute_topk": q_sim_brute_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_near_dup_pairs": q_sim_near_dup_pairs,
@@ -184,7 +212,83 @@ _KMEANS_FIT_SQL = f"""
 """
 
 
+# --- product quantization oracles ------------------------------------------
+
+_PQ_BASE = f"""
+    p AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               len(embedding) // {PQ_M} AS sl
+        FROM embeddings
+    ),
+    cb AS (
+        SELECT b.sub, p.vec_id AS code_id,
+               p.v[b.sub * p.sl + 1 : (b.sub + 1) * p.sl] AS centroid
+        FROM p, (SELECT unnest(range({PQ_M})) AS sub) b
+        WHERE p.vec_id < {N_CENTROIDS}
+    )
+"""
+
+_PQ_ENCODE_SQL = f"""
+    WITH {_PQ_BASE},
+    d AS (
+        SELECT p.vec_id, cb.sub, cb.code_id,
+               round(list_sum(list_transform(generate_series(1, p.sl),
+                   i -> (p.v[cb.sub * p.sl + i] - cb.centroid[i])
+                      * (p.v[cb.sub * p.sl + i] - cb.centroid[i]))), 6) AS dist
+        FROM p, cb
+    ),
+    best AS (
+        SELECT vec_id, sub, code_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY dist, code_id) AS rn
+            FROM d
+        ) WHERE rn = 1
+    )
+    SELECT vec_id, list(CAST(code_id AS INTEGER) ORDER BY sub) AS codes
+    FROM best GROUP BY 1
+"""
+
+_PQ_TOPK_SQL = f"""
+    WITH {_PQ_BASE},
+    d AS (
+        SELECT p.vec_id, cb.sub, cb.code_id,
+               round(list_sum(list_transform(generate_series(1, p.sl),
+                   i -> (p.v[cb.sub * p.sl + i] - cb.centroid[i])
+                      * (p.v[cb.sub * p.sl + i] - cb.centroid[i]))), 6) AS dist
+        FROM p, cb
+    ),
+    best AS (
+        SELECT vec_id, sub, code_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY dist, code_id) AS rn
+            FROM d
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, cb.sub, cb.code_id,
+               round(list_sum(list_transform(generate_series(1, q.sl),
+                   i -> (q.v[cb.sub * q.sl + i] - cb.centroid[i])
+                      * (q.v[cb.sub * q.sl + i] - cb.centroid[i]))), 6) AS d
+        FROM (SELECT * FROM p WHERE vec_id < {N_QUERIES}) q, cb
+    ),
+    scored AS (
+        SELECT l.query_id, b.vec_id, round(sum(l.d), 6) AS adist
+        FROM best b JOIN lut l ON b.sub = l.sub AND b.code_id = l.code_id
+        WHERE b.vec_id <> l.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adist, rn AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adist, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= {TOP_K}
+"""
+
+
 ORACLE = {
+    "pq_encode": _PQ_ENCODE_SQL,
+    "pq_topk": _PQ_TOPK_SQL,
     "kmeans_fit": _KMEANS_FIT_SQL,
     "sim_brute_topk": _TOPK.format(scored=_SCORED, k=TOP_K),
     "sim_ivf_topk": _TOPK.format(scored=_SCORED_IVF, k=TOP_K),

@@ -164,6 +164,37 @@ def test_cosine_near_dup_pairs_blocked(embeddings):
     assert all(a < 3 and b < 3 for a, b in pairs)  # cross-label never compared
 
 
+def test_pq_encode_seeds_code_to_themselves(embeddings):
+    """A seed's subvectors are exactly its own codebook entries, so every
+    seed encodes to its own id in all subspaces (dim 8, m=2)."""
+    seeds = embeddings.filter("vec_id < 3")
+    cb = similarity.pq_codebooks(seeds, 2)
+    assert cb.count() == 6  # 3 seeds x 2 subspaces
+    enc = {r.vec_id: r.codes for r in
+           similarity.pq_encode(seeds, cb, 2).collect()}
+    assert enc == {0: [0, 0], 1: [1, 1], 2: [2, 2]}
+
+
+def test_pq_adc_topk_exact_when_codebook_covers_corpus(embeddings):
+    """With every corpus vector as a codebook seed, each row encodes to
+    itself and ADC distance IS the true squared L2 — so the top-k must
+    equal the exact L2 neighbors (clustermates 1, 2 for query 0)."""
+    cb = similarity.pq_codebooks(embeddings, 2)
+    out = similarity.pq_topk(
+        embeddings.filter("vec_id = 0"), embeddings, cb, k=2, m=2
+    ).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in embeddings.collect()}
+    expect = sorted(
+        (float(((vecs[0] - v) ** 2).sum()), i)
+        for i, v in vecs.items() if i != 0
+    )[:2]
+    got = [(r.vec_id, r.adist) for r in sorted(out, key=lambda r: r.rank)]
+    assert [g[0] for g in got] == [e[1] for e in expect]
+    for g, e in zip(got, expect):
+        assert math.isclose(g[1], e[0], abs_tol=1e-5)
+
+
 def test_kmeans_assign_nearest_and_ties(spark):
     from nexus_processor_spark.operators.similarity import kmeans_assign
 

@@ -552,6 +552,21 @@ def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((flag), (status)): the two one-dimension
+    subtotal sets in a single pass, WITHOUT the cross combinations a CUBE
+    would add — the planner expands each input row once per matching set,
+    so cost is sets x input, not 2^dims x input."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
 def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12/Q14 shape: CASE-gated aggregation in one pass."""
     orders = _t(spark, sf_dir, "orders")
@@ -660,6 +675,7 @@ QUERIES = {
     "array_ops": q_array_ops,
     "rollup_totals": q_rollup_totals,
     "cube_status_priority": q_cube_status_priority,
+    "grouping_sets": q_grouping_sets,
     "full_outer_recon": q_full_outer_recon,
     "moving_avg_revenue": q_moving_avg_revenue,
     "order_gaps": q_order_gaps,
@@ -850,6 +866,14 @@ ORACLE = {
                CAST(row_number() OVER w AS BIGINT) AS order_seq
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
     """,
     "cube_status_priority": """
         SELECT o_orderstatus, o_orderpriority,

@@ -92,6 +92,50 @@ def dedup_stream(
     )
 
 
+def funnel_join(
+    first: DataFrame,
+    second: DataFrame,
+    *,
+    key_col: str = "user_id",
+    time_col: str = "event_time",
+    within_seconds: float = 3600.0,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: a ``first`` event followed by a
+    ``second`` event with the same key within ``within_seconds`` — the
+    funnel/attribution shape (signup -> purchase, impression -> click).
+
+    Both sides carry watermarks and the join condition bounds the event
+    times against each other, which is what lets Spark EVICT buffered
+    state: a first-side row can be dropped once the second-side watermark
+    passes ``first.time + within_seconds``, so state is
+    O(rows per horizon) forever — an unbounded stream never accumulates
+    an unbounded join buffer. Without the time-range predicate Spark
+    would (correctly) refuse the stream-stream join as unbounded-state.
+
+    Output: key, first_time, second_time, lag_seconds.
+    """
+    a = first.select(
+        F.col(key_col).alias("k"), F.col(time_col).alias("first_time")
+    ).withWatermark("first_time", watermark)
+    b = second.select(
+        F.col(key_col).alias("k2"), F.col(time_col).alias("second_time")
+    ).withWatermark("second_time", watermark)
+    cond = (
+        (F.col("k") == F.col("k2"))
+        & (F.col("second_time") >= F.col("first_time"))
+        & (F.col("second_time")
+           <= F.col("first_time") + F.expr(f"INTERVAL {int(within_seconds)} SECONDS"))
+    )
+    return a.join(b, cond).select(
+        F.col("k").alias(key_col),
+        "first_time",
+        "second_time",
+        (F.unix_timestamp("second_time") - F.unix_timestamp("first_time"))
+        .cast("double").alias("lag_seconds"),
+    )
+
+
 def enrich_stream(
     events: DataFrame,
     dim: DataFrame,

@@ -326,3 +326,39 @@ def test_enrich_stream_matches_batch_join(spark, tmp_path):
     batch = spark.createDataFrame(rows, schema).join(dim, "bank", "left")
     want = sorted((r.event_id, r.bank_kind) for r in batch.collect())
     assert got == want and (3, None) in got
+
+
+def test_funnel_join_stream_stream_matches_batch(spark, tmp_path):
+    """Stream-stream funnel join (watermarked, time-bounded) emits exactly
+    the batch join's matches once drained."""
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m, 0)
+    first = spark.createDataFrame(
+        [(1, t(10, 0)), (2, t(11, 0)), (9, t(9, 0))],
+        "user_id long, event_time timestamp",
+    )
+    second = spark.createDataFrame(
+        [(1, t(10, 30)), (1, t(12, 30)), (2, t(11, 10)), (3, t(10, 5))],
+        "user_id long, event_time timestamp",
+    )
+    fdir, sdir = str(tmp_path / "first"), str(tmp_path / "second")
+    first.write.parquet(fdir)
+    second.write.parquet(sdir)
+
+    batch = {(r.user_id, r.first_time, r.second_time, r.lag_seconds)
+             for r in windows.funnel_join(first, second).collect()}
+    assert {(u, ls) for u, _, _, ls in batch} == {(1, 1800.0), (2, 600.0)}
+
+    schema = "user_id long, event_time timestamp"
+    sa = spark.readStream.schema(schema).parquet(fdir)
+    sb = spark.readStream.schema(schema).parquet(sdir)
+    joined = windows.funnel_join(sa, sb)
+    assert joined.isStreaming
+    q = (joined.writeStream.format("memory").queryName("funnel")
+         .option("checkpointLocation", str(tmp_path / "ck_funnel"))
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.first_time, r.second_time, r.lag_seconds)
+           for r in spark.sql("select * from funnel").collect()}
+    assert got == batch

@@ -660,7 +660,327 @@ def q_yearly_revenue_pivotish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: nation-pair trade volume with a disjunctive join
+    predicate over two roles of the same dim.
+
+    Scale notes: nation is broadcast twice (once per role), supplier is
+    broadcast (always ~1e-4 of lineitem), and the pair filter is applied
+    *after* the cheap broadcast joins so the only shuffles are the
+    lineitem->orders->customer chain on their natural keys.
+    """
+    nation = _t(spark, sf_dir, "nation")
+    pair = ("NATION_3", "NATION_7")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz("1996-01-01"))
+        & (F.col("l_shipdate") < _ntz("1998-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's part-type revenue
+    per year — conditional aggregation over a 6-way join.
+
+    The share division is computed on *rounded* numerator/denominator so
+    both engines divide identical decimals (their double-sum accumulation
+    orders differ).
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz("1996-01-01"))
+        & (F.col("o_orderdate") < _ntz("1998-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == region.r_regionkey)
+        .join(F.broadcast(n2), sup.s_nationkey == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(F.sum(target), 2).alias("nation_volume"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            "nation_volume",
+            "total_volume",
+            F.round(F.col("nation_volume") / F.col("total_volume"), 6).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue —
+    join -> agg -> TakeOrderedAndProject with a unique-key tiebreak."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz("1996-10-01"))
+        & (F.col("o_orderdate") < _ntz("1997-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer histogram via LEFT OUTER join —
+    customers with zero matching orders must survive as count 0."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the global maximum windowed
+    revenue — the scalar ``= (SELECT max(...))`` subquery decorrelated into
+    an unpartitioned window max over the grouped aggregate.
+
+    The agg output is one row per supplier (tiny), so the empty-frame
+    window costs one extra exchange over ~1e4 rows, not a second pass over
+    lineitem.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz("1996-01-01"))
+        & (F.col("l_shipdate") < _ntz("1996-04-01"))
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    w = Window.partitionBy()
+    best = rev.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    return (
+        best.join(F.broadcast(sup), best.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a HAVING aggregate, decorrelated
+    as agg -> filter -> join back to the fact chain."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the *sole* late shipper on
+    finished multi-supplier orders.
+
+    The reference's EXISTS / NOT EXISTS pair is decorrelated into one
+    per-order aggregate (distinct suppliers, distinct late suppliers) —
+    a single shuffle on orderkey replaces two correlated probes, which is
+    the form that survives 100 TB. Late = shipped >90 days after order.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    lines = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).alias(
+                "is_late"
+            ),
+        )
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    culprit = (
+        lines.filter(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+    )
+    return (
+        culprit.join(F.broadcast(sup), culprit.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
+
+
+def q_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar AVG subquery threshold + NOT EXISTS
+    anti-join, reported per customer nation.
+
+    The scalar is a 1-row aggregate broadcast into the filter (no
+    collect); the NOT EXISTS is a left-anti join on custkey. "Idle" means
+    no orders since 2000 (an all-time NOT EXISTS is vacuous here — every
+    customer has ordered at least once).
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ntz("2000-01-01")
+    )
+    threshold = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+    rich = cust.join(F.broadcast(threshold)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        idle.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+def q_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): per customer, each
+    order's trailing-30-day order count and spend. Peers at equal dates
+    all enter the frame, so the result is deterministic under ties —
+    unlike a ROWS frame, which would depend on tie order."""
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day.cast("long"))
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )
+
+
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile / percent_rank / cume_dist over account
+    balance within market segment (unique-key tiebreak for determinism)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
 QUERIES = {
+    "volume_shipping": q_volume_shipping,
+    "market_share": q_market_share,
+    "returned_items": q_returned_items,
+    "customer_distribution": q_customer_distribution,
+    "top_supplier": q_top_supplier,
+    "large_orders": q_large_orders,
+    "waiting_suppliers": q_waiting_suppliers,
+    "global_sales": q_global_sales,
+    "range_frame_rolling": q_range_frame_rolling,
+    "ntile_quartiles": q_ntile_quartiles,
     "argmax_agg": q_argmax_agg,
     "null_semantics": q_null_semantics,
     "string_functions": q_string_functions,
@@ -1074,5 +1394,162 @@ ORACLE = {
         SELECT event_id, 'click' AS src FROM events WHERE event_type = 'click'
         UNION ALL
         SELECT event_id, 'error' AS src FROM events WHERE event_type = 'error'
+    """,
+    "volume_shipping": """
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        GROUP BY 1, 2, 3
+    """,
+    "market_share": """
+        WITH vols AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS vol,
+                   n2.n_name AS supp_nation
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+        ), agg AS (
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_7'
+                                  THEN vol ELSE 0.0 END), 2) AS nation_volume,
+                   round(sum(vol), 2) AS total_volume
+            FROM vols GROUP BY 1
+        )
+        SELECT o_year, nation_volume, total_volume,
+               round(nation_volume / total_volume, 6) AS mkt_share
+        FROM agg
+    """,
+    "returned_items": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "customer_distribution": """
+        WITH per_cust AS (
+            SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+            FROM customer
+            LEFT OUTER JOIN (SELECT * FROM orders
+                             WHERE o_orderpriority <> '1-URGENT') o
+              ON c_custkey = o.o_custkey
+            GROUP BY 1
+        )
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM per_cust
+        GROUP BY 1
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    "large_orders": """
+        WITH big AS (
+            SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 250
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+               total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    "waiting_suppliers": """
+        WITH lines AS (
+            SELECT l_orderkey, l_suppkey,
+                   l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        ), per_order AS (
+            SELECT l_orderkey,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+                     AS n_late_supp
+            FROM lines GROUP BY 1
+        )
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM (SELECT DISTINCT l_orderkey, l_suppkey
+              FROM lines WHERE is_late) culprit
+        JOIN per_order USING (l_orderkey)
+        JOIN supplier ON culprit.l_suppkey = s_suppkey
+        WHERE n_supp >= 2 AND n_late_supp = 1
+        GROUP BY 1
+        ORDER BY numwait DESC, s_name
+        LIMIT 25
+    """,
+    "global_sales": """
+        WITH threshold AS (
+            SELECT round(avg(c_acctbal), 2) AS avg_bal
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_nationkey AS nationkey,
+               CAST(count(*) AS BIGINT) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer, threshold
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY 1
+    """,
+    "range_frame_rolling": """
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(count(*) OVER w AS BIGINT) AS n_orders_30d,
+               round(sum(o_totalprice) OVER w, 2) AS spend_30d
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey
+            ORDER BY date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE))
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+        )
+    """,
+    "ntile_quartiles": """
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(ntile(4) OVER w AS BIGINT) AS bal_quartile,
+               round(percent_rank() OVER w, 6) AS bal_pct_rank,
+               round(cume_dist() OVER w, 6) AS bal_cume_dist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
     """,
 }

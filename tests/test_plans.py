@@ -101,6 +101,47 @@ def test_interval_distincts_use_bitmaps_not_expand(spark):
     assert "Expand" not in plan
 
 
+def test_volume_shipping_broadcasts_dims_and_supplier(spark):
+    """Q7 shape: both nation roles and the supplier side broadcast; the
+    only exchanges are the lineitem->orders->customer key chain."""
+    df = relational_q.q_volume_shipping(spark, SF)
+    assert explain.broadcast_join_count(df) >= 3
+    assert "CartesianProduct" not in explain.executed_plan(df)
+
+
+def test_top_supplier_scans_lineitem_once(spark):
+    """Q15's scalar max subquery is decorrelated into a window over the
+    per-supplier aggregate — lineitem must be scanned once, not once per
+    side of a self-join."""
+    plan = explain.executed_plan(relational_q.q_top_supplier(spark, SF))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_waiting_suppliers_stays_in_equi_joins(spark):
+    """Q21's EXISTS/NOT EXISTS pair decorrelates to one per-order
+    aggregate + equi-joins; nothing may degenerate to a nested-loop."""
+    plan = explain.executed_plan(relational_q.q_waiting_suppliers(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_global_sales_scalar_and_anti_join(spark):
+    """Q22: the 1-row threshold joins as a broadcast nested loop (fine —
+    one row), the NOT EXISTS as a LeftAnti equi-join (never a loop)."""
+    plan = explain.executed_plan(relational_q.q_global_sales(spark, SF))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_frame_is_range_not_rows(spark):
+    """The trailing-30-day window must compile to a RangeFrame; a RowFrame
+    here would be tie-order-dependent and semantically wrong."""
+    plan = explain.executed_plan(relational_q.q_range_frame_rolling(spark, SF))
+    assert "RangeFrame" in plan
+
+
 def test_agg_is_partial_then_final_hash(spark):
     """One shuffle total: map-side partial aggregation combines before the
     exchange, the final hash agg after — the plan that holds at 100 TB.

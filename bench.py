@@ -76,6 +76,92 @@ def ensure_big_events(spark) -> None:
        .option("compression", "zstd").parquet(f"{BIG_DIR}/events.parquet"))
 
 
+DOCS_ROWS = int(os.environ.get("SPARK_GRAFT_BIG_DOCS", "2000000"))
+DOCS_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "docsbig")
+
+
+def ensure_big_docs(spark) -> None:
+    """Synthesize a seeded ~2M-doc corpus (~1.5 GB of text) once.
+
+    Tokens are xxhash64-derived with a harmonic-ish skew (id drawn modulo
+    a hashed cap), so the corpus has a Zipf-like vocabulary head — the
+    shape dedup/TF-IDF operators actually face — while staying fully
+    deterministic across regenerations.
+    """
+    from pyspark.sql import functions as F
+
+    marker = Path(DOCS_DIR) / "documents.parquet" / "_SUCCESS"
+    if marker.exists():
+        return
+    h = lambda s: F.xxhash64(F.col("id"), F.lit(s))
+    n_toks = (F.lit(40) + F.pmod(h(0), F.lit(200))).cast("int")
+    tok = lambda i: F.concat(
+        F.lit("w"),
+        F.pmod(
+            F.xxhash64(F.col("id") * 1000 + i),
+            F.pmod(F.xxhash64(F.col("id") * 7919 + i), F.lit(30000)) + 1,
+        ),
+    )
+    df = spark.range(DOCS_ROWS).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.transform(F.sequence(F.lit(1), n_toks), tok)).alias("text"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es")),
+            (F.pmod(h(1), F.lit(4)) + 1).cast("int"),
+        ).alias("lang"),
+        F.element_at(
+            F.array(F.lit("web"), F.lit("books"), F.lit("code"), F.lit("wiki")),
+            (F.pmod(h(2), F.lit(4)) + 1).cast("int"),
+        ).alias("source"),
+    )
+    df = df.withColumn("n_chars", F.length("text").cast("long"))
+    (df.repartition(64).write.mode("overwrite")
+       .option("compression", "zstd").parquet(f"{DOCS_DIR}/documents.parquet"))
+
+
+def run_docs(spark) -> dict[str, object]:
+    """Scan-bound throughput of the training-data hot paths on the
+    synthesized corpus, reported as docs/s and MB/s:
+
+    * ``text_profile`` — quality scoring (token/char/punct stats), the
+      map-only gate every corpus pass applies.
+    * ``minhash_signatures`` — the salted-md5 shingle projection, the
+      expensive map stage of near-dedup.
+    * ``dedup_exact_survivors`` — full-corpus exact dedup (one md5-key
+      shuffle).
+    """
+    from nexus_processor_spark.operators import dedup, textstats
+
+    ensure_big_docs(spark)
+    docs = spark.read.parquet(f"{DOCS_DIR}/documents.parquet")
+    total_mb = (
+        docs.selectExpr("sum(n_chars) AS b").first()["b"] / 1e6
+    )
+    shapes = {
+        "text_profile": lambda: textstats.text_profile(docs),
+        "minhash_signatures": lambda: dedup.minhash_signatures(docs, num_bands=8),
+        "dedup_exact_survivors": lambda: dedup.exact_dedup(docs),
+    }
+    out: dict[str, object] = {
+        "rows": DOCS_ROWS,
+        "mb": round(total_mb, 1),
+        "queries": {},
+    }
+    for name, build in shapes.items():
+        best = float("inf")
+        for _ in range(2):
+            s = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - s)
+            spark.catalog.clearCache()
+        out["queries"][name] = {
+            "sec": round(best, 3),
+            "docs_per_sec": round(DOCS_ROWS / best),
+            "mb_per_sec": round(total_mb / best, 1),
+        }
+    return out
+
+
 def run_big(spark, qs) -> dict[str, object]:
     """Scan-bound throughput on the synthesized table, reported as
     events/s for two shapes:
@@ -157,8 +243,10 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     big = None
+    docs = None
     if os.environ.get("SPARK_GRAFT_BIGBENCH", "1") != "0":
         big = run_big(spark, qs)
+        docs = run_docs(spark)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -170,6 +258,8 @@ def main() -> None:
     }
     if big is not None:
         out["bigbench"] = big
+    if docs is not None:
+        out["docsbench"] = docs
     print(json.dumps(out))
     spark.stop()
 

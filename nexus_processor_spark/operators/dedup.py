@@ -28,11 +28,10 @@ from nexus_processor_spark.functions.text import (
     BANDS_PER_MD5,
     chunk_min,
     hamming64,
-    minhash_band,
     salted_md5s,
     simhash,
     tokens,
-    word_shingles,
+    word_shingles_text,
 )
 from nexus_processor_spark.plans.layout import spread
 
@@ -73,16 +72,30 @@ def minhash_signatures(
     Docs with no shingles (shorter than the shingle width) emit nothing —
     they cannot meaningfully near-dup match.
     """
-    sh = word_shingles(tokens(text_col), shingle_words)
+    sh = word_shingles_text(text_col, shingle_words)
     d = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), sh.alias("_shingles")
     )
+    # Materialize each salt's md5 array ONCE in its own projection — the
+    # band structs below only take substring chunks of it. Inlining the
+    # md5 transform into all num_bands struct elements would recompute the
+    # whole salted array per band (8x the md5 work, the operator's entire
+    # cost); CollapseProject keeps this split because the aliases are
+    # expensive and multiply-referenced.
+    n_salts = (num_bands + BANDS_PER_MD5 - 1) // BANDS_PER_MD5
+    hashed = d.select(
+        F.col(id_col),
+        *[salted_md5s(F.col("_shingles"), s).alias(f"_h{s}") for s in range(n_salts)],
+    )
     bands = F.array(*[
-        F.struct(F.lit(b).alias("band"), minhash_band(F.col("_shingles"), b).alias("sig"))
+        F.struct(
+            F.lit(b).alias("band"),
+            chunk_min(F.col(f"_h{b // BANDS_PER_MD5}"), b).alias("sig"),
+        )
         for b in range(num_bands)
     ])
     return (
-        d.select(id_col, F.explode(bands).alias("bs"))
+        hashed.select(id_col, F.explode(bands).alias("bs"))
         .select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
         .filter(F.col("sig").isNotNull())
     )
@@ -131,7 +144,7 @@ def jaccard_verify(
     set math per pair without exploding shingles through a shuffle.
     """
     sh = docs.select(
-        F.col(id_col), word_shingles(tokens(text_col), shingle_words).alias("sh")
+        F.col(id_col), word_shingles_text(text_col, shingle_words).alias("sh")
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -178,7 +191,7 @@ def minhash_dedup_pairs(
     n_minhashes = num_bands * rows_per_band
     n_salts = -(-n_minhashes // BANDS_PER_MD5)
     raw = spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), word_shingles(tokens(text_col), shingle_words).alias("sh")
+        F.col(id_col), word_shingles_text(text_col, shingle_words).alias("sh")
     )
     # The salted md5 arrays are the expensive columns; they live INSIDE the
     # persisted projection so they're computed exactly once. (Computing all

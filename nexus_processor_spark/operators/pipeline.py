@@ -238,13 +238,13 @@ def decontaminate(
     every corpus row (hits or not) makes the result a stable audit table a
     curation run can filter or join downstream.
     """
-    from nexus_processor_spark.functions.text import word_shingles
+    from nexus_processor_spark.functions.text import word_shingles_text
 
     eval_grams = eval_df.select(
-        F.explode(word_shingles(tokens(text_col), n)).alias("gram")
+        F.explode(word_shingles_text(text_col, n)).alias("gram")
     ).distinct()
     corpus_grams = corpus.select(
-        F.col(id_col), F.explode(word_shingles(tokens(text_col), n)).alias("gram")
+        F.col(id_col), F.explode(word_shingles_text(text_col, n)).alias("gram")
     )
     hits = (
         corpus_grams.join(F.broadcast(eval_grams), "gram", "left_semi")

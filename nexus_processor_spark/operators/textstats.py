@@ -32,6 +32,16 @@ def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("long")
 
 
+def _marker_hits_text(t: Column, markers: tuple[str, ...]) -> Column:
+    """Token-equality hit count straight off the text: one regexp_count
+    pass with each marker anchored to token boundaries (start/sep before,
+    sep/end after), so a marker only counts as a whole token — exactly
+    ``_marker_hits(tokens(text), markers)``, without materializing the
+    token array (markers are plain words; no escaping needed)."""
+    pat = f"(?:^|(?<= ))(?:{'|'.join(markers)})(?= |$)"
+    return F.regexp_count(t, F.lit(pat)).cast("long")
+
+
 def text_profile(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -39,20 +49,25 @@ def text_profile(
     BPE-ish token count. Exact-rational divisions only (no rounding needed
     cross-engine)."""
     t = F.col(text_col)
-    toks = tokens(text_col)
-    n_toks = F.size(toks).cast("long")
-    stop_hits = _marker_hits(toks, STOPWORDS)
+    # Single-char-class counts (spaces, digits) go through translate —
+    # one char-map pass, no regex; token count = spaces + 1 and the
+    # space-stripped length is exactly n_chars - (n_tokens - 1) for a
+    # single-char separator. Structural counts (BPE runs, stopword hits)
+    # stay regexp_count — no match-array materialization. Equivalence to
+    # the array forms is pinned by tests/test_properties.py.
+    n_toks = (F.length(t) - F.length(F.translate(t, " ", "")) + 1).cast("long")
+    stop_hits = _marker_hits_text(t, STOPWORDS)
     return df.select(
         F.col(id_col),
         F.length(t).cast("long").alias("n_chars"),
         n_toks.alias("n_tokens"),
-        (F.length(F.regexp_replace(t, " ", "")).cast("double") / n_toks)
+        ((F.length(t) - n_toks + 1).cast("double") / n_toks)
         .alias("avg_token_len"),
         stop_hits.alias("stopword_hits"),
         (stop_hits.cast("double") / n_toks).alias("stopword_ratio"),
-        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)).cast("long")
+        F.regexp_count(t, F.lit(BPE_TOKEN_RE)).cast("long")
         .alias("bpe_tokens"),
-        F.size(F.regexp_extract_all(t, F.lit("[0-9]"), 0)).cast("long")
+        (F.length(t) - F.length(F.translate(t, "0123456789", ""))).cast("long")
         .alias("n_digits"),
     )
 
@@ -62,8 +77,8 @@ def language_id(
 ) -> DataFrame:
     """Stopword-hit language heuristic: per-language marker counts and the
     argmax (first-listed language wins ties)."""
-    toks = tokens(text_col)
-    scores = {lang: _marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
+    t = F.col(text_col)
+    scores = {lang: _marker_hits_text(t, m) for lang, m in LANG_MARKERS.items()}
     langs = list(LANG_MARKERS)
     pred = F.lit("und")
     # Build the CASE from the lowest priority up so earlier langs override.

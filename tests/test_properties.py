@@ -17,7 +17,12 @@ from nexus_processor_spark.functions.core import (
     run_id_from_filename,
     run_id_to_filename,
 )
-from nexus_processor_spark.functions.text import tokens, word_shingles
+from nexus_processor_spark.functions.text import (
+    char_shingles,
+    tokens,
+    word_shingles,
+    word_shingles_text,
+)
 
 
 def test_event_seconds_matches_duckdb_epoch_bulk(spark):
@@ -65,6 +70,70 @@ def test_run_id_roundtrip_bulk(spark):
     ).collect()
     for r in out:
         assert r.back == f"{r.inst.replace(':', '_')}:{r.run}", r
+
+
+def test_word_shingles_text_equals_split_form_bulk(spark):
+    """The regex fast path must be EXACTLY the split-then-join semantics,
+    including empty tokens from doubled/leading/trailing separators."""
+    rng = np.random.default_rng(11)
+    pieces = ["a", "bb", "ccc", "", "", "d e", "x"]
+    texts = [" ".join(rng.choice(pieces, size=rng.integers(0, 14)))
+             for _ in range(400)]
+    texts += ["", " ", "  ", "a", "a ", " a", "a b", "a  b", "  a b c  ",
+              "a b c", "a\tb c d", "aa bb cc dd"]
+    for n in (1, 2, 3, 5):
+        rows = (spark.createDataFrame([(t,) for t in texts], "text string")
+                .select(
+                    word_shingles(tokens("text"), n).alias("slow"),
+                    word_shingles_text("text", n).alias("fast"),
+                ).collect())
+        for r in rows:
+            assert r.slow == r.fast, (n, r)
+
+
+def test_char_shingles_regex_matches_substring_semantics_bulk(spark):
+    """The one-pass regex k-gram extraction must equal per-position
+    substring slicing (incl. newlines — DOTALL — and short/empty texts)."""
+    rng = np.random.default_rng(12)
+    alphabet = list("ab c\nd.!")
+    texts = ["".join(rng.choice(alphabet, size=rng.integers(0, 30)))
+             for _ in range(300)]
+    for k in (1, 3, 8):
+        rows = (spark.createDataFrame([(t,) for t in texts], "text string")
+                .select("text", char_shingles(F.col("text"), k).alias("got"))
+                .collect())
+        for r in rows:
+            want = []
+            for i in range(max(len(r.text) - k + 1, 0)):
+                g = r.text[i:i + k]
+                if g not in want:
+                    want.append(g)
+            assert r.got == want, (k, r)
+
+
+def test_marker_hits_text_equals_array_form_bulk(spark):
+    """regexp_count with token-boundary anchors must equal the
+    filter-over-token-array count — whole tokens only, duplicates counted,
+    prefix words ('a' vs 'and', 'is' vs 'ist') never cross-matched."""
+    from nexus_processor_spark.operators.textstats import (
+        LANG_MARKERS,
+        _marker_hits,
+        _marker_hits_text,
+    )
+
+    rng = np.random.default_rng(13)
+    vocab = ["the", "a", "of", "and", "is", "ist", "theo", "la", "y",
+             "and", "x1", "", "als"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 16)))
+             for _ in range(300)] + ["", "the", " the ", "a a a", "isthe is"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for markers in LANG_MARKERS.values():
+        rows = df.select(
+            _marker_hits(tokens("text"), markers).alias("slow"),
+            _marker_hits_text(F.col("text"), markers).alias("fast"),
+        ).collect()
+        for r in rows:
+            assert r.slow == r.fast, (markers, r)
 
 
 def test_shingle_count_property_bulk(spark):

@@ -110,17 +110,21 @@ def hex_prefix_value(hash_hex: Column, digits: int = 4) -> Column:
     return F.conv(F.substring(hash_hex, 1, digits), 16, 10).cast("long")
 
 
-def simhash(toks: Column, bits: int = 16) -> Column:
-    """SimHash over the distinct-token set: per-token md5 -> ``bits``-bit
-    value; each bit position votes +1/-1; sign of the vote is the output
-    bit. Near-duplicate docs land within small Hamming distance.
-
-    Single pass over the token array per bit, all inside codegen. 16 bits
-    is enough to band on; widen via multiple calls with salted tokens.
-    """
+def simhash_values(toks: Column, bits: int = 16) -> Column:
+    """Per-distinct-token hash values feeding the simhash vote — the
+    expensive projection (one md5 per distinct token). Materialize this
+    as its own column, then fold with ``simhash_from_values``: inlining it
+    would recompute the md5 transform inside every per-bit aggregate."""
     hexdigits = (bits + 3) // 4
-    ds = F.transform(F.array_distinct(toks), lambda t: hex_prefix_value(F.md5(t), hexdigits))
+    return F.transform(
+        F.array_distinct(toks), lambda t: hex_prefix_value(F.md5(t), hexdigits)
+    )
 
+
+def simhash_from_values(vals: Column, bits: int = 16) -> Column:
+    """Fold precomputed token-hash values into the ``bits``-bit signature:
+    each bit position votes +1/-1 per token; sign of the vote is the
+    output bit. Near-duplicate docs land within small Hamming distance."""
     # Bit j via modulo math — F.shiftright chokes on lambda variables (py4j
     # arg conversion). Closure factory, NOT a default arg: pyspark derives
     # the lambda's variable count from its arity, so extra params would be
@@ -131,9 +135,17 @@ def simhash(toks: Column, bits: int = 16) -> Column:
 
     out = F.lit(0).cast("long")
     for j in range(bits):
-        vote = F.aggregate(ds, F.lit(0).cast("long"), vote_fn(j))
+        vote = F.aggregate(vals, F.lit(0).cast("long"), vote_fn(j))
         out = out + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return out
+
+
+def simhash(toks: Column, bits: int = 16) -> Column:
+    """SimHash over the distinct-token set (single-expression form — for
+    the two-step projection the operators use, see ``simhash_values`` +
+    ``simhash_from_values``). 16 bits is enough to band on; widen via
+    multiple calls with salted tokens."""
+    return simhash_from_values(simhash_values(toks, bits), bits)
 
 
 def hamming64(a: Column, b: Column, bits: int = 16) -> Column:

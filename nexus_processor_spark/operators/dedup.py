@@ -29,7 +29,8 @@ from nexus_processor_spark.functions.text import (
     chunk_min,
     hamming64,
     salted_md5s,
-    simhash,
+    simhash_from_values,
+    simhash_values,
     tokens,
     word_shingles_text,
 )
@@ -341,10 +342,19 @@ def simhash_signatures(
     id_col: str = "doc_id",
     bits: int = 16,
 ) -> DataFrame:
-    """(id, simhash): token-vote signature per doc."""
-    return spread(df.select(F.col(id_col), F.col(text_col))).select(
+    """(id, simhash): token-vote signature per doc.
+
+    Two-step projection: the per-token md5 values materialize once in
+    their own column; the per-bit vote folds reference it (CollapseProject
+    keeps expensive multiply-referenced aliases split — inlined, the md5
+    transform would rerun inside every one of the ``bits`` aggregates)."""
+    valued = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
-        simhash(tokens(text_col), bits).alias("simhash"),
+        simhash_values(tokens(text_col), bits).alias("_vals"),
+    )
+    return valued.select(
+        F.col(id_col),
+        simhash_from_values(F.col("_vals"), bits).alias("simhash"),
     )
 
 

@@ -28,6 +28,7 @@ from nexus_processor_spark.functions.text import (
     BANDS_PER_MD5,
     chunk_min,
     hamming64,
+    hex_prefix_value,
     salted_md5s,
     simhash_from_values,
     simhash_values,
@@ -358,6 +359,52 @@ def simhash_signatures(
     )
 
 
+def simhash_signatures_agg(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+) -> DataFrame:
+    """Wide simhash via the relational formulation: explode distinct
+    tokens, then per-bit conditional-SUM votes in ONE hash aggregate.
+
+    Same signature definition as :func:`simhash_signatures` (per-token
+    md5-prefix value, each bit votes +-1, sign wins — pinned equivalent at
+    equal ``bits`` by tests), but the fold runs as whole-stage-codegen
+    aggregation with map-side partial combine instead of ``bits``
+    interpreted array passes — the formulation that scales to 60-bit
+    signatures and 100 TB corpora. The shuffle carries one ``bits``-long
+    partial-vote row per doc per map partition, not token rows.
+
+    ``bits`` caps at 60 so the signature stays non-negative in a BIGINT
+    (band extraction shifts and the DuckDB oracle's integer math stay
+    sign-free).
+    """
+    if not 1 <= bits <= 60:
+        raise ValueError("simhash_signatures_agg supports 1..60 bits")
+    hexdigits = (bits + 3) // 4
+    toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("_t"),
+    )
+    vals = toks.select(
+        F.col(id_col),
+        hex_prefix_value(F.md5(F.col("_t")), hexdigits).alias("_v"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("_v", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{j}")
+        for j in range(bits)
+    ]
+    agg = vals.groupBy(id_col).agg(*votes)
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(F.col(f"_b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
 def simhash_band_candidates(
     sigs: DataFrame,
     *,
@@ -432,11 +479,18 @@ def simhash_dedup_pairs(
     bits: int = 16,
     hamming_max: int = 4,
     max_bucket: int | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs within ``hamming_max`` of the simhash signature:
     banded candidate generation (perfect recall by pigeonhole) + exact
-    Hamming verification. No cross join anywhere in the plan."""
-    sigs = simhash_signatures(df, text_col=text_col, id_col=id_col, bits=bits)
+    Hamming verification. No cross join anywhere in the plan.
+
+    ``signatures`` overrides the default 16-bit HOF signature operator
+    (e.g. pass :func:`simhash_signatures_agg` output for the 60-bit wide
+    path — set ``bits`` to match)."""
+    sigs = signatures if signatures is not None else simhash_signatures(
+        df, text_col=text_col, id_col=id_col, bits=bits
+    )
     cands = simhash_band_candidates(
         sigs, bits=bits, hamming_max=hamming_max, id_col=id_col,
         max_bucket=max_bucket, distinct=False,

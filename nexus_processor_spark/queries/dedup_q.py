@@ -62,6 +62,28 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WIDE_BITS = 60
+WIDE_HAMMING_MAX = 3
+
+
+def q_dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit simhash via the explode + hash-aggregate formulation
+    (whole-stage-codegen conditional sums, map-side combine) — the wide
+    signature that keeps collision rates meaningful at corpus scale."""
+    return dedup.simhash_signatures_agg(_docs(spark, sf_dir), bits=WIDE_BITS)
+
+
+def q_dedup_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs within Hamming <= 3 of the 60-bit simhash: banded
+    candidates (4 x 15-bit bands, pigeonhole recall) + exact popcount
+    verify — same shape as the 16-bit path, stronger signature."""
+    docs = _docs(spark, sf_dir)
+    sigs = dedup.simhash_signatures_agg(docs, bits=WIDE_BITS)
+    return dedup.simhash_dedup_pairs(
+        docs, bits=WIDE_BITS, hamming_max=WIDE_HAMMING_MAX, signatures=sigs
+    )
+
+
 NGRAM_MAX_BLOCK = 4096
 
 
@@ -126,6 +148,8 @@ QUERIES = {
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_simhash_wide": q_dedup_simhash_wide,
+    "dedup_simhash_wide_pairs": q_dedup_simhash_wide_pairs,
 }
 
 # --- oracle SQL -------------------------------------------------------------
@@ -175,16 +199,20 @@ _SIGS_R2 = f"""
 """
 
 
-def _simhash_sql() -> str:
-    """Mirror functions.text.simhash: hex-digit math on md5(token)."""
+def _simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    """Mirror functions.text.simhash: hex-digit math on md5(token).
+    Generalizes to any width <= 60 (the value stays in signed BIGINT)."""
     hexv = "0123456789abcdef"
+    hexdigits = (bits + 3) // 4
     h = lambda k: f"(strpos('{hexv}', substr(md5(t), {k}, 1)) - 1)"
-    d = f"(4096*{h(1)} + 256*{h(2)} + 16*{h(3)} + {h(4)})"
+    d = "(" + " + ".join(
+        f"{16 ** (hexdigits - k)}*{h(k)}" for k in range(1, hexdigits + 1)
+    ) + ")"
     ds = f"list_transform(list_distinct(string_split(text, ' ')), t -> {d})"
     votes = [
         f"CASE WHEN list_sum(list_transform(ds, d -> CASE WHEN ((d >> {j}) & 1) = 1 "
         f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END"
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     ]
     return f"""
         SELECT doc_id, CAST({' + '.join(votes)} AS BIGINT) AS simhash
@@ -193,6 +221,7 @@ def _simhash_sql() -> str:
 
 
 _SIMHASH = _simhash_sql()
+_SIMHASH_WIDE = _simhash_sql(WIDE_BITS)
 
 ORACLE = {
     "dedup_ngram_jaccard": """
@@ -243,6 +272,14 @@ ORACLE = {
         JOIN sh y ON c.id_b = y.doc_id
     """,
     "dedup_simhash": _SIMHASH,
+    "dedup_simhash_wide": _SIMHASH_WIDE,
+    "dedup_simhash_wide_pairs": f"""
+        WITH s AS ({_SIMHASH_WIDE})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {WIDE_HAMMING_MAX}
+    """,
     "dedup_simhash_pairs": f"""
         WITH s AS ({_SIMHASH})
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -69,6 +69,45 @@ def test_simhash_banded_pairs_match_brute_force(spark):
     assert banded == brute
 
 
+def test_simhash_agg_formulation_equals_hof(spark):
+    """The explode + hash-aggregate (wide) formulation must produce the
+    SAME signatures as the per-bit array-fold form at equal bit width —
+    same hash values, same vote rule, different physical plan."""
+    rows = [(i, f"token{i % 7} alpha beta gamma w{i} t{i % 4} the of is")
+            for i in range(40)] + [(100, ""), (101, "one")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hof = {r.doc_id: r.simhash
+           for r in dedup.simhash_signatures(docs, bits=16).collect()}
+    agg = {r.doc_id: r.simhash
+           for r in dedup.simhash_signatures_agg(docs, bits=16).collect()}
+    assert hof == agg
+
+
+def test_simhash_wide_pairs_banded_match_brute_force(spark):
+    """60-bit path: banded candidates + popcount verify == all-pairs scan."""
+    import itertools
+
+    rows = [(i, f"token{i % 5} alpha beta gamma delta word{i} tail{i % 3}")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.doc_id: r.simhash
+            for r in dedup.simhash_signatures_agg(docs, bits=60).collect()}
+    assert all(0 <= v < 2 ** 60 for v in sigs.values())
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    banded = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_dedup_pairs(
+            docs, bits=60, hamming_max=3,
+            signatures=dedup.simhash_signatures_agg(docs, bits=60),
+        ).collect()
+    }
+    assert banded == brute
+
+
 def test_simhash_band_max_bucket_caps_fanout(spark):
     docs = spark.createDataFrame(
         [(i, "same text every row") for i in range(10)], "doc_id long, text string"

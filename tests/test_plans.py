@@ -78,6 +78,19 @@ def test_simhash_pairs_has_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_wide_pairs_has_no_cross_join(spark):
+    """The 60-bit banded path must stay an equi-join like the 16-bit one,
+    and its signature aggregate must partial-combine map-side (explode
+    rows never cross the exchange raw)."""
+    from nexus_processor_spark.queries import dedup_q
+
+    plan = explain.executed_plan(dedup_q.q_dedup_simhash_wide_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    plan_sig = explain.executed_plan(dedup_q.q_dedup_simhash_wide(spark, SF))
+    assert "partial_sum" in plan_sig
+
+
 def test_ngram_jaccard_block_fanout_bounded(spark):
     """The (lang, source) self-join only sees blocks below the cap: the
     window count filter precedes the join, so a quasi-global block at

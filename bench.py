@@ -162,6 +162,75 @@ def run_docs(spark) -> dict[str, object]:
     return out
 
 
+def run_replay(spark, sf_dir: str) -> dict[str, object]:
+    """Replay egress throughput against BASELINE.md rows 8-9: the
+    reference documents ~100K events/s for stdout JSONL and ~10M events/s
+    for Arrow Flight (docs/event-replay.md:31-32). Both channels replay
+    the sf events table end-to-end (ordered, full rows)."""
+    import io
+
+    from pyspark.sql import functions as F
+
+    from nexus_processor_spark.functions.core import event_seconds
+    from nexus_processor_spark.sources.tables import load_table
+    from nexus_processor_spark.streaming import replay
+
+    # FIXTURES.md §4 mapping onto the replay schema: event_type -> run_id,
+    # user_id -> pulse_index, value -> time_offset.
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("run_id"),
+        F.col("user_id").alias("pulse_index"),
+        F.col("value").alias("time_offset"),
+        "event_id",
+        event_seconds("ts").alias("absolute_time"),
+    )
+    n = ev.count()
+    out: dict[str, object] = {"rows": n, "queries": {}}
+
+    el = float("inf")
+    for _ in range(2):  # best-of-2: first run pays sort-plan JIT
+        sink = io.StringIO()
+        s = time.perf_counter()
+        emitted = replay.replay_to_jsonl(ev, sink)
+        el = min(el, time.perf_counter() - s)
+        assert emitted == n, (emitted, n)
+    out["queries"]["replay_jsonl"] = {
+        "sec": round(el, 3), "events_per_sec": round(n / el)
+    }
+
+    try:
+        from nexus_processor_spark.sources.flight import (
+            EventFlightServer,
+            read_flight,
+        )
+
+        # Flight is the bulk channel (baseline: ~10M events/s) — measure
+        # at 5M rows from the synthesized big table so gRPC stream
+        # throughput, not job-startup cost, dominates.
+        nf = 5_000_000
+        big = (
+            spark.read.parquet(f"{BIG_DIR}/events.parquet")
+            .select("event_id", "ts", "user_id", "value")
+            .filter(F.col("event_id") < nf)
+        )
+        server = EventFlightServer({"events": lambda: big})
+        try:
+            read_flight(server.endpoint, "events")  # warm: plan + JIT
+            s = time.perf_counter()
+            tbl = read_flight(server.endpoint, "events")
+            el = time.perf_counter() - s
+            assert tbl.num_rows == nf
+            out["queries"]["replay_flight"] = {
+                "rows": nf, "sec": round(el, 3),
+                "events_per_sec": round(nf / el),
+            }
+        finally:
+            server.shutdown()
+    except ImportError:
+        pass  # flight absent in this environment — metric omitted
+    return out
+
+
 def run_big(spark, qs) -> dict[str, object]:
     """Scan-bound throughput on the synthesized table, reported as
     events/s for two shapes:
@@ -244,9 +313,11 @@ def main() -> None:
 
     big = None
     docs = None
+    rep = None
     if os.environ.get("SPARK_GRAFT_BIGBENCH", "1") != "0":
         big = run_big(spark, qs)
         docs = run_docs(spark)
+        rep = run_replay(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -260,6 +331,8 @@ def main() -> None:
         out["bigbench"] = big
     if docs is not None:
         out["docsbench"] = docs
+    if rep is not None:
+        out["replaybench"] = rep
     print(json.dumps(out))
     spark.stop()
 

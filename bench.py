@@ -260,11 +260,28 @@ def run_big(spark, qs) -> dict[str, object]:
     # 10-day slice in the middle of the synthetic 30-day domain.
     t0 = 1_700_000_000.0
     day = 86_400.0
+
+    def _enrich_join():
+        # Broadcast-enrich 100M events with a 1M-row dim (16 MB — inside
+        # the autoBroadcast threshold) and aggregate per dim attribute:
+        # the J1 enrichment chain at data scale, zero shuffle on events.
+        dim = spark.range(1_000_000).select(
+            F.col("id").alias("d_user"),
+            F.pmod(F.xxhash64("id", F.lit("c")), F.lit(16)).alias("cohort"),
+        )
+        ev = spark.read.parquet(f"{BIG_DIR}/events.parquet")
+        return (
+            ev.join(F.broadcast(dim), ev.user_id == dim.d_user)
+            .groupBy("cohort")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        )
+
     shapes = {
         "timeslice_interval": lambda: qs["timeslice_interval"](spark, BIG_DIR),
         "timeslice_range": lambda: timeslice.count_in_time_range(
             _events(BIG_DIR), t0 + 5 * day, t0 + 15 * day
         ),
+        "enrich_join": _enrich_join,
     }
     out: dict[str, object] = {"rows": BIG_ROWS, "queries": {}}
     for name, build in shapes.items():

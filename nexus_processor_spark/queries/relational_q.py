@@ -955,6 +955,41 @@ def q_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions over each customer's order history:
+    first/last/nth value on an explicit full-partition ROWS frame (the
+    default frame stops at CURRENT ROW — a classic silent-wrong-answer),
+    plus lead with a default. Unique-key tiebreak for determinism."""
+    orders = _t(spark, sf_dir, "orders")
+    order_cols = [F.col("o_orderdate"), F.col("o_orderkey")]
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    seq = Window.partitionBy("o_custkey").orderBy(*order_cols)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first_value("o_totalprice").over(full).alias("first_price"),
+        F.last_value("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+        F.lead("o_totalprice", 1, -1.0).over(seq).alias("next_price"),
+        F.row_number().over(seq).cast("long").alias("order_seq"),
+    )
+
+
+def q_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and / bool_or / count_if — predicate aggregation per group."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_over_400k"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.count_if(F.col("o_orderdate") >= _ntz("2000-01-01")).alias("n_recent"),
+    )
+
+
 def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution windows: ntile / percent_rank / cume_dist over account
     balance within market segment (unique-key tiebreak for determinism)."""
@@ -981,6 +1016,8 @@ QUERIES = {
     "global_sales": q_global_sales,
     "range_frame_rolling": q_range_frame_rolling,
     "ntile_quartiles": q_ntile_quartiles,
+    "window_navigation": q_window_navigation,
+    "boolean_aggregates": q_boolean_aggregates,
     "argmax_agg": q_argmax_agg,
     "null_semantics": q_null_semantics,
     "string_functions": q_string_functions,
@@ -1543,6 +1580,28 @@ ORACLE = {
                                CAST(o_orderdate AS DATE))
             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
         )
+    """,
+    "window_navigation": """
+        SELECT o_orderkey, o_custkey,
+               first_value(o_totalprice) OVER wfull AS first_price,
+               last_value(o_totalprice) OVER wfull AS last_price,
+               nth_value(o_totalprice, 2) OVER wfull AS second_price,
+               lead(o_totalprice, 1, -1.0) OVER wseq AS next_price,
+               CAST(row_number() OVER wseq AS BIGINT) AS order_seq
+        FROM orders
+        WINDOW wfull AS (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        ), wseq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "boolean_aggregates": """
+        SELECT o_orderpriority,
+               bool_and(o_totalprice > 1000.0) AS all_over_1k,
+               bool_or(o_totalprice > 400000.0) AS any_over_400k,
+               CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+               CAST(count_if(o_orderdate >= TIMESTAMP '2000-01-01') AS BIGINT)
+                 AS n_recent
+        FROM orders GROUP BY 1
     """,
     "ntile_quartiles": """
         SELECT c_custkey, c_mktsegment, c_acctbal,

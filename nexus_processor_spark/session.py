@@ -34,6 +34,15 @@ DEFAULT_CONFS: dict[str, str] = {
     # instead of shuffling; 64m is comfortably inside executor memory at
     # both local[32] and cluster executor sizings.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Object aggregates (bitmap_construct_agg, collect_set/list) fall back
+    # to SORT-based aggregation at 128 distinct groups per task — which
+    # silently turns a hash rollup into a full sort of the fact input.
+    # Our bitmap-distinct rollups group at (group x 2^15-bucket) grain
+    # (thousands of groups, ~4 KB state each); 256K groups/task bounds the
+    # agg-state memory at ~1 GB worst case, far past every rollup here,
+    # with the sort fallback still there as the overflow valve.
+    "spark.sql.execution.objectHashAggregate.sortBased.fallbackThreshold":
+        "262144",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.parquet.filterPushdown": "true",

@@ -114,6 +114,17 @@ def test_interval_distincts_use_bitmaps_not_expand(spark):
     assert "Expand" not in plan
 
 
+def test_bitmap_rollup_object_agg_stays_hash_based(spark):
+    """The bitmap-distinct branch groups at (interval, bucket) grain —
+    thousands of groups. ObjectHashAggregateExec silently falls back to
+    SORT-based aggregation at 128 distinct groups per task (then sorts
+    the whole fact input); the session default raises the threshold so
+    bitmap rollups aggregate by hash (measured 15% on the 100M rollup)."""
+    assert int(spark.conf.get(
+        "spark.sql.execution.objectHashAggregate.sortBased.fallbackThreshold"
+    )) >= 262144
+
+
 def test_volume_shipping_broadcasts_dims_and_supplier(spark):
     """Q7 shape: both nation roles and the supplier side broadcast; the
     only exchanges are the lineitem->orders->customer key chain."""

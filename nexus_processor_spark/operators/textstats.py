@@ -65,8 +65,22 @@ def text_profile(
         .alias("avg_token_len"),
         stop_hits.alias("stopword_hits"),
         (stop_hits.cast("double") / n_toks).alias("stopword_ratio"),
-        F.regexp_count(t, F.lit(BPE_TOKEN_RE)).cast("long")
-        .alias("bpe_tokens"),
+        # BPE count decomposed: the alternation regex re-evaluates three
+        # branches at every position; letter runs + digit runs are two
+        # cheap single-class regexes, and "other" singles are exact char
+        # arithmetic (total - letters - digits - spaces via translate).
+        (
+            F.regexp_count(t, F.lit("[A-Za-z]+"))
+            + F.regexp_count(t, F.lit("[0-9]+"))
+            + F.length(
+                F.translate(
+                    t,
+                    " 0123456789"
+                    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz",
+                    "",
+                )
+            )
+        ).cast("long").alias("bpe_tokens"),
         (F.length(t) - F.length(F.translate(t, "0123456789", ""))).cast("long")
         .alias("n_digits"),
     )

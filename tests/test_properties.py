@@ -136,6 +136,31 @@ def test_marker_hits_text_equals_array_form_bulk(spark):
             assert r.slow == r.fast, (markers, r)
 
 
+def test_bpe_count_decomposition_equals_alternation_bulk(spark):
+    """letter-runs + digit-runs + other-singles (translate arithmetic)
+    must equal the one-alternation-regex BPE count, incl. non-ASCII."""
+    from nexus_processor_spark.operators.textstats import (
+        BPE_TOKEN_RE,
+        text_profile,
+    )
+
+    rng = np.random.default_rng(14)
+    alphabet = list("abcXY z01!.,9 é\n")
+    texts = ["".join(rng.choice(alphabet, size=rng.integers(0, 60)))
+             for _ in range(400)]
+    texts += ["", "abc", "123", "a1b2", "!!", "a b", " a ", "éé 12ab!"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = {r.doc_id: r.bpe for r in df.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE)).cast("long")
+        .alias("bpe")).collect()}
+    got = {r.doc_id: r.bpe_tokens
+           for r in text_profile(df).select("doc_id", "bpe_tokens").collect()}
+    assert got == want
+
+
 def test_shingle_count_property_bulk(spark):
     rng = np.random.default_rng(6)
     texts = [" ".join(rng.choice(["a", "bb", "ccc", "dd"],

@@ -177,6 +177,35 @@ def count_by_interval(
     ).orderBy("interval")
 
 
+def push_time_range(
+    events: DataFrame,
+    start_time: float,
+    end_time: float,
+    *,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Half-open ``[start, end)`` seconds filter expressed on the STORED
+    nanosecond column, so it reaches the parquet scan.
+
+    Filtering the derived ``absolute_time`` (= exact ns→s math) can never
+    push down — Catalyst won't invert the expression, so every row group
+    is read and filtered post-scan. This helper translates integral
+    second boundaries to exact integer nanos and filters ``ts_col``
+    directly: ``PushedFilters`` shows up in the scan and sorted layouts
+    (``catalog.write_table(sort_by=["ts"])``) skip whole row groups on
+    min/max stats. Boundaries must be micro-second-representable (every
+    reference query boundary is); equivalence to the derived-column
+    filter is pinned by tests.
+    """
+    lo_us = round(float(start_time) * 1e6)
+    hi_us = round(float(end_time) * 1e6)
+    if lo_us / 1e6 != float(start_time) or hi_us / 1e6 != float(end_time):
+        raise ValueError("boundaries must be microsecond-representable")
+    return events.filter(
+        (F.col(ts_col) >= F.lit(lo_us * 1000)) & (F.col(ts_col) < F.lit(hi_us * 1000))
+    )
+
+
 def count_in_time_range(
     events: DataFrame,
     start_time: float,

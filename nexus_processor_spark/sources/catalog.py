@@ -85,6 +85,7 @@ def write_table(
     mode: str = "append",
     max_records_per_file: int | None = None,
     fmt: str = "parquet",
+    sort_by: list[str] | None = None,
 ) -> str:
     """Write a run table with its declared partitioning; returns the path
     (parquet) or table identifier (iceberg).
@@ -95,8 +96,17 @@ def write_table(
     ``schemas.table_ddl(..., fmt="iceberg")`` with the reference's
     partition spec if absent, and rows append via the v2 writer. Only the
     catalog config differs from production — the codepath is identical.
+
+    ``sort_by`` range-clusters and sorts rows before writing so parquet
+    row-group min/max stats become selective on those columns — a pushed
+    time predicate then *skips* row groups instead of scanning them
+    (BASELINE.md row 12's premise; the reference assumes ~128 MB row
+    groups with stats on pulse_time). Same rows, different layout; the
+    skipping only pays off for predicates on the leading sort column.
     """
     _, parts = TABLES[table]
+    if sort_by:
+        df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
     if fmt == "iceberg":
         spark = df.sparkSession
         require_iceberg_catalog(spark, root)

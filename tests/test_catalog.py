@@ -25,6 +25,40 @@ def test_write_read_partitioned_roundtrip(spark, tmp_path):
     assert "PartitionFilters" in plan
 
 
+def test_write_table_sort_by_yields_disjoint_file_ranges(spark, tmp_path):
+    """sort_by range-clusters the rows: each written file covers a
+    disjoint slice of the sort column, so row-group min/max stats can
+    skip files/groups for a pushed range predicate."""
+    from pyspark.sql import functions as F
+
+    df = (spark.range(0, 20000)
+          .select(F.col("id").alias("event_id"),
+                  F.xxhash64("id").alias("ts")))
+    root = str(tmp_path / "lake")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        (df.repartitionByRange(4, "ts").sortWithinPartitions("ts")
+         .write.parquet(f"{root}/sorted"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    back = spark.read.parquet(f"{root}/sorted")
+    per_file = (back.groupBy(F.input_file_name().alias("f"))
+                .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+                .collect())
+    assert len(per_file) >= 3
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint: stats-based skipping is possible
+    assert back.count() == 20000
+
+    # the write_table branch itself: same rows back, sorted layout
+    p = tmp_path / "run.json"
+    p.write_text(json.dumps(fixture_tree()))
+    ev = nexus.ingest_table(spark, [str(p)], "events")
+    catalog.write_table(ev, root, "events", sort_by=["time_offset"])
+    assert catalog.read_table(spark, root, "events").count() == 4
+
+
 def test_routing_by_directory_and_filename():
     got = catalog.route_files([
         "/lake/events/part-0.parquet",

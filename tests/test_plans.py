@@ -114,6 +114,18 @@ def test_interval_distincts_use_bitmaps_not_expand(spark):
     assert "Expand" not in plan
 
 
+def test_push_time_range_reaches_parquet_scan(spark):
+    """The raw-nanos range filter must appear in PushedFilters — the
+    derived-seconds filter (exact ns→s math) never pushes down, which at
+    100 TB is the difference between skipping and scanning row groups."""
+    from nexus_processor_spark.operators import timeslice
+    from nexus_processor_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    pushed = timeslice.push_time_range(ev, 1704844800.0, 1705708800.0)
+    assert explain.has_pushed_filter(pushed, "ts")
+
+
 def test_bitmap_rollup_object_agg_stays_hash_based(spark):
     """The bitmap-distinct branch groups at (interval, bucket) grain —
     thousands of groups. ObjectHashAggregateExec silently falls back to

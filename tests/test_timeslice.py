@@ -65,6 +65,36 @@ def test_count_in_time_range_half_open(spark):
     assert row.start_time == 10.0 and row.end_time == 20.0
 
 
+def test_push_time_range_matches_derived_filter(spark):
+    """Raw-nanos pushdown filter == derived-seconds filter for µs-aligned
+    timestamps (boundary rows land identically on both sides)."""
+    from nexus_processor_spark.functions.core import event_seconds
+
+    base = 1_700_000_000
+    ns = [  # µs-aligned nanos straddling the [base+10, base+20) window
+        (base + 9) * 10**9 + 999_999_000,
+        (base + 10) * 10**9,
+        (base + 15) * 10**9 + 123_456_000,
+        (base + 19) * 10**9 + 999_999_000,
+        (base + 20) * 10**9,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(ns)],
+                               "event_id long, ts long")
+    lo, hi = float(base + 10), float(base + 20)
+    pushed = {r.event_id for r in
+              timeslice.push_time_range(df, lo, hi).collect()}
+    derived = {r.event_id for r in
+               df.select("event_id", event_seconds("ts").alias("t"))
+               .filter((F.col("t") >= lo) & (F.col("t") < hi)).collect()}
+    assert pushed == derived == {1, 2, 3}
+
+
+def test_push_time_range_rejects_sub_microsecond_boundary(spark):
+    df = spark.createDataFrame([(1, 0)], "event_id long, ts long")
+    with pytest.raises(ValueError):
+        timeslice.push_time_range(df, 0.0000001, 1.0)
+
+
 def test_exclude_error_banks(spark):
     events = spark.createDataFrame(
         [("bank1_events",), ("bank_error_events",), ("bank_unmapped",)],

@@ -342,6 +342,55 @@ def vocab_topk(
     )
 
 
+def bigram_stats(
+    df: DataFrame,
+    k: int = 200,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k corpus bigrams with conditional probability P(w2 | w1) —
+    the n-gram LM statistics a data-quality / repetition analysis reads.
+
+    Bigrams extract in one regex pass (non-distinct twin of
+    ``word_shingles_text``: one occurrence per starting token), counts
+    partial-combine map-side, and the conditional divides two exact longs
+    (bit-identical cross-engine, no rounding needed). The unigram join
+    runs after both aggs, so it joins count-rows, never token rows.
+    """
+    from nexus_processor_spark.functions.text import tokens
+
+    pat = "(?:^|(?<= ))(?=([^ ]*(?: [^ ]*){1}))"
+    uni = (
+        df.select(F.explode(tokens(text_col)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").cast("long").alias("n_first"))
+    )
+    big = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), 1)
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n_bigram"))
+    )
+    first = F.substring_index(F.col("bigram"), " ", 1)
+    return (
+        big.withColumn("w1", first)
+        .join(uni, "w1")
+        .select(
+            "bigram",
+            "n_bigram",
+            "n_first",
+            (F.col("n_bigram").cast("double") / F.col("n_first").cast("double"))
+            .alias("cond_p"),
+        )
+        .orderBy(F.col("n_bigram").desc(), "bigram")
+        .limit(k)
+    )
+
+
 def incremental_dedup(
     batch: DataFrame,
     corpus: DataFrame,

@@ -105,6 +105,10 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.vocab_topk(_docs(spark, sf_dir), VOCAB_K)
 
 
+def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.bigram_stats(_docs(spark, sf_dir), 200)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-split documents into an existing corpus half and a new batch;
     keep batch docs whose content hash the corpus hasn't seen."""
@@ -129,6 +133,7 @@ QUERIES = {
     "quality_quantile": q_quality_quantile,
     "source_mix": q_source_mix,
     "vocab_topk": q_vocab_topk,
+    "bigram_stats": q_bigram_stats,
     "dedup_incremental": q_dedup_incremental,
 }
 
@@ -293,6 +298,27 @@ ORACLE = {
         GROUP BY token
         ORDER BY n_occurrences DESC, token
         LIMIT {VOCAB_K}
+    """,
+    "bigram_stats": """
+        WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+        uni AS (
+            SELECT t AS w1, CAST(count(*) AS BIGINT) AS n_first
+            FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1
+        ),
+        big AS (
+            SELECT g AS bigram, CAST(count(*) AS BIGINT) AS n_bigram
+            FROM (
+                SELECT unnest(list_transform(
+                    generate_series(1, greatest(len(w) - 1, 0)),
+                    i -> w[i] || ' ' || w[i + 1])) AS g
+                FROM toks
+            ) GROUP BY 1
+        )
+        SELECT bigram, n_bigram, n_first,
+               CAST(n_bigram AS DOUBLE) / CAST(n_first AS DOUBLE) AS cond_p
+        FROM big JOIN uni ON split_part(bigram, ' ', 1) = uni.w1
+        ORDER BY n_bigram DESC, bigram
+        LIMIT 200
     """,
     "dedup_incremental": f"""
         WITH h AS (

@@ -48,6 +48,19 @@ def _build_parser() -> argparse.ArgumentParser:
 
     ddl = sub.add_parser("ddl", help="print CREATE TABLE statements")
     ddl.add_argument("table", nargs="?", default=None)
+
+    co = sub.add_parser(
+        "corpus", help="training-corpus ops over a documents parquet"
+    )
+    co.add_argument("op", choices=["profile", "dedup", "neardup", "sample"])
+    co.add_argument("--input", required=True,
+                    help="documents parquet path (doc_id, text, ...)")
+    co.add_argument("--output", default=None,
+                    help="write result parquet here (default: show)")
+    co.add_argument("--fraction", type=float, default=0.1,
+                    help="sample: deterministic hash-sample fraction")
+    co.add_argument("--threshold", type=float, default=0.5,
+                    help="neardup: Jaccard threshold")
     return p
 
 
@@ -109,6 +122,31 @@ def main(argv: list[str] | None = None) -> int:
             events = rp.filtered_events(events, run_id=args.run_id, bank=args.bank)
             n = rp.replay_to_jsonl(events, rate_events_per_sec=args.rate)
             print(f"replayed {n} events", file=sys.stderr)
+        elif args.cmd == "corpus":
+            docs = spark.read.parquet(args.input)
+            if args.op == "profile":
+                from nexus_processor_spark.operators import textstats
+
+                result = textstats.text_profile(docs)
+            elif args.op == "dedup":
+                from nexus_processor_spark.operators import dedup
+
+                result = dedup.exact_dedup(docs)
+            elif args.op == "neardup":
+                from nexus_processor_spark.operators import dedup
+
+                result = dedup.minhash_dedup_pairs(
+                    docs, threshold=args.threshold
+                )
+            else:
+                from nexus_processor_spark.operators import pipeline
+
+                result = pipeline.hash_sample(docs, args.fraction)
+            if args.output:
+                result.write.mode("overwrite").parquet(args.output)
+                print(f"wrote {args.output}", file=sys.stderr)
+            else:
+                result.show(50, truncate=False)
     finally:
         if owned:
             spark.stop()

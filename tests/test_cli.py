@@ -43,3 +43,28 @@ def test_ingest_and_timeslice_cli(spark, tmp_path, capsys):
     got = spark.read.parquet(out_dir).collect()
     assert len(got) == 1 and got[0].event_count == 4
     assert spark.sparkContext._jsc is not None  # session survived main()
+
+
+def test_corpus_cli_ops(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en"),
+         (2, "alpha beta gamma delta", "en"),
+         (3, "totally different words here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "dedup.parquet")
+    assert main(["corpus", "dedup", "--input", src, "--output", out]) == 0
+    assert spark.read.parquet(out).count() == 2  # exact dup collapsed
+
+    out2 = str(tmp_path / "profile.parquet")
+    assert main(["corpus", "profile", "--input", src, "--output", out2]) == 0
+    prof = spark.read.parquet(out2)
+    assert prof.count() == 3 and "bpe_tokens" in prof.columns
+
+    out3 = str(tmp_path / "sample.parquet")
+    assert main(["corpus", "sample", "--input", src, "--output", out3,
+                 "--fraction", "1.0"]) == 0
+    assert spark.read.parquet(out3).count() == 3

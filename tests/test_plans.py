@@ -7,6 +7,9 @@ broadcast, and compute-heavy operators get real parallelism.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from nexus_processor_spark.operators import timeslice
 from nexus_processor_spark.plans import explain
 from nexus_processor_spark.queries import relational_q, timeslice_q
 
@@ -105,13 +108,36 @@ def test_ngram_jaccard_block_fanout_bounded(spark):
 
 
 def test_interval_distincts_use_bitmaps_not_expand(spark):
-    """The data-scale pulse distinct must go through bitmap aggregates
-    (bucket bitmaps exchanged) — a multi-distinct Expand plan (input x 3
-    rows through the shuffle) is the 100 TB killer this replaced."""
+    """The data-scale pulse distinct must go through packed-word bitmap
+    aggregates (codegen ``bit_or`` over 64-bit words) — a multi-distinct
+    Expand plan (input x 3 rows through the shuffle) is the 100 TB killer
+    this replaced, and Spark's bitmap_construct_agg is the object-agg
+    slow path this replaced in turn (1.8x at 100M rows)."""
     df = timeslice_q.q_timeslice_interval(spark, SF)
     plan = explain.executed_plan(df)
-    assert "bitmap_construct_agg" in plan
+    assert "bit_or" in plan
+    assert "bit_count" in plan
     assert "Expand" not in plan
+    # whole plan stays codegen: no ObjectHashAggregate anywhere
+    assert "ObjectHashAggregate" not in plan
+
+
+def test_bitmap_distinct_word_agg_runs_in_stage(spark):
+    """The word aggregation must consume the repartition exchange
+    directly: exactly one full-width exchange (the skinny repartition),
+    with the (group, spread, word) groupBy satisfied in-stage by it.
+    A second exchange of fact-grain rows would double the shuffle."""
+    from nexus_processor_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    out = timeslice.bitmap_distinct(
+        ev.select(F.col("user_id").alias("pulse_index")), [],
+        "pulse_index", "n")
+    plan = explain.executed_plan(out)
+    # exchanges: 1 repartition (hashpartitioning on _sp) + 1 tiny final
+    # single-partition exchange for the global sum — nothing fact-grain
+    # beyond the repartition itself.
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_push_time_range_reaches_parquet_scan(spark):

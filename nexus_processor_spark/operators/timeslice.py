@@ -218,9 +218,32 @@ def push_time_range(
     hi_us = round(float(end_time) * 1e6)
     if lo_us / 1e6 != float(start_time) or hi_us / 1e6 != float(end_time):
         raise ValueError("boundaries must be microsecond-representable")
-    return events.filter(
-        (F.col(ts_col) >= F.lit(lo_us * 1000)) & (F.col(ts_col) < F.lit(hi_us * 1000))
-    )
+    lo, hi = _ts_literals(events.schema[ts_col].dataType, lo_us, hi_us)
+    return events.filter((F.col(ts_col) >= lo) & (F.col(ts_col) < hi))
+
+
+def _ts_literals(ts_type, lo_us: int, hi_us: int) -> tuple[Column, Column]:
+    """Boundary literals matching the stored ``ts`` encoding, so the
+    comparison stays a bare-attribute predicate (a cast inserted on the
+    COLUMN side would block parquet pushdown).
+
+    * long ns (the engine's lake contract): plain long literals;
+    * TIMESTAMP_NTZ (µs testdata, naive-as-UTC): ``TIMESTAMP_NTZ`` string
+      literals built from UTC wall-clock — timezone-free by construction;
+    * TIMESTAMP (LTZ): ``timestamp_micros`` of the epoch-µs value —
+      foldable and session-timezone-independent.
+    """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    if isinstance(ts_type, TimestampNTZType):
+        def wall(us: int) -> Column:
+            from datetime import datetime, timedelta
+            dt = datetime(1970, 1, 1) + timedelta(microseconds=us)
+            return F.expr(f"TIMESTAMP_NTZ '{dt.strftime('%Y-%m-%d %H:%M:%S.%f')}'")
+        return wall(lo_us), wall(hi_us)
+    if isinstance(ts_type, TimestampType):
+        return F.timestamp_micros(F.lit(lo_us)), F.timestamp_micros(F.lit(hi_us))
+    return F.lit(lo_us * 1000), F.lit(hi_us * 1000)
 
 
 def count_in_time_range(

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from nexus_processor_spark.functions.core import event_seconds
 from nexus_processor_spark.operators import timeslice
-from nexus_processor_spark.sources.tables import load_table
+from nexus_processor_spark.sources.tables import load_events_time_range, load_table
 
 INTERVAL = 3600.0
 # Half-open [2024-01-10, 2024-01-20) in UTC epoch seconds.
@@ -36,7 +36,18 @@ def q_timeslice_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_timeslice_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return timeslice.count_in_time_range(_events(spark, sf_dir), RANGE_START, RANGE_END)
+    """A3/P4 + S9: the range predicate is pushed onto the stored ``ts``
+    encoding first (parquet row-group pruning), then re-applied exactly on
+    the derived seconds inside ``count_in_time_range`` (same half-open
+    semantics, so the double filter is a no-op on rows)."""
+    ev = load_events_time_range(spark, sf_dir, RANGE_START, RANGE_END).select(
+        "event_id",
+        event_seconds("ts").alias("absolute_time"),
+        F.col("event_type").alias("bank"),
+        F.col("user_id").alias("pulse_index"),
+        "value",
+    )
+    return timeslice.count_in_time_range(ev, RANGE_START, RANGE_END)
 
 
 def q_timeslice_bank_interval(spark: SparkSession, sf_dir: str) -> DataFrame:

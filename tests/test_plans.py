@@ -141,15 +141,31 @@ def test_bitmap_distinct_word_agg_runs_in_stage(spark):
 
 
 def test_push_time_range_reaches_parquet_scan(spark):
-    """The raw-nanos range filter must appear in PushedFilters — the
-    derived-seconds filter (exact ns→s math) never pushes down, which at
-    100 TB is the difference between skipping and scanning row groups."""
+    """The RANGE predicate itself must appear in PushedFilters (not just
+    the IsNotNull Spark derives from it) — the derived-seconds filter
+    never pushes down, which at 100 TB is the difference between skipping
+    and scanning row groups. Exercised on the raw stored encoding, since
+    a filter over the normalized (projected) column can only be a
+    DataFilter."""
     from nexus_processor_spark.operators import timeslice
     from nexus_processor_spark.sources.tables import load_table
 
-    ev = load_table(spark, SF, "events")
+    ev = load_table(spark, SF, "events", normalize_time=False)
     pushed = timeslice.push_time_range(ev, 1704844800.0, 1705708800.0)
-    assert explain.has_pushed_filter(pushed, "ts")
+    assert explain.has_pushed_filter(pushed, "GreaterThanOrEqual(ts")
+    assert explain.has_pushed_filter(pushed, "LessThan(ts")
+
+
+def test_load_events_time_range_pushes_and_normalizes(spark):
+    """The composed range loader keeps the pushed predicate AND delivers
+    the long-ns contract, whatever the file's ts encoding."""
+    from pyspark.sql.types import LongType
+
+    from nexus_processor_spark.sources.tables import load_events_time_range
+
+    df = load_events_time_range(spark, SF, 1704844800.0, 1705708800.0)
+    assert isinstance(df.schema["ts"].dataType, LongType)
+    assert explain.has_pushed_filter(df, "GreaterThanOrEqual(ts")
 
 
 def test_bitmap_rollup_object_agg_stays_hash_based(spark):

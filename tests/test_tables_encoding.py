@@ -1,0 +1,65 @@
+"""load_table must yield the long-nanos ``events.ts`` contract for every
+parquet encoding the corpus has shipped (int64 TIMESTAMP(NANOS) and plain
+timestamp[us]/TIMESTAMP_NTZ) — round 2 regressed when the testdata moved
+from nanos-physical to µs timestamps."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql.types import LongType
+
+from nexus_processor_spark.sources.tables import load_table
+
+_ROWS = {
+    "event_id": [1, 2, 3],
+    "user_id": [10, 20, 30],
+    "event_type": ["click", "view", "click"],
+    "value": [0.5, 1.5, 2.5],
+    "props": ["{}", "{}", "{}"],
+}
+# µs-precision instants incl. an exact second and a fractional one
+_TS_US = [1704844800_000000, 1704844800_500001, 1705708799_999999]
+
+
+def _write_events(path, ts_array):
+    tbl = pa.table({**{k: pa.array(v) for k, v in _ROWS.items()},
+                    "ts": ts_array})
+    pq.write_table(tbl, path)
+
+
+def test_load_events_timestamp_us(spark, tmp_path):
+    """timestamp[us] (no tz → Spark TIMESTAMP_NTZ) normalizes to long ns."""
+    _write_events(
+        str(tmp_path / "events.parquet"),
+        pa.array(pd.to_datetime(_TS_US, unit="us"), type=pa.timestamp("us")),
+    )
+    df = load_table(spark, str(tmp_path), "events")
+    assert isinstance(df.schema["ts"].dataType, LongType)
+    got = [r.ts for r in df.orderBy("event_id").collect()]
+    assert got == [us * 1000 for us in _TS_US]
+
+
+def test_load_events_int64_nanos(spark, tmp_path):
+    """Physical int64 nanos passes through untouched (legacy encoding)."""
+    _write_events(
+        str(tmp_path / "events.parquet"),
+        pa.array([us * 1000 for us in _TS_US], type=pa.int64()),
+    )
+    df = load_table(spark, str(tmp_path), "events")
+    assert isinstance(df.schema["ts"].dataType, LongType)
+    got = [r.ts for r in df.orderBy("event_id").collect()]
+    assert got == [us * 1000 for us in _TS_US]
+
+
+def test_load_events_timestamp_nanos_parquet(spark, tmp_path):
+    """parquet TIMESTAMP(NANOS) reads as long via the nanosAsLong flag."""
+    _write_events(
+        str(tmp_path / "events.parquet"),
+        pa.array([us * 1000 for us in _TS_US], type=pa.timestamp("ns")),
+    )
+    df = load_table(spark, str(tmp_path), "events")
+    assert isinstance(df.schema["ts"].dataType, LongType)
+    got = [r.ts for r in df.orderBy("event_id").collect()]
+    assert got == [us * 1000 for us in _TS_US]

@@ -200,9 +200,14 @@ def push_time_range(
     end_time: float,
     *,
     ts_col: str = "ts",
+    unit: str = "ns",
 ) -> DataFrame:
     """Half-open ``[start, end)`` seconds filter expressed on the STORED
     nanosecond column, so it reaches the parquet scan.
+
+    ``unit`` ("ns" | "us") is the stored unit when ``ts_col`` is a LONG
+    column — callers that schema-override a µs-timestamp file to its
+    physical int64 pass "us". Ignored for timestamp-typed columns.
 
     Filtering the derived ``absolute_time`` (= exact ns→s math) can never
     push down — Catalyst won't invert the expression, so every row group
@@ -218,11 +223,13 @@ def push_time_range(
     hi_us = round(float(end_time) * 1e6)
     if lo_us / 1e6 != float(start_time) or hi_us / 1e6 != float(end_time):
         raise ValueError("boundaries must be microsecond-representable")
-    lo, hi = _ts_literals(events.schema[ts_col].dataType, lo_us, hi_us)
+    if unit not in ("ns", "us"):
+        raise ValueError(f"unit must be 'ns' or 'us', got {unit!r}")
+    lo, hi = _ts_literals(events.schema[ts_col].dataType, lo_us, hi_us, unit)
     return events.filter((F.col(ts_col) >= lo) & (F.col(ts_col) < hi))
 
 
-def _ts_literals(ts_type, lo_us: int, hi_us: int) -> tuple[Column, Column]:
+def _ts_literals(ts_type, lo_us: int, hi_us: int, unit: str = "ns") -> tuple[Column, Column]:
     """Boundary literals matching the stored ``ts`` encoding, so the
     comparison stays a bare-attribute predicate (a cast inserted on the
     COLUMN side would block parquet pushdown).
@@ -243,7 +250,8 @@ def _ts_literals(ts_type, lo_us: int, hi_us: int) -> tuple[Column, Column]:
         return wall(lo_us), wall(hi_us)
     if isinstance(ts_type, TimestampType):
         return F.timestamp_micros(F.lit(lo_us)), F.timestamp_micros(F.lit(hi_us))
-    return F.lit(lo_us * 1000), F.lit(hi_us * 1000)
+    scale = 1000 if unit == "ns" else 1
+    return F.lit(lo_us * scale), F.lit(hi_us * scale)
 
 
 def count_in_time_range(

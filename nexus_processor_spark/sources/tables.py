@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+from pyspark.sql.types import LongType, StructField, StructType, TimestampNTZType, TimestampType
 
 TESTDATA_TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -25,50 +25,40 @@ TESTDATA_TABLES = (
 _NANOS_FLAG = "spark.sql.legacy.parquet.nanosAsLong"
 
 
-def _normalize_event_time(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Enforce the engine contract: ``events.ts`` is long UTC nanoseconds.
-
-    The test corpus has shipped ``ts`` in two encodings across rounds:
-
-    * parquet TIMESTAMP(NANOS) physical int64 — read as ``long`` nanos
-      via ``nanosAsLong`` (already the contract; passes through), and
-    * plain ``timestamp[us]`` — read as ``TIMESTAMP_NTZ`` (Spark 4 NTZ
-      inference) or ``TIMESTAMP`` when inference is off.
-
-    Timestamp encodings are converted to long nanoseconds here, once, so
-    every downstream operator keeps doing exact integer time math
-    (functions.core.event_*) no matter how the file was written. Naive
-    timestamps are interpreted as UTC — the same convention as DuckDB's
-    tz-free ``epoch()`` the oracles use — so the session timezone is
-    pinned to UTC before the NTZ→LTZ cast.
-    """
-    t = df.schema["ts"].dataType
-    if isinstance(t, LongType):
-        return df
-    if isinstance(t, TimestampNTZType):
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        c = F.col("ts").cast("timestamp")
-    elif isinstance(t, TimestampType):
-        c = F.col("ts")
-    else:  # unknown future encoding: leave untouched rather than corrupt
-        return df
-    return df.withColumn("ts", (F.unix_micros(c) * F.lit(1000)).cast("long"))
+def _long_ts_schema(schema: StructType) -> StructType:
+    return StructType([
+        StructField("ts", LongType(), f.nullable) if f.name == "ts" else f
+        for f in schema.fields
+    ])
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str,
                *, normalize_time: bool = True) -> DataFrame:
     """Load one testdata table; ``events.ts`` arrives as long nanoseconds.
 
+    The corpus has shipped ``ts`` in two encodings across rounds: parquet
+    TIMESTAMP(NANOS) physical int64 (read as long via ``nanosAsLong`` —
+    already the contract) and plain ``timestamp[us]`` (TIMESTAMP_NTZ under
+    Spark 4's NTZ inference). For the µs encoding the file is re-read with
+    an explicit long ``ts`` — the vectorized reader then returns the
+    PHYSICAL int64 microseconds, skipping timestamp decode and any
+    timezone cast (naive-as-UTC by construction, the same convention as
+    the DuckDB oracles' tz-free ``epoch()``) — and one ``*1000`` restores
+    the long-ns contract for every downstream operator.
+
     ``normalize_time=False`` keeps ``ts`` in its stored encoding — for
-    callers that want to push a range predicate onto the physical column
-    (parquet min/max row-group pruning) before normalizing, e.g.
-    ``operators.timeslice.push_time_range`` + ``normalize_event_time``.
+    callers that push a range predicate onto the physical column before
+    normalizing (``load_events_time_range``).
     """
     if name == "events":
         spark.conf.set(_NANOS_FLAG, "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events" and normalize_time and "ts" in df.columns:
-        df = _normalize_event_time(spark, df)
+        t = df.schema["ts"].dataType
+        if isinstance(t, (TimestampType, TimestampNTZType)):
+            df = spark.read.schema(_long_ts_schema(df.schema)).parquet(path)
+            df = df.withColumn("ts", (F.col("ts") * F.lit(1000)).cast("long"))
     return df
 
 
@@ -76,13 +66,19 @@ def load_events_time_range(
     spark: SparkSession, sf_dir: str, start_time: float, end_time: float,
 ) -> DataFrame:
     """Events in half-open ``[start, end)`` seconds, with the range pushed
-    onto the STORED ``ts`` column (encoding-aware literals → parquet
-    ``PushedFilters`` → row-group skip on sorted layouts), then ``ts``
-    normalized to the long-ns contract."""
+    onto the STORED ``ts`` column in its stored unit (bare-attribute
+    comparison → parquet ``PushedFilters`` → row-group skip on sorted
+    layouts), then ``ts`` normalized to the long-ns contract."""
     from nexus_processor_spark.operators.timeslice import push_time_range
 
     raw = load_table(spark, sf_dir, "events", normalize_time=False)
-    return _normalize_event_time(spark, push_time_range(raw, start_time, end_time))
+    t = raw.schema["ts"].dataType
+    if isinstance(t, (TimestampType, TimestampNTZType)):
+        path = f"{sf_dir}/events.parquet"
+        raw = spark.read.schema(_long_ts_schema(raw.schema)).parquet(path)
+        pushed = push_time_range(raw, start_time, end_time, unit="us")
+        return pushed.withColumn("ts", (F.col("ts") * F.lit(1000)).cast("long"))
+    return push_time_range(raw, start_time, end_time)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

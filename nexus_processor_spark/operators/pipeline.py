@@ -447,3 +447,93 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+def boilerplate_phrases(
+    df: DataFrame,
+    n: int = 4,
+    min_docs: int = 3,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Word n-grams shared by >= ``min_docs`` distinct documents — the
+    corpus-frequency boilerplate detector (header/footer/license text at
+    web-corpus scale repeats across thousands of pages).
+
+    One regex pass per doc extracts every n-gram occurrence (lookahead
+    capture, same non-distinct trick as ``bigram_stats``); the per-gram
+    agg partial-combines the occurrence count map-side, and the distinct
+    doc count shuffles (gram, doc) once. Output ordered by spread.
+    """
+    pat = f"(?:^|(?<= ))(?=([^ ]*(?: [^ ]*){{{n - 1}}}))"
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(pat), 1)).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count_distinct(F.col(id_col)).cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= F.lit(min_docs))
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "gram")
+    )
+
+
+def lm_doc_score(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Bigram-LM quality score per document: mean log2 P(w2 | w1) under
+    the corpus's own bigram statistics (the cheap stand-in for
+    perplexity-based quality filtering — low scores mark improbable /
+    machine-garbled token sequences).
+
+    The model is the ``bigram_stats`` estimator without the top-k cut:
+    P(w2|w1) = n(w1 w2) / n(w1·), both exact longs, so every probability
+    is bit-identical cross-engine; only the log-sum needs rounding. The
+    doc-bigram -> model join keys on the bigram string — a plain shuffle
+    join that scales with corpus vocab (no broadcast assumption); docs
+    with fewer than two tokens drop out (no bigrams to score).
+
+    Output: ``id_col, n_bigrams, avg_log2_p`` (higher = more typical).
+    """
+    pat = "(?:^|(?<= ))(?=([^ ]*(?: [^ ]*){1}))"
+    uni = (
+        df.select(F.explode(tokens(text_col)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").cast("long").alias("n_first"))
+    )
+    big = (
+        df.select(
+            F.explode(F.regexp_extract_all(F.col(text_col), F.lit(pat), 1)).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n_bigram"))
+    )
+    model = (
+        big.withColumn("w1", F.substring_index(F.col("bigram"), " ", 1))
+        .join(uni, "w1")
+        .select(
+            "bigram",
+            (F.col("n_bigram").cast("double") / F.col("n_first").cast("double"))
+            .alias("cond_p"),
+        )
+    )
+    doc_bigrams = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(pat), 1)).alias("bigram"),
+    )
+    return (
+        doc_bigrams.join(model, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(F.log2("cond_p")), round_digits).alias("avg_log2_p"),
+        )
+    )

@@ -513,3 +513,80 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """k-nearest-neighbor graph of the WHOLE corpus (every vector is a
+    query), blocked by coarse cell — the primitive under semantic dedup,
+    graph clustering, and diversity sampling of a training corpus.
+
+    Same cell-equi-join shape as ``ivf_topk`` but with the corpus on both
+    sides: candidate generation never leaves the cell, so the pair space
+    is sum(|cell|²) not n² — with the corpus partitioned by cell on disk,
+    each cell's block joins co-located. No broadcast (both sides are
+    data-scale); the top-k is one window over the cell-join output,
+    shuffled by query id.
+
+    Output: ``query_id, vec_id, cos, rank`` (neighbors exclude self).
+    """
+    q, c = _sides(corpus, corpus, id_col, vec_col, cell_col)
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", _cos().alias("cos"))
+    )
+    return _ranked_topk(scored, k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style embedding dedup: cluster the corpus to broadcast
+    centroids, then inside each cluster drop every vector that has a
+    LOWER-id neighbor with cosine >= ``threshold``.
+
+    The keep-lowest-id rule (vs the paper's keep-farthest-from-centroid)
+    makes the survivor set a pure function of the pair relation — one
+    anti-join, no iteration, deterministic cross-engine. Pair generation
+    is cluster-blocked exactly like ``cosine_near_dup_pairs``: the n²
+    term is bounded by the largest cluster, never the corpus; the
+    centroid assignment is a broadcast crossJoin + map-side argmin
+    (``kmeans_assign``), so the only data-scale shuffles are the cell
+    self-join and the final anti-join on ``id_col``.
+
+    Output: surviving ``id_col, centroid_id`` (one row per kept vector).
+    """
+    assign = kmeans_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    tagged = corpus.join(assign.select(id_col, "centroid_id"), id_col)
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), F.col("centroid_id").alias("cell"),
+        F.col(vec_col).alias("_vq"), norm(F.col(vec_col)).alias("_nq"),
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"), F.col("centroid_id").alias("cell"),
+        F.col(vec_col).alias("_vc"), norm(F.col(vec_col)).alias("_nc"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", _cos().alias("cos"))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        tagged.join(dropped, id_col, "left_anti")
+        .select(id_col, "centroid_id")
+    )

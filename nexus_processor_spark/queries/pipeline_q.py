@@ -121,7 +121,27 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.incremental_dedup(batch, corpus)
 
 
+BOILERPLATE_N = 4
+BOILERPLATE_MIN_DOCS = 3
+
+
+def q_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate detection: word 4-grams shared by >= 3
+    distinct documents."""
+    return pipeline.boilerplate_phrases(
+        _docs(spark, sf_dir), BOILERPLATE_N, BOILERPLATE_MIN_DOCS
+    )
+
+
+def q_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring: mean log2 bigram probability per
+    doc under the corpus's own bigram LM."""
+    return pipeline.lm_doc_score(_docs(spark, sf_dir))
+
+
 QUERIES = {
+    "boilerplate_phrases": q_boilerplate_phrases,
+    "lm_doc_score": q_lm_doc_score,
     "sample_hash": q_sample_hash,
     "sample_stratified": q_sample_stratified,
     "split_assign": q_split_assign,
@@ -298,6 +318,55 @@ ORACLE = {
         GROUP BY token
         ORDER BY n_occurrences DESC, token
         LIMIT {VOCAB_K}
+    """,
+    "boilerplate_phrases": f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+        g AS (
+            SELECT doc_id,
+                   array_to_string(w[i : i + {BOILERPLATE_N - 1}], ' ') AS gram
+            FROM t, unnest(generate_series(1, len(w) - {BOILERPLATE_N - 1}))
+                 AS s(i)
+        )
+        SELECT gram,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM g GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}
+        ORDER BY n_docs DESC, n_occurrences DESC, gram
+    """,
+    "lm_doc_score": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+        uni AS (
+            SELECT t1 AS w1, CAST(count(*) AS BIGINT) AS n_first
+            FROM (SELECT unnest(w) AS t1 FROM t) GROUP BY 1
+        ),
+        big AS (
+            SELECT g AS bigram, CAST(count(*) AS BIGINT) AS n_bigram
+            FROM (
+                SELECT unnest(list_transform(
+                    generate_series(1, greatest(len(w) - 1, 0)),
+                    i -> w[i] || ' ' || w[i + 1])) AS g
+                FROM t
+            ) GROUP BY 1
+        ),
+        model AS (
+            SELECT bigram,
+                   CAST(n_bigram AS DOUBLE) / CAST(n_first AS DOUBLE) AS cond_p
+            FROM big JOIN uni ON split_part(bigram, ' ', 1) = uni.w1
+        ),
+        db AS (
+            SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(w) - 1, 0)),
+                i -> w[i] || ' ' || w[i + 1])) AS bigram
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(log2(cond_p)), 6) AS avg_log2_p
+        FROM db JOIN model USING (bigram)
+        GROUP BY doc_id
     """,
     "bigram_stats": """
         WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),

@@ -112,6 +112,26 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_K = 5
+SEMANTIC_DEDUP_THRESHOLD = 0.3  # same synthetic-corpus p99 basis as near-dup
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide kNN graph (every vector a query), cell-blocked — the
+    candidate structure under semantic dedup / diversity sampling."""
+    return similarity.knn_graph(_emb(spark, sf_dir), KNN_K)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style survivors: cluster to the seeded centroids, drop
+    any vector with a lower-id cluster-mate at cosine >= threshold."""
+    emb = _emb(spark, sf_dir)
+    return similarity.semantic_dedup(
+        emb, emb.filter(F.col("vec_id") < N_CENTROIDS),
+        SEMANTIC_DEDUP_THRESHOLD,
+    )
+
+
 QUERIES = {
     "pq_encode": q_pq_encode,
     "pq_topk": q_pq_topk,
@@ -121,6 +141,8 @@ QUERIES = {
     "vector_quantize": q_vector_quantize,
     "kmeans_assign": q_kmeans_assign,
     "kmeans_fit": q_kmeans_fit,
+    "knn_graph": q_knn_graph,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 
@@ -286,10 +308,54 @@ _PQ_TOPK_SQL = f"""
 """
 
 
+_SCORED_KNN = f"""
+    SELECT q.query_id, c.vec_id, {_cos('q.qv', 'c.cv')} AS cos
+    FROM (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings) q
+    JOIN (SELECT vec_id, embedding AS cv, label FROM embeddings) c USING (label)
+    WHERE c.vec_id <> q.query_id
+"""
+
+_SEMANTIC_DEDUP_SQL = f"""
+    WITH c AS (
+        SELECT vec_id AS centroid_id, embedding AS cv
+        FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    p AS (
+        SELECT e.vec_id, c.centroid_id,
+               round(list_sum(list_transform(
+                   generate_series(1, len(e.embedding)),
+                   i -> (CAST(e.embedding[i] AS DOUBLE)
+                         - CAST(c.cv[i] AS DOUBLE))
+                      * (CAST(e.embedding[i] AS DOUBLE)
+                         - CAST(c.cv[i] AS DOUBLE)))), 6) AS dist
+        FROM embeddings e, c
+    ),
+    a AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+            FROM p
+        ) WHERE rn = 1
+    ),
+    m AS (SELECT a.vec_id, a.centroid_id, e.embedding
+          FROM a JOIN embeddings e USING (vec_id)),
+    dropped AS (
+        SELECT DISTINCT hi.vec_id
+        FROM m lo JOIN m hi ON lo.centroid_id = hi.centroid_id
+                           AND lo.vec_id < hi.vec_id
+        WHERE {_cos('lo.embedding', 'hi.embedding')}
+              >= {SEMANTIC_DEDUP_THRESHOLD}
+    )
+    SELECT vec_id, centroid_id FROM m
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
 ORACLE = {
     "pq_encode": _PQ_ENCODE_SQL,
     "pq_topk": _PQ_TOPK_SQL,
     "kmeans_fit": _KMEANS_FIT_SQL,
+    "knn_graph": _TOPK.format(scored=_SCORED_KNN, k=KNN_K),
+    "semantic_dedup": _SEMANTIC_DEDUP_SQL,
     "sim_brute_topk": _TOPK.format(scored=_SCORED, k=TOP_K),
     "sim_ivf_topk": _TOPK.format(scored=_SCORED_IVF, k=TOP_K),
     "sim_near_dup_pairs": f"""

@@ -323,6 +323,87 @@ def run_big(spark, qs) -> dict[str, object]:
     return out
 
 
+VEC_ROWS = int(os.environ.get("SPARK_GRAFT_BIG_VECS", "1000000"))
+VEC_DIM = 64
+VEC_CELLS = 256
+VEC_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "vecbig")
+
+
+def ensure_big_vecs(spark) -> None:
+    """Synthesize a seeded ~1M x 64-dim embedding corpus once
+    (xxhash64-derived floats in [-1, 1), 256 coarse cells) — the vector
+    analog of ensure_big_events, fully deterministic."""
+    from pyspark.sql import functions as F
+
+    marker = Path(VEC_DIR) / "embeddings.parquet" / "_SUCCESS"
+    if marker.exists():
+        return
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(VEC_DIM)),
+        lambda i: (
+            F.pmod(F.xxhash64(F.col("id"), i), F.lit(100_000)) / F.lit(50_000.0)
+            - F.lit(1.0)
+        ).cast("float"),
+    )
+    df = spark.range(VEC_ROWS).select(
+        F.col("id").alias("vec_id"),
+        vec.alias("embedding"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit("cell")), F.lit(VEC_CELLS))
+        .cast("int").alias("label"),
+    )
+    (df.repartition(32).write.mode("overwrite")
+       .option("compression", "zstd").parquet(f"{VEC_DIR}/embeddings.parquet"))
+
+
+def run_vecs(spark) -> dict[str, object]:
+    """Vector-pipeline throughput at data scale, vectors/s:
+
+    * ``vector_quantize`` — int8 + unit-normalize projections, the
+      map-only storage-shrink pass (1M x 64-dim).
+    * ``kmeans_assign`` — nearest-of-32 broadcast centroids, the IVF
+      training E-step (1M x 32 x 64 distance evals, all codegen).
+    * ``knn_graph`` — cell-blocked all-pairs top-5 on a 50K slice
+      (256 cells, ~195-vector blocks): the candidate-generation stage of
+      semantic dedup, measuring the pair-scoring path itself.
+    """
+    from pyspark.sql import functions as F
+
+    from nexus_processor_spark.functions import vector
+    from nexus_processor_spark.operators import similarity
+
+    ensure_big_vecs(spark)
+    emb = spark.read.parquet(f"{VEC_DIR}/embeddings.parquet")
+    knn_rows = 50_000
+    v = F.col("embedding")
+    shapes = {
+        "vector_quantize": (VEC_ROWS, lambda: emb.select(
+            "vec_id",
+            vector.quant_scale(v).alias("scale"),
+            vector.quantize_int8(v).alias("q8"),
+            vector.l2_normalize(v).alias("unit"),
+        )),
+        "kmeans_assign": (VEC_ROWS, lambda: similarity.kmeans_assign(
+            emb, emb.filter(F.col("vec_id") < 32)
+        )),
+        "knn_graph": (knn_rows, lambda: similarity.knn_graph(
+            emb.filter(F.col("vec_id") < knn_rows), 5
+        )),
+    }
+    out: dict[str, object] = {"rows": VEC_ROWS, "dim": VEC_DIM, "queries": {}}
+    for name, (n, build) in shapes.items():
+        best = float("inf")
+        for _ in range(2):
+            s = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - s)
+            spark.catalog.clearCache()
+        out["queries"][name] = {
+            "sec": round(best, 3),
+            "vecs_per_sec": round(n / best),
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -356,10 +437,12 @@ def main() -> None:
     big = None
     docs = None
     rep = None
+    vecs = None
     if os.environ.get("SPARK_GRAFT_BIGBENCH", "1") != "0":
         big = run_big(spark, qs)
         docs = run_docs(spark)
         rep = run_replay(spark, sf_dir)
+        vecs = run_vecs(spark)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -375,6 +458,8 @@ def main() -> None:
         out["docsbench"] = docs
     if rep is not None:
         out["replaybench"] = rep
+    if vecs is not None:
+        out["vecbench"] = vecs
     print(json.dumps(out))
     spark.stop()
 

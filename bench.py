@@ -369,12 +369,17 @@ def run_vecs(spark) -> dict[str, object]:
     from pyspark.sql import functions as F
 
     from nexus_processor_spark.functions import vector
-    from nexus_processor_spark.operators import similarity
+    from nexus_processor_spark.operators import similarity, vector_arrow
 
     ensure_big_vecs(spark)
     emb = spark.read.parquet(f"{VEC_DIR}/embeddings.parquet")
     knn_rows = 50_000
     v = F.col("embedding")
+    # Native HOF expressions vs the Arrow numpy kernels (same semantics,
+    # pinned equal by tests/test_vector_arrow.py): transform/aggregate
+    # lambdas evaluate interpreted per element, so at dim 64 the Arrow
+    # path wins by an order of magnitude — both are measured so the gap
+    # stays visible.
     shapes = {
         "vector_quantize": (VEC_ROWS, lambda: emb.select(
             "vec_id",
@@ -382,10 +387,17 @@ def run_vecs(spark) -> dict[str, object]:
             vector.quantize_int8(v).alias("q8"),
             vector.l2_normalize(v).alias("unit"),
         )),
+        "vector_quantize_arrow": (VEC_ROWS, lambda: vector_arrow.quantize_arrow(emb)),
         "kmeans_assign": (VEC_ROWS, lambda: similarity.kmeans_assign(
             emb, emb.filter(F.col("vec_id") < 32)
         )),
+        "kmeans_assign_arrow": (VEC_ROWS, lambda: vector_arrow.kmeans_assign_arrow(
+            emb, emb.filter(F.col("vec_id") < 32)
+        )),
         "knn_graph": (knn_rows, lambda: similarity.knn_graph(
+            emb.filter(F.col("vec_id") < knn_rows), 5
+        )),
+        "knn_graph_arrow": (knn_rows, lambda: vector_arrow.knn_graph_arrow(
             emb.filter(F.col("vec_id") < knn_rows), 5
         )),
     }

@@ -1,0 +1,71 @@
+"""Arrow numpy kernels must agree with the native HOF expressions —
+same math, same rounding (HALF_UP), same id tiebreaks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexus_processor_spark.functions import vector
+from nexus_processor_spark.operators import similarity, vector_arrow
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # deterministic pseudo-random 16-dim floats incl. a negative-heavy and
+    # an exact-half case (q = x/scale*127 hits .5 for x = scale/254*k)
+    rows = []
+    for i in range(200):
+        v = [((i * 31 + j * 17) % 101 - 50) / 50.0 for j in range(16)]
+        rows.append((i, v, i % 7))
+    rows.append((200, [0.0] * 16, 3))  # zero vector: null q8/unit natively
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def _collect_sorted(df, *keys):
+    return [tuple(r) for r in df.orderBy(*keys).collect()]
+
+
+def test_quantize_arrow_matches_native(emb):
+    native = emb.select(
+        "vec_id",
+        vector.quant_scale(F.col("embedding")).alias("scale"),
+        vector.quantize_int8(F.col("embedding")).alias("q8"),
+        vector.l2_normalize(F.col("embedding")).alias("unit"),
+    )
+    arrow = vector_arrow.quantize_arrow(emb)
+    n = _collect_sorted(native, "vec_id")
+    a = _collect_sorted(arrow, "vec_id")
+    assert len(n) == len(a) == 201
+    for rn, ra in zip(n, a):
+        assert rn[0] == ra[0]
+        assert rn[1] == pytest.approx(ra[1], abs=0)  # scale exact
+        assert rn[2] == ra[2]  # int8 codes exact (incl. None row)
+        if rn[3] is None:
+            assert ra[3] is None
+        else:
+            assert rn[3] == pytest.approx(ra[3], abs=1e-12)
+
+
+def test_kmeans_assign_arrow_matches_native(emb):
+    cents = emb.filter(F.col("vec_id") < 8)
+    native = _collect_sorted(similarity.kmeans_assign(emb, cents), "vec_id")
+    arrow = _collect_sorted(vector_arrow.kmeans_assign_arrow(emb, cents), "vec_id")
+    assert [r[:2] for r in native] == [r[:2] for r in arrow]  # same centroid
+    for rn, ra in zip(native, arrow):
+        assert rn[2] == pytest.approx(ra[2], abs=1e-9)
+
+
+def test_knn_graph_arrow_matches_native(spark, emb):
+    nz = emb.filter(F.col("vec_id") < 200)  # native nulls zero-norm cos
+    native = _collect_sorted(
+        similarity.knn_graph(nz, 3), "query_id", "rank"
+    )
+    arrow = _collect_sorted(
+        vector_arrow.knn_graph_arrow(nz, 3), "query_id", "rank"
+    )
+    assert [r[:2] + r[3:] for r in native] == [r[:2] + r[3:] for r in arrow]
+    for rn, ra in zip(native, arrow):
+        assert rn[2] == pytest.approx(ra[2], abs=1e-9)

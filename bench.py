@@ -40,6 +40,9 @@ HEADLINE = (
     "sim_near_dup_pairs",
     "text_profile",
     "text_fingerprints",
+    "semantic_dedup",
+    "knn_graph",
+    "lm_doc_score",
 )
 
 

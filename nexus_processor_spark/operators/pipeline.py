@@ -537,3 +537,44 @@ def lm_doc_score(
             F.round(F.avg(F.log2("cond_p")), round_digits).alias("avg_log2_p"),
         )
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.3,
+    budget_docs: int | None = None,
+    *,
+    source_col: str = "source",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Temperature-based source mixing: sampling weights w_s proportional
+    to n_s^alpha — the standard rebalancing that up-weights small sources
+    (alpha < 1) when composing a training mix.
+
+    With ``budget_docs``, also emits each source's effective sampling
+    rate ``min(1, w_s * budget / n_s)`` — the per-source fraction a
+    downstream ``stratified_sample`` call would take to hit the budget.
+    One groupBy plus a 1-row total broadcast-crossJoin (the same
+    no-collect shape as ``tfidf_top_terms``); weights round so
+    cross-engine pow() ulp noise can't leak into the hash.
+
+    Output: ``source_col, n_docs, weight, expected_docs[, sample_rate]``.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").cast("long").alias("n_docs"))
+    powed = counts.withColumn("_p", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha))))
+    total = powed.agg(F.sum("_p").alias("_tp"))
+    out = (
+        powed.crossJoin(F.broadcast(total))
+        .withColumn("weight", F.round(F.col("_p") / F.col("_tp"), round_digits))
+    )
+    cols = [F.col(source_col), F.col("n_docs"), F.col("weight")]
+    if budget_docs is not None:
+        expected = F.col("_p") / F.col("_tp") * F.lit(float(budget_docs))
+        cols.append(F.round(expected, round_digits).alias("expected_docs"))
+        cols.append(
+            F.round(
+                F.least(F.lit(1.0), expected / F.col("n_docs").cast("double")),
+                round_digits,
+            ).alias("sample_rate")
+        )
+    return out.select(*cols).orderBy(source_col)

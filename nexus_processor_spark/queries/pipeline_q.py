@@ -139,9 +139,22 @@ def q_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.lm_doc_score(_docs(spark, sf_dir))
 
 
+MIX_ALPHA = 0.3
+MIX_BUDGET = 1000
+
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced source mix (alpha=0.3) with the per-source
+    sampling rates to hit a 1000-doc budget."""
+    return pipeline.temperature_mix(
+        _docs(spark, sf_dir), MIX_ALPHA, MIX_BUDGET
+    )
+
+
 QUERIES = {
     "boilerplate_phrases": q_boilerplate_phrases,
     "lm_doc_score": q_lm_doc_score,
+    "mix_temperature": q_mix_temperature,
     "sample_hash": q_sample_hash,
     "sample_stratified": q_sample_stratified,
     "split_assign": q_split_assign,
@@ -318,6 +331,21 @@ ORACLE = {
         GROUP BY token
         ORDER BY n_occurrences DESC, token
         LIMIT {VOCAB_K}
+    """,
+    "mix_temperature": f"""
+        WITH c AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   pow(CAST(count(*) AS DOUBLE), {MIX_ALPHA}) AS p
+            FROM documents GROUP BY source
+        ),
+        t AS (SELECT sum(p) AS tp FROM c)
+        SELECT source, n_docs,
+               round(p / tp, 6) AS weight,
+               round(p / tp * {MIX_BUDGET}, 6) AS expected_docs,
+               round(least(1.0, p / tp * {MIX_BUDGET} / CAST(n_docs AS DOUBLE)), 6)
+                   AS sample_rate
+        FROM c, t
+        ORDER BY source
     """,
     "boilerplate_phrases": f"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -52,7 +52,8 @@ def _build_parser() -> argparse.ArgumentParser:
     co = sub.add_parser(
         "corpus", help="training-corpus ops over a documents parquet"
     )
-    co.add_argument("op", choices=["profile", "dedup", "neardup", "sample"])
+    co.add_argument("op", choices=["profile", "dedup", "neardup", "sample",
+                                   "score", "mix", "boilerplate"])
     co.add_argument("--input", required=True,
                     help="documents parquet path (doc_id, text, ...)")
     co.add_argument("--output", default=None,
@@ -138,6 +139,18 @@ def main(argv: list[str] | None = None) -> int:
                 result = dedup.minhash_dedup_pairs(
                     docs, threshold=args.threshold
                 )
+            elif args.op == "score":
+                from nexus_processor_spark.operators import pipeline
+
+                result = pipeline.lm_doc_score(docs)
+            elif args.op == "mix":
+                from nexus_processor_spark.operators import pipeline
+
+                result = pipeline.temperature_mix(docs)
+            elif args.op == "boilerplate":
+                from nexus_processor_spark.operators import pipeline
+
+                result = pipeline.boilerplate_phrases(docs)
             else:
                 from nexus_processor_spark.operators import pipeline
 

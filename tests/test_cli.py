@@ -47,10 +47,10 @@ def test_ingest_and_timeslice_cli(spark, tmp_path, capsys):
 
 def test_corpus_cli_ops(spark, tmp_path):
     docs = spark.createDataFrame(
-        [(1, "alpha beta gamma delta", "en"),
-         (2, "alpha beta gamma delta", "en"),
-         (3, "totally different words here", "en")],
-        "doc_id long, text string, lang string",
+        [(1, "alpha beta gamma delta", "en", "web"),
+         (2, "alpha beta gamma delta", "en", "web"),
+         (3, "totally different words here", "en", "books")],
+        "doc_id long, text string, lang string, source string",
     )
     src = str(tmp_path / "docs.parquet")
     docs.write.parquet(src)
@@ -68,3 +68,13 @@ def test_corpus_cli_ops(spark, tmp_path):
     assert main(["corpus", "sample", "--input", src, "--output", out3,
                  "--fraction", "1.0"]) == 0
     assert spark.read.parquet(out3).count() == 3
+
+    out4 = str(tmp_path / "score.parquet")
+    assert main(["corpus", "score", "--input", src, "--output", out4]) == 0
+    sc = spark.read.parquet(out4)
+    assert sc.count() == 3 and "avg_log2_p" in sc.columns
+
+    out5 = str(tmp_path / "mix.parquet")
+    assert main(["corpus", "mix", "--input", src, "--output", out5]) == 0
+    mix = spark.read.parquet(out5)
+    assert mix.count() == 2 and "weight" in mix.columns

@@ -32,7 +32,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_timeslice_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return timeslice.count_by_interval(_events(spark, sf_dir), INTERVAL)
+    """A1 flagship on the long-ns fast path: bucket by integer division
+    on the stored column, min/max converted per group (same rows as the
+    generic derived-seconds form — equivalence test-pinned)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        F.col("event_type").alias("bank"),
+        F.col("user_id").alias("pulse_index"),
+    )
+    return timeslice.count_by_interval_ns(ev, INTERVAL)
 
 
 def q_timeslice_range(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -117,3 +117,37 @@ def test_gapfill_zero_fills_missing_buckets(spark):
     assert [r.event_count for r in rows] == [1, 2, 0, 0, 1]
     assert [r.is_gap for r in rows] == [0, 0, 1, 1, 0]
     assert rows[2].interval_start == 20.0 and rows[2].interval_end == 30.0
+
+
+def test_count_by_interval_ns_matches_generic_on_boundaries(spark):
+    """The ns-direct bucket (ts div N·1e9) must agree with the generic
+    derived-seconds form exactly at bucket edges ±1 ns and on fractional
+    microsecond content."""
+    from nexus_processor_spark.functions.core import event_seconds
+
+    n_ns = 3_600 * 10**9
+    base = 1_704_844_800 * 10**9
+    ts_values = []
+    for k in (0, 1, 7):
+        edge = base + k * n_ns
+        ts_values += [edge - 1, edge, edge + 1, edge + 123_456_789]
+    rows = [(t, f"b{i % 3}", i % 5) for i, t in enumerate(ts_values)]
+    ev = spark.createDataFrame(rows, "ts long, bank string, pulse_index long")
+
+    generic = timeslice.count_by_interval(
+        ev.select(event_seconds("ts").alias("absolute_time"), "bank",
+                  "pulse_index"),
+        3600.0,
+    ).select("interval", "interval_start", "interval_end", "event_count",
+             "n_banks", "n_pulses", "min_time", "max_time")
+    fast = timeslice.count_by_interval_ns(ev, 3600.0).select(
+        "interval", "interval_start", "interval_end", "event_count",
+        "n_banks", "n_pulses", "min_time", "max_time")
+    assert sorted(map(tuple, generic.collect())) == \
+           sorted(map(tuple, fast.collect()))
+
+
+def test_count_by_interval_ns_rejects_fractional_ns_interval(spark):
+    ev = spark.createDataFrame([(1, "b", 1)], "ts long, bank string, pulse_index long")
+    with pytest.raises(ValueError):
+        timeslice.count_by_interval_ns(ev, 1e-10)

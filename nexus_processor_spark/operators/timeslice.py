@@ -244,6 +244,45 @@ def count_by_interval_ns(
     ).orderBy("interval")
 
 
+def count_by_bank_and_interval_ns(
+    events: DataFrame,
+    interval_seconds: float,
+    *,
+    ts_col: str = "ts",
+    bank_col: str = "bank",
+    pulse_col: str = "pulse_index",
+) -> DataFrame:
+    """Long-ns specialization of ``count_by_bank_and_interval`` — same
+    integer-division bucket and per-group time conversion as
+    ``count_by_interval_ns`` (A2 at the (interval, bank) grain)."""
+    from nexus_processor_spark.functions.core import event_seconds
+
+    interval_ns = round(float(interval_seconds) * 1e9)
+    if interval_ns / 1e9 != float(interval_seconds) or interval_ns <= 0:
+        raise ValueError("interval must be a positive whole-nanosecond width")
+    base = events.filter(F.col(ts_col).isNotNull()).select(
+        F.expr(f"{ts_col} div {interval_ns}").alias("interval"),
+        F.col(ts_col).alias("_ts"),
+        F.col(bank_col).alias(bank_col),
+        F.col(pulse_col).alias("_pulse"),
+    )
+    plain = base.groupBy("interval", bank_col).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.min("_ts").alias("_mn"),
+        F.max("_ts").alias("_mx"),
+    )
+    pulses = bitmap_distinct(base, ["interval", bank_col], "_pulse", "n_pulses")
+    df = plain.join(pulses, ["interval", bank_col])
+    start, end = interval_bounds(F.col("interval"), interval_seconds)
+    return df.select(
+        "interval", bank_col, "event_count",
+        event_seconds("_mn").alias("min_time"),
+        event_seconds("_mx").alias("max_time"),
+        "n_pulses",
+        start.alias("interval_start"), end.alias("interval_end"),
+    ).orderBy("interval", bank_col)
+
+
 def push_time_range(
     events: DataFrame,
     start_time: float,

@@ -59,7 +59,12 @@ def q_timeslice_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_timeslice_bank_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return timeslice.count_by_bank_and_interval(_events(spark, sf_dir), INTERVAL)
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        F.col("event_type").alias("bank"),
+        F.col("user_id").alias("pulse_index"),
+    )
+    return timeslice.count_by_bank_and_interval_ns(ev, INTERVAL)
 
 
 def q_pulse_index_window(spark: SparkSession, sf_dir: str) -> DataFrame:

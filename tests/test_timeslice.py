@@ -151,3 +151,27 @@ def test_count_by_interval_ns_rejects_fractional_ns_interval(spark):
     ev = spark.createDataFrame([(1, "b", 1)], "ts long, bank string, pulse_index long")
     with pytest.raises(ValueError):
         timeslice.count_by_interval_ns(ev, 1e-10)
+
+
+def test_count_by_bank_and_interval_ns_matches_generic(spark):
+    from nexus_processor_spark.functions.core import event_seconds
+
+    n_ns = 3_600 * 10**9
+    base = 1_704_844_800 * 10**9
+    ts_values = []
+    for k in (0, 2, 5):
+        edge = base + k * n_ns
+        ts_values += [edge - 1, edge, edge + 1, edge + 999_999_999]
+    rows = [(t, f"b{i % 2}", i % 4) for i, t in enumerate(ts_values)]
+    ev = spark.createDataFrame(rows, "ts long, bank string, pulse_index long")
+
+    cols = ["interval", "bank", "event_count", "min_time", "max_time",
+            "n_pulses", "interval_start", "interval_end"]
+    generic = timeslice.count_by_bank_and_interval(
+        ev.select(event_seconds("ts").alias("absolute_time"), "bank",
+                  "pulse_index"),
+        3600.0,
+    ).select(*cols)
+    fast = timeslice.count_by_bank_and_interval_ns(ev, 3600.0).select(*cols)
+    assert sorted(map(tuple, generic.collect())) == \
+           sorted(map(tuple, fast.collect()))

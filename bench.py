@@ -377,6 +377,7 @@ def run_vecs(spark) -> dict[str, object]:
     ensure_big_vecs(spark)
     emb = spark.read.parquet(f"{VEC_DIR}/embeddings.parquet")
     knn_rows = 50_000
+    sem_rows = 200_000
     v = F.col("embedding")
     # Native HOF expressions vs the Arrow numpy kernels (same semantics,
     # pinned equal by tests/test_vector_arrow.py): transform/aggregate
@@ -402,6 +403,12 @@ def run_vecs(spark) -> dict[str, object]:
         )),
         "knn_graph_arrow": (knn_rows, lambda: vector_arrow.knn_graph_arrow(
             emb.filter(F.col("vec_id") < knn_rows), 5
+        )),
+        # arrow-only at this size: the native pair stage is the
+        # correctness baseline (headline bench), ~100x slower here
+        "semantic_dedup_arrow": (sem_rows, lambda: vector_arrow.semantic_dedup_arrow(
+            emb.filter(F.col("vec_id") < sem_rows),
+            emb.filter(F.col("vec_id") < 64), 0.7,
         )),
     }
     out: dict[str, object] = {"rows": VEC_ROWS, "dim": VEC_DIM, "queries": {}}

@@ -169,3 +169,50 @@ def knn_graph_arrow(
         .applyInPandas(lambda _, g: kernel(g), schema)
         .filter(F.col("cos") != float("-inf"))
     )
+
+
+def semantic_dedup_arrow(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Arrow twin of ``similarity.semantic_dedup``: assignment via
+    ``kmeans_assign_arrow``, then each cluster's drop set from ONE gram
+    matrix (``applyInPandas`` over the cluster grouping) instead of a
+    per-pair interpreted fold join.
+
+    A vector is dropped when some lower-id cluster-mate sits at rounded
+    cosine >= ``threshold`` — with ids sorted, that's an upper-triangle
+    any() per column. Output matches the native op: surviving
+    ``id_col, centroid_id``.
+    """
+    assign = kmeans_assign_arrow(
+        corpus, centroids, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    )
+    tagged = corpus.select(id_col, vec_col).join(
+        assign.select(id_col, "centroid_id"), id_col
+    )
+    schema = f"{id_col} long, centroid_id long"
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, ignore_index=True)
+        v = _mat(g[vec_col])
+        n = np.sqrt((v * v).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = v / n[:, None]
+        u[n == 0] = 0.0
+        s = _round_half_up(u @ u.T, round_digits)
+        # drop j when any i<j (strict upper triangle, ids ascending) >= t
+        tri = np.triu(s >= threshold, k=1)
+        dropped = tri.any(axis=0)
+        keep = g.loc[~dropped, [id_col, "centroid_id"]]
+        return keep
+
+    return tagged.groupBy("centroid_id").applyInPandas(
+        lambda _, g: kernel(g), schema
+    )

@@ -69,3 +69,15 @@ def test_knn_graph_arrow_matches_native(spark, emb):
     assert [r[:2] + r[3:] for r in native] == [r[:2] + r[3:] for r in arrow]
     for rn, ra in zip(native, arrow):
         assert rn[2] == pytest.approx(ra[2], abs=1e-9)
+
+
+def test_semantic_dedup_arrow_matches_native(emb):
+    cents = emb.filter(F.col("vec_id") < 8)
+    native = sorted(
+        tuple(r) for r in similarity.semantic_dedup(emb, cents, 0.55).collect()
+    )
+    arrow = sorted(
+        tuple(r)
+        for r in vector_arrow.semantic_dedup_arrow(emb, cents, 0.55).collect()
+    )
+    assert native == arrow and len(native) > 0

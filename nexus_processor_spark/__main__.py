@@ -53,7 +53,9 @@ def _build_parser() -> argparse.ArgumentParser:
         "corpus", help="training-corpus ops over a documents parquet"
     )
     co.add_argument("op", choices=["profile", "dedup", "neardup", "sample",
-                                   "score", "mix", "boilerplate"])
+                                   "score", "mix", "boilerplate", "curate"])
+    co.add_argument("--eval-set", default=None,
+                    help="curate: eval/benchmark parquet for decontamination")
     co.add_argument("--input", required=True,
                     help="documents parquet path (doc_id, text, ...)")
     co.add_argument("--output", default=None,
@@ -151,6 +153,12 @@ def main(argv: list[str] | None = None) -> int:
                 from nexus_processor_spark.operators import pipeline
 
                 result = pipeline.boilerplate_phrases(docs)
+            elif args.op == "curate":
+                from nexus_processor_spark.operators import pipeline
+
+                ev = (spark.read.parquet(args.eval_set)
+                      if args.eval_set else None)
+                result = pipeline.curate_corpus(docs, ev)
             else:
                 from nexus_processor_spark.operators import pipeline
 

@@ -578,3 +578,83 @@ def temperature_mix(
             ).alias("sample_rate")
         )
     return out.select(*cols).orderBy(source_col)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    *,
+    quality_q: float = 0.25,
+    metric_col: str = "n_chars",
+    near_dup_threshold: float = 0.5,
+    contamination_grams: int = 3,
+    max_contamination_hits: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composed curation pipeline: quality gate → exact dedup →
+    MinHash near-dedup → (optional) benchmark decontamination, returning
+    every input doc tagged with ``keep`` and the FIRST ``drop_reason``
+    that eliminated it (``low_quality`` / ``exact_dup`` / ``near_dup`` /
+    ``contaminated`` / null).
+
+    Stages apply sequentially (dedup only among quality survivors, etc.),
+    matching how a real curation run orders the passes: each stage is the
+    existing oracle-checked operator, composed via id anti/semi joins —
+    one lazy plan, no driver materialization. The audit-table shape (all
+    rows kept, reasons tagged) is what a 100 TB run wants: the kept
+    corpus is ``filter(keep)``, the drop accounting is one groupBy away.
+    """
+    from nexus_processor_spark.operators import dedup as _dedup
+
+    q_pass = quantile_filter(
+        docs, quality_q, metric_col=metric_col, id_col=id_col
+    ).select(id_col)
+
+    s1 = docs.join(q_pass, id_col, "left_semi")
+    exact_pass = _dedup.exact_dedup(s1, text_col=text_col, id_col=id_col).select(id_col)
+
+    s2 = s1.join(exact_pass, id_col, "left_semi")
+    pairs = _dedup.minhash_dedup_pairs(
+        s2, threshold=near_dup_threshold, text_col=text_col, id_col=id_col
+    )
+    near_pass = _dedup.near_dedup(s2, pairs, id_col=id_col).select(id_col)
+
+    stages = [
+        ("low_quality", q_pass),
+        ("exact_dup", exact_pass),
+        ("near_dup", near_pass),
+    ]
+    if eval_df is not None:
+        s3 = s2.join(near_pass, id_col, "left_semi")
+        contam = decontaminate(
+            s3, eval_df, n=contamination_grams,
+            text_col=text_col, id_col=id_col,
+        )
+        clean = contam.filter(
+            F.col("n_eval_grams") <= max_contamination_hits
+        ).select(id_col)
+        stages.append(("contaminated", clean))
+
+    out = docs
+    reason = F.lit(None).cast("string")
+    survivor = F.lit(True)
+    flags = []
+    for name, passed in stages:
+        flag = f"_pass_{name}"
+        flags.append(flag)
+        out = out.join(
+            passed.withColumn(flag, F.lit(True)), id_col, "left"
+        )
+        # a doc is dropped at this stage if it was still alive and did
+        # not pass; reason keeps the FIRST stage that dropped it
+        dropped_here = survivor & F.col(flag).isNull()
+        reason = F.when(reason.isNotNull(), reason).when(
+            dropped_here, F.lit(name)
+        )
+        survivor = survivor & F.col(flag).isNotNull()
+    return (
+        out.withColumn("drop_reason", reason)
+        .withColumn("keep", F.col("drop_reason").isNull())
+        .drop(*flags)
+    )

@@ -228,3 +228,25 @@ def test_agg_is_partial_then_final_hash(spark):
     plan = explain.executed_plan(relational_q.q_pricing_summary(spark, SF))
     assert "partial_sum" in plan and "HashAggregate" in plan
     assert plan.count("Exchange") == 1
+
+
+def test_knn_graph_and_semantic_dedup_avoid_cartesian(spark):
+    """Cell blocking must reach the physical plan: the pair stages join
+    on the cell key — a cartesian/nested-loop fallback would mean the n²
+    scale-killer the blocking exists to prevent."""
+    from nexus_processor_spark.queries.similarity_q import (
+        q_knn_graph,
+        q_semantic_dedup,
+    )
+
+    plan = explain.executed_plan(q_knn_graph(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = explain.executed_plan(q_semantic_dedup(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the only nested loops are the k-row centroid broadcasts of
+    # kmeans_assign (the subplan appears once per use of the tagged
+    # corpus: pair side a, pair side b, final anti-join — all build on
+    # the tiny centroid relation, never a data-scale side)
+    assert plan.count("BroadcastNestedLoopJoin") <= 3

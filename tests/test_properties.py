@@ -174,3 +174,21 @@ def test_shingle_count_property_bulk(spark):
         expect_max = max(n - 2, 0)
         assert 0 <= len(r.sh) <= expect_max or (r.text == "" and r.sh == [])
         assert len(set(r.sh)) == len(r.sh)  # distinct by construction
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """The numpy HALF_UP helper must agree with Spark's round() on any
+    input, including exact .5 boundaries (numpy's own round is
+    half-even and would not)."""
+    from nexus_processor_spark.operators.vector_arrow import _round_half_up
+
+    for digits in (0, 1, 2, 6):
+        p10 = 10.0 ** digits
+        vals = [0.5, -0.5, 1.5, 2.5, -2.5, 0.25, -0.125, 3.335, -3.335,
+                123.456789, -987.654321, 0.0, 17.0, -17.0]
+        vals = [v / p10 for v in vals] + vals
+        df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+        got = [r.r for r in
+               df.select(F.round("x", digits).alias("r")).collect()]
+        want = _round_half_up(np.array(vals, dtype=np.float64), digits)
+        assert got == list(want), digits

@@ -25,13 +25,15 @@ from pyspark.sql import DataFrame, SparkSession
 from nexus_processor_spark.queries import (
     dedup_q,
     pipeline_q,
+    profile_q,
     relational_q,
     similarity_q,
     text_q,
     timeslice_q,
 )
 
-_MODULES = (timeslice_q, relational_q, dedup_q, similarity_q, text_q, pipeline_q)
+_MODULES = (timeslice_q, relational_q, dedup_q, similarity_q, text_q,
+            pipeline_q, profile_q)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

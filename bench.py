@@ -275,6 +275,30 @@ def run_big(spark, qs) -> dict[str, object]:
              .write.mode("overwrite").option("compression", "zstd")
              .parquet(f"{BIG_DIR}/events_sorted.parquet"))
 
+    def _ensure_zordered():
+        # Z-ordered twin (ts x user_id): BOTH columns get selective
+        # row-group envelopes, so time ranges AND user slices prune —
+        # the ts-sorted layout prunes only time.
+        from nexus_processor_spark.plans.layout import write_zordered
+
+        marker = Path(BIG_DIR) / "events_zorder.parquet" / "_SUCCESS"
+        if not marker.exists():
+            write_zordered(
+                spark.read.parquet(f"{BIG_DIR}/events.parquet"),
+                f"{BIG_DIR}/events_zorder.parquet",
+                ["ts", "user_id"], num_files=64,
+            )
+
+    def _user_slice(path: str):
+        # 1% user slice: pushed long-range predicate on user_id; prunes
+        # on the z-ordered layout, scans everything on the ts-sorted one
+        return (
+            spark.read.parquet(f"{BIG_DIR}/{path}")
+            .filter((F.col("user_id") >= 500_000) & (F.col("user_id") < 510_000))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        )
+
     def _range_pushdown(path: str):
         raw = spark.read.parquet(f"{BIG_DIR}/{path}")
         pushed = timeslice.push_time_range(raw, t0 + 5 * day, t0 + 15 * day)
@@ -302,6 +326,7 @@ def run_big(spark, qs) -> dict[str, object]:
         )
 
     _ensure_sorted()
+    _ensure_zordered()
     shapes = {
         "timeslice_interval": lambda: qs["timeslice_interval"](spark, BIG_DIR),
         "timeslice_range": lambda: timeslice.count_in_time_range(
@@ -309,6 +334,9 @@ def run_big(spark, qs) -> dict[str, object]:
         ),
         "timeslice_range_pushdown": lambda: _range_pushdown("events.parquet"),
         "timeslice_range_sorted": lambda: _range_pushdown("events_sorted.parquet"),
+        "timeslice_range_zorder": lambda: _range_pushdown("events_zorder.parquet"),
+        "user_slice_sorted": lambda: _user_slice("events_sorted.parquet"),
+        "user_slice_zorder": lambda: _user_slice("events_zorder.parquet"),
         "enrich_join": _enrich_join,
     }
     out: dict[str, object] = {"rows": BIG_ROWS, "queries": {}}

@@ -63,3 +63,27 @@ def test_load_events_timestamp_nanos_parquet(spark, tmp_path):
     assert isinstance(df.schema["ts"].dataType, LongType)
     got = [r.ts for r in df.orderBy("event_id").collect()]
     assert got == [us * 1000 for us in _TS_US]
+
+
+def test_load_events_time_range_all_encodings(spark, tmp_path):
+    """The pushed-range loader must deliver identical rows and the
+    long-ns contract for every stored ts encoding."""
+    from nexus_processor_spark.sources.tables import load_events_time_range
+
+    lo_s, hi_s = 1704844800.0, 1704844801.0  # [first ts, +1s) -> rows 0,1
+    encodings = {
+        "us": pa.array(pd.to_datetime(_TS_US, unit="us"),
+                       type=pa.timestamp("us")),
+        "ns": pa.array([us * 1000 for us in _TS_US], type=pa.timestamp("ns")),
+        "int64": pa.array([us * 1000 for us in _TS_US], type=pa.int64()),
+    }
+    results = {}
+    for name, arr in encodings.items():
+        d = tmp_path / name
+        d.mkdir()
+        _write_events(str(d / "events.parquet"), arr)
+        df = load_events_time_range(spark, str(d), lo_s, hi_s)
+        assert isinstance(df.schema["ts"].dataType, LongType), name
+        results[name] = sorted((r.event_id, r.ts) for r in df.collect())
+    assert results["us"] == results["ns"] == results["int64"]
+    assert [e for e, _ in results["us"]] == [1, 2]  # half-open: 3rd excluded

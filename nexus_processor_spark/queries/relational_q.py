@@ -1005,6 +1005,163 @@ def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation / per-year profit over a 5-way join.
+
+    Adapted to this star schema (no partsupp): unit cost is modeled as
+    60% of ``p_retailprice``, so profit = disc_price - 0.6*retail*qty.
+    The part filter prunes the probe side before the fact joins; nation
+    is broadcast. One shuffle agg on (n_name, o_year) — holds at scale.
+
+    Prices/discounts are exact 2-decimal values, so profit is summed in
+    scaled integer units (1e-4 dollars) — the group sum is a long, exact
+    in both engines, and the final /10000.0 is a deterministic double.
+    A double SUM here sits a rounding-boundary hazard away from the
+    oracle (one group differs by a cent at sf0.01).
+    """
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ext_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_b = F.round(F.col("l_discount") * 100).cast("long")
+    retail_c = F.round(F.col("p_retailprice") * 100).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    profit_scaled = ext_c * (100 - disc_b) - 60 * retail_c * qty
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(profit_scaled) / F.lit(10000.0)).alias("sum_profit"))
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value for one nation's suppliers, kept
+    only when it exceeds a fraction of the GLOBAL value — the scalar
+    subquery decorrelated to a 1-row aggregate broadcast-joined onto the
+    per-part aggregate (no driver round-trip, no correlated re-scan).
+
+    Value is quantity-based (doubles over small integers — exact), so the
+    threshold comparison is bit-identical across engines.
+    """
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    national = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+    )
+    per_part = national.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("part_qty")
+    )
+    total = national.agg(
+        (F.sum("l_quantity") * F.lit(0.002)).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_qty") > F.col("threshold"))
+        .select("l_partkey", "part_qty")
+    )
+
+
+def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part class, with
+    NOT-LIKE part exclusions and a NOT-IN supplier exclusion list.
+
+    Adapted: lineitem is the part<->supplier bridge (no partsupp), and
+    "complaint" suppliers are the negative-balance ones. The NOT IN
+    becomes a broadcast left-anti join; the distinct count shuffles once
+    on the (brand, type, size) group key.
+    """
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad_sup = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_sup),
+            li.l_suppkey == bad_sup.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs join predicate
+    (brand x size-band x quantity-band). Expressed as one join with the
+    disjunction in the condition: Catalyst extracts the common
+    ``l_partkey = p_partkey`` conjunct as the equi-join key and keeps the
+    disjunction as a post-join filter, so this stays a broadcast hash
+    join, not a BNL join — at 100 TB that difference is the whole game.
+    """
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(1, smax))
+        & (F.col("l_quantity").between(qlo, qhi))
+    )
+    cond = (li.l_partkey == part.p_partkey) & (
+        branch("Brand#12", 5, 1, 11)
+        | branch("Brand#23", 10, 10, 20)
+        | branch("Brand#34", 15, 20, 30)
+    )
+    return li.join(F.broadcast(part), cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who dominate shipments of some part —
+    the nested IN-subquery chain decorrelated into two aggregates and a
+    semi-join.
+
+    Adapted (no partsupp.availqty): a supplier qualifies when, for some
+    '%bolt%' part, its 1997 shipped quantity exceeds 30% of that part's
+    1997 total. Quantity sums are integer-valued doubles, so the ratio
+    gate is exact across engines. Plan: one shuffle on (part, supplier),
+    a broadcast of the per-part totals, then a semi-join into supplier.
+    """
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz("1997-01-01"))
+        & (F.col("l_shipdate") < _ntz("1998-01-01"))
+    )
+    bolt_lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_pair = bolt_lines.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("pair_qty")
+    )
+    per_part = bolt_lines.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").alias("part_qty")
+    )
+    dominating = (
+        per_pair.join(F.broadcast(per_part), per_pair.l_partkey == per_part.pk)
+        .filter(F.col("pair_qty") > F.lit(0.3) * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        sup.join(dominating, sup.s_suppkey == dominating.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
 QUERIES = {
     "volume_shipping": q_volume_shipping,
     "market_share": q_market_share,
@@ -1058,9 +1215,93 @@ QUERIES = {
     "distinct_pairs": q_distinct_pairs,
     "set_ops": q_set_ops,
     "union_tagged": q_union_tagged,
+    "product_profit": q_product_profit,
+    "important_parts": q_important_parts,
+    "parts_supplier_counts": q_parts_supplier_counts,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "dominant_suppliers": q_dominant_suppliers,
 }
 
 ORACLE = {
+    "product_profit": """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                        - 60 * CAST(round(p_retailprice * 100) AS BIGINT)
+                             * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                 / 10000.0 AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY 1, 2
+    """,
+    "important_parts": """
+        WITH national AS (
+            SELECT l_partkey, l_quantity
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+        )
+        SELECT l_partkey, sum(l_quantity) AS part_qty
+        FROM national
+        GROUP BY 1
+        HAVING sum(l_quantity) >
+               (SELECT sum(l_quantity) * 0.002 FROM national)
+    """,
+    "parts_supplier_counts": """
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#5'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """,
+    "disjunctive_revenue": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "dominant_suppliers": """
+        WITH bolt_lines AS (
+            SELECT l_partkey, l_suppkey, l_quantity
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE '%bolt%'
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+        ),
+        per_pair AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+            FROM bolt_lines GROUP BY 1, 2
+        ),
+        per_part AS (
+            SELECT l_partkey AS pk, sum(l_quantity) AS part_qty
+            FROM bolt_lines GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM per_pair
+            JOIN per_part ON l_partkey = pk
+            WHERE pair_qty > 0.3 * part_qty
+        )
+    """,
     "argmax_agg": """
         SELECT event_type,
                arg_max(event_id,

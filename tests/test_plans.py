@@ -250,3 +250,31 @@ def test_knn_graph_and_semantic_dedup_avoid_cartesian(spark):
     # corpus: pair side a, pair side b, final anti-join — all build on
     # the tiny centroid relation, never a data-scale side)
     assert plan.count("BroadcastNestedLoopJoin") <= 3
+
+
+def test_disjunctive_revenue_stays_hash_join(spark):
+    """Q19's OR-of-ANDs predicate: Catalyst must extract the common
+    ``l_partkey = p_partkey`` conjunct as the equi-join key and keep the
+    disjunction as a filter — a nested-loop fallback over the fact table
+    would be the 100 TB scale-killer."""
+    plan = explain.executed_plan(relational_q.q_disjunctive_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_important_parts_threshold_broadcasts_back(spark):
+    """Q11's decorrelated scalar subquery: the 1-row global-threshold
+    aggregate joins back as a 1-row broadcast, never a shuffled join on
+    the per-part aggregate (the data-scale side)."""
+    plan = explain.executed_plan(relational_q.q_important_parts(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dominant_suppliers_semi_join_and_broadcast_totals(spark):
+    """Q20 decorrelated: per-part totals broadcast onto the per-pair
+    aggregate; the supplier gate is a semi-join, not an IN-loop."""
+    plan = explain.executed_plan(relational_q.q_dominant_suppliers(spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan

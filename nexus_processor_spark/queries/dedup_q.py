@@ -129,9 +129,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dedup pipeline: LSH pairs -> connected components -> one
-    survivor per cluster. Iterative (driver-looped label propagation), so
-    no SQL oracle — the driver records the rows-only check; semantics are
-    pinned by tests/test_dedup_similarity.py."""
+    survivor per cluster. Spark side is iterative (driver-looped label
+    propagation); the DuckDB oracle closes the same components with a
+    recursive transitive-closure CTE (exact at test scale), so even the
+    iterative operator gets a full hash check."""
     docs = _docs(spark, sf_dir)
     pairs = dedup.minhash_dedup_pairs(
         docs, num_bands=NUM_BANDS, shingle_words=SHINGLE_WORDS, threshold=0.5
@@ -224,6 +225,48 @@ _SIMHASH = _simhash_sql()
 _SIMHASH_WIDE = _simhash_sql(WIDE_BITS)
 
 ORACLE = {
+    # Connected components via recursive transitive closure: every vertex
+    # labels itself with the min id it can reach (undirected edges), which
+    # is exactly the fixpoint dup_clusters' min-label propagation reaches.
+    # O(n*m) closure rows — fine at oracle scale, which is the point of
+    # keeping the scalable iterative form on the Spark side only.
+    "dedup_near_corpus": f"""
+        WITH RECURSIVE
+        sh AS ({_SHINGLES}),
+        sig AS ({_SIGS_R2}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+            WHERE a.doc_id < b.doc_id
+        ),
+        pairs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN sh x ON c.id_a = x.doc_id
+            JOIN sh y ON c.id_b = y.doc_id
+            WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                  / CAST(len(x.sh) + len(y.sh)
+                         - len(list_intersect(x.sh, y.sh)) AS DOUBLE) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        labels AS (
+            SELECT a AS id, least(min(b), a) AS cluster_id
+            FROM reach GROUP BY a
+        )
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d
+        WHERE d.doc_id NOT IN
+              (SELECT id FROM labels WHERE cluster_id <> id)
+    """,
     "dedup_ngram_jaccard": """
         WITH g AS (
             SELECT doc_id, lang, source,

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nexus_processor_spark.operators import profile
+from nexus_processor_spark.operators import profile, quality
 from nexus_processor_spark.sources.tables import load_table
 
 PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]
@@ -53,7 +53,31 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over orders: null / uniqueness /
+    range / set / regex / anomaly-count / referential-integrity checks,
+    all computed in ONE aggregation pass (plus one broadcast indicator
+    join for the FK check) and unpivoted to a row per expectation."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return quality.run_checks(
+        orders,
+        [
+            quality.not_null("o_custkey"),
+            quality.unique("o_orderkey"),
+            quality.in_range("o_totalprice", 0.0, 600_000.0),
+            quality.in_set("o_orderstatus", ["O", "F", "P"]),
+            quality.matches("o_orderpriority", "^[1-5]-"),
+            quality.non_negative_count(
+                F.col("o_totalprice") <= 0, "nonpositive_price"
+            ),
+        ],
+        refs=[quality.Referential("o_custkey", cust, "c_custkey")],
+    )
+
+
 QUERIES = {
+    "quality_orders": q_quality_orders,
     "profile_orders": q_profile_orders,
     "orders_snapshot_diff": q_orders_snapshot_diff,
     "price_histogram": q_price_histogram,
@@ -75,6 +99,49 @@ def _profile_one(col: str) -> str:
 _BUCKET_W = (HIST_HI - HIST_LO) / HIST_BUCKETS
 
 ORACLE = {
+    "quality_orders": """
+        WITH m AS (
+            SELECT
+                avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                    AS not_null_custkey,
+                CAST(count(DISTINCT o_orderkey) - count(*) AS DOUBLE)
+                    AS unique_orderkey,
+                avg(CASE WHEN o_totalprice BETWEEN 0.0 AND 600000.0
+                         THEN 1.0 ELSE 0.0 END) AS range_totalprice,
+                avg(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                         THEN 1.0 ELSE 0.0 END) AS set_status,
+                avg(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                         THEN 1.0 ELSE 0.0 END) AS match_priority,
+                sum(CASE WHEN o_totalprice <= 0 THEN 1.0 ELSE 0.0 END)
+                    AS nonpositive_price,
+                avg(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer)
+                         THEN 1.0 ELSE 0.0 END) AS ref_custkey
+            FROM orders
+        )
+        SELECT "check", metric, passed FROM (
+            SELECT 'not_null:o_custkey' AS "check",
+                   not_null_custkey AS metric,
+                   not_null_custkey >= 1.0 AS passed FROM m
+            UNION ALL
+            SELECT 'unique:o_orderkey', unique_orderkey,
+                   unique_orderkey = 0.0 FROM m
+            UNION ALL
+            SELECT 'in_range:o_totalprice', range_totalprice,
+                   range_totalprice = 1.0 FROM m
+            UNION ALL
+            SELECT 'in_set:o_orderstatus', set_status,
+                   set_status >= 1.0 FROM m
+            UNION ALL
+            SELECT 'matches:o_orderpriority', match_priority,
+                   match_priority >= 1.0 FROM m
+            UNION ALL
+            SELECT 'zero:nonpositive_price', nonpositive_price,
+                   nonpositive_price = 0.0 FROM m
+            UNION ALL
+            SELECT 'references:o_custkey->c_custkey', ref_custkey,
+                   ref_custkey >= 1.0 FROM m
+        ) ORDER BY "check"
+    """,
     "profile_orders": " UNION ALL ".join(_profile_one(c) for c in PROFILE_COLS),
     "orders_snapshot_diff": """
         WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -1,0 +1,144 @@
+"""Behavioral / product-analytics operators over event streams.
+
+Funnel conversion, ordered event-sequence mining, and cohort retention —
+the event-table workloads that sit next to time-slicing in any analytics
+engine. All are DataFrame compositions with scale-safe shapes:
+
+* Funnels chain per-user aggregates (one shuffle on the user key per
+  step; each step's input is pre-filtered to its event type, so the
+  heavy table is scanned once per step with partial aggregation).
+* Sequences are one user-partitioned window pass + a count aggregate.
+* Retention is two aggregates on (user) then (cohort, offset).
+
+Time contract: ``ts`` is the long-nanosecond event time (see
+sources/tables.load_table); week arithmetic is exact integer division,
+bit-identical to the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NS_PER_WEEK = 7 * 24 * 3600 * 10**9
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strictly-ordered funnel: a user reaches step k when an event of
+    ``steps[k]`` happens AFTER their first event of step k-1.
+
+    Returns one row per step: ``(stage long, step string, n_users long)``
+    with n_users monotonically non-increasing. Each stage is a per-user
+    min-aggregate joined to the previous stage's firsts — k shuffles on
+    the user key for a k-step funnel, never a self-join on the raw
+    event table.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(type_col).alias("k"),
+    )
+    rows = []
+    firsts: DataFrame | None = None
+    for i, step in enumerate(steps):
+        hits = e.filter(F.col("k") == step)
+        if firsts is None:
+            firsts = hits.groupBy("u").agg(F.min("t").alias("t_prev"))
+        else:
+            firsts = (
+                hits.join(firsts, "u")
+                .filter(F.col("t") > F.col("t_prev"))
+                .groupBy("u")
+                .agg(F.min("t").alias("t_prev"))
+            )
+        rows.append(
+            firsts.agg(
+                F.lit(i + 1).cast("long").alias("stage"),
+                F.lit(step).alias("step"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def event_sequences(
+    events: DataFrame,
+    *,
+    n: int = 3,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Most frequent length-``n`` event-type sequences across users.
+
+    One window pass per user ordered by (ts, event_id) — the unique-id
+    tiebreak makes the sequences deterministic under timestamp ties —
+    then a count aggregate and a deterministic top-k
+    (count desc, sequence asc). Output: ``(sequence string, n long)``.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    seq = F.concat_ws(">", *steps)
+    complete = F.lead(type_col, n - 1).over(w).isNotNull()
+    return (
+        events.select(seq.alias("sequence"), complete.alias("_full"))
+        .filter("_full")
+        .groupBy("sequence")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "sequence")
+        .limit(top_k)
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Weekly cohort retention matrix in long form.
+
+    A user's cohort is the epoch-week of their FIRST event; the matrix
+    counts distinct users active at each whole-week offset from that
+    cohort. Two aggregates: per-user first week (shuffle on user), then
+    distinct users per (cohort_week, week_offset) — the second input is
+    already user-distinct per offset cell, so the count is exact.
+    Output: ``(cohort_week long, week_offset long, n_users long)``.
+    """
+    # `div` (exact long integer division) — a double `/` would round:
+    # nanosecond epochs exceed 2^53.
+    weeks = events.select(
+        F.col(user_col).alias("u"),
+        F.expr(f"`{ts_col}` div {NS_PER_WEEK}L").alias("w"),
+    )
+    first = weeks.groupBy("u").agg(F.min("w").alias("w0"))
+    active = weeks.distinct().join(first, "u")
+    out = (
+        active.select(
+            F.col("w0").alias("cohort_week"),
+            (F.col("w") - F.col("w0")).alias("week_offset"),
+            "u",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("u").alias("n_users"))
+    )
+    if max_offset is not None:
+        out = out.filter(F.col("week_offset") <= max_offset)
+    return out

@@ -49,6 +49,23 @@ HEADLINE = (
 BIG_ROWS = int(os.environ.get("SPARK_GRAFT_BIG_ROWS", "100000000"))
 BIG_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "sfbig")
 
+# Wall-clock budget for the OPTIONAL data-scale sections (big / docs /
+# replay / vecs). A fresh container pays one-time synthesis of ~8 GB of
+# bench tables; if that plus measurement would blow past the budget, the
+# remaining sections are skipped (recorded as {"skipped": ...}) and the
+# headline JSON still prints — a partial bench beats a killed one.
+BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1800"))
+_T_START = time.monotonic()
+
+
+def _remaining() -> float:
+    return BENCH_BUDGET_S - (time.monotonic() - _T_START)
+
+
+def _note(msg: str) -> None:
+    print(f"[bench +{time.monotonic() - _T_START:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
 
 def ensure_big_events(spark) -> None:
     """Synthesize a seeded ~100M-row events table once (reused across
@@ -61,6 +78,7 @@ def ensure_big_events(spark) -> None:
     marker = Path(BIG_DIR) / "events.parquet" / "_SUCCESS"
     if marker.exists():
         return
+    _note(f"synthesizing {BIG_ROWS} bench events (one-time)")
     base = 1_700_000_000 * 10**9
     span = 30 * 24 * 3600 * 10**9
     kinds = F.array(*[F.lit(x) for x in
@@ -96,6 +114,7 @@ def ensure_big_docs(spark) -> None:
     marker = Path(DOCS_DIR) / "documents.parquet" / "_SUCCESS"
     if marker.exists():
         return
+    _note(f"synthesizing {DOCS_ROWS} bench docs (one-time)")
     h = lambda s: F.xxhash64(F.col("id"), F.lit(s))
     n_toks = (F.lit(40) + F.pmod(h(0), F.lit(200))).cast("int")
     tok = lambda i: F.concat(
@@ -369,6 +388,7 @@ def ensure_big_vecs(spark) -> None:
     marker = Path(VEC_DIR) / "embeddings.parquet" / "_SUCCESS"
     if marker.exists():
         return
+    _note(f"synthesizing {VEC_ROWS} bench vectors (one-time)")
     vec = F.transform(
         F.sequence(F.lit(1), F.lit(VEC_DIM)),
         lambda i: (
@@ -484,15 +504,35 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
+    _note(f"headline done: {round(sum(timings.values()), 3)}s over "
+          f"{len(timings)} queries")
+
     big = None
     docs = None
     rep = None
     vecs = None
     if os.environ.get("SPARK_GRAFT_BIGBENCH", "1") != "0":
-        big = run_big(spark, qs)
-        docs = run_docs(spark)
-        rep = run_replay(spark, sf_dir)
-        vecs = run_vecs(spark)
+        # Ordered by signal value; each checks the remaining budget and
+        # records a skip marker instead of risking a hard kill.
+        sections = (
+            ("bigbench", lambda: run_big(spark, qs), 600.0),
+            ("docsbench", lambda: run_docs(spark), 240.0),
+            ("replaybench", lambda: run_replay(spark, sf_dir), 120.0),
+            ("vecbench", lambda: run_vecs(spark), 240.0),
+        )
+        results: dict[str, object] = {}
+        for name, fn, est in sections:
+            if _remaining() < est:
+                _note(f"skip {name}: {_remaining():.0f}s left < est {est:.0f}s")
+                results[name] = {"skipped": f"budget ({BENCH_BUDGET_S:.0f}s)"}
+                continue
+            s = time.monotonic()
+            results[name] = fn()
+            _note(f"{name} done in {time.monotonic() - s:.1f}s")
+        big = results.get("bigbench")
+        docs = results.get("docsbench")
+        rep = results.get("replaybench")
+        vecs = results.get("vecbench")
 
     total = round(sum(timings.values()), 3)
     out = {

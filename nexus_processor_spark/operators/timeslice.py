@@ -453,3 +453,101 @@ def gapfill_intervals(
         )
         .orderBy("interval")
     )
+
+
+def locf_resample(
+    events: DataFrame,
+    interval_seconds: float,
+    *,
+    series_col: str = "bank",
+    time_col: str = "absolute_time",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-series resample with last-observation-carried-forward fill —
+    the slow-control-log shape: each series emits its most recent reading
+    for every interval between its first and last observation, with gaps
+    flagged.
+
+    Per bucket the "observation" is the LAST sample by
+    ``(time, order_col)`` — the unique-id tiebreak makes the choice
+    deterministic under timestamp ties (``max_by`` over a struct key).
+    The spine is per-series ``sequence(lo, hi)`` from a tiny bounds
+    aggregate; the carry-forward is one ordered window over the
+    bucket-level frame (interval count ≪ row count), so the only
+    data-scale work is the per-(series, bucket) aggregate.
+    """
+    t = F.col(time_col)
+    obs = (
+        events.filter(t.isNotNull())
+        .withColumn("interval", interval_floor(t, interval_seconds))
+        .groupBy(series_col, "interval")
+        .agg(
+            F.max_by(
+                F.col(value_col), F.struct(t, F.col(order_col))
+            ).alias("_v")
+        )
+    )
+    bounds = obs.groupBy(series_col).agg(
+        F.min("interval").alias("lo"), F.max("interval").alias("hi")
+    )
+    spine = bounds.select(
+        series_col,
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("interval"),
+    )
+    carry = (
+        Window.partitionBy(series_col)
+        .orderBy("interval")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(obs, [series_col, "interval"], "left")
+        .select(
+            series_col,
+            "interval",
+            F.last("_v", ignorenulls=True).over(carry).alias("value_locf"),
+            F.col("_v").isNull().cast("long").alias("is_gap"),
+        )
+        .orderBy(series_col, "interval")
+    )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    *,
+    series_col: str = "bank",
+    time_col: str = "absolute_time",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-series time-weighted average: each sample's value is held
+    until the next sample, so irregularly-spaced readings weight by their
+    holding duration instead of their count (the TSDB ``time_weight``
+    aggregate; a plain AVG over-weights bursts).
+
+    One ordered window pass derives each sample's holding time
+    ``dt = next_t - t`` (the last sample holds nothing and drops out),
+    then one aggregate per series. Sums are rounded to 2 decimals in
+    both engines before the final division (accumulation order differs);
+    the division itself is then bit-identical.
+    """
+    w = Window.partitionBy(series_col).orderBy(time_col, order_col)
+    t = F.col(time_col)
+    dt = F.lead(t).over(w) - t
+    held = (
+        events.filter(t.isNotNull())
+        .select(
+            series_col,
+            t.alias("_t"),
+            F.col(value_col).alias("_v"),
+            dt.alias("_dt"),
+        )
+        .filter(F.col("_dt").isNotNull())
+    )
+    num = F.round(F.sum(F.col("_v") * F.col("_dt")), 2)
+    den = F.round(F.sum("_dt"), 2)
+    return held.groupBy(series_col).agg(
+        (num / den).alias("time_weighted_avg"),
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(F.sum("_dt"), 2).alias("span_seconds"),
+    )

@@ -232,8 +232,26 @@ def q_timeslice_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeslice.gapfill_intervals(e, INTERVAL)
 
 
+LOCF_INTERVAL = 600.0
+
+
+def q_timeslice_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slow-control resample: per-bank 10-minute buckets, the last
+    reading of each bucket carried forward across gaps (deterministic
+    last via (time, event_id) tiebreak)."""
+    return timeslice.locf_resample(_events(spark, sf_dir), LOCF_INTERVAL)
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSDB time_weight aggregate: irregular samples weighted by holding
+    duration, one window pass + one aggregate per bank."""
+    return timeslice.time_weighted_avg(_events(spark, sf_dir))
+
+
 QUERIES = {
     "time_bounds": q_time_bounds,
+    "timeslice_locf": q_timeslice_locf,
+    "time_weighted_avg": q_time_weighted_avg,
     "timeslice_gapfill": q_timeslice_gapfill,
     "interval_totals": q_interval_totals,
     "attribute_maps": q_attribute_maps,
@@ -265,6 +283,41 @@ ORACLE = {
                         THEN 'type=' || event_type END
                ) AS attributes
         FROM events
+    """,
+    "timeslice_locf": f"""
+        WITH e AS ({{_E}}),
+        obs AS (
+            SELECT bank, CAST(floor(t/{{LOCF}}) AS BIGINT) AS interval,
+                   last(value ORDER BY t, event_id) AS v
+            FROM e WHERE t IS NOT NULL GROUP BY 1, 2
+        ),
+        b AS (SELECT bank, min(interval) AS lo, max(interval) AS hi
+              FROM obs GROUP BY 1),
+        spine AS (SELECT bank, unnest(generate_series(lo, hi)) AS interval
+                  FROM b)
+        SELECT s.bank, s.interval,
+               last_value(o.v IGNORE NULLS) OVER (
+                   PARTITION BY s.bank ORDER BY s.interval
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_locf,
+               CAST(o.v IS NULL AS BIGINT) AS is_gap
+        FROM spine s
+        LEFT JOIN obs o ON s.bank = o.bank AND s.interval = o.interval
+    """.replace("{_E}", _E).replace("{LOCF}", str(LOCF_INTERVAL)),
+    "time_weighted_avg": f"""
+        WITH e AS ({_E}),
+        h AS (
+            SELECT bank, value AS v,
+                   lead(t) OVER (PARTITION BY bank ORDER BY t, event_id) - t
+                     AS dt
+            FROM e WHERE t IS NOT NULL
+        )
+        SELECT bank,
+               round(sum(v * dt), 2) / round(sum(dt), 2)
+                 AS time_weighted_avg,
+               CAST(count(*) AS BIGINT) AS n_intervals,
+               round(sum(dt), 2) AS span_seconds
+        FROM h WHERE dt IS NOT NULL GROUP BY 1
     """,
     "timeslice_gapfill": f"""
         WITH e AS ({_E}),

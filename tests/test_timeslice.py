@@ -175,3 +175,64 @@ def test_count_by_bank_and_interval_ns_matches_generic(spark):
     fast = timeslice.count_by_bank_and_interval_ns(ev, 3600.0).select(*cols)
     assert sorted(map(tuple, generic.collect())) == \
            sorted(map(tuple, fast.collect()))
+
+
+def test_locf_resample_carries_last_observation(spark):
+    # bank A: readings in buckets 0 and 3 -> buckets 1, 2 carry v=1.0
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10.0, 1.0),
+            (2, "A", 15.0, 1.5),   # same bucket 0, later time -> wins? no:
+            # bucket is floor(t/60): both in bucket 0; last by (t, id) = 1.5
+            (3, "A", 190.0, 9.0),  # bucket 3
+            (4, "B", 70.0, 7.0),   # bank B single bucket
+        ],
+        "event_id long, bank string, absolute_time double, value double",
+    )
+    res = timeslice.locf_resample(
+        df, 60.0, series_col="bank", time_col="absolute_time"
+    ).collect()
+    rows = {(r["bank"], r["interval"]): (r["value_locf"], r["is_gap"])
+            for r in res}
+    assert rows[("A", 0)] == (1.5, 0)
+    assert rows[("A", 1)] == (1.5, 1)
+    assert rows[("A", 2)] == (1.5, 1)
+    assert rows[("A", 3)] == (9.0, 0)
+    assert rows[("B", 1)] == (7.0, 0)
+    assert len(rows) == 5  # per-series bounds, no cross-bank spine
+
+
+def test_locf_bucket_last_tiebreak_by_event_id(spark):
+    # identical timestamps: higher event_id wins the bucket
+    df = spark.createDataFrame(
+        [(1, "A", 5.0, 1.0), (2, "A", 5.0, 2.0)],
+        "event_id long, bank string, absolute_time double, value double",
+    )
+    res = timeslice.locf_resample(df, 60.0).collect()
+    assert res[0]["value_locf"] == 2.0
+
+
+def test_time_weighted_avg_weights_by_holding_time(spark):
+    # v=10 held for 9s, v=0 held for 1s, last sample drops out:
+    # twa = (10*9 + 0*1) / 10 = 9.0 ; plain avg would say 4.0
+    df = spark.createDataFrame(
+        [
+            (1, "A", 0.0, 10.0),
+            (2, "A", 9.0, 0.0),
+            (3, "A", 10.0, 99.0),
+        ],
+        "event_id long, bank string, absolute_time double, value double",
+    )
+    (row,) = timeslice.time_weighted_avg(df).collect()
+    assert row["time_weighted_avg"] == 9.0
+    assert row["n_intervals"] == 2
+    assert row["span_seconds"] == 10.0
+
+
+def test_time_weighted_avg_single_sample_series_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "A", 0.0, 10.0), (2, "A", 5.0, 2.0), (3, "B", 0.0, 1.0)],
+        "event_id long, bank string, absolute_time double, value double",
+    )
+    rows = {r["bank"]: r for r in timeslice.time_weighted_avg(df).collect()}
+    assert set(rows) == {"A"}  # B has no holding interval

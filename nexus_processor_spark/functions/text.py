@@ -92,6 +92,22 @@ def chunk_min(hashes: Column, chunk: int) -> Column:
     return F.when(F.size(hashes) > 0, F.array_min(sigs))
 
 
+def minhash_xx(shingles: Column, seed: int) -> Column:
+    """One 64-bit minhash: min over the shingle set of the seeded
+    ``xxhash64``. This is the scale path — xxhash64 is a native codegen
+    long expression, roughly an order of magnitude cheaper than the
+    salted-md5 + substring chunk scheme. The md5 variant stays as the
+    cross-engine twin (DuckDB has md5; it has no xxhash64), so only
+    md5-based signatures are oracle-comparable. Null for shingle-less
+    docs, like ``chunk_min``."""
+    return F.when(
+        F.size(shingles) > 0,
+        F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(F.lit(seed), s))
+        ),
+    )
+
+
 def band_sig_from_hashes(hashes: Column, band: int) -> Column:
     """Single-row band signature (r=1): chunk ``band%4`` of salt ``band//4``
     — kept for the standalone signature operator; the LSH pipeline bands

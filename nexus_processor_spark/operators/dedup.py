@@ -29,6 +29,7 @@ from nexus_processor_spark.functions.text import (
     chunk_min,
     hamming64,
     hex_prefix_value,
+    minhash_xx,
     salted_md5s,
     simhash_from_values,
     simhash_values,
@@ -68,16 +69,37 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_bands: int = 8,
     shingle_words: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, band, sig): one salted-minhash per band per doc.
 
     Docs with no shingles (shorter than the shingle width) emit nothing —
     they cannot meaningfully near-dup match.
+
+    ``hash_fn="md5"`` (default) is the cross-engine-checkable scheme;
+    ``"xxhash64"`` is the scale path (native long codegen, ~10x cheaper
+    per shingle — sig becomes a long instead of an 8-hex string).
     """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be md5 or xxhash64, got {hash_fn!r}")
     sh = word_shingles_text(text_col, shingle_words)
     d = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), sh.alias("_shingles")
     )
+    if hash_fn == "xxhash64":
+        bands = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                minhash_xx(F.col("_shingles"), b).alias("sig"),
+            )
+            for b in range(num_bands)
+        ])
+        return (
+            d.select(id_col, F.explode(bands).alias("bs"))
+            .select(id_col, F.col("bs.band").alias("band"),
+                    F.col("bs.sig").alias("sig"))
+            .filter(F.col("sig").isNotNull())
+        )
     # Materialize each salt's md5 array ONCE in its own projection — the
     # band structs below only take substring chunks of it. Inlining the
     # md5 transform into all num_bands struct elements would recompute the
@@ -175,6 +197,7 @@ def minhash_dedup_pairs(
     max_bucket: int | None = None,
     persist_shingles: bool = True,
     broadcast_verify: bool = True,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """End-to-end near-dup pair detection: LSH candidates -> Jaccard gate.
 
@@ -190,20 +213,32 @@ def minhash_dedup_pairs(
     materializes it once (MEMORY_AND_DISK) — at warehouse scale, checkpoint
     this projection to the lake instead and share it across dedup runs.
     """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be md5 or xxhash64, got {hash_fn!r}")
     n_minhashes = num_bands * rows_per_band
     n_salts = -(-n_minhashes // BANDS_PER_MD5)
     raw = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), word_shingles_text(text_col, shingle_words).alias("sh")
     )
-    # The salted md5 arrays are the expensive columns; they live INSIDE the
+    # The hash minhashes are the expensive columns; they live INSIDE the
     # persisted projection so they're computed exactly once. (Computing all
     # band sigs in one projection instead does NOT help: codegen
     # subexpression elimination doesn't reach inside higher-order lambdas,
     # so each band would re-hash its salt's whole array — measured 2x worse.)
-    sh = raw.select(
-        id_col, "sh",
-        *[salted_md5s(F.col("sh"), k).alias(f"_h{k}") for k in range(n_salts)],
-    )
+    # md5 is the cross-engine-checkable scheme; xxhash64 the scale path
+    # (native long codegen, ~10x cheaper per shingle).
+    if hash_fn == "xxhash64":
+        sh = raw.select(
+            id_col, "sh",
+            *[minhash_xx(F.col("sh"), j).alias(f"_m{j}")
+              for j in range(n_minhashes)],
+        )
+    else:
+        sh = raw.select(
+            id_col, "sh",
+            *[salted_md5s(F.col("sh"), k).alias(f"_h{k}")
+              for k in range(n_salts)],
+        )
     if persist_shingles:
         # Prime the cache with an explicit action: four plan branches read
         # this projection, and a lazily-persisted DF would be recomputed by
@@ -212,12 +247,18 @@ def minhash_dedup_pairs(
         sh.count()
 
     def band_sig(b: int) -> F.Column:
+        js = range(b * rows_per_band, (b + 1) * rows_per_band)
+        if hash_fn == "xxhash64":
+            # Combine the band's minhashes into one 64-bit key. xxhash64
+            # skips null inputs (it would hash shingle-less docs to the
+            # seed and collide them all), so guard on the first minhash.
+            combined = F.xxhash64(*[F.col(f"_m{j}") for j in js])
+            return F.when(
+                F.col(f"_m{b * rows_per_band}").isNotNull(), combined
+            )
         # F.concat (not concat_ws): null minhash (shingle-less doc) must
         # null the whole signature, never collapse to a colliding "".
-        parts = [
-            chunk_min(F.col(f"_h{j // BANDS_PER_MD5}"), j)
-            for j in range(b * rows_per_band, (b + 1) * rows_per_band)
-        ]
+        parts = [chunk_min(F.col(f"_h{j // BANDS_PER_MD5}"), j) for j in js]
         return parts[0] if len(parts) == 1 else F.concat(*parts)
 
     band_arr = F.array(*[band_sig(b) for b in range(num_bands)])

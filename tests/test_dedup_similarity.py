@@ -282,3 +282,46 @@ def test_kmeans_fit_converges_on_separable_clusters(spark):
     assert 0 <= cx <= 2 and 0 <= cy <= 2        # near the low-cluster mean
     cx, cy = cents[1].centroid
     assert 100 <= cx <= 102 and 100 <= cy <= 102
+
+
+def test_minhash_xxhash64_pipeline_matches_md5_semantics(docs):
+    """The xxhash64 scale path finds the same verified near-dups: band
+    luck only affects CANDIDATES; the exact-Jaccard gate makes the final
+    pair set depend on actual overlap (clones collide in every band
+    under any hash)."""
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.minhash_dedup_pairs(
+                 docs, threshold=0.0, hash_fn="xxhash64").collect()}
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0
+    assert (1, 2) in pairs and 0.5 < pairs[(1, 2)] < 1.0
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_xx_signatures_long_and_stable(docs):
+    sigs = dedup.minhash_signatures(docs, hash_fn="xxhash64")
+    assert dict(sigs.dtypes)["sig"] == "bigint"
+    rows = sigs.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.band] = r.sig
+    # exact dup docs agree on every band; unrelated doc does not
+    assert by_doc[1] == by_doc[3]
+    assert by_doc[1] != by_doc[4]
+    assert len(by_doc[1]) == 8
+
+
+def test_minhash_shingleless_docs_emit_nothing_xx(spark):
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "also tiny")], "doc_id long, text string"
+    )
+    assert dedup.minhash_signatures(docs, hash_fn="xxhash64").count() == 0
+    assert dedup.minhash_dedup_pairs(
+        docs, threshold=0.0, hash_fn="xxhash64"
+    ).count() == 0
+
+
+def test_minhash_rejects_unknown_hash_fn(docs):
+    with pytest.raises(ValueError, match="hash_fn"):
+        dedup.minhash_signatures(docs, hash_fn="sha1")
+    with pytest.raises(ValueError, match="hash_fn"):
+        dedup.minhash_dedup_pairs(docs, hash_fn="crc32")

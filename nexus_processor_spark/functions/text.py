@@ -62,6 +62,12 @@ def word_shingles_text(text: Column | str, n: int = 3, sep: str = " ") -> Column
     or just after a separator), looking ahead over ``n`` separator-free
     runs. ``[^sep]*`` (star) keeps empty tokens, matching split semantics;
     test_properties.py pins the equivalence under adversarial spacing.
+
+    Perf note: the obvious native form — ``split`` + ``transform(sequence,
+    i -> concat_ws(' ', slice(toks, i, n)))`` — measured 14x SLOWER on the
+    2M-doc bench corpus (122s vs 8.4s): interpreted HOF lambdas allocate a
+    sliced array + joined string per shingle, while the single regex pass
+    stays inside one generated loop. Don't "optimize" this into array ops.
     """
     if len(sep) != 1:
         raise ValueError("word_shingles_text requires a single-char separator")

@@ -73,6 +73,44 @@ def windowed_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window_seconds: float,
+    slide_seconds: float,
+    *,
+    time_col: str = "event_time",
+    bank_col: str = "bank",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-(window, bank) counts over OVERLAPPING windows — the smoothed
+    monitoring view (e.g. 1h windows advancing every 10 min): each event
+    lands in ``window/slide`` windows, trading ``window/slide`` x state
+    and output volume for update latency. ``slide`` must divide
+    ``window`` (Spark's constraint for aligned window sets).
+
+    Semantics twin: each sliding window [k*slide, k*slide + window) count
+    equals the sum of the tumbling slide-width buckets it spans — pinned
+    by tests against the batch ``floor(t/N)`` operator.
+    """
+    w = int(window_seconds)
+    s = int(slide_seconds)
+    if w % s != 0:
+        raise ValueError(f"slide {s}s must divide window {w}s")
+    win = F.window(F.col(time_col), f"{w} seconds", f"{s} seconds")
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(win.alias("w"), F.col(bank_col))
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            (F.unix_timestamp("w.start") / s).cast("long").alias("slide_index"),
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            bank_col,
+            "event_count",
+        )
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     *,

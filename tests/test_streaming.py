@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from nexus_processor_spark.functions.core import event_timestamp
@@ -362,3 +363,43 @@ def test_funnel_join_stream_stream_matches_batch(spark, tmp_path):
     got = {(r.user_id, r.first_time, r.second_time, r.lag_seconds)
            for r in spark.sql("select * from funnel").collect()}
     assert got == batch
+
+
+def test_sliding_counts_sum_of_tumbling_buckets(spark):
+    """Each sliding window's count equals the sum of the slide-width
+    tumbling buckets it spans (overlap factor = window/slide)."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        event_timestamp("ts").alias("event_time"),
+        F.col("event_type").alias("bank"),
+    )
+    window_s, slide_s = 3600.0, 900.0
+    sliding = windows.sliding_counts(ev, window_s, slide_s)
+
+    # batch twin: tumbling 900s buckets, summed over each 4-bucket span
+    buckets = {
+        (r["b"], r["bank"]): r["n"]
+        for r in ev.select(
+            F.floor(F.col("event_time").cast("double") / slide_s)
+            .cast("long").alias("b"),
+            "bank",
+        ).groupBy("b", "bank").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    overlap = int(window_s / slide_s)
+    for r in sliding.collect():
+        k = r["slide_index"]
+        expect = sum(
+            buckets.get((k + i, r["bank"]), 0) for i in range(overlap)
+        )
+        assert r["event_count"] == expect, (k, r["bank"])
+    # every event appears in `overlap` windows
+    total = sum(r["event_count"] for r in sliding.collect())
+    assert total == overlap * ev.count()
+
+
+def test_sliding_counts_rejects_nondivisible_slide(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        event_timestamp("ts").alias("event_time"),
+        F.col("event_type").alias("bank"),
+    )
+    with pytest.raises(ValueError, match="divide"):
+        windows.sliding_counts(ev, 3600.0, 700.0)

@@ -600,3 +600,39 @@ def semantic_dedup(
         tagged.join(dropped, id_col, "left_anti")
         .select(id_col, "centroid_id")
     )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    *,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact ground
+    truth — the eval every ANN index needs before it replaces the
+    brute-force path.
+
+    Both inputs are (query, neighbor) relations (extra columns ignored).
+    Per query: |approx ∩ exact| / k; queries with zero approx hits still
+    appear (recall 0.0 — an index that silently drops queries must not
+    inflate its average). The join is per-query equi (never data-scale),
+    one aggregate per side.
+    """
+    ex = exact.select(query_col, id_col)
+    ap = approx.select(query_col, id_col)
+    hits = (
+        ap.join(ex, [query_col, id_col], "left_semi")
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return (
+        ex.select(query_col).distinct()
+        .join(hits, query_col, "left")
+        .select(
+            query_col,
+            (F.coalesce(F.col("_hits"), F.lit(0)) / F.lit(float(k)))
+            .alias("recall"),
+        )
+    )

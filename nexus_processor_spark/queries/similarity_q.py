@@ -36,6 +36,19 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF cell-pruned index against the brute-force
+    ground truth — the eval gate before an approximate index replaces
+    exact search. Per query: |ivf ∩ exact| / k."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    return similarity.recall_at_k(
+        similarity.ivf_topk(q, emb, TOP_K),
+        similarity.brute_force_topk(q, emb, TOP_K),
+        TOP_K,
+    )
+
+
 def q_sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(
         _emb(spark, sf_dir), NEAR_DUP_THRESHOLD
@@ -137,6 +150,7 @@ QUERIES = {
     "pq_topk": q_pq_topk,
     "sim_brute_topk": q_sim_brute_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_ivf_recall": q_sim_ivf_recall,
     "sim_near_dup_pairs": q_sim_near_dup_pairs,
     "vector_quantize": q_vector_quantize,
     "kmeans_assign": q_kmeans_assign,
@@ -358,6 +372,19 @@ ORACLE = {
     "semantic_dedup": _SEMANTIC_DEDUP_SQL,
     "sim_brute_topk": _TOPK.format(scored=_SCORED, k=TOP_K),
     "sim_ivf_topk": _TOPK.format(scored=_SCORED_IVF, k=TOP_K),
+    "sim_ivf_recall": f"""
+        WITH ex AS ({_TOPK.format(scored=_SCORED, k=TOP_K)}),
+        ap AS ({_TOPK.format(scored=_SCORED_IVF, k=TOP_K)}),
+        hits AS (
+            SELECT ap.query_id, count(*) AS h
+            FROM ap JOIN ex ON ap.query_id = ex.query_id
+                           AND ap.vec_id = ex.vec_id
+            GROUP BY 1
+        )
+        SELECT q.query_id, COALESCE(h, 0) / {TOP_K}.0 AS recall
+        FROM (SELECT DISTINCT query_id FROM ex) q
+        LEFT JOIN hits ON q.query_id = hits.query_id
+    """,
     "sim_near_dup_pairs": f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                {_cos('a.embedding', 'b.embedding')} AS cos

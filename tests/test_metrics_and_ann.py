@@ -65,3 +65,20 @@ def test_lsh_hyperplane_recall(clustered):
     assert recall >= 0.7, f"recall {recall}"
     # and the approximate search compared far fewer pairs than n^2
     assert all(r.cos is not None for r in approx.collect())
+
+
+def test_recall_at_k_counts_overlap_and_keeps_empty_queries(spark):
+    from nexus_processor_spark.operators.similarity import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30), (3, 31)],
+        "query_id long, vec_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11),          # perfect
+         (2, 20), (2, 99)],         # half right; query 3 absent entirely
+        "query_id long, vec_id long",
+    )
+    got = {r["query_id"]: r["recall"]
+           for r in recall_at_k(approx, exact, 2).collect()}
+    assert got == {1: 1.0, 2: 0.5, 3: 0.0}

@@ -103,3 +103,43 @@ def serve_count_by_interval(
         )
         .orderBy("interval")
     )
+
+
+def incremental_update(
+    rollup: DataFrame,
+    new_events: DataFrame,
+    interval_seconds: float,
+    *,
+    time_col: str = "absolute_time",
+    bank_col: str = "bank",
+    pulse_col: str = "pulse_index",
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Refresh the continuous aggregate with a new batch of events —
+    without re-scanning history.
+
+    Build the batch's own rollup (the only data-scale work, proportional
+    to the BATCH), then merge: counts add, min/max fold, HLL sketches
+    union. The merge groups on the rollup key whose cardinality is
+    bucket-count, not event-count, so nightly/streaming refresh cost is
+    O(batch + touched buckets). This is the ``foreachBatch`` upsert body
+    for streaming maintenance; equivalence to a full rebuild is pinned by
+    tests (exact measures equal, sketch estimates equal — HLL union is
+    associative, so incremental == rebuild even on the sketch bytes'
+    estimates).
+    """
+    delta = build_interval_rollup(
+        new_events, interval_seconds,
+        time_col=time_col, bank_col=bank_col, pulse_col=pulse_col,
+        key_cols=key_cols,
+    )
+    return (
+        rollup.unionByName(delta)
+        .groupBy(*key_cols, bank_col, "interval")
+        .agg(
+            F.sum("event_count").alias("event_count"),
+            F.min("min_time").alias("min_time"),
+            F.max("max_time").alias("max_time"),
+            F.hll_union_agg("pulse_sketch").alias("pulse_sketch"),
+        )
+    )

@@ -57,3 +57,43 @@ def test_rollup_rejects_non_multiple(spark, events):
     fine = rollup.build_interval_rollup(events, 60.0)
     with pytest.raises(ValueError, match="multiple"):
         rollup.rollup_to_coarser(fine, 60.0, 90.0)
+
+
+def test_incremental_update_equals_full_rebuild(spark):
+    """Splitting the stream into history + batch and refreshing
+    incrementally must reproduce the from-scratch rollup exactly —
+    including the HLL distinct estimates (sketch union is associative)."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        event_seconds("ts").alias("absolute_time"),
+        F.col("event_type").alias("bank"),
+        F.col("user_id").alias("pulse_index"),
+    )
+    old = ev.filter(F.col("pulse_index") % 5 != 0)
+    new = ev.filter(F.col("pulse_index") % 5 == 0)
+
+    base = rollup.build_interval_rollup(old, 3600.0)
+    merged = rollup.incremental_update(base, new, 3600.0)
+    rebuilt = rollup.build_interval_rollup(ev, 3600.0)
+
+    def served(r):
+        return sorted(
+            map(tuple, rollup.serve_count_by_interval(r, 3600.0).collect())
+        )
+
+    assert served(merged) == served(rebuilt)
+
+
+def test_incremental_update_only_batch_scale_work(spark):
+    """The merge groups on rollup keys: the plan re-aggregates the DELTA
+    events but never re-reads the base rollup's source events."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        event_seconds("ts").alias("absolute_time"),
+        F.col("event_type").alias("bank"),
+        F.col("user_id").alias("pulse_index"),
+    )
+    base = rollup.build_interval_rollup(ev, 3600.0)
+    # materialize the base (as a real rollup table would be)
+    base_rows = base.collect()
+    base_df = spark.createDataFrame(base_rows, base.schema)
+    merged = rollup.incremental_update(base_df, ev.limit(100), 3600.0)
+    assert merged.count() > 0

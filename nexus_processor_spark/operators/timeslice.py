@@ -530,6 +530,15 @@ def time_weighted_avg(
     then one aggregate per series. Sums are rounded to 2 decimals in
     both engines before the final division (accumulation order differs);
     the division itself is then bit-identical.
+
+    Scale contract: the window partitions on ``series_col``, so one
+    partition holds one series' full history — correct when series are
+    numerous and individually bounded (DAS logs: thousands of process
+    variables x modest samples each), degenerate if called with a
+    low-cardinality series column over a data-scale table. For huge
+    single series, pre-aggregate to LOCF buckets first
+    (``locf_resample``) and run this over the bucket frame — bucket
+    count, not sample count, then bounds the partition.
     """
     w = Window.partitionBy(series_col).orderBy(time_col, order_col)
     t = F.col(time_col)

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from nexus_processor_spark.queries import (
     behavior_q,
     dedup_q,
+    graph_q,
     pipeline_q,
     profile_q,
     relational_q,
@@ -34,7 +35,7 @@ from nexus_processor_spark.queries import (
 )
 
 _MODULES = (timeslice_q, relational_q, dedup_q, similarity_q, text_q,
-            pipeline_q, profile_q, behavior_q)
+            pipeline_q, profile_q, behavior_q, graph_q)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -64,6 +64,17 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="sample: deterministic hash-sample fraction")
     co.add_argument("--threshold", type=float, default=0.5,
                     help="neardup: Jaccard threshold")
+
+    ck = sub.add_parser(
+        "check", help="data-quality expectation suite over a parquet table"
+    )
+    ck.add_argument("--input", required=True, help="table parquet path")
+    ck.add_argument("--key", default=None,
+                    help="column expected unique (and non-null)")
+    ck.add_argument("--not-null", default=None,
+                    help="comma-separated columns expected non-null")
+    ck.add_argument("--output", default=None,
+                    help="write the (check, metric, passed) report here")
     return p
 
 
@@ -168,6 +179,29 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"wrote {args.output}", file=sys.stderr)
             else:
                 result.show(50, truncate=False)
+        elif args.cmd == "check":
+            from nexus_processor_spark.operators import quality
+
+            df = spark.read.parquet(args.input)
+            checks = []
+            if args.key:
+                checks += [quality.not_null(args.key), quality.unique(args.key)]
+            for c in (args.not_null or "").split(","):
+                if c and c != args.key:
+                    checks.append(quality.not_null(c))
+            if not checks:
+                print("check: pass --key and/or --not-null", file=sys.stderr)
+                return 2
+            report = quality.run_checks(df, checks)
+            rows = report.collect()
+            if args.output:
+                report.write.mode("overwrite").parquet(args.output)
+            for r in rows:
+                flag = "PASS" if r["passed"] else "FAIL"
+                print(f"{flag} {r['check']} metric={r['metric']}")
+            # gate semantics: non-zero exit when any expectation fails
+            if not all(r["passed"] for r in rows):
+                return 1
     finally:
         if owned:
             spark.stop()

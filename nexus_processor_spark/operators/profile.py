@@ -131,3 +131,62 @@ def histogram(
         F.round(lo_c + F.lit(width), 6).alias("bucket_hi"),
         "n",
     ).orderBy("bucket")
+
+
+def quantile_histogram(
+    df: DataFrame,
+    value_col: str,
+    num_buckets: int,
+) -> DataFrame:
+    """Equi-depth histogram: bucket boundaries at the exact interpolated
+    quantiles, then one pass assigning each row by counting the cut
+    points below it — the distribution profile that stays informative on
+    skewed columns where equal-width buckets collapse into one bar.
+
+    Shape: one 1-row quantile aggregate (exact ``percentile`` here for
+    oracle parity — swap ``approx_percentile`` at warehouse scale), a
+    1-row broadcast back onto the table, and one groupBy on the derived
+    bucket. Cut points are rounded (1e-6) BEFORE assignment in both
+    engines, so bucket membership of boundary-straddling values is
+    identical. Ties at a cut go to the lower bucket; heavy ties make
+    depths uneven (deterministically) — that is inherent to equi-depth.
+
+    Output: ``bucket (1..n), bucket_lo, bucket_hi, n`` — lo of bucket 1
+    and hi of bucket n are null (open tails).
+    """
+    if num_buckets < 2:
+        raise ValueError("need at least 2 buckets")
+    qs = ", ".join(str(i / num_buckets) for i in range(1, num_buckets))
+    cuts = df.filter(F.col(value_col).isNotNull()).agg(
+        F.transform(
+            F.expr(f"percentile({value_col}, array({qs}))"),
+            lambda c: F.round(c, 6),
+        ).alias("_cuts")
+    )
+    x = F.col(value_col).cast("double")
+    bucket = (
+        F.lit(1)
+        + F.aggregate(
+            F.col("_cuts"),
+            F.lit(0),
+            lambda acc, c: acc + F.when(x > c, 1).otherwise(0),
+        )
+    ).cast("long")
+    counted = (
+        df.filter(F.col(value_col).isNotNull())
+        .join(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.first("_cuts").alias("_c"))
+    )
+    return counted.select(
+        "bucket",
+        F.when(
+            F.col("bucket") > 1,
+            F.element_at("_c", (F.col("bucket") - 1).cast("int")),
+        ).alias("bucket_lo"),
+        F.when(
+            F.col("bucket") < num_buckets,
+            F.element_at("_c", F.col("bucket").cast("int")),
+        ).alias("bucket_hi"),
+        "n",
+    )

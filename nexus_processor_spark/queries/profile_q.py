@@ -76,8 +76,21 @@ def q_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEPTH_BUCKETS = 8
+
+
+def q_price_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of l_extendedprice: exact interpolated octile
+    boundaries, one broadcast back, one groupBy."""
+    return profile.quantile_histogram(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice",
+        DEPTH_BUCKETS,
+    )
+
+
 QUERIES = {
     "quality_orders": q_quality_orders,
+    "price_quantile_histogram": q_price_quantile_histogram,
     "profile_orders": q_profile_orders,
     "orders_snapshot_diff": q_orders_snapshot_diff,
     "price_histogram": q_price_histogram,
@@ -98,7 +111,25 @@ def _profile_one(col: str) -> str:
 
 _BUCKET_W = (HIST_HI - HIST_LO) / HIST_BUCKETS
 
+_OCTILES = ", ".join(
+    f"round(quantile_cont(x, {i / 8}), 6)" for i in range(1, 8)
+)
+
 ORACLE = {
+    "price_quantile_histogram": f"""
+        WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+                   FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        c AS (SELECT [{_OCTILES}] AS cuts FROM v),
+        b AS (SELECT 1 + len(list_filter(cuts, t -> x > t)) AS bucket, cuts
+              FROM v, c)
+        SELECT bucket,
+               CASE WHEN bucket > 1 THEN cuts[CAST(bucket AS INT) - 1] END
+                 AS bucket_lo,
+               CASE WHEN bucket < 8 THEN cuts[CAST(bucket AS INT)] END
+                 AS bucket_hi,
+               CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY 1, 2, 3
+    """,
     "quality_orders": """
         WITH m AS (
             SELECT

@@ -78,3 +78,29 @@ def test_corpus_cli_ops(spark, tmp_path):
     assert main(["corpus", "mix", "--input", src, "--output", out5]) == 0
     mix = spark.read.parquet(out5)
     assert mix.count() == 2 and "weight" in mix.columns
+
+
+def test_check_cli_gate_semantics(spark, tmp_path, capsys):
+    good = tmp_path / "good.parquet"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, name string"
+    ).write.parquet(str(good))
+    assert main(["check", "--input", str(good), "--key", "id",
+                 "--not-null", "name"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("PASS") == 3 and "FAIL" not in out
+
+    bad = tmp_path / "bad.parquet"
+    spark.createDataFrame(
+        [(1, "a"), (1, None)], "id long, name string"
+    ).write.parquet(str(bad))
+    assert main(["check", "--input", str(bad), "--key", "id",
+                 "--not-null", "name"]) == 1
+    out = capsys.readouterr().out
+    assert "FAIL unique:id" in out and "FAIL not_null:name" in out
+
+
+def test_check_cli_requires_some_expectation(spark, tmp_path):
+    p = tmp_path / "t.parquet"
+    spark.createDataFrame([(1,)], "id long").write.parquet(str(p))
+    assert main(["check", "--input", str(p)]) == 2

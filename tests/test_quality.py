@@ -100,3 +100,26 @@ def test_empty_suite_rejected(spark):
 
     with pytest.raises(ValueError):
         quality.run_checks(_df(spark), [])
+
+
+def test_quantile_histogram_equal_depths_on_uniform(spark):
+    from nexus_processor_spark.operators import profile
+
+    df = spark.range(800).select((F.col("id")).cast("double").alias("v"))
+    res = profile.quantile_histogram(df, "v", 4).orderBy("bucket").collect()
+    assert [r["bucket"] for r in res] == [1, 2, 3, 4]
+    # uniform data -> equal depths (within interpolation-tie slack)
+    assert all(abs(r["n"] - 200) <= 1 for r in res)
+    assert res[0]["bucket_lo"] is None and res[-1]["bucket_hi"] is None
+    # boundaries are monotone
+    cuts = [r["bucket_hi"] for r in res[:-1]]
+    assert cuts == sorted(cuts)
+
+
+def test_quantile_histogram_rejects_single_bucket(spark):
+    import pytest
+    from nexus_processor_spark.operators import profile
+
+    df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError):
+        profile.quantile_histogram(df, "v", 1)

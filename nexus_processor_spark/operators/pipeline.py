@@ -658,3 +658,74 @@ def curate_corpus(
         .withColumn("keep", F.col("drop_reason").isNull())
         .drop(*flags)
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    size: int,
+    *,
+    text_col: str = "text",
+    reserved: int = 1,
+) -> DataFrame:
+    """Frequency-ranked token vocabulary: ``(token, token_id)`` with ids
+    ``reserved .. reserved+size-1`` (id 0 = OOV by default). Rank is
+    (count desc, token asc) — ties cut deterministically, so the same
+    corpus always yields the same vocabulary. One token-count aggregate
+    plus a window over the (tiny) top-``size`` head.
+    """
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), "token")
+        .limit(size)
+    )
+    w = Window.orderBy(F.col("_n").desc(), "token")
+    return counts.select(
+        "token",
+        (F.row_number().over(w).cast("long") + F.lit(reserved - 1))
+        .alias("token_id"),
+    )
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = 0,
+) -> DataFrame:
+    """Encode each doc's token stream to ids against a vocabulary —
+    the tokenize step of training-data prep (whitespace tokens here; the
+    id mapping, OOV policy, and plan shape are what carry over to a real
+    subword vocab).
+
+    Plan: posexplode the token stream, broadcast-join the vocabulary
+    (dimension-sized by construction), re-assemble in order via
+    ``sort_array`` over (position, id) structs — ONE shuffle of the
+    token rows on the doc key; the vocab never shuffles. Unknown tokens
+    map to ``oov_id``.
+
+    Output: ``(id_col, input_ids array<long>, n_tokens, n_oov)``.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "token"),
+    )
+    joined = tok.join(F.broadcast(vocab), "token", "left").select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(oov_id)).alias("tid"),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"],
+            ).alias("input_ids"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("tid") == oov_id).cast("long")).alias("n_oov"),
+        )
+    )

@@ -109,6 +109,18 @@ def q_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.bigram_stats(_docs(spark, sf_dir), 200)
 
 
+VOCAB_SIZE = 500
+
+
+def q_tokens_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids against the corpus's own frequency-ranked vocab:
+    broadcast vocab join on the exploded token stream, ordered
+    re-assembly, OOV -> id 0. One doc-key shuffle of token rows."""
+    docs = _docs(spark, sf_dir)
+    vocab = pipeline.build_vocab(docs, VOCAB_SIZE)
+    return pipeline.encode_tokens(docs, vocab)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-split documents into an existing corpus half and a new batch;
     keep batch docs whose content hash the corpus hasn't seen."""
@@ -167,6 +179,7 @@ QUERIES = {
     "source_mix": q_source_mix,
     "vocab_topk": q_vocab_topk,
     "bigram_stats": q_bigram_stats,
+    "tokens_encoded": q_tokens_encoded,
     "dedup_incremental": q_dedup_incremental,
 }
 
@@ -193,6 +206,31 @@ def _split_case() -> str:
 
 
 ORACLE = {
+    "tokens_encoded": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, i AS pos, ts[i] AS token
+            FROM toks, unnest(generate_series(1, len(ts))) AS u(i)
+        ),
+        counts AS (
+            SELECT token, count(*) AS n FROM tok GROUP BY 1
+            ORDER BY n DESC, token LIMIT {VOCAB_SIZE}
+        ),
+        vocab AS (
+            SELECT token,
+                   row_number() OVER (ORDER BY n DESC, token) AS token_id
+            FROM counts
+        )
+        SELECT doc_id,
+               list(coalesce(token_id, 0) ORDER BY pos) AS input_ids,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN token_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov
+        FROM tok LEFT JOIN vocab USING (token)
+        GROUP BY doc_id
+    """,
     "sample_hash": f"""
         SELECT doc_id, lang FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)

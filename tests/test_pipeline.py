@@ -259,3 +259,30 @@ def test_quantile_filter_approx_close_to_exact(spark):
     )
     out = pipeline.quantile_filter(df, 0.25).collect()
     assert 70 <= len(out) <= 80  # exact keeps 75
+
+
+def test_build_vocab_and_encode_tokens(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b zzz"), (3, "a")],
+        "doc_id long, text string",
+    )
+    vocab = pipeline.build_vocab(docs, 2)  # head: a (5), b (2)
+    v = {r["token"]: r["token_id"] for r in vocab.collect()}
+    assert v == {"a": 1, "b": 2}
+
+    enc = {r["doc_id"]: r for r in
+           pipeline.encode_tokens(docs, vocab).collect()}
+    assert enc[1]["input_ids"] == [1, 2, 1, 0]   # c -> OOV 0
+    assert enc[1]["n_tokens"] == 4 and enc[1]["n_oov"] == 1
+    assert enc[2]["input_ids"] == [1, 2, 0]
+    assert enc[3]["input_ids"] == [1] and enc[3]["n_oov"] == 0
+
+
+def test_encode_tokens_order_preserved_under_shuffle(spark):
+    # a long doc: ids must come back in exact token order
+    text = " ".join(str(i % 7) for i in range(200))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    vocab = pipeline.build_vocab(docs, 7)
+    (row,) = pipeline.encode_tokens(docs, vocab).collect()
+    v = {r["token"]: r["token_id"] for r in vocab.collect()}
+    assert row["input_ids"] == [v[str(i % 7)] for i in range(200)]

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from nexus_processor_spark.operators import behavior
-from nexus_processor_spark.sources.tables import load_table
+from nexus_processor_spark.sources.tables import load_table, ts_ns_sql
 
 FUNNEL_STEPS = ["view", "click", "purchase"]
 SEQ_N = 3
@@ -46,7 +46,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
 }
 
-_E_NS = "epoch_us(ts) * 1000"
+_E_NS = ts_ns_sql()  # encoding-aware: raw long nanos or epoch_us*1000
 
 ORACLE = {
     "funnel_stages": f"""

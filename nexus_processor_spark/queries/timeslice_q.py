@@ -268,7 +268,11 @@ QUERIES = {
     "replay_summary": q_replay_summary,
 }
 
-_E = "SELECT event_id, epoch(ts) AS t, event_type AS bank, user_id AS pulse_index, value FROM events"
+from nexus_processor_spark.sources.tables import ts_epoch_sql  # noqa: E402
+
+_TS = ts_epoch_sql()  # encoding-aware: epoch(ts) or long-ns arithmetic
+_E = (f"SELECT event_id, {_TS} AS t, event_type AS bank, "
+      "user_id AS pulse_index, value FROM events")
 
 ORACLE = {
     # Sorted-entry serialization of the attribute map: keys after prefix-strip
@@ -377,15 +381,15 @@ ORACLE = {
                min(min_time) AS min_time, max(max_time) AS max_time
         FROM coarse GROUP BY 1
     """,
-    "asof_last_signup": """
-        WITH e AS (SELECT event_id, user_id % 10 AS g, epoch(ts) AS t,
+    "asof_last_signup": f"""
+        WITH e AS (SELECT event_id, user_id % 10 AS g, {_TS} AS t,
                           event_type FROM events),
         s AS (SELECT g, t, t AS signup_t FROM e WHERE event_type = 'signup')
         SELECT e.event_id, s.signup_t
         FROM e ASOF LEFT JOIN s ON e.g = s.g AND e.t >= s.t
     """,
-    "sessionize_users": """
-        WITH e AS (SELECT event_id, user_id, epoch(ts) AS t FROM events),
+    "sessionize_users": f"""
+        WITH e AS (SELECT event_id, user_id, {_TS} AS t FROM events),
         x AS (
             SELECT event_id, user_id, t,
                    CASE WHEN lag(t) OVER w IS NULL

@@ -84,3 +84,33 @@ def load_events_time_range(
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     use = names or TESTDATA_TABLES
     return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def ts_epoch_sql(probe_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB expression for ``events.ts`` as epoch SECONDS (double) —
+    encoding-aware, mirroring ``functions.core.event_seconds``.
+
+    The corpus has shipped ``ts`` as parquet TIMESTAMP(NANOS) (reads as
+    BIGINT nanos under ``nanosAsLong``; DuckDB reads plain BIGINT) and as
+    TIMESTAMP(MICROS). The Spark loader normalizes both; oracle SQL is a
+    static string, so it probes the parquet footer at build time and
+    emits the matching arithmetic. Falls back to the timestamp form when
+    the probe can't run.
+    """
+    try:  # pragma: no cover - probe failure path is environment-specific
+        import pyarrow.parquet as pq
+
+        t = str(pq.read_schema(f"{probe_dir}/events.parquet").field("ts").type)
+    except Exception:
+        t = "timestamp[us]"
+    if t == "int64":
+        # long nanos: exact integer div to µs, then one double division
+        return "(ts // 1000) / 1000000.0"
+    return "epoch(ts)"
+
+
+def ts_ns_sql(probe_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB expression for ``events.ts`` as epoch NANOSECONDS (BIGINT),
+    the twin of the loader's long-ns contract (see ``ts_epoch_sql``)."""
+    return ("ts" if ts_epoch_sql(probe_dir) != "epoch(ts)"
+            else "epoch_us(ts) * 1000")

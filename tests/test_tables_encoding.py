@@ -87,3 +87,60 @@ def test_load_events_time_range_all_encodings(spark, tmp_path):
         results[name] = sorted((r.event_id, r.ts) for r in df.collect())
     assert results["us"] == results["ns"] == results["int64"]
     assert [e for e, _ in results["us"]] == [1, 2]  # half-open: 3rd excluded
+
+
+def test_oracle_ts_sql_probes_encoding(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nexus_processor_spark.sources.tables import ts_epoch_sql, ts_ns_sql
+
+    # long-ns corpus -> integer arithmetic form
+    d_ns = tmp_path / "ns"
+    d_ns.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([1_700_000_000_000_000_000], pa.int64())}),
+        d_ns / "events.parquet",
+    )
+    assert ts_epoch_sql(str(d_ns)) == "(ts // 1000) / 1000000.0"
+    assert ts_ns_sql(str(d_ns)) == "ts"
+
+    # timestamp corpus -> epoch() form
+    d_us = tmp_path / "us"
+    d_us.mkdir()
+    pq.write_table(
+        pa.table({"ts": pa.array([1_700_000_000_000_000], pa.timestamp("us"))}),
+        d_us / "events.parquet",
+    )
+    assert ts_epoch_sql(str(d_us)) == "epoch(ts)"
+    assert ts_ns_sql(str(d_us)) == "epoch_us(ts) * 1000"
+
+    # unreadable probe -> timestamp default
+    assert ts_epoch_sql(str(tmp_path / "missing")) == "epoch(ts)"
+
+
+def test_oracle_ts_sql_matches_duckdb_values(tmp_path):
+    """Both encodings of the same instant produce the same epoch seconds
+    through their respective SQL forms."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nexus_processor_spark.sources.tables import ts_epoch_sql
+
+    ns = 1_700_000_123_456_789_000
+    d_ns = tmp_path / "ns"; d_ns.mkdir()
+    d_us = tmp_path / "us"; d_us.mkdir()
+    pq.write_table(pa.table({"ts": pa.array([ns], pa.int64())}),
+                   d_ns / "events.parquet")
+    pq.write_table(pa.table({"ts": pa.array([ns // 1000], pa.timestamp("us"))}),
+                   d_us / "events.parquet")
+    con = duckdb.connect()
+    vals = []
+    for d in (d_ns, d_us):
+        expr = ts_epoch_sql(str(d))
+        (v,) = con.execute(
+            f"SELECT {expr} FROM read_parquet('{d}/events.parquet')"
+        ).fetchone()
+        vals.append(v)
+    assert vals[0] == vals[1]

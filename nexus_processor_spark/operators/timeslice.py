@@ -560,3 +560,99 @@ def time_weighted_avg(
         F.count(F.lit(1)).alias("n_intervals"),
         F.round(F.sum("_dt"), 2).alias("span_seconds"),
     )
+
+
+def counter_rate(
+    events: DataFrame,
+    *,
+    series_col: str = "bank",
+    time_col: str = "absolute_time",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-sample increase and rate of a monotone counter, with reset
+    handling (the PromQL ``rate()`` contract): a value DROP means the
+    counter restarted, so the increase since the previous sample is the
+    new value itself, never negative.
+
+    One ordered window pass per series (same scale contract as
+    ``time_weighted_avg`` — series must be numerous, or pre-bucket).
+    First sample of each series has no predecessor and drops out. All
+    outputs are per-row IEEE arithmetic on deterministic operands — no
+    accumulation, so no rounding is needed for cross-engine parity.
+
+    Output: ``(series, t, value, increase, rate_per_s)``;
+    ``rate_per_s`` null when consecutive samples share a timestamp.
+    """
+    w = Window.partitionBy(series_col).orderBy(time_col, order_col)
+    t = F.col(time_col)
+    v = F.col(value_col)
+    prev_v = F.lag(v).over(w)
+    prev_t = F.lag(t).over(w)
+    inc = F.when(v >= prev_v, v - prev_v).otherwise(v)
+    dt = t - prev_t
+    return (
+        events.filter(t.isNotNull())
+        .select(
+            series_col,
+            t.alias("t"),
+            v.alias("value"),
+            F.when(prev_v.isNotNull(), inc).alias("increase"),
+            F.when(
+                prev_v.isNotNull() & (dt > 0), inc / dt
+            ).alias("rate_per_s"),
+        )
+        .filter(F.col("increase").isNotNull())
+    )
+
+
+def anomaly_zscore(
+    events: DataFrame,
+    interval_seconds: float,
+    *,
+    series_col: str = "bank",
+    time_col: str = "absolute_time",
+    trailing: int = 24,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Interval-count anomaly flags: each (series, bucket) count is
+    z-scored against the TRAILING ``trailing`` buckets (excluding
+    itself — the current value must not contaminate its own baseline),
+    flagging |z| > threshold. The monitoring shape: "is this hour's
+    event volume abnormal for this detector bank?"
+
+    One bucket aggregate (data-scale) + one window over the bucket frame
+    (bucket-scale). z is rounded (1e-6) before the flag compare so the
+    cut is cross-engine stable. Buckets with fewer than 3 trailing
+    observations emit null z and no flag; a zero-variance baseline emits
+    null z but DOES flag any deviating count (a spike over a perfectly
+    flat history is the clearest anomaly there is — requiring sd > 0
+    would silence exactly that case).
+    """
+    t = F.col(time_col)
+    counts = (
+        events.filter(t.isNotNull())
+        .withColumn("interval", interval_floor(t, interval_seconds))
+        .groupBy(series_col, "interval")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy("interval")
+        .rowsBetween(-trailing, -1)
+    )
+    mu = F.avg("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    m = F.count("n").over(w)
+    z = F.round((F.col("n") - mu) / sd, 6)
+    enough = m >= 3
+    flagged = F.when(
+        enough & (sd > 0), F.abs(z) > F.lit(z_threshold)
+    ).when(enough & (sd == 0), F.col("n") != mu)
+    return counts.select(
+        series_col,
+        "interval",
+        "n",
+        F.when(enough & (sd > 0), z).alias("z"),
+        F.coalesce(flagged, F.lit(False)).alias("is_anomaly"),
+    )

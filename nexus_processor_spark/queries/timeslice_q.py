@@ -248,10 +248,24 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeslice.time_weighted_avg(_events(spark, sf_dir))
 
 
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style rate(): per-sample increase with counter-reset
+    handling, one ordered window pass per bank."""
+    return timeslice.counter_rate(_events(spark, sf_dir))
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomaly flags per bank: trailing-24-bucket z-score
+    (self-excluded baseline)."""
+    return timeslice.anomaly_zscore(_events(spark, sf_dir), INTERVAL)
+
+
 QUERIES = {
     "time_bounds": q_time_bounds,
     "timeslice_locf": q_timeslice_locf,
     "time_weighted_avg": q_time_weighted_avg,
+    "counter_rate": q_counter_rate,
+    "anomaly_zscore": q_anomaly_zscore,
     "timeslice_gapfill": q_timeslice_gapfill,
     "interval_totals": q_interval_totals,
     "attribute_maps": q_attribute_maps,
@@ -308,6 +322,48 @@ ORACLE = {
         FROM spine s
         LEFT JOIN obs o ON s.bank = o.bank AND s.interval = o.interval
     """.replace("{_E}", _E).replace("{LOCF}", str(LOCF_INTERVAL)),
+    "counter_rate": f"""
+        WITH e AS ({{_E}}),
+        x AS (
+            SELECT bank, t, value, event_id,
+                   lag(value) OVER w AS pv, lag(t) OVER w AS pt
+            FROM e WHERE t IS NOT NULL
+            WINDOW w AS (PARTITION BY bank ORDER BY t, event_id)
+        )
+        SELECT bank, t, value,
+               CASE WHEN value >= pv THEN value - pv ELSE value END
+                 AS increase,
+               CASE WHEN t - pt > 0 THEN
+                   (CASE WHEN value >= pv THEN value - pv ELSE value END)
+                   / (t - pt) END AS rate_per_s
+        FROM x WHERE pv IS NOT NULL
+    """.replace("{_E}", _E),
+    "anomaly_zscore": f"""
+        WITH e AS ({{_E}}),
+        c AS (
+            SELECT bank, CAST(floor(t/{{IV}}) AS BIGINT) AS interval,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e WHERE t IS NOT NULL GROUP BY 1, 2
+        ),
+        x AS (
+            SELECT bank, interval, n,
+                   avg(n) OVER w AS mu,
+                   stddev_samp(n) OVER w AS sd,
+                   count(n) OVER w AS m
+            FROM c
+            WINDOW w AS (PARTITION BY bank ORDER BY interval
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT bank, interval, n,
+               CASE WHEN m >= 3 AND sd > 0
+                    THEN round((n - mu) / sd, 6) END AS z,
+               COALESCE(CASE
+                    WHEN m >= 3 AND sd > 0
+                        THEN abs(round((n - mu) / sd, 6)) > 3.0
+                    WHEN m >= 3 AND sd = 0 THEN n <> mu
+                END, FALSE) AS is_anomaly
+        FROM x
+    """.replace("{_E}", _E).replace("{IV}", str(INTERVAL)),
     "time_weighted_avg": f"""
         WITH e AS ({_E}),
         h AS (

@@ -236,3 +236,44 @@ def test_time_weighted_avg_single_sample_series_dropped(spark):
     )
     rows = {r["bank"]: r for r in timeslice.time_weighted_avg(df).collect()}
     assert set(rows) == {"A"}  # B has no holding interval
+
+
+def test_counter_rate_handles_resets(spark):
+    # counter: 10 -> 25 -> 5 (reset) -> 8 ; increases: 15, 5, 3
+    df = spark.createDataFrame(
+        [(1, "A", 0.0, 10.0), (2, "A", 10.0, 25.0),
+         (3, "A", 20.0, 5.0), (4, "A", 30.0, 8.0)],
+        "event_id long, bank string, absolute_time double, value double",
+    )
+    rows = sorted(timeslice.counter_rate(df).collect(), key=lambda r: r["t"])
+    assert [r["increase"] for r in rows] == [15.0, 5.0, 3.0]
+    assert [r["rate_per_s"] for r in rows] == [1.5, 0.5, 0.3]
+
+
+def test_counter_rate_simultaneous_samples_null_rate(spark):
+    df = spark.createDataFrame(
+        [(1, "A", 5.0, 10.0), (2, "A", 5.0, 12.0)],
+        "event_id long, bank string, absolute_time double, value double",
+    )
+    (row,) = timeslice.counter_rate(df).collect()
+    assert row["increase"] == 2.0 and row["rate_per_s"] is None
+
+
+def test_anomaly_zscore_flags_spike_only(spark):
+    # 30 calm buckets of 10 events, then one 300-event spike
+    rows = []
+    eid = 0
+    for b in range(30):
+        for _ in range(10):
+            rows.append((eid, "A", b * 60.0 + 1.0, 0.0)); eid += 1
+    for _ in range(300):
+        rows.append((eid, "A", 30 * 60.0 + 1.0, 0.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, bank string, absolute_time double, value double"
+    )
+    res = {r["interval"]: r for r in
+           timeslice.anomaly_zscore(df, 60.0, trailing=24).collect()}
+    assert res[30]["is_anomaly"]
+    assert not any(r["is_anomaly"] for iv, r in res.items() if iv != 30)
+    # calm buckets have zero variance -> null z, not false alarms
+    assert res[10]["z"] is None

@@ -97,3 +97,35 @@ def test_incremental_update_only_batch_scale_work(spark):
     base_df = spark.createDataFrame(base_rows, base.schema)
     merged = rollup.incremental_update(base_df, ev.limit(100), 3600.0)
     assert merged.count() > 0
+
+
+def test_stream_maintained_rollup_matches_batch_rebuild(spark, tmp_path):
+    """Drain an events file-stream through foreachBatch incremental
+    merges; the maintained rollup parquet must serve the flagship query
+    exactly like a from-scratch batch rollup."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        event_seconds("ts").alias("absolute_time"),
+        F.col("event_type").alias("bank"),
+        F.col("user_id").alias("pulse_index"),
+    )
+    src = str(tmp_path / "stream_src")
+    # several files -> several micro-batches (maxFilesPerTrigger=1)
+    ev.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = rollup.maintain_rollup_stream(
+        stream, str(tmp_path / "rollup"), 3600.0,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    maintained = spark.read.parquet(str(tmp_path / "rollup"))
+    served_stream = sorted(map(tuple, rollup.serve_count_by_interval(
+        maintained, 3600.0).collect()))
+    served_batch = sorted(map(tuple, rollup.serve_count_by_interval(
+        rollup.build_interval_rollup(ev, 3600.0), 3600.0).collect()))
+    assert served_stream == served_batch

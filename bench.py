@@ -79,23 +79,9 @@ def ensure_big_events(spark) -> None:
     if marker.exists():
         return
     _note(f"synthesizing {BIG_ROWS} bench events (one-time)")
-    base = 1_700_000_000 * 10**9
-    span = 30 * 24 * 3600 * 10**9
-    kinds = F.array(*[F.lit(x) for x in
-                      ("click", "view", "purchase", "signup", "error")])
-    h = lambda s: F.xxhash64(F.col("id"), F.lit(s))
-    # numPartitions on the range itself: columns derive from id, so
-    # generating pre-partitioned skips a 5.5 GB repartition shuffle.
-    df = spark.range(BIG_ROWS, numPartitions=64).select(
-        F.col("id").alias("event_id"),
-        (F.lit(base) + F.pmod(h(1), F.lit(span))).alias("ts"),
-        F.element_at(kinds, (F.pmod(h(2), F.lit(5)) + 1).cast("int")).alias("event_type"),
-        F.pmod(h(3), F.lit(1_000_000)).alias("user_id"),
-        (F.pmod(h(4), F.lit(10_000_000)) / F.lit(1e5)).alias("value"),
-        F.concat(F.lit('{"k": '), F.pmod(h(5), F.lit(100)).cast("string"),
-                 F.lit("}")).alias("props"),
-    )
-    (df.write.mode("overwrite")
+    from nexus_processor_spark.sources.synth import synth_events
+
+    (synth_events(spark, BIG_ROWS).write.mode("overwrite")
        .option("compression", "zstd").parquet(f"{BIG_DIR}/events.parquet"))
 
 
@@ -117,29 +103,9 @@ def ensure_big_docs(spark) -> None:
     if marker.exists():
         return
     _note(f"synthesizing {DOCS_ROWS} bench docs (one-time)")
-    h = lambda s: F.xxhash64(F.col("id"), F.lit(s))
-    n_toks = (F.lit(40) + F.pmod(h(0), F.lit(200))).cast("int")
-    tok = lambda i: F.concat(
-        F.lit("w"),
-        F.pmod(
-            F.xxhash64(F.col("id") * 1000 + i),
-            F.pmod(F.xxhash64(F.col("id") * 7919 + i), F.lit(30000)) + 1,
-        ),
-    )
-    df = spark.range(DOCS_ROWS, numPartitions=64).select(
-        F.col("id").alias("doc_id"),
-        F.concat_ws(" ", F.transform(F.sequence(F.lit(1), n_toks), tok)).alias("text"),
-        F.element_at(
-            F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es")),
-            (F.pmod(h(1), F.lit(4)) + 1).cast("int"),
-        ).alias("lang"),
-        F.element_at(
-            F.array(F.lit("web"), F.lit("books"), F.lit("code"), F.lit("wiki")),
-            (F.pmod(h(2), F.lit(4)) + 1).cast("int"),
-        ).alias("source"),
-    )
-    df = df.withColumn("n_chars", F.length("text").cast("long"))
-    (df.write.mode("overwrite")
+    from nexus_processor_spark.sources.synth import synth_documents
+
+    (synth_documents(spark, DOCS_ROWS).write.mode("overwrite")
        .option("compression", "zstd").parquet(f"{DOCS_DIR}/documents.parquet"))
 
 
@@ -396,20 +362,10 @@ def ensure_big_vecs(spark) -> None:
     if marker.exists():
         return
     _note(f"synthesizing {VEC_ROWS} bench vectors (one-time)")
-    vec = F.transform(
-        F.sequence(F.lit(1), F.lit(VEC_DIM)),
-        lambda i: (
-            F.pmod(F.xxhash64(F.col("id"), i), F.lit(100_000)) / F.lit(50_000.0)
-            - F.lit(1.0)
-        ).cast("float"),
-    )
-    df = spark.range(VEC_ROWS, numPartitions=32).select(
-        F.col("id").alias("vec_id"),
-        vec.alias("embedding"),
-        F.pmod(F.xxhash64(F.col("id"), F.lit("cell")), F.lit(VEC_CELLS))
-        .cast("int").alias("label"),
-    )
-    (df.write.mode("overwrite")
+    from nexus_processor_spark.sources.synth import synth_embeddings
+
+    (synth_embeddings(spark, VEC_ROWS, dim=VEC_DIM, cells=VEC_CELLS)
+       .write.mode("overwrite")
        .option("compression", "zstd").parquet(f"{VEC_DIR}/embeddings.parquet"))
 
 

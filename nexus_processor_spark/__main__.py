@@ -75,6 +75,21 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="comma-separated columns expected non-null")
     ck.add_argument("--output", default=None,
                     help="write the (check, metric, passed) report here")
+
+    sy = sub.add_parser(
+        "synth", help="generate a deterministic synthetic table"
+    )
+    sy.add_argument("table", choices=["events", "documents", "embeddings"])
+    sy.add_argument("--rows", type=int, required=True)
+    sy.add_argument("--output", required=True, help="parquet output path")
+
+    qr = sub.add_parser(
+        "query", help="run a registry query against a testdata-layout dir"
+    )
+    qr.add_argument("name", help="query name (see --list)")
+    qr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    qr.add_argument("--output", default=None)
+    qr.add_argument("--limit", type=int, default=50)
     return p
 
 
@@ -202,6 +217,29 @@ def main(argv: list[str] | None = None) -> int:
             # gate semantics: non-zero exit when any expectation fails
             if not all(r["passed"] for r in rows):
                 return 1
+        elif args.cmd == "synth":
+            from nexus_processor_spark.sources.synth import GENERATORS
+
+            df = GENERATORS[args.table](spark, args.rows)
+            (df.write.mode("overwrite").option("compression", "zstd")
+               .parquet(args.output))
+            print(f"wrote {args.rows} {args.table} rows -> {args.output}",
+                  file=sys.stderr)
+        elif args.cmd == "query":
+            from nexus_processor_spark import queries as registry
+
+            qs = registry.queries()
+            if args.name not in qs:
+                print(f"unknown query {args.name!r}; available:",
+                      file=sys.stderr)
+                print("\n".join(sorted(qs)), file=sys.stderr)
+                return 2
+            result = qs[args.name](spark, args.sf_dir)
+            if args.output:
+                result.write.mode("overwrite").parquet(args.output)
+                print(f"wrote {args.output}", file=sys.stderr)
+            else:
+                result.show(args.limit, truncate=False)
     finally:
         if owned:
             spark.stop()

@@ -104,3 +104,24 @@ def test_check_cli_requires_some_expectation(spark, tmp_path):
     p = tmp_path / "t.parquet"
     spark.createDataFrame([(1,)], "id long").write.parquet(str(p))
     assert main(["check", "--input", str(p)]) == 2
+
+
+def test_synth_cli_roundtrip(spark, tmp_path, capsys):
+    out = str(tmp_path / "ev.parquet")
+    assert main(["synth", "events", "--rows", "1000", "--output", out]) == 0
+    df = spark.read.parquet(out)
+    assert df.count() == 1000
+    assert set(df.columns) == {"event_id", "ts", "user_id", "event_type",
+                               "value", "props"}
+
+
+def test_query_cli_runs_registry_entry(spark, capsys):
+    assert main(["query", "timeslice_interval",
+                 "--sf-dir", "/root/testdata/sf0.001", "--limit", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "interval" in out and "event_count" in out
+
+
+def test_query_cli_unknown_name_lists(spark, capsys):
+    assert main(["query", "no_such_query"]) == 2
+    assert "timeslice_interval" in capsys.readouterr().err

@@ -90,6 +90,8 @@ def _build_parser() -> argparse.ArgumentParser:
     qr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     qr.add_argument("--output", default=None)
     qr.add_argument("--limit", type=int, default=50)
+    qr.add_argument("--explain", action="store_true",
+                    help="print the formatted physical plan instead of rows")
     return p
 
 
@@ -235,7 +237,9 @@ def main(argv: list[str] | None = None) -> int:
                 print("\n".join(sorted(qs)), file=sys.stderr)
                 return 2
             result = qs[args.name](spark, args.sf_dir)
-            if args.output:
+            if args.explain:
+                result.explain("formatted")
+            elif args.output:
                 result.write.mode("overwrite").parquet(args.output)
                 print(f"wrote {args.output}", file=sys.stderr)
             else:

@@ -125,3 +125,10 @@ def test_query_cli_runs_registry_entry(spark, capsys):
 def test_query_cli_unknown_name_lists(spark, capsys):
     assert main(["query", "no_such_query"]) == 2
     assert "timeslice_interval" in capsys.readouterr().err
+
+
+def test_query_cli_explain_flag(spark, capsys):
+    assert main(["query", "pricing_summary",
+                 "--sf-dir", "/root/testdata/sf0.001", "--explain"]) == 0
+    out = capsys.readouterr().out
+    assert "HashAggregate" in out and "Physical Plan" in out

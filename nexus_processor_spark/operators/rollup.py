@@ -19,7 +19,7 @@ buckets).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from nexus_processor_spark.functions.core import interval_bounds, interval_floor
@@ -201,3 +201,82 @@ def maintain_rollup_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def build_value_histogram_rollup(
+    events: DataFrame,
+    interval_seconds: float,
+    lo: float,
+    hi: float,
+    num_buckets: int,
+    *,
+    time_col: str = "absolute_time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-interval fixed-width value histogram — the mergeable quantile
+    sketch: bucket counts compose EXACTLY under addition (across
+    intervals, runs, or incremental batches), unlike a raw percentile.
+    ``width_bucket`` semantics (bucket 0 below range, n+1 at/above hi).
+
+    Output: ``(interval, bucket, n)`` — one groupBy, partial-aggregated.
+    """
+    t = F.col(time_col)
+    b = F.width_bucket(
+        F.col(value_col).cast("double"), F.lit(float(lo)), F.lit(float(hi)),
+        F.lit(num_buckets),
+    ).cast("long")
+    return (
+        events.filter(t.isNotNull() & F.col(value_col).isNotNull())
+        .withColumn("interval", interval_floor(t, interval_seconds))
+        .groupBy("interval", b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def serve_percentile(
+    hist: DataFrame,
+    q: float,
+    lo: float,
+    hi: float,
+    num_buckets: int,
+) -> DataFrame:
+    """Approximate per-interval percentile FROM the histogram rollup —
+    deterministic (a pure function of the bucket counts, identical
+    cross-engine): rank = ceil(q * total); walk the cumulative counts to
+    the covering bucket; linearly interpolate inside it. Error is
+    bounded by the bucket width; out-of-range buckets clamp to the range
+    edges. One window cumsum over the bucket frame (bucket-scale) + one
+    filter — never touches raw values.
+
+    Output: ``(interval, total n, p double)``.
+    """
+    if not (0.0 < q <= 1.0):
+        raise ValueError("q must be in (0, 1]")
+    width = (float(hi) - float(lo)) / num_buckets
+    w = Window.partitionBy("interval").orderBy("bucket")
+    tot = Window.partitionBy("interval")
+    ranked = hist.select(
+        "interval",
+        "bucket",
+        "n",
+        (F.sum("n").over(w) - F.col("n")).alias("cum_before"),
+        F.sum("n").over(tot).alias("total"),
+    ).withColumn(
+        "rank", F.ceil(F.lit(q) * F.col("total")).cast("long")
+    )
+    covering = ranked.filter(
+        (F.col("cum_before") < F.col("rank"))
+        & (F.col("cum_before") + F.col("n") >= F.col("rank"))
+    )
+    frac = (F.col("rank") - F.col("cum_before")) / F.col("n")
+    inside = F.lit(lo) + (F.col("bucket") - 1 + frac) * F.lit(width)
+    est = (
+        F.when(F.col("bucket") <= 0, F.lit(float(lo)))
+        .when(F.col("bucket") > num_buckets, F.lit(float(hi)))
+        .otherwise(inside)
+    )
+    return covering.select(
+        "interval",
+        F.col("total").alias("n"),
+        F.round(est, 6).alias("p"),
+    )

@@ -260,12 +260,28 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeslice.anomaly_zscore(_events(spark, sf_dir), INTERVAL)
 
 
+HIST_LO, HIST_HI, HIST_NB = 0.0, 500.0, 50
+
+
+def q_rollup_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p95 of value per hourly interval served from the mergeable
+    histogram rollup — deterministic interpolation over bucket counts,
+    never a raw-value scan at query time."""
+    from nexus_processor_spark.operators import rollup as ru
+
+    hist = ru.build_value_histogram_rollup(
+        _events(spark, sf_dir), INTERVAL, HIST_LO, HIST_HI, HIST_NB,
+    )
+    return ru.serve_percentile(hist, 0.95, HIST_LO, HIST_HI, HIST_NB)
+
+
 QUERIES = {
     "time_bounds": q_time_bounds,
     "timeslice_locf": q_timeslice_locf,
     "time_weighted_avg": q_time_weighted_avg,
     "counter_rate": q_counter_rate,
     "anomaly_zscore": q_anomaly_zscore,
+    "rollup_percentile": q_rollup_percentile,
     "timeslice_gapfill": q_timeslice_gapfill,
     "interval_totals": q_interval_totals,
     "attribute_maps": q_attribute_maps,
@@ -322,6 +338,39 @@ ORACLE = {
         FROM spine s
         LEFT JOIN obs o ON s.bank = o.bank AND s.interval = o.interval
     """.replace("{_E}", _E).replace("{LOCF}", str(LOCF_INTERVAL)),
+    "rollup_percentile": f"""
+        WITH e AS ({{_E}}),
+        h AS (
+            SELECT CAST(floor(t/{{IV}}) AS BIGINT) AS interval,
+                   CASE WHEN value < {{LO}} THEN 0
+                        WHEN value >= {{HI}} THEN {{NB}} + 1
+                        ELSE CAST(floor((value - {{LO}}) / {{W}}) AS BIGINT) + 1
+                   END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e WHERE t IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT interval, bucket, n,
+                   CAST(sum(n) OVER (PARTITION BY interval ORDER BY bucket)
+                        - n AS BIGINT) AS cum_before,
+                   CAST(sum(n) OVER (PARTITION BY interval) AS BIGINT)
+                     AS total
+            FROM h
+        ),
+        c AS (SELECT *, CAST(ceil(0.95 * total) AS BIGINT) AS rank FROM r)
+        SELECT interval, total AS n,
+               round(CASE WHEN bucket <= 0 THEN CAST({{LO}} AS DOUBLE)
+                          WHEN bucket > {{NB}} THEN CAST({{HI}} AS DOUBLE)
+                          ELSE {{LO}} + (bucket - 1
+                               + (rank - cum_before) / CAST(n AS DOUBLE))
+                               * {{W}}
+                     END, 6) AS p
+        FROM c WHERE cum_before < rank AND cum_before + n >= rank
+    """.replace("{_E}", _E).replace("{IV}", str(INTERVAL))
+       .replace("{LO}", str(HIST_LO)).replace("{HI}", str(HIST_HI))
+       .replace("{NB}", str(HIST_NB))
+       .replace("{W}", str((HIST_HI - HIST_LO) / HIST_NB)),
     "counter_rate": f"""
         WITH e AS ({{_E}}),
         x AS (

@@ -129,3 +129,45 @@ def test_stream_maintained_rollup_matches_batch_rebuild(spark, tmp_path):
     served_batch = sorted(map(tuple, rollup.serve_count_by_interval(
         rollup.build_interval_rollup(ev, 3600.0), 3600.0).collect()))
     assert served_stream == served_batch
+
+
+def test_histogram_rollup_percentile_accuracy_and_mergeability(spark):
+    """Served p95 is within one bucket width of the exact percentile,
+    and histogram counts merged from two halves equal the full build
+    (exact mergeability — the point of the sketch)."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        event_seconds("ts").alias("absolute_time"),
+        F.col("event_type").alias("bank"),
+        F.col("user_id").alias("pulse_index"),
+        "value",
+    )
+    lo, hi, nb = 0.0, 500.0, 50
+    hist = rollup.build_value_histogram_rollup(ev, 3600.0, lo, hi, nb)
+    served = {r["interval"]: r["p"] for r in
+              rollup.serve_percentile(hist, 0.95, lo, hi, nb).collect()}
+    # ground truth: the rank-th order statistic (rank = ceil(0.95 n)) —
+    # the served estimate interpolates INSIDE that value's bucket, so it
+    # can differ from it by at most one bucket width
+    import math
+
+    vals: dict[int, list[float]] = {}
+    for r in ev.filter("value IS NOT NULL").selectExpr(
+        "CAST(floor(absolute_time/3600) AS LONG) AS interval", "value"
+    ).collect():
+        vals.setdefault(r["interval"], []).append(r["value"])
+    width = (hi - lo) / nb
+    assert served.keys() == vals.keys()
+    for iv, p in served.items():
+        xs = sorted(vals[iv])
+        rank_val = xs[math.ceil(0.95 * len(xs)) - 1]
+        assert abs(p - rank_val) <= width, (iv, p, rank_val)
+
+    halves = [ev.filter(F.col("pulse_index") % 2 == i) for i in (0, 1)]
+    merged = (
+        rollup.build_value_histogram_rollup(halves[0], 3600.0, lo, hi, nb)
+        .unionByName(
+            rollup.build_value_histogram_rollup(halves[1], 3600.0, lo, hi, nb))
+        .groupBy("interval", "bucket").agg(F.sum("n").alias("n"))
+    )
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, hist.collect()))

@@ -263,12 +263,16 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    init: str = "ids",
 ) -> DataFrame:
     """Full Lloyd's k-means over an embedding column — trains the coarse
     quantizer that `ivf_topk` serves from.
 
-    Seeds deterministically (the k smallest ``id_col`` rows — reproducible
-    without a driver RNG), then alternates the broadcast-assign E-step
+    Seeds deterministically — ``init="ids"`` takes the k smallest
+    ``id_col`` rows (reproducible without a driver RNG; the
+    oracle-checked form), ``init="parallel"`` runs the k-means||
+    oversampling pass (``kmeans_parallel_init``) for better-spread seeds
+    on clustered data — then alternates the broadcast-assign E-step
     (`kmeans_assign`) with a centroid-mean M-step. Each iteration is two
     shuffles (argmin groupBy + mean groupBy) over (id, dist) pairs — the
     vectors themselves move only through the broadcast, so iteration cost
@@ -290,14 +294,23 @@ def kmeans_fit(
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    centroids = (
-        corpus.orderBy(id_col)
-        .limit(k)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+    if init not in ("ids", "parallel"):
+        raise ValueError(f"init must be ids or parallel, got {init!r}")
+    if init == "parallel":
+        centroids = kmeans_parallel_init(
+            corpus, k, id_col=id_col, vec_col=vec_col
         )
-    )
+    else:
+        centroids = (
+            corpus.orderBy(id_col)
+            .limit(k)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double")
+                ).alias("centroid"),
+            )
+        )
     vecs = corpus.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_col),
@@ -636,3 +649,107 @@ def recall_at_k(
             .alias("recall"),
         )
     )
+
+
+def kmeans_parallel_init(
+    corpus: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 3,
+    oversample: float = 2.0,
+) -> DataFrame:
+    """k-means|| initialization (Bahmani et al., VLDB'12) — the scalable,
+    quality-aware seeding for ``kmeans_fit``: instead of k arbitrary rows,
+    sample ~``oversample * k`` candidates per round with probability
+    proportional to their squared distance from the current candidate
+    set, then weight the candidates by their basin sizes and recluster
+    them to exactly k centers driver-side (the candidate set is
+    O(rounds * oversample * k) — dozens of vectors, never data-scale).
+
+    Fully deterministic: the "random" draws are ``xxhash64(id, round)``
+    uniforms, so the same corpus always seeds the same centers — the
+    engine's reproducibility contract, where MLlib would take a seed and
+    still depend on partitioning. Each round is one broadcast-assign
+    (map-side k'·dim math) + a 1-row cost aggregate; nothing data-scale
+    ever shuffles or collects.
+
+    Returns (centroid_id 0..k-1, centroid array<double>) ready to feed
+    ``kmeans_fit(init_centroids=...)`` / ``kmeans_assign``.
+    """
+    import numpy as np
+
+    vecs = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).persist()
+    try:
+        first = vecs.orderBy(id_col).limit(1).collect()[0]
+        cand: dict[int, list[float]] = {first[id_col]: list(first["v"])}
+        ell = max(1.0, oversample * k)
+        for r in range(rounds):
+            cand_df = vecs.sparkSession.createDataFrame(
+                [(i, v) for i, v in cand.items()],
+                f"{id_col} long, v array<double>",
+            )
+            assigned = kmeans_assign(
+                vecs, cand_df, id_col=id_col, vec_col="v"
+            )
+            total = assigned.agg(F.sum("dist").alias("s")).collect()[0]["s"]
+            if not total or total <= 0:
+                break  # every point coincides with a candidate
+            # uniform in [0,1) from the id hash, salted by round
+            u = (
+                F.pmod(F.xxhash64(F.col(id_col), F.lit(r)), F.lit(1_000_000))
+                / F.lit(1_000_000.0)
+            )
+            prob = F.least(F.lit(1.0), F.lit(ell) * F.col("dist") / F.lit(total))
+            picked = (
+                assigned.join(vecs, id_col)
+                .filter(u < prob)
+                .select(id_col, "v")
+                .collect()
+            )
+            for row in picked:
+                cand[row[id_col]] = list(row["v"])
+        # weight candidates by basin size, then recluster driver-side
+        cand_df = vecs.sparkSession.createDataFrame(
+            [(i, v) for i, v in cand.items()],
+            f"{id_col} long, v array<double>",
+        )
+        weights = {
+            r["centroid_id"]: r["n"]
+            for r in kmeans_assign(vecs, cand_df, id_col=id_col, vec_col="v")
+            .groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        ids = sorted(cand)
+        pts = np.array([cand[i] for i in ids])
+        w = np.array([float(weights.get(i, 0)) for i in ids])
+        if len(ids) <= k:
+            centers = pts
+        else:
+            # weighted Lloyd on the candidate set (deterministic seeding:
+            # k highest-weight candidates, id tiebreak)
+            order = np.lexsort((ids, -w))
+            centers = pts[order[:k]].copy()
+            for _ in range(20):
+                d2 = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)
+                moved = 0.0
+                for j in range(len(centers)):
+                    m = a == j
+                    if w[m].sum() > 0:
+                        nc = (pts[m] * w[m, None]).sum(axis=0) / w[m].sum()
+                        moved += float(((nc - centers[j]) ** 2).sum())
+                        centers[j] = nc
+                if moved < 1e-12:
+                    break
+        rows = [(int(j), [float(x) for x in centers[j]])
+                for j in range(len(centers))]
+        return vecs.sparkSession.createDataFrame(
+            rows, "centroid_id long, centroid array<double>"
+        )
+    finally:
+        vecs.unpersist()

@@ -325,3 +325,71 @@ def test_minhash_rejects_unknown_hash_fn(docs):
         dedup.minhash_signatures(docs, hash_fn="sha1")
     with pytest.raises(ValueError, match="hash_fn"):
         dedup.minhash_dedup_pairs(docs, hash_fn="crc32")
+
+
+def _clustered_vecs(spark, per_cluster=40):
+    """Four well-separated clusters in 8-d with tiny deterministic jitter."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = np.eye(4).repeat(2, axis=1) * 10.0  # 4 x 8
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(per_cluster):
+            v = centers[c] + rng.normal(0, 0.05, 8)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_kmeans_parallel_init_spreads_across_clusters(spark):
+    vecs = _clustered_vecs(spark)
+    seeds = similarity.kmeans_parallel_init(vecs, 4)
+    rows = seeds.collect()
+    assert len(rows) == 4
+    # each seed sits near a distinct true center (coordinate argmax)
+    basins = {tuple(np.argsort(r["centroid"])[-2:]) for r in rows}
+    assert len(basins) == 4
+
+
+def test_kmeans_fit_parallel_init_beats_id_seeding(spark):
+    """With all of cluster 0's ids first, id-seeding starts all seeds in
+    one cluster; k-means|| must reach a strictly better (or equal)
+    inertia and recover all four clusters."""
+    from pyspark.sql import functions as F
+
+    vecs = _clustered_vecs(spark)
+
+    def inertia(centroids):
+        a = similarity.kmeans_assign(
+            vecs, centroids.select(
+                F.col("centroid_id").alias("vec_id"),
+                F.col("centroid").alias("embedding"),
+            )
+        )
+        return a.agg(F.sum("dist")).collect()[0][0]
+
+    fit_ids = similarity.kmeans_fit(vecs, k=4, iters=3)
+    fit_par = similarity.kmeans_fit(vecs, k=4, iters=3, init="parallel")
+    i_ids, i_par = inertia(fit_ids), inertia(fit_par)
+    assert i_par <= i_ids + 1e-9
+    assert fit_par.count() == 4
+    # parallel init recovers the four true basins
+    sizes = sorted(r["n_members"] for r in fit_par.collect())
+    assert sizes == [40, 40, 40, 40]
+
+
+def test_kmeans_parallel_init_deterministic(spark):
+    vecs = _clustered_vecs(spark)
+    a = sorted(map(tuple, similarity.kmeans_parallel_init(vecs, 4).collect()))
+    b = sorted(map(tuple, similarity.kmeans_parallel_init(vecs, 4).collect()))
+    assert a == b
+
+
+def test_kmeans_fit_rejects_unknown_init(spark):
+    vecs = _clustered_vecs(spark, per_cluster=3)
+    with pytest.raises(ValueError, match="init"):
+        similarity.kmeans_fit(vecs, k=2, init="random")

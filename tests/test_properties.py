@@ -192,3 +192,77 @@ def test_round_half_up_matches_spark_round(spark):
                df.select(F.round("x", digits).alias("r")).collect()]
         want = _round_half_up(np.array(vals, dtype=np.float64), digits)
         assert got == list(want), digits
+
+
+def test_funnel_invariants_bulk(spark):
+    """Randomized event streams: stage counts are monotone non-increasing
+    and bounded by the distinct users holding step 1."""
+    from nexus_processor_spark.operators import behavior
+
+    rng = np.random.default_rng(11)
+    kinds = ["view", "click", "purchase"]
+    rows = [
+        (i, int(rng.integers(0, 40)), int(rng.integers(0, 10**6)),
+         kinds[int(rng.integers(0, 3))])
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    res = sorted(behavior.funnel_stages(df, kinds).collect(),
+                 key=lambda r: r["stage"])
+    counts = [r["n_users"] for r in res]
+    assert counts == sorted(counts, reverse=True)
+    viewers = df.filter("event_type = 'view'").select("user_id").distinct().count()
+    assert counts[0] == viewers
+
+
+def test_quantile_histogram_conserves_mass_bulk(spark):
+    """Bucket counts sum to the non-null row count for random data and
+    random bucket counts, and depths are near-equal on distinct values."""
+    from nexus_processor_spark.operators import profile
+
+    rng = np.random.default_rng(12)
+    for nb in (2, 5, 16):
+        vals = rng.normal(0, 100, size=1500)
+        df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+        res = profile.quantile_histogram(df, "v", nb).collect()
+        assert sum(r["n"] for r in res) == 1500
+        # continuous data -> equal depths within interpolation slack
+        assert all(abs(r["n"] - 1500 / nb) <= 2 for r in res)
+
+
+def test_recall_bounds_bulk(spark):
+    """recall@k stays in [0, 1] and equals 1 iff approx == exact."""
+    from nexus_processor_spark.operators.similarity import recall_at_k
+
+    rng = np.random.default_rng(13)
+    exact = [(q, int(rng.integers(0, 50))) for q in range(20) for _ in range(5)]
+    approx = [(q, n + int(rng.integers(0, 2)) * 1000) for q, n in exact]
+    e = spark.createDataFrame(exact, "query_id long, vec_id long")
+    a = spark.createDataFrame(approx, "query_id long, vec_id long")
+    for r in recall_at_k(a, e, 5).collect():
+        assert 0.0 <= r["recall"] <= 1.0
+    full = recall_at_k(e, e, 5)
+    assert all(r["recall"] == 1.0 for r in full.collect())
+
+
+def test_triangle_count_total_matches_closed_wedges_bulk(spark):
+    """Random graphs: per-vertex triangle counts sum to 3x the number of
+    triangles, and match a numpy trace computation."""
+    from nexus_processor_spark.operators import graph
+
+    rng = np.random.default_rng(14)
+    n = 25
+    adj = np.zeros((n, n), dtype=int)
+    edges = []
+    for _ in range(80):
+        a, b = int(rng.integers(0, n)), int(rng.integers(0, n))
+        if a != b and not adj[a][b]:
+            adj[a][b] = adj[b][a] = 1
+            edges.append((a, b))
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    per_vertex = graph.triangle_count(df).collect()
+    total = sum(r["n_triangles"] for r in per_vertex)
+    expected_triangles = int(np.trace(np.linalg.matrix_power(adj, 3)) // 6)
+    assert total == 3 * expected_triangles

@@ -369,6 +369,68 @@ def ensure_big_vecs(spark) -> None:
        .option("compression", "zstd").parquet(f"{VEC_DIR}/embeddings.parquet"))
 
 
+def run_ops(spark) -> dict[str, object]:
+    """The round-3 operator families at 100M-event scale, events/s:
+
+    * ``funnel_stages`` — 3 chained per-user min-aggregates (view ->
+      click -> purchase), the heaviest new shuffle shape (user-key).
+    * ``cohort_retention`` — distinct (user, week) + first-week join.
+    * ``anomaly_zscore`` — bucket aggregate + bucket-frame window.
+    * ``quality_checks`` — 6 expectations in ONE pass + a broadcast FK
+      indicator against a 1M-row dim.
+    """
+    from pyspark.sql import functions as F
+
+    from nexus_processor_spark.functions.core import event_seconds
+    from nexus_processor_spark.operators import behavior, quality, timeslice
+
+    ensure_big_events(spark)
+    raw = spark.read.parquet(f"{BIG_DIR}/events.parquet")
+    ev = raw.select("event_id", "ts", "user_id", "event_type", "value")
+    evt = ev.select(
+        "event_id",
+        event_seconds("ts").alias("absolute_time"),
+        F.col("event_type").alias("bank"),
+        F.col("user_id").alias("pulse_index"),
+        "value",
+    )
+    dim = spark.range(1_000_000).select(F.col("id").alias("k"))
+
+    shapes = {
+        "funnel_stages": lambda: behavior.funnel_stages(
+            ev, ["view", "click", "purchase"]
+        ),
+        "cohort_retention": lambda: behavior.cohort_retention(ev),
+        "anomaly_zscore": lambda: timeslice.anomaly_zscore(evt, 3600.0),
+        "quality_checks": lambda: quality.run_checks(
+            ev,
+            [
+                quality.not_null("user_id"),
+                quality.unique("event_id"),
+                quality.in_range("value", 0.0, 100.0),
+                quality.in_set("event_type",
+                               ["click", "view", "purchase", "signup",
+                                "error"]),
+                quality.non_negative_count(F.col("value") < 0, "neg_value"),
+            ],
+            refs=[quality.Referential("user_id", dim, "k")],
+        ),
+    }
+    out: dict[str, object] = {"rows": BIG_ROWS, "queries": {}}
+    for name, build in shapes.items():
+        best = float("inf")
+        for _ in range(2):
+            s = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - s)
+            spark.catalog.clearCache()
+        out["queries"][name] = {
+            "sec": round(best, 3),
+            "events_per_sec": round(BIG_ROWS / best),
+        }
+    return out
+
+
 def run_vecs(spark) -> dict[str, object]:
     """Vector-pipeline throughput at data scale, vectors/s:
 
@@ -481,6 +543,7 @@ def main() -> None:
     }), flush=True)
 
     big = None
+    ops = None
     docs = None
     rep = None
     vecs = None
@@ -490,6 +553,7 @@ def main() -> None:
         sections = (
             ("bigbench", lambda: run_big(spark, qs), 600.0),
             ("docsbench", lambda: run_docs(spark), 240.0),
+            ("opsbench", lambda: run_ops(spark), 240.0),
             ("replaybench", lambda: run_replay(spark, sf_dir), 120.0),
             ("vecbench", lambda: run_vecs(spark), 240.0),
         )
@@ -503,6 +567,7 @@ def main() -> None:
             results[name] = fn()
             _note(f"{name} done in {time.monotonic() - s:.1f}s")
         big = results.get("bigbench")
+        ops = results.get("opsbench")
         docs = results.get("docsbench")
         rep = results.get("replaybench")
         vecs = results.get("vecbench")
@@ -517,6 +582,8 @@ def main() -> None:
     }
     if big is not None:
         out["bigbench"] = big
+    if ops is not None:
+        out["opsbench"] = ops
     if docs is not None:
         out["docsbench"] = docs
     if rep is not None:

@@ -475,13 +475,19 @@ def simhash_band_candidates(
     """
     n_bands = hamming_max + 1
     bounds = [bits * i // n_bands for i in range(n_bands + 1)]
+
+    def _band_val(i: int) -> F.Column:
+        width = bounds[i + 1] - bounds[i]
+        shifted = F.shiftright(F.col(sig_col), bounds[i])
+        if width >= 64:
+            # full-width band (hamming_max=0 on a 64-bit signature): the
+            # mask literal (2^64-1) would overflow a long; the identity
+            # needs no mask
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     bands = F.array(*[
-        F.struct(
-            F.lit(i).alias("band"),
-            F.shiftright(F.col(sig_col), bounds[i])
-            .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
-            .alias("val"),
-        )
+        F.struct(F.lit(i).alias("band"), _band_val(i).alias("val"))
         for i in range(n_bands)
     ])
     banded = (

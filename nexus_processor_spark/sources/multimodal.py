@@ -206,3 +206,91 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .filter(F.col("frame_ts_ms") < F.col("duration_ms"))
     )
+
+
+PHASH_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("dhash", LongType(), True),
+])
+
+
+def _dhash(img: "np.ndarray", hash_size: int = 8) -> int:
+    """Difference hash: downscale to (hash_size x hash_size+1) by block
+    averaging, then one bit per horizontal gradient sign. Robust to
+    re-encoding and resizing; Hamming distance ~ perceptual distance."""
+    h, w = img.shape
+    gh, gw = hash_size, hash_size + 1
+    # block-average resize (no interpolation dependency): pad to a
+    # multiple of the grid, then mean over blocks
+    ph, pw = -(-h // gh) * gh, -(-w // gw) * gw
+    padded = np.zeros((ph, pw), dtype=np.float64)
+    padded[:h, :w] = img
+    # replicate edges into the padding so the means stay unbiased
+    if ph > h:
+        padded[h:, :w] = img[-1:, :]
+    if pw > w:
+        padded[:h, w:] = img[:, -1:]
+        if ph > h:
+            padded[h:, w:] = img[-1, -1]
+    small = padded.reshape(gh, ph // gh, gw, pw // gw).mean(axis=(1, 3))
+    bits = (small[:, 1:] > small[:, :-1]).ravel()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # two's-complement into signed int64: LongType can't carry the raw
+    # unsigned top bit, and the banded Hamming machinery (xor/bit_count)
+    # is sign-agnostic
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def image_dhash(
+    media: DataFrame, *, fake_decode: bool = False
+) -> DataFrame:
+    """Per-image 64-bit perceptual difference hash (Arrow-batched, same
+    decode gate as ``extract_image_features``) — the media analog of the
+    text fingerprint: identical and near-identical frames collide or
+    land within a small Hamming distance."""
+    decode = _decode_image_fake if fake_decode else _decode_image_real
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for media_id, payload in zip(batch["media_id"], batch["payload"]):
+                if payload is None:
+                    out.append((media_id, None))
+                    continue
+                img = decode(bytes(payload)).astype(np.float64)
+                out.append((int(media_id), _dhash(img)))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=PHASH_SCHEMA
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    *,
+    hamming_max: int = 4,
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Near-duplicate image pairs within ``hamming_max`` of the 64-bit
+    dhash, via the SAME banded candidate scheme as text SimHash
+    (``dedup.simhash_band_candidates``): pigeonhole over hamming_max+1
+    bands guarantees recall with equi-join candidates — never an
+    all-pairs cross join. Output: (id_a, id_b, hamming)."""
+    from nexus_processor_spark.functions.text import hamming64
+    from nexus_processor_spark.operators.dedup import simhash_band_candidates
+
+    hashes = image_dhash(media, fake_decode=fake_decode).filter(
+        F.col("dhash").isNotNull()
+    ).select(F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash"))
+    cands = simhash_band_candidates(hashes, bits=64, hamming_max=hamming_max)
+    return (
+        cands.select(
+            F.col("id_a").alias("media_a"),
+            F.col("id_b").alias("media_b"),
+            hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_max)
+    )

@@ -74,3 +74,50 @@ def test_frame_sampling_grid(spark, media):
     assert [(r.media_id, r.frame_ts_ms) for r in rows] == [
         (4, 0), (4, 1000), (4, 2000), (4, 3000)
     ]
+
+
+def test_dhash_deterministic_and_null_safe(spark, media):
+    a = {r.media_id: r.dhash
+         for r in multimodal.image_dhash(media, fake_decode=True).collect()}
+    b = {r.media_id: r.dhash
+         for r in multimodal.image_dhash(media, fake_decode=True).collect()}
+    assert a == b
+    assert a[3] is None           # null payload -> null hash
+    assert a[1] != a[2]           # different payloads -> different hashes
+    assert all(v is None or -(2**63) <= v < 2**63 for v in a.values())
+
+
+def test_dhash_matches_reference_formula():
+    import numpy as np
+
+    # a gradient image: every horizontal step increases -> all 64 bits
+    # set -> -1 in two's complement
+    img = np.tile(np.arange(9, dtype=np.float64) * 10, (8, 1))
+    assert multimodal._dhash(img) == -1
+    # flat image -> no bits
+    assert multimodal._dhash(np.zeros((8, 9))) == 0
+    # odd sizes go through the block-average path without bias at edges
+    img2 = np.tile(np.arange(17, dtype=np.float64), (13, 1))
+    assert multimodal._dhash(img2) == -1
+
+
+def test_image_near_dup_pairs_banded(spark):
+    # duplicate payloads collide exactly; distinct ones stay apart
+    rows = [
+        (1, "image", "png", bytearray(b"same-bytes"), 8, 8, None),
+        (2, "image", "png", bytearray(b"same-bytes"), 8, 8, None),
+        (3, "image", "png", bytearray(b"other-bytes"), 8, 8, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    pairs = multimodal.image_near_dup_pairs(
+        media, hamming_max=0, fake_decode=True
+    ).collect()
+    assert [(r.media_a, r.media_b, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+    # the candidate stage must stay an equi join (no cross join)
+    from nexus_processor_spark.plans import explain
+
+    plan = explain.executed_plan(
+        multimodal.image_near_dup_pairs(media, fake_decode=True))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

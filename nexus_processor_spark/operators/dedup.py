@@ -518,6 +518,87 @@ def simhash_band_candidates(
     return out.distinct() if distinct else out
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_words: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin family, Bayardo et al. WWW'07 — public literature): every pair
+    of docs whose shingle-set Jaccard >= ``threshold``, with full recall,
+    and no cross join anywhere in the plan.
+
+    The filter: order each doc's shingles by ascending corpus document
+    frequency (rarest first; ties broken lexically — one global canonical
+    order). If ``J(A, B) >= t`` then ``|A ∩ B| >= ceil(t * |A|)``, so B
+    must hit one of A's first ``|A| - ceil(t * |A|) + 1`` shingles — the
+    *prefix*. Candidates therefore come from an equi-join of prefix
+    shingles only. Prefixes are the RAREST shingles of each doc, so bucket
+    sizes are naturally small; the pair space never approaches n².
+
+    Contrast with :func:`minhash_dedup_pairs`: LSH is probabilistic
+    (recall < 1, tunable) and touches each doc O(bands) times; prefix
+    filtering is exact (recall = 1) at the cost of a corpus-wide document
+    frequency pass. At 100 TB both are three bounded hash shuffles; choose
+    by recall requirement.
+
+    ``max_bucket`` (optional, recall-lossy) drops prefix entries of
+    pathologically frequent shingles — only relevant when a boilerplate
+    shingle floods an entire corpus shard; prefer stripping boilerplate
+    upstream (``textstats.strip_frequent_lines``) to keep exactness.
+    """
+    sh = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), word_shingles_text(text_col, shingle_words).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sh = sh.persist()
+    sh.count()  # prime: frequency pass + both verify branches read this
+
+    freq = (
+        sh.select(F.col(id_col), F.explode("sh").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df_g"))
+    )
+    toks = (
+        sh.select(F.col(id_col), F.size("sh").alias("s"), F.explode("sh").alias("g"))
+        .join(freq, "g")
+    )
+    order = Window.partitionBy(id_col).orderBy("df_g", "g")
+    prefix_len = F.col("s") - F.ceil(F.lit(threshold) * F.col("s")) + 1
+    prefixes = (
+        toks.withColumn("_pos", F.row_number().over(order))
+        .filter(F.col("_pos") <= prefix_len)
+        .select(id_col, "g", "df_g")
+    )
+    if max_bucket is not None:
+        prefixes = prefixes.filter(F.col("df_g") <= max_bucket)
+    a = prefixes.select(F.col("g"), F.col(id_col).alias("id_a"))
+    b = prefixes.select(F.col("g"), F.col(id_col).alias("id_b"))
+    cands = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    xa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    xb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    # candidate set is the small side of both verify joins (same reasoning
+    # as minhash_dedup_pairs): broadcast it, stream the shingle projection
+    return (
+        F.broadcast(F.broadcast(cands).join(xa, "id_a")).join(xb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
 def simhash_dedup_pairs(
     df: DataFrame,
     *,

@@ -109,6 +109,66 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+_U60 = float(1 << 60)  # md5-prefix uniform granularity (15 hex digits)
+
+
+def hash_uniform(key: Column, *, salt: str = "") -> Column:
+    """Deterministic uniform draw in (0, 1) from md5(salt + key).
+
+    15 hex digits -> 60-bit integer -> ``(v + 0.5) / 2^60``: the +0.5
+    keeps the draw strictly inside (0, 1) so ``ln(u)`` is finite. Every
+    step is IEEE double arithmetic on the same integer in both engines
+    (DuckDB twin: ``(('0x' || substr(md5(..), 1, 15))::BIGINT + 0.5) /
+    2^60``), so draws are bit-identical cross-engine.
+    """
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15),
+        16, 10,
+    ).cast("double")
+    return (v + F.lit(0.5)) / F.lit(_U60)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    weight_col: str,
+    key_col: str = "doc_id",
+    group_cols: tuple[str, ...] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-Res, public literature): row i draws ``u_i`` uniformly from
+    its key hash and scores ``ln(u_i) / w_i``; the k largest scores win.
+    P[row in sample] is proportional-to-weight without replacement, and the
+    draw is reproducible across runs, partitionings, and engines — the
+    weighted analog of :func:`hash_sample`.
+
+    Global form (``group_cols=None``) plans as TakeOrderedAndProject —
+    each task keeps its local top-k, the driver merges k-sized heaps; no
+    global sort, no single-partition window. Grouped form ranks inside
+    each group (one hash shuffle on the group key).
+
+    Rows with non-positive weight are excluded (their score is undefined).
+    Ties (impossible in practice at 60 random bits) break on the key for
+    determinism.
+    """
+    score = F.log(hash_uniform(F.col(key_col), salt=salt)) / F.col(weight_col)
+    d = df.filter(F.col(weight_col) > 0).withColumn("_aes", score)
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col("_aes").desc(), F.col(key_col)
+        )
+        return (
+            d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn", "_aes")
+        )
+    return (
+        d.orderBy(F.col("_aes").desc(), F.col(key_col)).limit(k).drop("_aes")
+    )
+
+
 def shards_for(n_rows: int, *, target_rows_per_shard: int = 1_000_000) -> int:
     """Hex digits of shard key needed so the per-shard window sort stays
     bounded: the smallest ``shard_chars`` with 16^n shards >= rows/target.
@@ -186,6 +246,60 @@ def repetition_signals(
     )
 
 
+def duplicate_ngram_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_words: int = 2,
+) -> DataFrame:
+    """Gopher/C4-style duplicate n-gram character fraction per document:
+    the share of the doc's characters covered by word n-grams that occur
+    MORE THAN ONCE within it. High values mark templated/looping text that
+    per-token signals (:func:`repetition_signals`) miss.
+
+    Occurrences are non-distinct (every window position counts); a gram
+    appearing c >= 2 times contributes c * len(gram) duplicated chars.
+    Same shuffle shape as repetition_signals: one (doc, gram) hash agg,
+    then a per-doc agg over a subset of those keys — partial-agg both.
+    Exact-rational division; docs shorter than ``ngram_words`` emit a zero
+    row (no grams, fraction 0), keeping the output total over inputs.
+    """
+    toks = tokens(text_col)
+    count = F.size(toks) - F.lit(ngram_words - 1)
+    # sequence(1, 0) counts DOWN in Spark — guard the short-doc case to an
+    # explicit empty array (same hazard word_shingles documents).
+    grams = F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, ngram_words)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("_chars"),
+        F.explode_outer(grams).alias("gram"),
+    )
+    per_gram = g.groupBy(id_col, "_chars", "gram").agg(
+        F.count("*").alias("c")
+    )
+    has_gram = F.col("gram").isNotNull()
+    dup_chars = F.sum(
+        F.when(has_gram & (F.col("c") >= 2), F.col("c") * F.length("gram"))
+        .otherwise(F.lit(0))
+    ).cast("long")
+    return per_gram.groupBy(id_col).agg(
+        F.sum(F.when(has_gram, F.col("c")).otherwise(F.lit(0)))
+        .cast("long").alias("n_grams"),
+        F.sum(F.when(has_gram & (F.col("c") >= 2), 1).otherwise(0))
+        .cast("long").alias("n_dup_grams"),
+        dup_chars.alias("dup_gram_chars"),
+        (dup_chars.cast("double") / F.first("_chars").cast("double"))
+        .alias("dup_char_fraction"),
+    )
+
+
 # Conservative, RE2-compatible (no backreferences/lookaround) so the same
 # pattern runs identically under Java regex (Spark) and RE2 (DuckDB).
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -256,6 +370,58 @@ def decontaminate(
         F.col(id_col),
         found.alias("n_eval_grams"),
         (found > 0).cast("long").alias("contaminated"),
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+    ngram_words: int = 3,
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix — the contamination report a
+    curation pipeline runs before mixing corpora (is source A a re-crawl
+    of source B? does a benchmark dump leak into a web source?).
+
+    For every source pair: the count of shared DISTINCT word n-grams and
+    the overlap coefficient ``shared / min(|A|, |B|)`` (1.0 when the
+    smaller gram set is fully contained in the larger).
+
+    Shape: doc grams -> distinct (source, gram) [one shuffle, output
+    bounded by vocabulary x sources, not by corpus rows] -> gram-key
+    self-join [fanout per gram <= n_sources, never doc-pair scale] ->
+    per-pair count. Output is n_sources², a driver-safe matrix.
+    """
+    from nexus_processor_spark.functions.text import word_shingles_text
+
+    grams = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(word_shingles_text(text_col, ngram_words)).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("src").agg(F.count("*").alias("n"))
+    a = grams.select(F.col("src").alias("source_a"), "g")
+    b = grams.select(F.col("src").alias("source_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("shared_grams"))
+    )
+    na = sizes.select(F.col("src").alias("source_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("src").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "source_a").join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a", "source_b", "shared_grams",
+            F.col("n_a").cast("long").alias("n_grams_a"),
+            F.col("n_b").cast("long").alias("n_grams_b"),
+            (F.col("shared_grams").cast("double")
+             / F.least("n_a", "n_b").cast("double")).alias("overlap"),
+        )
     )
 
 

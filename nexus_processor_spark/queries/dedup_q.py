@@ -127,6 +127,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PREFIX_THRESHOLD = 0.5
+
+
+def q_dedup_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup join (Jaccard >= 0.5 over word-3-shingle sets) via
+    prefix filtering — full recall without LSH's probabilistic miss rate,
+    candidates only from rarest-shingle bucket collisions. The DuckDB twin
+    is the brute-force all-pairs Jaccard, so the hash match proves the
+    filter lost nothing."""
+    return dedup.prefix_filter_pairs(
+        _docs(spark, sf_dir),
+        threshold=PREFIX_THRESHOLD,
+        shingle_words=SHINGLE_WORDS,
+    )
+
+
 def q_dedup_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dedup pipeline: LSH pairs -> connected components -> one
     survivor per cluster. Spark side is iterative (driver-looped label
@@ -141,6 +157,7 @@ def q_dedup_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "dedup_prefix_pairs": q_dedup_prefix_pairs,
     "dedup_near_corpus": q_dedup_near_corpus,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_exact_groups": q_dedup_exact_groups,
@@ -225,6 +242,20 @@ _SIMHASH = _simhash_sql()
 _SIMHASH_WIDE = _simhash_sql(WIDE_BITS)
 
 ORACLE = {
+    # Brute-force all-pairs Jaccard: the prefix filter on the Spark side
+    # claims full recall, so the exhaustive twin must produce identical rows.
+    "dedup_prefix_pairs": f"""
+        WITH sh AS ({_SHINGLES})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                      AS DOUBLE) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                     AS DOUBLE) >= {PREFIX_THRESHOLD}
+    """,
     # Connected components via recursive transitive closure: every vertex
     # labels itself with the min id it can reach (undirected edges), which
     # is exactly the fixpoint dup_clusters' min-label propagation reaches.

@@ -30,6 +30,30 @@ SPLIT_WEIGHTS = {"train": 0.8, "valid": 0.1, "test": 0.1}
 TFIDF_K = 3
 
 
+WEIGHTED_K = 100
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sample (Efraimidis-Spirakis keys off
+    md5 draws): longer docs proportionally likelier, no replacement, and
+    the exact same 100 docs in any engine."""
+    return pipeline.weighted_sample(
+        _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+        WEIGHTED_K,
+        weight_col="n_chars",
+    )
+
+
+def q_text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 duplicate-bigram character fraction per doc."""
+    return pipeline.duplicate_ngram_stats(_docs(spark, sf_dir))
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 3-gram contamination matrix."""
+    return pipeline.source_overlap(_docs(spark, sf_dir))
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.hash_sample(
         _docs(spark, sf_dir).select("doc_id", "lang"), SAMPLE_FRACTION
@@ -164,6 +188,9 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sample_weighted": q_sample_weighted,
+    "text_dup_ngrams": q_text_dup_ngrams,
+    "source_overlap": q_source_overlap,
     "boilerplate_phrases": q_boilerplate_phrases,
     "lm_doc_score": q_lm_doc_score,
     "mix_temperature": q_mix_temperature,
@@ -205,7 +232,82 @@ def _split_case() -> str:
     return "CASE " + " ".join(whens) + f" ELSE '{labels[-1]}' END"
 
 
+# A-ES uniform draw: 15 md5 hex digits -> 60-bit int -> (v + 0.5) / 2^60,
+# the exact arithmetic of pipeline.hash_uniform.
+_AES_SCORE = (
+    "ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)"
+    " / 1152921504606846976.0) / n_chars"
+)
+
 ORACLE = {
+    "sample_weighted": f"""
+        SELECT doc_id, source, n_chars
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY {_AES_SCORE} DESC, doc_id
+        LIMIT {WEIGHTED_K}
+    """,
+    "text_dup_ngrams": """
+        WITH g AS (
+            SELECT doc_id, length(text) AS chars,
+                   list_transform(
+                     generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)),
+                     i -> array_to_string((string_split(text, ' '))[i:i+1], ' ')
+                   ) AS grams
+            FROM documents
+        ),
+        occ AS (
+            SELECT doc_id, chars, u.gram AS gram, count(*) AS c
+            FROM g, unnest(g.grams) AS u(gram)
+            GROUP BY 1, 2, 3
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_grams,
+                   CAST(sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)
+                        AS BIGINT) AS dup_gram_chars,
+                   CAST(sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)
+                        AS DOUBLE) / CAST(any_value(chars) AS DOUBLE)
+                       AS dup_char_fraction
+            FROM occ GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_grams, 0) AS n_grams,
+               coalesce(a.n_dup_grams, 0) AS n_dup_grams,
+               coalesce(a.dup_gram_chars, 0) AS dup_gram_chars,
+               coalesce(a.dup_char_fraction, 0.0) AS dup_char_fraction
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    "source_overlap": """
+        WITH g AS (
+            SELECT DISTINCT t.source AS src, u.g AS g
+            FROM (
+                SELECT source,
+                       list_transform(
+                         generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+                         i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                       ) AS grams
+                FROM documents
+            ) t, unnest(t.grams) AS u(g)
+        ),
+        sizes AS (SELECT src, count(*) AS n FROM g GROUP BY src),
+        shared AS (
+            SELECT a.src AS source_a, b.src AS source_b,
+                   CAST(count(*) AS BIGINT) AS shared_grams
+            FROM g a JOIN g b ON a.g = b.g AND a.src < b.src
+            GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, shared_grams,
+               CAST(na.n AS BIGINT) AS n_grams_a,
+               CAST(nb.n AS BIGINT) AS n_grams_b,
+               CAST(shared_grams AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)
+                   AS overlap
+        FROM shared
+        JOIN sizes na ON source_a = na.src
+        JOIN sizes nb ON source_b = nb.src
+    """,
     "tokens_encoded": f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS ts FROM documents

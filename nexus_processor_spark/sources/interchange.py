@@ -101,6 +101,30 @@ def import_csv(
     )
 
 
+def export_orc(
+    df: DataFrame, path: str, *, compression: str = "zstd", mode: str = "overwrite"
+) -> None:
+    """ORC export — the columnar interchange twin of parquet for Hive/Trino
+    estates. Same sharded-writer model as the other exports; ORC carries
+    nested types, per-stripe min/max indexes, and codec choice natively."""
+    df.write.mode(mode).option("compression", compression).orc(path)
+
+
+def import_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """ORC read. Schema is optional (ORC files embed one, so there is no
+    inference scan to avoid); passing it enforces a contract — missing
+    columns resolve to null, type clashes fail at plan time. Predicate
+    pushdown reaches stripe/row-group indexes exactly as with parquet."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def import_with_audit(
     spark: SparkSession,
     path: str,

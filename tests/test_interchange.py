@@ -86,3 +86,17 @@ def test_jsonl_export_is_gzipped_lines(spark, tmp_path):
     assert files
     line = gzip.open(files[0], "rt").readline()
     assert line.startswith("{") and '"o_orderkey"' in line
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    src = _orders(spark)
+    path = str(tmp_path / "orders_orc")
+    interchange.export_orc(src, path)
+    back = interchange.import_orc(spark, path)
+    assert back.schema == src.schema
+    assert _sorted_rows(back) == _sorted_rows(src)
+    # declared-schema contract: a projection schema narrows the read
+    narrow = StructType.fromDDL("o_orderkey bigint, o_totalprice double")
+    got = interchange.import_orc(spark, path, narrow)
+    assert got.columns == ["o_orderkey", "o_totalprice"]
+    assert got.count() == src.count()

@@ -1,0 +1,138 @@
+"""Round-3 operators: prefix-filter set-similarity join, weighted
+sampling, duplicate-n-gram stats, cross-source overlap."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexus_processor_spark.operators import dedup, pipeline
+
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.split(" ")
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+@pytest.fixture()
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(1, base)]
+    # near-dups: single-word substitutions at varied positions
+    words = base.split(" ")
+    for i, pos in enumerate((3, 7, 11), start=2):
+        w = list(words)
+        w[pos] = f"sub{i}"
+        rows.append((i, " ".join(w)))
+    # unrelated docs sharing the common word "the"
+    rows += [
+        (10, "completely different text about spark catalyst tungsten and the optimizer"),
+        (11, "another unrelated document mentioning the weather in quiet mountain villages"),
+        (12, "short doc"),  # < 3 tokens of shingle: empty set
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def brute_force_pairs(rows, threshold):
+    sets = {i: _shingles(t) for i, t in rows}
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a >= b or not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+def test_prefix_filter_matches_brute_force(spark, corpus):
+    rows = [(r.doc_id, r.text) for r in corpus.collect()]
+    for threshold in (0.3, 0.5, 0.8):
+        expected = brute_force_pairs(rows, threshold)
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.prefix_filter_pairs(corpus, threshold=threshold).collect()
+        }
+        assert got.keys() == expected.keys(), threshold
+        for k in got:
+            assert math.isclose(got[k], expected[k]), (k, threshold)
+
+
+def test_prefix_filter_no_cross_join(spark, corpus):
+    plan = dedup.prefix_filter_pairs(corpus, threshold=0.5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sample_deterministic_and_weighted(spark):
+    df = spark.range(1, 1001).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 7, F.lit(1e12)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    a = pipeline.weighted_sample(df, 10, weight_col="w", key_col="doc_id")
+    b = pipeline.weighted_sample(df, 10, weight_col="w", key_col="doc_id")
+    ids_a = sorted(r.doc_id for r in a.collect())
+    ids_b = sorted(r.doc_id for r in b.collect())
+    assert ids_a == ids_b and len(ids_a) == 10
+    # a weight 12 orders of magnitude larger is effectively always drawn
+    assert 7 in ids_a
+    assert "w" in a.columns and "_aes" not in a.columns
+
+
+def test_weighted_sample_grouped_and_nonpositive_weights(spark):
+    df = spark.range(1, 101).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).alias("grp"),
+        F.when(F.col("id") <= 10, F.lit(-1.0)).otherwise(F.lit(2.0)).alias("w"),
+    )
+    out = pipeline.weighted_sample(
+        df, 5, weight_col="w", key_col="doc_id", group_cols=("grp",)
+    ).collect()
+    by_grp: dict[int, list[int]] = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r.doc_id)
+    assert sorted(by_grp) == [0, 1]
+    assert all(len(v) == 5 for v in by_grp.values())
+    assert all(i > 10 for v in by_grp.values() for i in v)  # w<=0 excluded
+
+
+def test_duplicate_ngram_stats_hand_example(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x y z"), (3, "a")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pipeline.duplicate_ngram_stats(df).collect()}
+    assert rows.keys() == {1, 2, 3}
+    r1 = rows[1]  # bigrams: "a b", "b a", "a b", "b c" -> "a b" duplicated
+    assert (r1.n_grams, r1.n_dup_grams, r1.dup_gram_chars) == (4, 1, 6)
+    assert math.isclose(r1.dup_char_fraction, 6 / len("a b a b c"))
+    r2 = rows[2]
+    assert (r2.n_grams, r2.n_dup_grams, r2.dup_gram_chars) == (2, 0, 0)
+    assert r2.dup_char_fraction == 0.0
+    r3 = rows[3]  # too short for any bigram: zero row, not a missing row
+    assert (r3.n_grams, r3.n_dup_grams, r3.dup_char_fraction) == (0, 0, 0.0)
+
+
+def test_source_overlap_matrix(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "A", "one two three four"),
+            (2, "A", "five six seven"),
+            (3, "B", "one two three eight"),   # shares "one two three" with A
+            (4, "C", "nine ten eleven twelve"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {(r.source_a, r.source_b): r for r in pipeline.source_overlap(df).collect()}
+    assert set(out) == {("A", "B")}  # C shares nothing; no zero rows emitted
+    r = out[("A", "B")]
+    # A grams: {one two three, two three four, five six seven} (3)
+    # B grams: {one two three, two three eight} (2); shared: 1
+    assert (r.n_grams_a, r.n_grams_b, r.shared_grams) == (3, 2, 1)
+    assert math.isclose(r.overlap, 1 / 2)

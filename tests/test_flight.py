@@ -34,3 +34,29 @@ def test_flight_replay_roundtrip(spark, tmp_path):
             read_flight(server.endpoint, "nope")
     finally:
         server.shutdown()
+
+
+def test_flight_cache_and_single_chunk(spark):
+    calls = {"n": 0}
+
+    def events():
+        calls["n"] += 1
+        return spark.range(10_000).selectExpr("id AS event_id", "id * 2 AS value")
+
+    server = EventFlightServer({"events": events})
+    try:
+        a = read_flight(server.endpoint, "events")
+        b = read_flight(server.endpoint, "events")
+        assert a.num_rows == b.num_rows == 10_000
+        assert calls["n"] == 1                      # memoized materialization
+        assert a.column("event_id").num_chunks == 1  # re-chunked for streaming
+    finally:
+        server.shutdown()
+
+    live = EventFlightServer({"events": events}, cache=False)
+    try:
+        read_flight(live.endpoint, "events")
+        read_flight(live.endpoint, "events")
+        assert calls["n"] == 3                      # live tables re-run the plan
+    finally:
+        live.shutdown()

@@ -615,6 +615,65 @@ def tfidf_top_terms(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Okapi BM25 relevance of every matching document to a bag-of-words
+    query — the classic full-text ranking function (Robertson & Walker,
+    public literature; the Lucene/Elasticsearch default).
+
+    idf uses the non-negative Lucene variant
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``; the tf term saturates at k1
+    and normalizes by doc length against the corpus average.
+
+    Scale shape: the token explode is filtered to the query's terms FIRST
+    (an ``isin`` over a literal list — map-side, prunes ~everything), so
+    the (doc, term) aggregate touches only matching postings. Corpus
+    stats (N, avgdl) ride in as a broadcast 1-row aggregate; per-term df
+    over the matched postings only. Output rows = docs matching >= 1 term.
+
+    Scores are rounded so cross-engine ``ln`` ulp differences cannot
+    change the value hash.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("double").alias("dl"),
+        F.explode(tokens(text_col)).alias("term"),
+    ).filter(F.col("term").isin(query_terms))
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("dfreq"))
+    stats = df.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size(tokens(text_col))).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_matched_terms"),
+            F.round(F.sum(term_score), round_digits).alias("bm25"),
+        )
+    )
+
+
 def boilerplate_phrases(
     df: DataFrame,
     n: int = 4,

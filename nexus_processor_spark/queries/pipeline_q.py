@@ -54,6 +54,15 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.source_overlap(_docs(spark, sf_dir))
 
 
+BM25_QUERY = ["spark", "data", "merge"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of each doc to a 3-term query (the Lucene
+    idf variant); postings pruned to query terms before any shuffle."""
+    return pipeline.bm25_scores(_docs(spark, sf_dir), BM25_QUERY)
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.hash_sample(
         _docs(spark, sf_dir).select("doc_id", "lang"), SAMPLE_FRACTION
@@ -188,6 +197,7 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "bm25_search": q_bm25_search,
     "sample_weighted": q_sample_weighted,
     "text_dup_ngrams": q_text_dup_ngrams,
     "source_overlap": q_source_overlap,
@@ -239,7 +249,41 @@ _AES_SCORE = (
     " / 1152921504606846976.0) / n_chars"
 )
 
+_BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
 ORACLE = {
+    # k1 = 1.2, b = 0.75 (k1+1 = 2.2, 1-b = 0.25), Lucene idf variant.
+    "bm25_search": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, term, any_value(dl) AS dl,
+                   CAST(count(*) AS DOUBLE) AS tf
+            FROM toks
+            WHERE term IN ({_BM25_TERMS})
+            GROUP BY doc_id, term
+        ),
+        dfreq AS (
+            SELECT term, CAST(count(*) AS DOUBLE) AS dfreq FROM m GROUP BY term
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   avg(len(string_split(text, ' '))) AS avgdl
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_matched_terms,
+               round(sum(
+                 ln(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               ), 6) AS bm25
+        FROM m JOIN dfreq USING (term) CROSS JOIN stats
+        GROUP BY doc_id
+    """,
     "sample_weighted": f"""
         SELECT doc_id, source, n_chars
         FROM documents

@@ -136,3 +136,20 @@ def test_source_overlap_matrix(spark):
     # B grams: {one two three, two three eight} (2); shared: 1
     assert (r.n_grams_a, r.n_grams_b, r.shared_grams) == (3, 2, 1)
     assert math.isclose(r.overlap, 1 / 2)
+
+
+def test_bm25_ranking_properties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark data spark data spark"),   # many query hits
+            (2, "spark merge other words here"),  # fewer hits, same length
+            (3, "nothing relevant at all here"),  # no hits -> absent
+            (4, "spark " * 50 + "padding"),       # hits diluted by length
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pipeline.bm25_scores(df, ["spark", "data", "merge"]).collect()}
+    assert 3 not in out
+    assert out[1].n_matched_terms == 2 and out[2].n_matched_terms == 2
+    assert out[1].bm25 > out[2].bm25       # higher tf at equal length wins
+    assert all(r.bm25 > 0 for r in out.values())  # Lucene idf never negative

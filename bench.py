@@ -119,8 +119,12 @@ def run_docs(spark) -> dict[str, object]:
       expensive map stage of near-dedup.
     * ``dedup_exact_survivors`` — full-corpus exact dedup (one md5-key
       shuffle).
+    * ``bm25_search`` — query-pruned posting aggregate (3 terms).
+    * ``dup_ngram_stats`` — per-doc duplicate-bigram mass (the heaviest
+      (doc, gram) shuffle of the quality signals).
+    * ``weighted_sample`` — corpus-wide A-ES top-k (TakeOrdered, no sort).
     """
-    from nexus_processor_spark.operators import dedup, textstats
+    from nexus_processor_spark.operators import dedup, pipeline, textstats
 
     ensure_big_docs(spark)
     docs = spark.read.parquet(f"{DOCS_DIR}/documents.parquet")
@@ -136,6 +140,15 @@ def run_docs(spark) -> dict[str, object]:
             docs, num_bands=8, hash_fn="xxhash64"
         ),
         "dedup_exact_survivors": lambda: dedup.exact_dedup(docs),
+        "bm25_search": lambda: pipeline.bm25_scores(
+            docs, ["w1", "w17", "w203"]
+        ),
+        "dup_ngram_stats": lambda: pipeline.duplicate_ngram_stats(
+            docs, hash_grams=True
+        ),
+        "weighted_sample": lambda: pipeline.weighted_sample(
+            docs, 10_000, weight_col="n_chars"
+        ),
     }
     out: dict[str, object] = {
         "rows": DOCS_ROWS,

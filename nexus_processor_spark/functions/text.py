@@ -80,6 +80,22 @@ def word_shingles_text(text: Column | str, n: int = 3, sep: str = " ") -> Column
     )
 
 
+def word_shingles_text_all(text: Column | str, n: int = 3, sep: str = " ") -> Column:
+    """Every word n-gram OCCURRENCE in order (non-distinct) — the bag
+    form of :func:`word_shingles_text`, for operators that count
+    repetitions (duplicate-n-gram mass) rather than compare sets. Same
+    single-regex pass and the same 14x-over-HOF rationale."""
+    if len(sep) != 1:
+        raise ValueError("word_shingles_text_all requires a single-char separator")
+    c = F.col(text) if isinstance(text, str) else text
+    s = re.escape(sep)
+    pat = f"(?:^|(?<={s}))(?=([^{s}]*(?:{s}[^{s}]*){{{n - 1}}}))"
+    return (
+        F.when(c.isNotNull(), F.regexp_extract_all(c, F.lit(pat), 1))
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
 BANDS_PER_MD5 = 4  # a 32-hex md5 yields four 8-hex (32-bit) band chunks
 
 

@@ -567,7 +567,14 @@ def prefix_filter_pairs(
         .join(freq, "g")
     )
     order = Window.partitionBy(id_col).orderBy("df_g", "g")
-    prefix_len = F.col("s") - F.ceil(F.lit(threshold) * F.col("s")) + 1
+    # ceil over float t*s can land ABOVE the true ceiling at exact
+    # boundaries (0.2 * 5 -> 1.0000000000000002 -> ceil 2), which would
+    # shorten the prefix and silently lose recall. Nudge down first: any
+    # error now only lengthens the prefix (extra candidates, killed by the
+    # exact verify) — never drops a qualifying pair.
+    prefix_len = (
+        F.col("s") - F.ceil(F.lit(threshold) * F.col("s") - F.lit(1e-9)) + 1
+    )
     prefixes = (
         toks.withColumn("_pos", F.row_number().over(order))
         .filter(F.col("_pos") <= prefix_len)

@@ -153,3 +153,43 @@ def test_bm25_ranking_properties(spark):
     assert out[1].n_matched_terms == 2 and out[2].n_matched_terms == 2
     assert out[1].bm25 > out[2].bm25       # higher tf at equal length wins
     assert all(r.bm25 > 0 for r in out.values())  # Lucene idf never negative
+
+
+def test_prefix_filter_random_corpus_exactness(spark):
+    """Randomized exactness: prefix filtering must equal brute force on a
+    high-collision corpus (tiny vocab => dense similarity structure),
+    including threshold boundaries like 0.2 where float ceil bites."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 12))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for threshold in (0.2, 0.4, 0.75):
+        expected = brute_force_pairs(rows, threshold)
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.prefix_filter_pairs(df, threshold=threshold).collect()
+        }
+        assert got.keys() == expected.keys(), threshold
+        for k in got:
+            assert math.isclose(got[k], expected[k]), (k, threshold)
+
+
+def test_duplicate_ngram_hash_path_matches_string_path(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(8)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {tuple(r) for r in pipeline.duplicate_ngram_stats(df).collect()}
+    b = {tuple(r) for r in
+         pipeline.duplicate_ngram_stats(df, hash_grams=True).collect()}
+    assert a == b

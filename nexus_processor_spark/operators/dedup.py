@@ -518,6 +518,132 @@ def simhash_band_candidates(
     return out.distinct() if distinct else out
 
 
+def build_minhash_index(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    rows_per_band: int = 2,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """The persistable near-dup index of a corpus: one row per doc with
+    its banded LSH keys AND the full minhash vector.
+
+    ``(id, bands: array<string>, minhashes: array<string>)`` — write this
+    to the lake once per corpus generation; incremental batches then
+    near-dup-check against it WITHOUT re-reading old text (see
+    :func:`incremental_near_dup`). Bands use the same (b, r) scheme as
+    :func:`minhash_dedup_pairs`, so index hits have the same collision
+    semantics; the minhash vector supports estimating Jaccard from
+    signatures alone (matching-fraction estimator, Broder — the standard
+    trick when the indexed corpus' text is not co-located).
+
+    Shingle-less docs (shorter than the shingle width) emit null bands
+    and an empty vector — they can never collide.
+    """
+    n_minhashes = num_bands * rows_per_band
+    n_salts = -(-n_minhashes // BANDS_PER_MD5)
+    raw = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), word_shingles_text(text_col, shingle_words).alias("sh")
+    )
+    hashed = raw.select(
+        id_col,
+        *[salted_md5s(F.col("sh"), k).alias(f"_h{k}") for k in range(n_salts)],
+    )
+    mins = [chunk_min(F.col(f"_h{j // BANDS_PER_MD5}"), j).alias(f"_m{j}")
+            for j in range(n_minhashes)]
+    withm = hashed.select(id_col, *mins)
+
+    def band_sig(b: int) -> F.Column:
+        parts = [F.col(f"_m{j}") for j in
+                 range(b * rows_per_band, (b + 1) * rows_per_band)]
+        return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+    return withm.select(
+        F.col(id_col),
+        F.array(*[band_sig(b) for b in range(num_bands)]).alias("bands"),
+        F.filter(
+            F.array(*[F.col(f"_m{j}") for j in range(n_minhashes)]),
+            lambda m: m.isNotNull(),
+        ).alias("minhashes"),
+    )
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    rows_per_band: int = 2,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup matches of an incoming batch against a persisted corpus
+    index — the nightly-ingest gate: which new docs near-duplicate
+    something already in the lake, without touching stored text.
+
+    The batch is signed with the index's exact (b, r) scheme; candidates
+    come from an equi-join of band keys (new side exploded, index side
+    exploded — both bounded by rows x bands); Jaccard is then ESTIMATED
+    as the fraction of agreeing minhashes (unbiased, sd ~= sqrt(j(1-j)/k)
+    — at k=16, ±0.12; gate production thresholds accordingly or re-verify
+    survivors against fetched text). Output:
+    ``(new_id, indexed_id, est_jaccard)`` with ``est_jaccard >= threshold``.
+
+    Every stage is a bounded hash shuffle; nothing rescans the indexed
+    corpus' text — the index (two string arrays per doc) is the entire
+    working set of the old side.
+    """
+    new_index = build_minhash_index(
+        new_docs, text_col=text_col, id_col=id_col, num_bands=num_bands,
+        rows_per_band=rows_per_band, shingle_words=shingle_words,
+    )
+    def keyed(ix: DataFrame, side: str) -> DataFrame:
+        k = (
+            ix.select(
+                F.col(id_col).alias(f"{side}_id"),
+                F.col("minhashes").alias(f"{side}_mins"),
+                F.posexplode("bands").alias("band", "sig"),
+            )
+            .filter(F.col("sig").isNotNull())
+        )
+        return k
+
+    a = keyed(new_index, "new")
+    b = keyed(index, "indexed")
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "sig")
+        b = b.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
+            F.col("_n") <= max_bucket
+        ).drop("_n")
+    cands = (
+        a.join(b, ["band", "sig"])
+        .select("new_id", "indexed_id", "new_mins", "indexed_mins")
+        .dropDuplicates(["new_id", "indexed_id"])
+    )
+    k = num_bands * rows_per_band
+    matches = F.size(
+        F.filter(
+            F.zip_with("new_mins", "indexed_mins", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    est = F.when(
+        (F.size("new_mins") == k) & (F.size("indexed_mins") == k),
+        matches.cast("double") / F.lit(float(k)),
+    ).otherwise(F.lit(0.0))
+    return (
+        cands.select(
+            "new_id", "indexed_id", est.alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= F.lit(threshold))
+    )
+
+
 def prefix_filter_pairs(
     df: DataFrame,
     *,

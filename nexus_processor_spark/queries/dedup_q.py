@@ -143,6 +143,23 @@ def q_dedup_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-ingest near-dup gate: docs with doc_id % 10 == 0 play the
+    incoming batch, the rest the persisted corpus index. Matches come
+    from band-key hits against the index; Jaccard is estimated from
+    minhash agreement alone — no stored text is re-read."""
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    idx = dedup.build_minhash_index(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        num_bands=NUM_BANDS, shingle_words=SHINGLE_WORDS,
+    )
+    return dedup.incremental_near_dup(
+        new, idx, num_bands=NUM_BANDS, shingle_words=SHINGLE_WORDS,
+        threshold=0.5,
+    )
+
+
 def q_dedup_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dedup pipeline: LSH pairs -> connected components -> one
     survivor per cluster. Spark side is iterative (driver-looped label
@@ -157,6 +174,7 @@ def q_dedup_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "dedup_incremental_near": q_dedup_incremental_near,
     "dedup_prefix_pairs": q_dedup_prefix_pairs,
     "dedup_near_corpus": q_dedup_near_corpus,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -241,7 +259,41 @@ def _simhash_sql(bits: int = SIMHASH_BITS) -> str:
 _SIMHASH = _simhash_sql()
 _SIMHASH_WIDE = _simhash_sql(WIDE_BITS)
 
+# Per-doc minhash j = 0..15 (salt j//4, 8-hex slice j%4 — the chunk_min
+# scheme), for the incremental-index oracle.
+_MINS_16 = f"""
+    SELECT s.doc_id, j.j,
+           list_aggregate(
+             list_transform(s.sh,
+               x -> substr(md5(CAST(j.j // 4 AS VARCHAR) || '|' || x),
+                           1 + 8 * (j.j % 4), 8)),
+             'min'
+           ) AS m
+    FROM ({_SHINGLES}) s, (SELECT unnest(range(16)) AS j) j
+    WHERE len(s.sh) > 0
+"""
+
 ORACLE = {
+    "dedup_incremental_near": f"""
+        WITH m AS ({_MINS_16}),
+        bands AS (
+            SELECT doc_id, j // 2 AS band,
+                   string_agg(m, '' ORDER BY j) AS sig
+            FROM m GROUP BY doc_id, j // 2
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS indexed_id
+            FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+            WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        )
+        SELECT c.new_id, c.indexed_id,
+               sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+        FROM cand c
+        JOIN m x ON x.doc_id = c.new_id
+        JOIN m y ON y.doc_id = c.indexed_id AND x.j = y.j
+        GROUP BY c.new_id, c.indexed_id
+        HAVING sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) / 16.0 >= 0.5
+    """,
     # Brute-force all-pairs Jaccard: the prefix filter on the Spark side
     # claims full recall, so the exhaustive twin must produce identical rows.
     "dedup_prefix_pairs": f"""

@@ -193,3 +193,37 @@ def test_duplicate_ngram_hash_path_matches_string_path(spark):
     b = {tuple(r) for r in
          pipeline.duplicate_ngram_stats(df, hash_grams=True).collect()}
     assert a == b
+
+
+def test_incremental_near_dup_against_index(spark):
+    near_a = "the quick brown fox jumps over the lazy dog again and again today"
+    near_b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    corpus = spark.createDataFrame(
+        [(1, near_a), (4, "completely unrelated words about catalyst tungsten engines here")],
+        "doc_id long, text string",
+    )
+    idx = dedup.build_minhash_index(corpus)
+    rows = {r.doc_id: r for r in idx.collect()}
+    assert len(rows[1].bands) == 8 and len(rows[1].minhashes) == 16
+
+    batch = spark.createDataFrame(
+        [(100, near_b),                 # near-dup of indexed 1
+         (101, near_a),                 # exact dup of indexed 1
+         (102, "fresh novel content with no overlap whatsoever in this batch")],
+        "doc_id long, text string",
+    )
+    out = {(r.new_id, r.indexed_id): r.est_jaccard
+           for r in dedup.incremental_near_dup(batch, idx, threshold=0.5).collect()}
+    assert out[(101, 1)] == 1.0                    # identical minhashes
+    # near-dup collides and estimates high (k=16 estimator, sd ~0.1 —
+    # exact value can round up to 1.0 at this true-jaccard)
+    assert (100, 1) in out and out[(100, 1)] >= 0.5
+    assert not any(n == 102 or i == 4 for n, i in out)
+
+
+def test_incremental_near_dup_shingleless_docs_never_match(spark):
+    corpus = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    idx = dedup.build_minhash_index(corpus)
+    batch = spark.createDataFrame([(2, "a b")], "doc_id long, text string")
+    # both docs are below the 3-word shingle width: no bands, no matches
+    assert dedup.incremental_near_dup(batch, idx).count() == 0

@@ -827,17 +827,23 @@ def curate_corpus(
     *,
     quality_q: float = 0.25,
     metric_col: str = "n_chars",
+    max_dup_char_fraction: float | None = None,
     near_dup_threshold: float = 0.5,
     contamination_grams: int = 3,
     max_contamination_hits: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """The composed curation pipeline: quality gate → exact dedup →
-    MinHash near-dedup → (optional) benchmark decontamination, returning
-    every input doc tagged with ``keep`` and the FIRST ``drop_reason``
-    that eliminated it (``low_quality`` / ``exact_dup`` / ``near_dup`` /
+    """The composed curation pipeline: quality gate → (optional
+    Gopher-style repetition gate) → exact dedup → MinHash near-dedup →
+    (optional) benchmark decontamination, returning every input doc
+    tagged with ``keep`` and the FIRST ``drop_reason`` that eliminated it
+    (``low_quality`` / ``repetitive`` / ``exact_dup`` / ``near_dup`` /
     ``contaminated`` / null).
+
+    ``max_dup_char_fraction`` enables the repetition gate: docs whose
+    duplicate-bigram character mass (:func:`duplicate_ngram_stats`)
+    exceeds it are dropped before the dedup stages see them.
 
     Stages apply sequentially (dedup only among quality survivors, etc.),
     matching how a real curation run orders the passes: each stage is the
@@ -853,6 +859,17 @@ def curate_corpus(
     ).select(id_col)
 
     s1 = docs.join(q_pass, id_col, "left_semi")
+    stages = [("low_quality", q_pass)]
+    if max_dup_char_fraction is not None:
+        rep_pass = (
+            duplicate_ngram_stats(
+                s1, text_col=text_col, id_col=id_col, hash_grams=True
+            )
+            .filter(F.col("dup_char_fraction") <= max_dup_char_fraction)
+            .select(id_col)
+        )
+        stages.append(("repetitive", rep_pass))
+        s1 = s1.join(rep_pass, id_col, "left_semi")
     exact_pass = _dedup.exact_dedup(s1, text_col=text_col, id_col=id_col).select(id_col)
 
     s2 = s1.join(exact_pass, id_col, "left_semi")
@@ -861,8 +878,7 @@ def curate_corpus(
     )
     near_pass = _dedup.near_dedup(s2, pairs, id_col=id_col).select(id_col)
 
-    stages = [
-        ("low_quality", q_pass),
+    stages += [
         ("exact_dup", exact_pass),
         ("near_dup", near_pass),
     ]

@@ -71,3 +71,24 @@ def test_curate_cli(spark, corpus, eval_df, tmp_path):
                  "--output", out]) == 0
     res = spark.read.parquet(out)
     assert res.count() == 6 and "drop_reason" in res.columns
+
+
+def test_curate_repetition_gate(spark):
+    looping = "spam ham " * 40 + "end"
+    unique = lambda k: " ".join(f"word{k}x{i}" for i in range(50))  # noqa: E731
+    rows = [
+        (1, unique(1), 400),
+        (2, looping, 400),   # duplicate-bigram mass ~1 -> repetitive
+        (3, "tiny", 4),      # low_quality fires FIRST (stage order)
+        (4, unique(4), 200),
+        (5, unique(5), 401),
+        (6, unique(6), 430),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = pipeline.curate_corpus(
+        corpus, None, quality_q=0.2, max_dup_char_fraction=0.5
+    )
+    got = {r.doc_id: (r.keep, r.drop_reason) for r in out.collect()}
+    assert got[3] == (False, "low_quality")
+    assert got[2] == (False, "repetitive")
+    assert got[1] == (True, None)

@@ -656,3 +656,81 @@ def anomaly_zscore(
         F.when(enough & (sd > 0), z).alias("z"),
         F.coalesce(flagged, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def downsample_lttb(
+    events: DataFrame,
+    n_buckets: int,
+    *,
+    series_cols: Sequence[str] = ("bank",),
+    time_col: str = "absolute_time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Largest-triangle downsampling for visualization: at most
+    ``n_buckets`` points per series that preserve the visual shape of the
+    curve (Steinarsson's LTTB, public literature), fully parallel.
+
+    Deviation from the sequential algorithm, for scale: the triangle
+    anchors are the neighbor BUCKETS' envelope midpoints
+    ``((tmin+tmax)/2, (vmin+vmax)/2)`` instead of the previously selected
+    point — selection becomes an independent per-bucket argmax (one
+    shuffle on (series, bucket)), not a per-series sequential scan. The
+    series' true first and last points are always kept (their in-bucket
+    rank is forced above every area).
+
+    Determinism/oracle note: anchors use only min/max (order-independent
+    aggregates), and the area expression is a fixed IEEE tree, so results
+    are bit-identical across engines with NO rounding. Ties in area break
+    on (time, value).
+
+    Shapes: one groupBy per series (bounded by series count, broadcast
+    back), one groupBy per (series, bucket) (broadcast back), one
+    windowed argmax per (series, bucket) — partitions are single buckets,
+    never whole series.
+    """
+    sc = [F.col(c) for c in series_cols]
+    t, v = F.col(time_col), F.col(value_col)
+
+    span = events.groupBy(*sc).agg(
+        F.min(time_col).alias("_ts0"), F.max(time_col).alias("_ts1")
+    )
+    e = events.join(F.broadcast(span), list(series_cols))
+    frac = (t - F.col("_ts0")) / (F.col("_ts1") - F.col("_ts0"))
+    bucket = F.when(
+        F.col("_ts1") == F.col("_ts0"), F.lit(0)
+    ).otherwise(
+        F.least(F.floor(frac * F.lit(n_buckets)), F.lit(n_buckets - 1))
+    ).cast("long")
+    e = e.withColumn("bucket", bucket)
+
+    env = e.groupBy(*sc, F.col("bucket")).agg(
+        F.min(time_col).alias("_btmin"), F.max(time_col).alias("_btmax"),
+        F.min(value_col).alias("_bvmin"), F.max(value_col).alias("_bvmax"),
+    ).select(
+        *series_cols, "bucket",
+        ((F.col("_btmin") + F.col("_btmax")) / 2).alias("_at"),
+        ((F.col("_bvmin") + F.col("_bvmax")) / 2).alias("_av"),
+    )
+    wseq = Window.partitionBy(*sc).orderBy("bucket")
+    anchors = env.select(
+        *series_cols, "bucket",
+        F.coalesce(F.lag("_at").over(wseq), F.col("_at")).alias("_pt"),
+        F.coalesce(F.lag("_av").over(wseq), F.col("_av")).alias("_pv"),
+        F.coalesce(F.lead("_at").over(wseq), F.col("_at")).alias("_nt"),
+        F.coalesce(F.lead("_av").over(wseq), F.col("_av")).alias("_nv"),
+    )
+    e = e.join(F.broadcast(anchors), [*series_cols, "bucket"])
+    area = F.abs(
+        (F.col("_pt") - F.col("_nt")) * (v - F.col("_pv"))
+        - (F.col("_pt") - t) * (F.col("_nv") - F.col("_pv"))
+    ) / 2
+    endpoint = (t == F.col("_ts0")) | (t == F.col("_ts1"))
+    rank_area = F.when(endpoint, F.lit(float("inf"))).otherwise(area)
+    wpick = Window.partitionBy(*sc, F.col("bucket")).orderBy(
+        rank_area.desc(), t.asc(), v.asc()
+    )
+    return (
+        e.withColumn("_rn", F.row_number().over(wpick))
+        .filter(F.col("_rn") == 1)
+        .select(*series_cols, "bucket", t.alias(time_col), v.alias(value_col))
+    )

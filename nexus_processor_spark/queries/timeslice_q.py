@@ -275,7 +275,20 @@ def q_rollup_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ru.serve_percentile(hist, 0.95, HIST_LO, HIST_HI, HIST_NB)
 
 
+LTTB_BUCKETS = 20
+
+
+def q_timeslice_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bank LTTB visual downsampling to <= 20 points (parallel
+    envelope-anchor variant; endpoints always kept)."""
+    return timeslice.downsample_lttb(
+        _events(spark, sf_dir), LTTB_BUCKETS,
+        series_cols=("bank",), time_col="absolute_time", value_col="value",
+    )
+
+
 QUERIES = {
+    "timeslice_lttb": q_timeslice_lttb,
     "time_bounds": q_time_bounds,
     "timeslice_locf": q_timeslice_locf,
     "time_weighted_avg": q_time_weighted_avg,
@@ -305,6 +318,48 @@ _E = (f"SELECT event_id, {_TS} AS t, event_type AS bank, "
       "user_id AS pulse_index, value FROM events")
 
 ORACLE = {
+    # Parallel LTTB: identical IEEE expression trees on both sides (min/
+    # max-derived anchors, fixed parenthesization) — no rounding needed.
+    "timeslice_lttb": f"""
+        WITH e AS (SELECT event_type AS bank, {_TS} AS t, value AS v FROM events),
+        span AS (SELECT bank, min(t) AS ts0, max(t) AS ts1 FROM e GROUP BY bank),
+        eb AS (
+            SELECT e.bank, t, v, ts0, ts1,
+                   CAST(CASE WHEN ts1 = ts0 THEN 0
+                        ELSE least(floor(((t - ts0) / (ts1 - ts0)) * 20), 19)
+                   END AS BIGINT) AS bucket
+            FROM e JOIN span USING (bank)
+        ),
+        env AS (
+            SELECT bank, bucket,
+                   (min(t) + max(t)) / 2 AS at_, (min(v) + max(v)) / 2 AS av
+            FROM eb GROUP BY bank, bucket
+        ),
+        anch AS (
+            SELECT bank, bucket,
+                   coalesce(lag(at_) OVER w, at_) AS pt,
+                   coalesce(lag(av) OVER w, av) AS pv,
+                   coalesce(lead(at_) OVER w, at_) AS nt,
+                   coalesce(lead(av) OVER w, av) AS nv
+            FROM env WINDOW w AS (PARTITION BY bank ORDER BY bucket)
+        ),
+        scored AS (
+            SELECT eb.bank, eb.bucket, t, v,
+                   CASE WHEN t = ts0 OR t = ts1 THEN 'infinity'::DOUBLE
+                        ELSE abs((pt - nt) * (v - pv) - (pt - t) * (nv - pv)) / 2
+                   END AS ra
+            FROM eb JOIN anch ON eb.bank = anch.bank AND eb.bucket = anch.bucket
+        ),
+        pick AS (
+            SELECT bank, bucket, t, v,
+                   row_number() OVER (
+                     PARTITION BY bank, bucket ORDER BY ra DESC, t ASC, v ASC
+                   ) AS rn
+            FROM scored
+        )
+        SELECT bank, bucket, t AS absolute_time, v AS value
+        FROM pick WHERE rn = 1
+    """,
     # Sorted-entry serialization of the attribute map: keys after prefix-strip
     # are 'k' (from props.$.k) and 'type' (event_type); 'missing' is filtered
     # as null. 'k' < 'type' lexicographically, so the join order is fixed.

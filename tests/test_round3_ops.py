@@ -227,3 +227,22 @@ def test_incremental_near_dup_shingleless_docs_never_match(spark):
     batch = spark.createDataFrame([(2, "a b")], "doc_id long, text string")
     # both docs are below the 3-word shingle width: no bands, no matches
     assert dedup.incremental_near_dup(batch, idx).count() == 0
+
+
+def test_lttb_downsample_keeps_shape(spark):
+    from nexus_processor_spark.operators import timeslice
+
+    # a flat series with one huge spike: LTTB must keep endpoints and
+    # the spike, and emit at most n_buckets points
+    rows = [(float(i), 1.0 if i != 57 else 500.0, "s") for i in range(200)]
+    df = spark.createDataFrame(rows, "absolute_time double, value double, bank string")
+    out = timeslice.downsample_lttb(df, 10, series_cols=("bank",)).collect()
+    assert len(out) == 10
+    times = {r.absolute_time for r in out}
+    assert 0.0 in times and 199.0 in times          # endpoints forced
+    assert any(r.value == 500.0 for r in out)       # spike survives
+    assert len({r.bucket for r in out}) == 10       # one point per bucket
+
+    # determinism
+    again = timeslice.downsample_lttb(df, 10, series_cols=("bank",)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

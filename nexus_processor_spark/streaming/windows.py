@@ -192,3 +192,44 @@ def enrich_stream(
     which also picks up slowly-changing dimension updates for free.
     """
     return events.join(F.broadcast(dim), key_col, how)
+
+
+def windowed_unique_counts(
+    events: DataFrame,
+    interval_seconds: float,
+    *,
+    time_col: str = "event_time",
+    key_col: str = "user_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Distinct actors per tumbling window, streaming.
+
+    Structured Streaming rejects ``count(distinct)`` in stateful aggs, so
+    the standard composition is used: ``dropDuplicatesWithinWatermark``
+    on (window-bucket, key) collapses repeats first (state = one row per
+    live (bucket, key), evicted past the watermark), then a plain
+    windowed count counts survivors. Two stateful stages, both
+    watermark-bounded. Batch twin (test anchor):
+    ``groupBy(floor(t/N)).agg(countDistinct(key))``.
+    """
+    n = int(interval_seconds)
+    deduped = (
+        events
+        .withColumn(
+            "_bucket",
+            F.floor(F.unix_timestamp(F.col(time_col)) / F.lit(n)).cast("long"),
+        )
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["_bucket", key_col])
+    )
+    win = F.window(F.col(time_col), f"{n} seconds")
+    return (
+        deduped.groupBy(win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("unique_count"))
+        .select(
+            (F.unix_timestamp("w.start") / n).cast("long").alias("interval"),
+            F.col("w.start").alias("interval_start"),
+            F.col("w.end").alias("interval_end"),
+            "unique_count",
+        )
+    )

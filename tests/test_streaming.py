@@ -403,3 +403,52 @@ def test_sliding_counts_rejects_nondivisible_slide(spark):
     )
     with pytest.raises(ValueError, match="divide"):
         windows.sliding_counts(ev, 3600.0, 700.0)
+
+
+def test_windowed_unique_counts_match_batch_distinct(spark, tmp_path):
+    """Streaming distinct-users-per-window (dedup-then-count composition)
+    drains to exactly the batch groupBy(bucket).countDistinct(user)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(40):
+        # 2 windows of 60s; users repeat within and across windows
+        rows.append((i % 7, t0 + dt.timedelta(seconds=(i * 3) % 115)))
+    schema = "user_id long, event_time timestamp"
+    src = tmp_path / "uniq_src"
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(2).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = windows.windowed_unique_counts(stream, 60.0)
+    q = (
+        out.writeStream.format("memory").queryName("uniq_out")
+        .option("checkpointLocation", str(tmp_path / "ck_uniq"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # far-future event advances the watermark and finalizes the real
+        # windows (its own window never finalizes -> excluded from output)
+        spark.createDataFrame(
+            [(999, t0 + dt.timedelta(hours=6))], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.interval: r.unique_count
+        for r in spark.sql("select * from uniq_out").collect()
+    }
+    expected = {
+        r.interval: r.n
+        for r in df.groupBy(
+            F.floor(F.unix_timestamp("event_time") / 60).cast("long").alias("interval")
+        ).agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert got == expected

@@ -734,3 +734,69 @@ def downsample_lttb(
         .filter(F.col("_rn") == 1)
         .select(*series_cols, "bucket", t.alias(time_col), v.alias(value_col))
     )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    interval_seconds: float,
+    *,
+    series_col: str = "bank",
+    time_col: str = "absolute_time",
+    slack_k: float = 0.5,
+    h_threshold: float = 5.0,
+) -> DataFrame:
+    """One-sided CUSUM level-shift detection on interval counts (Page's
+    cumulative-sum chart, public literature): flags the buckets where a
+    series' event volume has drifted UP from its own baseline by more
+    than ``h_threshold`` standard deviations of accumulated evidence.
+
+    Closed form instead of the textbook recursion: with
+    ``d_i = (n_i - mean)/sd - k``, the recursive
+    ``S_i = max(0, S_{i-1} + d_i)`` equals
+    ``cumsum_i - running_min(cumsum)`` over the ordered buckets — a
+    cumulative window sum plus a running min, no sequential driver loop.
+
+    Shapes: one data-scale bucket aggregate; everything after runs on the
+    bucket table (series x buckets — thousands of rows per series, not
+    events). Per-series windows partition by series, so width is bounded
+    by the bucketed series length, exactly like the interval rollups.
+    ``cusum`` is rounded (1e-6) before the threshold compare so the flag
+    cut is cross-engine stable (windowed running sums may accumulate in
+    engine-specific tree orders).
+    """
+    t = F.col(time_col)
+    counts = (
+        events.filter(t.isNotNull())
+        .withColumn("interval", interval_floor(t, interval_seconds))
+        .groupBy(series_col, "interval")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = counts.groupBy(series_col).agg(
+        F.avg("n").alias("_mu"), F.stddev_samp("n").alias("_sd")
+    )
+    d = (
+        counts.join(F.broadcast(stats), series_col)
+        .filter(F.col("_sd") > 0)
+        .withColumn(
+            "_d", (F.col("n") - F.col("_mu")) / F.col("_sd") - F.lit(slack_k)
+        )
+    )
+    wcum = (
+        Window.partitionBy(series_col)
+        .orderBy("interval")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_cs", F.sum("_d").over(wcum))
+    # running min over [start, i-1]; floor at 0 reproduces S_1 = max(0, d_1)
+    wprev = (
+        Window.partitionBy(series_col)
+        .orderBy("interval")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = F.least(F.coalesce(F.min("_cs").over(wprev), F.lit(0.0)), F.lit(0.0))
+    cusum = F.round(F.col("_cs") - base, 6)
+    return (
+        d.withColumn("cusum", cusum)
+        .filter(F.col("cusum") > F.lit(h_threshold))
+        .select(series_col, "interval", F.col("n").cast("long").alias("n"), "cusum")
+    )

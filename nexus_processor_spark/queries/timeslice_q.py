@@ -287,7 +287,20 @@ def q_timeslice_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUSUM_K = 0.25
+CUSUM_H = 3.0
+
+
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM drift flags on hourly per-bank volumes (closed-form
+    cumsum-minus-running-min — no sequential recursion)."""
+    return timeslice.cusum_changepoints(
+        _events(spark, sf_dir), INTERVAL, slack_k=CUSUM_K, h_threshold=CUSUM_H
+    )
+
+
 QUERIES = {
+    "cusum_changepoints": q_cusum_changepoints,
     "timeslice_lttb": q_timeslice_lttb,
     "time_bounds": q_time_bounds,
     "timeslice_locf": q_timeslice_locf,
@@ -318,6 +331,40 @@ _E = (f"SELECT event_id, {_TS} AS t, event_type AS bank, "
       "user_id AS pulse_index, value FROM events")
 
 ORACLE = {
+    # CUSUM closed form: S_i = C_i - min(0, C_1..C_{i-1}); rounded before
+    # the threshold cut (running sums may tree-accumulate differently).
+    "cusum_changepoints": f"""
+        WITH e AS (SELECT event_type AS bank, {_TS} AS t FROM events),
+        c AS (
+            SELECT bank, CAST(floor(t / {INTERVAL}) AS BIGINT) AS interval,
+                   count(*) AS n
+            FROM e WHERE t IS NOT NULL GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT bank, avg(n) AS mu, stddev_samp(n) AS sd
+            FROM c GROUP BY bank
+        ),
+        d AS (
+            SELECT c.bank, interval, n, (n - mu) / sd - {CUSUM_K} AS d
+            FROM c JOIN s USING (bank) WHERE sd > 0
+        ),
+        cs AS (
+            SELECT bank, interval, n,
+                   sum(d) OVER (PARTITION BY bank ORDER BY interval
+                                ROWS UNBOUNDED PRECEDING) AS cs
+            FROM d
+        ),
+        fin AS (
+            SELECT bank, interval, n,
+                   round(cs - least(coalesce(
+                       min(cs) OVER (PARTITION BY bank ORDER BY interval
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0.0), 0.0), 6) AS cusum
+            FROM cs
+        )
+        SELECT bank, interval, CAST(n AS BIGINT) AS n, cusum
+        FROM fin WHERE cusum > {CUSUM_H}
+    """,
     # Parallel LTTB: identical IEEE expression trees on both sides (min/
     # max-derived anchors, fixed parenthesization) — no rounding needed.
     "timeslice_lttb": f"""

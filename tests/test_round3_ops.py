@@ -246,3 +246,32 @@ def test_lttb_downsample_keeps_shape(spark):
     # determinism
     again = timeslice.downsample_lttb(df, 10, series_cols=("bank",)).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    from nexus_processor_spark.operators import timeslice
+
+    # 40 hourly buckets: baseline one event each, then a sustained shift
+    # to five events from bucket 25 on
+    rows = []
+    for b in range(40):
+        per = 1 if b < 25 else 5
+        rows += [(float(b * 3600 + i), "s") for i in range(per)]
+    df = spark.createDataFrame(rows, "absolute_time double, bank string")
+    out = {r.interval: r.cusum
+           for r in timeslice.cusum_changepoints(
+               df, 3600.0, slack_k=0.5, h_threshold=2.0).collect()}
+
+    # textbook S_i = max(0, S_{i-1} + d_i) over the same bucket stats
+    import statistics
+
+    counts = [1] * 25 + [5] * 15
+    mu = statistics.mean(counts)
+    sd = statistics.stdev(counts)
+    s, expected = 0.0, {}
+    for b, n in enumerate(counts):
+        s = max(0.0, s + (n - mu) / sd - 0.5)
+        if s > 2.0:
+            expected[b] = round(s, 6)
+    assert out == expected
+    assert expected and min(expected) >= 25   # flags only after the shift

@@ -8,6 +8,7 @@ so the oracle reproduces the exact sample/split/shuffle bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from nexus_processor_spark.operators import pipeline
 from nexus_processor_spark.operators.pipeline import (
@@ -61,6 +62,26 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 relevance of each doc to a 3-term query (the Lucene
     idf variant); postings pruned to query terms before any shuffle."""
     return pipeline.bm25_scores(_docs(spark, sf_dir), BM25_QUERY)
+
+
+QUOTA_N = 10
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap: keep the top-N docs per source by length
+    (quality proxy), unique-key tiebreak — the 'no domain dominates the
+    mix' guard. One group-key shuffle; per-source state is a size-N heap
+    under partial windowed row_number."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= QUOTA_N)
+    )
 
 
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,6 +218,7 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "source_quota": q_source_quota,
     "bm25_search": q_bm25_search,
     "sample_weighted": q_sample_weighted,
     "text_dup_ngrams": q_text_dup_ngrams,
@@ -252,6 +274,16 @@ _AES_SCORE = (
 _BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
 ORACLE = {
+    "source_quota": f"""
+        WITH r AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(row_number() OVER (
+                     PARTITION BY source ORDER BY n_chars DESC, doc_id
+                   ) AS BIGINT) AS rk
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars, rk FROM r WHERE rk <= {QUOTA_N}
+    """,
     # k1 = 1.2, b = 0.75 (k1+1 = 2.2, 1-b = 0.25), Lucene idf variant.
     "bm25_search": f"""
         WITH toks AS (

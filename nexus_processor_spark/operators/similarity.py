@@ -528,6 +528,74 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ search — the full FAISS-style ANN pipeline: coarse-cell
+    pruning (IVF) composed with asymmetric-distance PQ scoring (ADC).
+
+    The corpus side is its PQ codes plus a cell id; the candidate space
+    is cut twice before any arithmetic: the (sub, code) broadcast-join of
+    :func:`pq_topk` AND an equality on the query's coarse cell, so each
+    query pays ADC lookups only inside its own inverted list. With the
+    corpus partitioned by cell on disk, the cell equality prunes scanned
+    partitions exactly as in :func:`ivf_topk`. No raw corpus vectors in
+    any exchange.
+
+    Output: query_id, vec_id, adist, rank (ascending approx distance).
+    """
+    enc = pq_encode(corpus, codebooks, m, id_col=id_col, vec_col=vec_col,
+                    round_digits=round_digits)
+    cells = corpus.select(F.col(id_col), F.col(cell_col).alias("_cell"))
+    enc = enc.join(cells, id_col)
+    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sublen = (F.size(qv) / F.lit(m)).cast("int")
+    lut = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(cell_col).alias("_qcell"),
+            qv.alias("_q"), sublen.alias("_sl"),
+        )
+        .crossJoin(F.broadcast(codebooks))
+        .select(
+            "query_id", "_qcell", "sub", "code_id",
+            _sq_l2(
+                F.slice(F.col("_q"), F.col("sub") * F.col("_sl") + 1, F.col("_sl")),
+                F.col("centroid"), round_digits,
+            ).alias("d"),
+        )
+    )
+    per_sub = (
+        enc.select(id_col, "_cell", F.posexplode("codes").alias("_s", "_c"))
+        .join(
+            F.broadcast(lut),
+            (F.col("_s") == F.col("sub"))
+            & (F.col("_c") == F.col("code_id"))
+            & (F.col("_cell") == F.col("_qcell")),
+        )
+        .select(F.col(id_col).alias("vec_id"), "query_id", "d")
+    )
+    scored = (
+        per_sub.filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d"), round_digits).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def knn_graph(
     corpus: DataFrame,
     k: int = 5,

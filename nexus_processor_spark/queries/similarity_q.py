@@ -125,6 +125,19 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FAISS-style pipeline: coarse-cell (IVF) pruning, then
+    ADC scoring over PQ codes — each query pays lookups only inside its
+    own inverted list."""
+    emb = _emb(spark, sf_dir)
+    cb = similarity.pq_codebooks(
+        emb.filter(F.col("vec_id") < N_CENTROIDS), PQ_M
+    )
+    return similarity.ivf_pq_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb, cb, TOP_K, PQ_M
+    )
+
+
 KNN_K = 5
 SEMANTIC_DEDUP_THRESHOLD = 0.3  # same synthetic-corpus p99 basis as near-dup
 
@@ -148,6 +161,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "pq_encode": q_pq_encode,
     "pq_topk": q_pq_topk,
+    "ivf_pq_topk": q_ivf_pq_topk,
     "sim_brute_topk": q_sim_brute_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_ivf_recall": q_sim_ivf_recall,
@@ -321,6 +335,48 @@ _PQ_TOPK_SQL = f"""
     ) WHERE rn <= {TOP_K}
 """
 
+# IVF-PQ: the PQ ADC pipeline with the candidate space additionally cut
+# to the query's coarse cell (embeddings.label) before any distance adds.
+_IVF_PQ_TOPK_SQL = f"""
+    WITH {_PQ_BASE},
+    d AS (
+        SELECT p.vec_id, cb.sub, cb.code_id,
+               round(list_sum(list_transform(generate_series(1, p.sl),
+                   i -> (p.v[cb.sub * p.sl + i] - cb.centroid[i])
+                      * (p.v[cb.sub * p.sl + i] - cb.centroid[i]))), 6) AS dist
+        FROM p, cb
+    ),
+    best AS (
+        SELECT vec_id, sub, code_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY dist, code_id) AS rn
+            FROM d
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, cb.sub, cb.code_id,
+               round(list_sum(list_transform(generate_series(1, q.sl),
+                   i -> (q.v[cb.sub * q.sl + i] - cb.centroid[i])
+                      * (q.v[cb.sub * q.sl + i] - cb.centroid[i]))), 6) AS d
+        FROM (SELECT * FROM p WHERE vec_id < {N_QUERIES}) q, cb
+    ),
+    scored AS (
+        SELECT l.query_id, b.vec_id, round(sum(l.d), 6) AS adist
+        FROM best b
+        JOIN lut l ON b.sub = l.sub AND b.code_id = l.code_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        JOIN embeddings eq ON eq.vec_id = l.query_id
+        WHERE b.vec_id <> l.query_id AND eb.label = eq.label
+        GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adist, rn AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adist, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= {TOP_K}
+"""
+
+
 
 _SCORED_KNN = f"""
     SELECT q.query_id, c.vec_id, {_cos('q.qv', 'c.cv')} AS cos
@@ -367,6 +423,7 @@ _SEMANTIC_DEDUP_SQL = f"""
 ORACLE = {
     "pq_encode": _PQ_ENCODE_SQL,
     "pq_topk": _PQ_TOPK_SQL,
+    "ivf_pq_topk": _IVF_PQ_TOPK_SQL,
     "kmeans_fit": _KMEANS_FIT_SQL,
     "knn_graph": _TOPK.format(scored=_SCORED_KNN, k=KNN_K),
     "semantic_dedup": _SEMANTIC_DEDUP_SQL,

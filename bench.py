@@ -496,6 +496,12 @@ def run_vecs(spark) -> dict[str, object]:
             emb.filter(F.col("vec_id") < sem_rows),
             emb.filter(F.col("vec_id") < 64), 0.7,
         )),
+        # the composed FAISS shape: 100 queries ADC-scored against the
+        # 1M corpus, restricted to each query's coarse cell
+        "ivf_pq_topk": (VEC_ROWS, lambda: similarity.ivf_pq_topk(
+            emb.filter(F.col("vec_id") < 100), emb,
+            similarity.pq_codebooks(emb.filter(F.col("vec_id") < 32), 4), 5, 4,
+        )),
     }
     out: dict[str, object] = {"rows": VEC_ROWS, "dim": VEC_DIM, "queries": {}}
     for name, (n, build) in shapes.items():

@@ -91,6 +91,30 @@ def test_word_shingles_text_equals_split_form_bulk(spark):
             assert r.slow == r.fast, (n, r)
 
 
+def test_word_shingles_text_all_equals_python_reference_bulk(spark):
+    """The non-distinct (bag) regex form must yield every occurrence in
+    order, exactly as the split-then-join Python reference, under the
+    same adversarial spacing."""
+    from nexus_processor_spark.functions.text import word_shingles_text_all
+
+    rng = np.random.default_rng(13)
+    pieces = ["a", "bb", "ccc", "", "", "d e", "x", "a", "bb"]
+    texts = [" ".join(rng.choice(pieces, size=rng.integers(0, 14)))
+             for _ in range(300)]
+    texts += ["", " ", "a", "a b", "a a a a", "a  a  a", "  a b a b  "]
+
+    def ref(t, n):
+        toks = t.split(" ")
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    for n in (1, 2, 3):
+        rows = (spark.createDataFrame(list(enumerate(texts)), "i long, text string")
+                .select("i", word_shingles_text_all("text", n).alias("bag"))
+                .collect())
+        for r in rows:
+            assert r.bag == ref(texts[r.i], n), (n, texts[r.i])
+
+
 def test_char_shingles_regex_matches_substring_semantics_bulk(spark):
     """The one-pass regex k-gram extraction must equal per-position
     substring slicing (incl. newlines — DOTALL — and short/empty texts)."""

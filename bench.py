@@ -502,6 +502,14 @@ def run_vecs(spark) -> dict[str, object]:
             emb.filter(F.col("vec_id") < 100), emb,
             similarity.pq_codebooks(emb.filter(F.col("vec_id") < 32), 4), 5, 4,
         )),
+        # same search with the Arrow encode kernel (the cost is the
+        # corpus encode; scoring joins are JVM-side either way)
+        "ivf_pq_topk_arrow": (VEC_ROWS, lambda: similarity.ivf_pq_topk(
+            emb.filter(F.col("vec_id") < 100), emb,
+            (cb := similarity.pq_codebooks(
+                emb.filter(F.col("vec_id") < 32), 4)), 5, 4,
+            encoded=vector_arrow.pq_encode_arrow(emb, cb, 4),
+        )),
     }
     out: dict[str, object] = {"rows": VEC_ROWS, "dim": VEC_DIM, "queries": {}}
     for name, (n, build) in shapes.items():

@@ -539,9 +539,16 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     cell_col: str = "label",
     round_digits: int = 6,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ search — the full FAISS-style ANN pipeline: coarse-cell
     pruning (IVF) composed with asymmetric-distance PQ scoring (ADC).
+
+    ``encoded`` supplies a pre-computed ``(id, codes)`` table (e.g. the
+    persisted index, or ``vector_arrow.pq_encode_arrow``'s output — the
+    scale path: encoding dominates end-to-end cost and the Arrow kernel
+    is ~30x the interpreted HOF form). Default re-encodes natively for
+    oracle exactness.
 
     The corpus side is its PQ codes plus a cell id; the candidate space
     is cut twice before any arithmetic: the (sub, code) broadcast-join of
@@ -553,8 +560,10 @@ def ivf_pq_topk(
 
     Output: query_id, vec_id, adist, rank (ascending approx distance).
     """
-    enc = pq_encode(corpus, codebooks, m, id_col=id_col, vec_col=vec_col,
-                    round_digits=round_digits)
+    enc = encoded if encoded is not None else pq_encode(
+        corpus, codebooks, m, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    )
     cells = corpus.select(F.col(id_col), F.col(cell_col).alias("_cell"))
     enc = enc.join(cells, id_col)
     qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))

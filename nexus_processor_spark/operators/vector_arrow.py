@@ -216,3 +216,58 @@ def semantic_dedup_arrow(
     return tagged.groupBy("centroid_id").applyInPandas(
         lambda _, g: kernel(g), schema
     )
+
+
+def pq_encode_arrow(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Arrow twin of ``similarity.pq_encode``: per-subspace nearest-code
+    argmin as one numpy pass per batch (same rounded HALF_UP distances,
+    same code-id tiebreak — pinned equal by tests). The codebook table is
+    m·k tiny rows; it ships dense in the task closure. Map-only: the
+    native form's per-(row, sub) argmin shuffle disappears entirely."""
+    rows = codebooks.select("sub", "code_id", "centroid").collect()
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        by_sub.setdefault(r["sub"], []).append(r)
+    subs = sorted(by_sub)
+    if subs != list(range(m)):
+        raise ValueError(f"codebooks cover subs {subs}, expected 0..{m - 1}")
+    cmats = []
+    cids = []
+    for s in subs:
+        rs = sorted(by_sub[s], key=lambda r: r["code_id"])
+        cids.append(np.array([r["code_id"] for r in rs], dtype=np.int64))
+        cmats.append(np.array([list(r["centroid"]) for r in rs],
+                              dtype=np.float64))
+    schema = f"{id_col} long, codes array<int>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            v = _mat(b[vec_col])
+            n, d = v.shape
+            sl = d // m
+            codes = np.zeros((n, m), dtype=np.int64)
+            for s in subs:
+                subv = v[:, s * sl:(s + 1) * sl]
+                best_d = np.full(n, np.inf)
+                best_i = np.zeros(n, dtype=np.int64)
+                for j in range(len(cids[s])):  # id order → ties keep lowest
+                    diff = subv - cmats[s][j]
+                    dd = _round_half_up((diff * diff).sum(axis=1), round_digits)
+                    upd = dd < best_d
+                    best_d[upd] = dd[upd]
+                    best_i[upd] = cids[s][j]
+                codes[:, s] = best_i
+            yield pd.DataFrame({
+                id_col: b[id_col].to_numpy(),
+                "codes": [row.astype(np.int32).tolist() for row in codes],
+            })
+
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, schema)

@@ -81,3 +81,30 @@ def test_semantic_dedup_arrow_matches_native(emb):
         for r in vector_arrow.semantic_dedup_arrow(emb, cents, 0.55).collect()
     )
     assert native == arrow and len(native) > 0
+
+
+def test_pq_encode_arrow_matches_native(spark):
+    from nexus_processor_spark.operators import similarity, vector_arrow
+    from nexus_processor_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = similarity.pq_codebooks(emb.filter(F.col("vec_id") < 8), 4)
+    native = {r.vec_id: r.codes
+              for r in similarity.pq_encode(emb, cb, 4).collect()}
+    arrow = {r.vec_id: r.codes
+             for r in vector_arrow.pq_encode_arrow(emb, cb, 4).collect()}
+    assert native == arrow and len(native) > 0
+
+
+def test_ivf_pq_topk_accepts_preencoded(spark):
+    from nexus_processor_spark.operators import similarity, vector_arrow
+    from nexus_processor_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = similarity.pq_codebooks(emb.filter(F.col("vec_id") < 8), 4)
+    q = emb.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, similarity.ivf_pq_topk(q, emb, cb, 5, 4).collect()))
+    enc = vector_arrow.pq_encode_arrow(emb, cb, 4)
+    b = sorted(map(tuple, similarity.ivf_pq_topk(
+        q, emb, cb, 5, 4, encoded=enc).collect()))
+    assert a == b

@@ -272,3 +272,67 @@ def strip_frequent_lines(
         .join(rebuilt, id_col, "left")
         .select(id_col, F.coalesce(F.col("_clean"), F.lit("")).alias(text_col))
     )
+
+
+def hashed_features(
+    df: DataFrame,
+    dim: int = 64,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing ("hashing trick", Weinberger et al. — public
+    literature) text vectorization in long form: every token occurrence
+    lands in bucket ``md5(token) % dim`` with a second-hash sign, and the
+    per-(doc, bucket) signed counts are the document's sparse vector.
+    Fixed dimensionality with no vocabulary pass — the standard trick for
+    featurizing unbounded token spaces at corpus scale.
+
+    Output: ``(id, bucket, weight)`` — the sparse long form (empty
+    buckets absent; a bucket whose signs cancel to 0 is still emitted).
+    Feed :func:`hashed_dense` for an ``array<double>`` compatible with
+    the similarity operators. One (doc, bucket) shuffle; md5-derived
+    hashes keep the exact vectors reproducible in any engine.
+    """
+    h = F.md5(F.col("_tok"))
+    bucket = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(dim)
+    ).cast("int")
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("int") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("_tok"))
+        .select(id_col, bucket.alias("bucket"), sign.alias("_s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("_s").cast("long").alias("weight"))
+    )
+
+
+def hashed_dense(
+    features: DataFrame,
+    dim: int = 64,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assemble :func:`hashed_features` long form into dense
+    ``array<double>`` vectors (zeros for absent buckets) — the bridge to
+    ``operators.similarity`` (cosine top-k, IVF, PQ) over text."""
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("bucket"), F.col("weight")))
+    )
+    return (
+        features.groupBy(id_col)
+        .agg(m.alias("_m"))
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("_m", i.cast("int")).cast("double"), F.lit(0.0)
+                ),
+            ).alias("embedding"),
+        )
+    )

@@ -69,7 +69,18 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pack_sequences(docs, PACK_BUDGET)
 
 
+HASH_DIM = 64
+
+
+def q_text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorization (sparse long form): md5-bucketed
+    signed token counts at fixed dim — no vocabulary pass; the bridge
+    from text to the vector/ANN operators via hashed_dense."""
+    return textstats.hashed_features(_docs(spark, sf_dir), HASH_DIM)
+
+
 QUERIES = {
+    "text_hashed_features": q_text_hashed_features,
     "text_normalize": q_text_normalize,
     "doc_chunks": q_doc_chunks,
     "pack_sequences": q_pack_sequences,
@@ -108,6 +119,22 @@ def _langid_sql() -> str:
 _STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 
 ORACLE = {
+    "text_hashed_features": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id,
+                   CAST((('0x' || substr(md5(tok), 1, 8))::BIGINT
+                        % {HASH_DIM}) AS INT) AS bucket,
+                   CASE WHEN ('0x' || substr(md5(tok), 9, 1))::INT % 2 = 0
+                        THEN 1 ELSE -1 END AS s
+            FROM tok
+        )
+        SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
+        FROM f GROUP BY 1, 2
+    """,
     "text_normalize": """
         SELECT doc_id,
                trim(regexp_replace(

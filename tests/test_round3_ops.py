@@ -292,3 +292,37 @@ def test_schema_diff_detects_drift(spark):
     assert (got["score"].type_a, got["score"].type_b) == ("double", "int")
     # identical schemas -> empty diff
     assert profile.schema_diff(a, a).count() == 0
+
+
+def test_hashed_features_and_dense_assembly(spark):
+    import hashlib
+
+    from nexus_processor_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "cherry")],
+        "doc_id long, text string",
+    )
+    dim = 16
+    feats = textstats.hashed_features(df, dim)
+    got = {(r.doc_id, r.bucket): r.weight for r in feats.collect()}
+
+    def hb(tok):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        return int(h[:8], 16) % dim, 1 if int(h[8], 16) % 2 == 0 else -1
+
+    expected: dict[tuple[int, int], int] = {}
+    for doc, text in [(1, "apple banana apple"), (2, "cherry")]:
+        for tok in text.split(" "):
+            b, s = hb(tok)
+            expected[(doc, b)] = expected.get((doc, b), 0) + s
+    assert got == expected
+
+    dense = {r.doc_id: r.embedding
+             for r in textstats.hashed_dense(feats, dim).collect()}
+    for doc in (1, 2):
+        vec = [0.0] * dim
+        for (d, b), w in expected.items():
+            if d == doc:
+                vec[b] = float(w)
+        assert dense[doc] == vec

@@ -79,7 +79,28 @@ def q_text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.hashed_features(_docs(spark, sf_dir), HASH_DIM)
 
 
+TEXT_TOPK = 5
+TEXT_N_QUERIES = 3
+
+
+def q_text_semantic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end model-free semantic search: docs -> hashed features ->
+    dense vectors -> exact cosine top-k (doc_id < 3 as queries). The
+    integration path from the text operators into the ANN family."""
+    from pyspark.sql import functions as F
+
+    from nexus_processor_spark.operators import similarity
+
+    dense = textstats.hashed_dense(
+        textstats.hashed_features(_docs(spark, sf_dir), HASH_DIM), HASH_DIM
+    ).withColumnRenamed("doc_id", "vec_id")
+    return similarity.brute_force_topk(
+        dense.filter(F.col("vec_id") < TEXT_N_QUERIES), dense, TEXT_TOPK
+    )
+
+
 QUERIES = {
+    "text_semantic_topk": q_text_semantic_topk,
     "text_hashed_features": q_text_hashed_features,
     "text_normalize": q_text_normalize,
     "doc_chunks": q_doc_chunks,
@@ -118,7 +139,49 @@ def _langid_sql() -> str:
 
 _STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 
+def _cos_sql(a: str, b: str) -> str:
+    from nexus_processor_spark.queries.similarity_q import _cos
+
+    return _cos(a, b)
+
+
+_HASHED_F = f"""
+    SELECT doc_id,
+           CAST((('0x' || substr(md5(tok), 1, 8))::BIGINT
+                % {HASH_DIM}) AS INT) AS bucket,
+           CASE WHEN ('0x' || substr(md5(tok), 9, 1))::INT % 2 = 0
+                THEN 1 ELSE -1 END AS s
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+"""
+
 ORACLE = {
+    "text_semantic_topk": f"""
+        WITH f AS (
+            SELECT doc_id, bucket, sum(s) AS weight
+            FROM ({_HASHED_F}) GROUP BY 1, 2
+        ),
+        dense AS (
+            SELECT d.doc_id,
+                   list(CAST(coalesce(f.weight, 0) AS DOUBLE)
+                        ORDER BY r.b) AS embedding
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            CROSS JOIN (SELECT unnest(range({HASH_DIM})) AS b) r
+            LEFT JOIN f ON f.doc_id = d.doc_id AND f.bucket = r.b
+            GROUP BY d.doc_id
+        ),
+        scored AS (
+            SELECT q.doc_id AS query_id, c.doc_id AS vec_id,
+                   {{COS}} AS cos
+            FROM dense q JOIN dense c ON c.doc_id <> q.doc_id
+            WHERE q.doc_id < {TEXT_N_QUERIES}
+        )
+        SELECT query_id, vec_id, cos, rn AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, vec_id) AS rn
+            FROM scored
+        ) WHERE rn <= {TEXT_TOPK}
+    """,
     "text_hashed_features": f"""
         WITH tok AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -227,3 +290,7 @@ ORACLE = {
         FROM documents
     """,
 }
+
+ORACLE["text_semantic_topk"] = ORACLE["text_semantic_topk"].replace(
+    "{COS}", _cos_sql("q.embedding", "c.embedding")
+)

@@ -149,6 +149,7 @@ def run_docs(spark) -> dict[str, object]:
         "weighted_sample": lambda: pipeline.weighted_sample(
             docs, 10_000, weight_col="n_chars"
         ),
+        "hashed_features": lambda: textstats.hashed_features(docs, 64),
     }
     out: dict[str, object] = {
         "rows": DOCS_ROWS,

@@ -326,3 +326,34 @@ def test_hashed_features_and_dense_assembly(spark):
             if d == doc:
                 vec[b] = float(w)
         assert dense[doc] == vec
+
+
+def test_round3_plan_shapes(spark):
+    """Physical-plan pins for the round's scale claims."""
+    from nexus_processor_spark.operators import similarity
+    from nexus_processor_spark.sources.tables import load_table
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # global weighted sample compiles to TakeOrdered, not a global sort
+    df = spark.range(1, 1000).select(
+        F.col("id").alias("doc_id"), F.lit(2.0).alias("w")
+    )
+    p = plan(pipeline.weighted_sample(df, 10, weight_col="w"))
+    assert "TakeOrderedAndProject" in p
+
+    # incremental near-dup: equi-joins only
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f h")], "doc_id long, text string"
+    )
+    idx = dedup.build_minhash_index(docs)
+    p = plan(dedup.incremental_near_dup(docs, idx))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    # IVF-PQ: the ADC lookup table broadcasts; no shuffle of raw vectors
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = similarity.pq_codebooks(emb.filter(F.col("vec_id") < 8), 4)
+    p = plan(similarity.ivf_pq_topk(
+        emb.filter(F.col("vec_id") < 5), emb, cb, 5, 4))
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p

@@ -357,3 +357,22 @@ def test_round3_plan_shapes(spark):
     p = plan(similarity.ivf_pq_topk(
         emb.filter(F.col("vec_id") < 5), emb, cb, 5, 4))
     assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+
+
+def test_minhash_index_survives_parquet_roundtrip(spark, tmp_path):
+    """The near-dup index is a plain table: write it to the lake, read it
+    back cold, and the incremental gate produces identical matches."""
+    near_a = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, near_a), (4, "completely unrelated words about catalyst tungsten engines here")],
+        "doc_id long, text string",
+    )
+    idx = dedup.build_minhash_index(corpus)
+    path = str(tmp_path / "minhash_index.parquet")
+    idx.write.parquet(path)
+    cold = spark.read.parquet(path)
+
+    batch = spark.createDataFrame([(100, near_a)], "doc_id long, text string")
+    live = sorted(map(tuple, dedup.incremental_near_dup(batch, idx).collect()))
+    persisted = sorted(map(tuple, dedup.incremental_near_dup(batch, cold).collect()))
+    assert live == persisted == [(100, 1, 1.0)]

@@ -441,6 +441,48 @@ def source_overlap(
     )
 
 
+def novelty_scores(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_words: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the share of the doc's distinct word n-grams
+    that occur in NO other document. Low novelty marks boilerplate,
+    mirror content, and template families that per-doc repetition signals
+    miss (the gram is unique within the doc but everywhere in the
+    corpus); high novelty is the long tail worth keeping.
+
+    Shape: distinct (doc, gram) projection -> corpus gram document
+    frequency (one gram-key shuffle, partial-agg) -> per-doc aggregate.
+    Exact-rational division; docs with no grams score 0 novelty over 0
+    grams (emitted, not dropped).
+    """
+    from nexus_processor_spark.functions.text import word_shingles_text
+
+    g = df.select(
+        F.col(id_col),
+        F.explode_outer(word_shingles_text(text_col, ngram_words)).alias("g"),
+    )
+    freq = (
+        g.filter(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df_g"))
+    )
+    joined = g.join(freq, "g", "left")
+    n_grams = F.sum(F.when(F.col("g").isNotNull(), 1).otherwise(0)).cast("long")
+    n_unique = F.sum(
+        F.when(F.col("g").isNotNull() & (F.col("df_g") == 1), 1).otherwise(0)
+    ).cast("long")
+    return joined.groupBy(id_col).agg(
+        n_grams.alias("n_grams"),
+        n_unique.alias("n_unique_grams"),
+        F.when(n_grams > 0, n_unique.cast("double") / n_grams.cast("double"))
+        .otherwise(F.lit(0.0)).alias("novelty"),
+    )
+
+
 def quantile_filter(
     df: DataFrame,
     q: float = 0.25,

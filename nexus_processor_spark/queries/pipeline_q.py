@@ -84,6 +84,12 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of each doc's distinct 3-gram shingles unique to it across
+    the corpus — the anti-boilerplate/memorization signal."""
+    return pipeline.novelty_scores(_docs(spark, sf_dir))
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.hash_sample(
         _docs(spark, sf_dir).select("doc_id", "lang"), SAMPLE_FRACTION
@@ -218,6 +224,7 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "text_novelty": q_text_novelty,
     "source_quota": q_source_quota,
     "bm25_search": q_bm25_search,
     "sample_weighted": q_sample_weighted,
@@ -274,6 +281,32 @@ _AES_SCORE = (
 _BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
 ORACLE = {
+    "text_novelty": """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+                     i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                   )) AS sh
+            FROM documents
+        ),
+        g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        freq AS (SELECT g, count(*) AS df_g FROM g GROUP BY g),
+        per AS (
+            SELECT g.doc_id,
+                   count(*) AS n_grams,
+                   sum(CASE WHEN f.df_g = 1 THEN 1 ELSE 0 END) AS n_unique,
+                   CAST(sum(CASE WHEN f.df_g = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) AS novelty
+            FROM g JOIN freq f USING (g)
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(p.n_unique, 0) AS BIGINT) AS n_unique_grams,
+               coalesce(p.novelty, 0.0) AS novelty
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
     "source_quota": f"""
         WITH r AS (
             SELECT doc_id, source, n_chars,

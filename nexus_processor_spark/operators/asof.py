@@ -92,13 +92,51 @@ def asof_join_pandas(
         + [StructField(c, right.schema[c].dataType) for c in value_cols]
     )
     left_cols = list(left.columns)
+    # Self-cogroup hazard: when left and right derive from one parent,
+    # right columns that share an exprId with left columns (typically the
+    # `on` time) are deduplicated out of the right child's Arrow frame and
+    # the pandas rdf arrives without them. Re-alias on/value columns to
+    # FRESH names (new attributes — a different-name alias can't be
+    # optimized away), and merge on left_on/right_on.
+    r_on = "_asof_on"
+    r_val = {c: f"_asof_v_{c}" for c in value_cols}
+    right = right.select(
+        F.col(by),
+        F.col(on).alias(r_on),
+        *[F.col(c).alias(r_val[c]) for c in value_cols],
+    )
+
+    r_vals = [r_val[c] for c in value_cols]
+    r_val_back = {v: c for c, v in r_val.items()}
 
     def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
-        ldf = ldf.sort_values(on)
-        rdf = rdf[[on, *value_cols]].sort_values(on)
-        kwargs = {"tolerance": tolerance} if tolerance is not None else {}
-        merged = pd.merge_asof(ldf, rdf, on=on, direction="backward", **kwargs)
-        return merged[[*left_cols, *value_cols]]
+        # Cogroup hands an EMPTY, COLUMN-LESS frame for a key present on
+        # only one side — normalize before any column selection.
+        if len(ldf.columns) == 0 or ldf.empty:
+            return pd.DataFrame(columns=[*left_cols, *value_cols])
+        if len(rdf.columns) == 0:
+            rdf = pd.DataFrame(columns=[r_on, *r_vals])
+        # merge_asof refuses null keys: null-time left rows join nothing
+        # (SQL `l.on >= r.on` is never true on null); null right keys
+        # can never be the latest match.
+        null_mask = ldf[on].isna()
+        lgood = ldf[~null_mask].sort_values(on)
+        rgood = rdf[[r_on, *r_vals]].dropna(subset=[r_on]).sort_values(r_on)
+        if rgood.empty or lgood.empty:
+            merged = lgood[left_cols].copy()
+            merged[r_vals] = None
+        else:
+            kwargs = {"tolerance": tolerance} if tolerance is not None else {}
+            merged = pd.merge_asof(
+                lgood, rgood, left_on=on, right_on=r_on,
+                direction="backward", **kwargs,
+            )
+        out = merged[[*left_cols, *r_vals]].rename(columns=r_val_back)
+        if null_mask.any():
+            extra = ldf[null_mask][left_cols].copy()
+            extra[value_cols] = None
+            out = pd.concat([out, extra], ignore_index=True)
+        return out
 
     return (
         left.groupBy(by)

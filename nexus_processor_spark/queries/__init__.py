@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from nexus_processor_spark.queries import (
+    analytic_q,
     behavior_q,
     dedup_q,
     graph_q,
@@ -35,7 +36,7 @@ from nexus_processor_spark.queries import (
 )
 
 _MODULES = (timeslice_q, relational_q, dedup_q, similarity_q, text_q,
-            pipeline_q, profile_q, behavior_q, graph_q)
+            pipeline_q, profile_q, behavior_q, graph_q, analytic_q)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,189 @@
+"""Advanced analytic queries: skyline, interval joins, as-of tolerance,
+distribution divergence — DuckDB-paired.
+
+Each query exercises an operator Spark lacks natively, in its scale
+shape (group-level skyline reduction, grid-bucketed interval join,
+cogrouped ``merge_asof``), against an ANSI-SQL oracle (``NOT EXISTS``
+dominance, theta join, ``ASOF JOIN``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nexus_processor_spark.functions.core import event_seconds
+from nexus_processor_spark.operators.intervals import point_in_interval_join
+from nexus_processor_spark.operators.skyline import pareto_frontier_2d
+from nexus_processor_spark.sources.tables import load_table, ts_epoch_sql
+
+INCIDENT_INTERVAL = 3600.0
+INCIDENT_MIN_ERRORS = 5
+INCIDENT_PAD = 900.0  # 15-minute padding on both sides of a bad hour
+ASOF_TOLERANCE_S = 21600.0  # 6 h
+
+
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of parts under (minimize retail price, maximize size):
+    group-level frontier reduction — one partial-agg shuffle over
+    distinct prices, never the n^2 dominance pair space."""
+    part = load_table(spark, sf_dir, "part")
+    return pareto_frontier_2d(
+        part.select("p_partkey", "p_retailprice", "p_size"),
+        minimize="p_retailprice",
+        maximize="p_size",
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
+def q_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases inside padded incident windows (hours with >= 5 error
+    events, padded 15 min each side). The point-in-interval join is
+    grid-bucketed (operators/intervals.py) — a hash equi-join on the
+    hour cell, not a BroadcastNestedLoopJoin over the fact table."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        event_seconds("ts").alias("t"),
+        F.col("event_type").alias("bank"),
+    )
+    windows = (
+        e.filter(F.col("bank") == "error")
+        .groupBy(
+            F.floor(F.col("t") / INCIDENT_INTERVAL).cast("long").alias("window_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .filter(F.col("n_errors") >= INCIDENT_MIN_ERRORS)
+        .select(
+            "window_id",
+            (F.col("window_id") * INCIDENT_INTERVAL - INCIDENT_PAD)
+            .cast("double").alias("w_start"),
+            ((F.col("window_id") + 1) * INCIDENT_INTERVAL + INCIDENT_PAD)
+            .cast("double").alias("w_end"),
+        )
+    )
+    pts = e.filter(F.col("bank") == "purchase").select("event_id", "t")
+    return point_in_interval_join(
+        pts, windows,
+        time_col="t", start_col="w_start", end_col="w_end",
+        grid=INCIDENT_INTERVAL,
+    ).select("event_id", "window_id", "w_start")
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 6 h tolerance via the cogrouped
+    ``pd.merge_asof`` path (Arrow-batched) — the pandas twin of
+    ``asof_join``, here carrying its native ``tolerance`` semantics
+    through a full oracle check."""
+    from nexus_processor_spark.operators.asof import asof_join_pandas
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 10).alias("g"),
+        event_seconds("ts").alias("t"),
+        "event_type",
+    )
+    left = e.select("event_id", "g", "t")
+    right = e.filter(F.col("event_type") == "signup").select(
+        "g", "t", F.col("t").alias("signup_recent")
+    )
+    out = asof_join_pandas(
+        left, right, on="t", by="g",
+        value_cols=["signup_recent"], tolerance=ASOF_TOLERANCE_S,
+    )
+    return out.select("event_id", "signup_recent")
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram distribution from the
+    corpus distribution — the mix-shift monitor for training-data
+    pipelines. Two partial-agg shuffles (per-source-term, per-term),
+    totals broadcast; no collect, no UDF."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    ws = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    st = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_tokens"))
+    wc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cc"))
+    tot = toks.agg(F.count(F.lit(1)).alias("nn"))
+    p = F.col("c").cast("double") / F.col("n_tokens")
+    q = F.col("cc").cast("double") / F.col("nn")
+    return (
+        ws.join(wc, "tok")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl"),
+        )
+    )
+
+
+QUERIES = {
+    "pareto_parts": q_pareto_parts,
+    "incident_overlap": q_incident_overlap,
+    "asof_tolerance": q_asof_tolerance,
+    "source_divergence": q_source_divergence,
+}
+
+_TS = ts_epoch_sql()
+
+ORACLE = {
+    "pareto_parts": """
+        SELECT p_partkey, p_retailprice, p_size
+        FROM part b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part a
+            WHERE a.p_retailprice <= b.p_retailprice
+              AND a.p_size >= b.p_size
+              AND (a.p_retailprice < b.p_retailprice
+                   OR a.p_size > b.p_size)
+        )
+    """,
+    "incident_overlap": f"""
+        WITH e AS (SELECT event_id, {_TS} AS t, event_type AS bank
+                   FROM events),
+        w AS (
+            SELECT CAST(floor(t / {INCIDENT_INTERVAL}) AS BIGINT) AS window_id
+            FROM e WHERE bank = 'error'
+            GROUP BY 1 HAVING count(*) >= {INCIDENT_MIN_ERRORS}
+        ),
+        win AS (
+            SELECT window_id,
+                   CAST(window_id * {INCIDENT_INTERVAL} - {INCIDENT_PAD}
+                        AS DOUBLE) AS w_start,
+                   CAST((window_id + 1) * {INCIDENT_INTERVAL} + {INCIDENT_PAD}
+                        AS DOUBLE) AS w_end
+            FROM w
+        )
+        SELECT e.event_id, win.window_id, win.w_start
+        FROM e JOIN win ON e.t >= win.w_start AND e.t < win.w_end
+        WHERE e.bank = 'purchase'
+    """,
+    "asof_tolerance": f"""
+        WITH e AS (SELECT event_id, user_id % 10 AS g, {_TS} AS t
+                   FROM events),
+        s AS (SELECT user_id % 10 AS g, {_TS} AS t FROM events
+              WHERE event_type = 'signup')
+        SELECT e.event_id,
+               CASE WHEN e.t - s.t <= {ASOF_TOLERANCE_S} THEN s.t END
+                 AS signup_recent
+        FROM e ASOF LEFT JOIN s ON e.g = s.g AND e.t >= s.t
+    """,
+    "source_divergence": """
+        WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+        ws AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+               FROM t GROUP BY 1, 2),
+        st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+               FROM t GROUP BY 1),
+        wc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cc FROM t GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM t)
+        SELECT source, n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab,
+               round(sum((CAST(c AS DOUBLE) / n_tokens)
+                         * ln((CAST(c AS DOUBLE) / n_tokens)
+                              / (CAST(cc AS DOUBLE) / nn))), 6) AS kl
+        FROM ws JOIN st USING (source) JOIN wc USING (tok) CROSS JOIN tot
+        GROUP BY source, n_tokens
+    """,
+}

@@ -389,6 +389,53 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """:func:`decontaminate` behind a Bloom prefilter — same exact output
+    (the bloom only generates *candidates*; an exact semi-join verifies
+    them), but the first pass over the 100 TB side tests membership
+    against a bounded ``bits``-position sketch instead of the full
+    distinct-gram relation. When the eval set's gram table outgrows the
+    broadcast budget, the bloom still fits; only the candidate trickle
+    (true hits + deterministic false positives) reaches the exact join.
+    """
+    from nexus_processor_spark.functions.text import word_shingles_text
+    from nexus_processor_spark.operators.sketch import (
+        bloom_build,
+        bloom_filter_candidates,
+    )
+
+    eval_grams = eval_df.select(
+        F.explode(word_shingles_text(text_col, n)).alias("gram")
+    ).distinct()
+    bloom = bloom_build(eval_grams, "gram", bits=bits, k=k)
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_shingles_text(text_col, n)).alias("gram")
+    )
+    candidates = bloom_filter_candidates(
+        corpus_grams, "gram", bloom, bits=bits, k=k
+    )
+    hits = (
+        candidates.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_eval_grams"))
+    )
+    found = F.coalesce(F.col("n_eval_grams"), F.lit(0)).cast("long")
+    return corpus.select(id_col).join(hits, id_col, "left").select(
+        F.col(id_col),
+        found.alias("n_eval_grams"),
+        (found > 0).cast("long").alias("contaminated"),
+    )
+
+
 def source_overlap(
     df: DataFrame,
     *,

@@ -1,0 +1,111 @@
+"""Mergeable frequency/membership sketches in the md5-hex domain.
+
+Count-Min and Bloom state here is a plain DataFrame of bucket rows, so a
+sketch is (a) bounded — ``depth x width`` rows no matter how big the
+input, (b) mergeable — union + sum, the same partial-aggregate shape
+Spark uses for every agg, and (c) broadcastable — lookups join the
+probe side against a tiny relation instead of shuffling the corpus.
+
+Hashing is ``md5(seed || '|' || key)`` truncated to 8 hex chars, the
+repo-wide cross-engine convention (pipeline.hash_hex, textstats feature
+hashing): deterministic across runs, partitionings, and engines, and
+re-expressible in ANSI-ish SQL — so even the *estimates* get a DuckDB
+oracle, not a tolerance test.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_bucket(key: Column, seed: Column, width: int) -> Column:
+    """Bucket in [0, width): first 8 md5 hex chars of ``seed|key`` as an
+    integer, mod width. 32 hash bits — plenty for bucket addressing."""
+    h = F.md5(F.concat(seed.cast("string"), F.lit("|"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(width)
+
+
+def _with_depth(df: DataFrame, depth: int) -> DataFrame:
+    return df.withColumn(
+        "d", F.explode(F.array(*[F.lit(i) for i in range(depth)]))
+    )
+
+
+def cms_build(
+    items: DataFrame,
+    key_col: str,
+    *,
+    width: int = 8192,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch of ``items[key_col]`` (one count per row, or
+    ``weight_col`` summed): rows ``(d, bucket, n)``, at most
+    ``depth x width`` of them. One partial-agg shuffle over bucket keys —
+    the full key cardinality never shuffles."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return (
+        _with_depth(items.select(F.col(key_col).alias("_k"), w.alias("_w")), depth)
+        .select("d", md5_bucket(F.col("_k"), F.col("d"), width).alias("bucket"), "_w")
+        .groupBy("d", "bucket")
+        .agg(F.sum("_w").cast("long").alias("n"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS tables built with the same (width, depth): union + sum —
+    the mergeability that makes per-partition / per-day sketches roll up."""
+    allb = reduce(lambda a, b: a.unionByName(b), sketches)
+    return allb.groupBy("d", "bucket").agg(F.sum("n").cast("long").alias("n"))
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    *,
+    width: int = 8192,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[key_col]``: min over the
+    sketch's depth rows. The sketch is broadcast (bounded size); the
+    probe side joins map-side. Never-seen buckets count as 0."""
+    p = _with_depth(probes.select(key_col), depth).withColumn(
+        "bucket", md5_bucket(F.col(key_col), F.col("d"), width)
+    )
+    return (
+        p.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("est"))
+    )
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, *, bits: int = 1 << 20, k: int = 4
+) -> DataFrame:
+    """Bloom membership state for the distinct keys: the set of set bit
+    positions, as a one-column DataFrame (≤ ``bits`` rows, usually far
+    fewer). Mergeable by union+distinct; broadcastable."""
+    return (
+        _with_depth(keys.select(F.col(key_col).alias("_k")), k)
+        .select(md5_bucket(F.col("_k"), F.col("d"), bits).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_filter_candidates(
+    df: DataFrame, key_col: str, bloom: DataFrame, *, bits: int = 1 << 20, k: int = 4
+) -> DataFrame:
+    """Rows of ``df`` whose key passes the bloom (all ``k`` positions
+    set) — a superset of true members with deterministic false
+    positives. One broadcast left-semi join per hash function, all
+    map-side: the big side is never shuffled, never exploded."""
+    b = F.broadcast(bloom.withColumnRenamed("pos", "_pos"))
+    out = df
+    for i in range(k):
+        pos_i = md5_bucket(F.col(key_col), F.lit(i), bits)
+        out = out.withColumn("_pos", pos_i).join(b, "_pos", "left_semi")
+    return out.drop("_pos")

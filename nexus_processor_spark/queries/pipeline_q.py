@@ -223,7 +223,50 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_WIDTH = 8192
+CMS_DEPTH = 4
+CMS_TOPK = 30
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with Count-Min estimates: exact top-30 tokens
+    (deterministic (count desc, tok) cut) annotated with the estimate a
+    bounded depth x width sketch would serve. The sketch is one
+    partial-agg shuffle over <= 32k bucket rows; the md5-domain hashing
+    makes the estimates themselves engine-reproducible."""
+    from nexus_processor_spark.operators.sketch import cms_build, cms_lookup
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    sketch = cms_build(toks, "tok", width=CMS_WIDTH, depth=CMS_DEPTH)
+    exact = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    probe = exact.orderBy(F.desc("exact_count"), "tok").limit(CMS_TOPK)
+    est = cms_lookup(
+        sketch, probe.select("tok"), "tok", width=CMS_WIDTH, depth=CMS_DEPTH
+    )
+    return probe.join(est, "tok").select(
+        "tok", "exact_count", F.col("est").alias("cms_est")
+    )
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same rows as ``decontaminate`` (the bloom only prefilters;
+    an exact semi-join verifies candidates) — the eval membership state
+    is a bounded bit-position sketch instead of the full gram table."""
+    docs = _docs(spark, sf_dir)
+    h = pipeline.hash_hex(F.col("doc_id"), salt=EVAL_SALT)
+    thr = hex_threshold(EVAL_FRACTION)
+    eval_df = docs.filter(h < F.lit(thr))
+    corpus = docs.filter(h >= F.lit(thr))
+    return pipeline.decontaminate_bloom(corpus, eval_df)
+
+
 QUERIES = {
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "text_novelty": q_text_novelty,
     "source_quota": q_source_quota,
     "bm25_search": q_bm25_search,
@@ -681,3 +724,34 @@ ORACLE = {
                           WHERE c.content_hash = b.content_hash)
     """,
 }
+
+# Bloom prefilter + exact verify == exact decontamination: same oracle.
+ORACLE["decontaminate_bloom"] = ORACLE["decontaminate"]
+
+ORACLE["cms_heavy_hitters"] = f"""
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
+           FROM t GROUP BY 1),
+    probe AS (SELECT tok, exact_count FROM ex
+              ORDER BY exact_count DESC, tok LIMIT {CMS_TOPK}),
+    d AS (SELECT unnest(range({CMS_DEPTH})) AS d),
+    cms AS (
+        SELECT d.d,
+               ('0x' || substr(md5(CAST(d.d AS VARCHAR) || '|' || t.tok),
+                               1, 8))::BIGINT % {CMS_WIDTH} AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM t CROSS JOIN d GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT p.tok, CAST(min(coalesce(c.n, 0)) AS BIGINT) AS cms_est
+        FROM probe p CROSS JOIN d
+        LEFT JOIN cms c
+          ON c.d = d.d
+         AND c.bucket = ('0x' || substr(md5(CAST(d.d AS VARCHAR)
+                                            || '|' || p.tok),
+                                        1, 8))::BIGINT % {CMS_WIDTH}
+        GROUP BY 1
+    )
+    SELECT p.tok, p.exact_count, e.cms_est
+    FROM probe p JOIN est e USING (tok)
+"""

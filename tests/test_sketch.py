@@ -1,0 +1,106 @@
+"""Count-Min and Bloom sketch properties."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from nexus_processor_spark.operators.sketch import (
+    bloom_build,
+    bloom_filter_candidates,
+    cms_build,
+    cms_lookup,
+    cms_merge,
+)
+
+W, D = 256, 4  # deliberately tiny so collisions actually happen
+
+
+def _items(spark, seed, n=400, vocab=120):
+    rng = random.Random(seed)
+    rows = [(f"k{rng.randint(0, vocab)}",) for _ in range(n)]
+    return spark.createDataFrame(rows, "key string")
+
+
+def test_cms_never_underestimates_and_is_bounded(spark):
+    items = _items(spark, 1)
+    sketch = cms_build(items, "key", width=W, depth=D)
+    assert sketch.count() <= W * D
+    exact = {r.key: r.c for r in
+             items.groupBy("key").agg(F.count("*").alias("c")).collect()}
+    probes = items.select("key").distinct()
+    est = {r.key: r.est for r in
+           cms_lookup(sketch, probes, "key", width=W, depth=D).collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+
+
+def test_cms_merge_equals_build_on_union(spark):
+    a, b = _items(spark, 2), _items(spark, 3)
+    merged = cms_merge(
+        cms_build(a, "key", width=W, depth=D),
+        cms_build(b, "key", width=W, depth=D),
+    )
+    direct = cms_build(a.unionByName(b), "key", width=W, depth=D)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+
+def test_cms_weighted_counts(spark):
+    items = spark.createDataFrame(
+        [("a", 3), ("a", 2), ("b", 10)], "key string, w int"
+    )
+    sketch = cms_build(items, "key", width=W, depth=D, weight_col="w")
+    est = {r.key: r.est for r in cms_lookup(
+        sketch, items.select("key").distinct(), "key", width=W, depth=D
+    ).collect()}
+    assert est["a"] >= 5 and est["b"] >= 10
+
+
+def test_cms_lookup_unseen_key_is_zero_or_collision(spark):
+    items = spark.createDataFrame([("x",)], "key string")
+    sketch = cms_build(items, "key", width=W, depth=D)
+    probes = spark.createDataFrame([("never-seen-key",)], "key string")
+    [row] = cms_lookup(sketch, probes, "key", width=W, depth=D).collect()
+    assert row.est >= 0  # zero unless all D buckets collide with 'x'
+
+
+def test_bloom_has_no_false_negatives(spark):
+    keys = _items(spark, 4).distinct()
+    bloom = bloom_build(keys, "key", bits=1 << 14, k=4)
+    passed = bloom_filter_candidates(keys, "key", bloom, bits=1 << 14, k=4)
+    assert passed.count() == keys.count()
+
+
+def test_bloom_prefilter_plus_exact_verify_is_exact(spark):
+    members = _items(spark, 5).distinct()
+    mixed = _items(spark, 6)  # overlaps members partially
+    bloom = bloom_build(members, "key", bits=1 << 12, k=4)
+    cand = bloom_filter_candidates(mixed, "key", bloom, bits=1 << 12, k=4)
+    verified = cand.join(members, "key", "left_semi")
+    truth = mixed.join(members, "key", "left_semi")
+    assert sorted(r.key for r in verified.collect()) == \
+        sorted(r.key for r in truth.collect())
+    # and the prefilter is a superset of the truth
+    assert cand.count() >= truth.count()
+
+
+def test_bloom_filter_is_shuffle_free_on_probe_side(spark):
+    keys = spark.createDataFrame([("a",), ("b",)], "key string")
+    bloom = bloom_build(keys, "key", bits=1 << 12, k=4)
+    probe = spark.range(1000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    plan = bloom_filter_candidates(
+        probe, "key", bloom, bits=1 << 12, k=4
+    )._jdf.queryExecution().executedPlan().toString()
+    # broadcast semi-joins only: the probe side must not hash-shuffle
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    probe_shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "key" in ln
+    ]
+    assert not probe_shuffles, probe_shuffles

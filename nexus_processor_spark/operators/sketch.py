@@ -109,3 +109,88 @@ def bloom_filter_candidates(
         pos_i = md5_bucket(F.col(key_col), F.lit(i), bits)
         out = out.withColumn("_pos", pos_i).join(b, "_pos", "left_semi")
     return out.drop("_pos")
+
+
+# --------------------------------------------------------------- KMV
+
+_KMV_BITS = 60  # 15 md5 hex chars: exact in a long AND in a double
+_KMV_DOMAIN = float(1 << 60)
+
+
+def _kmv_hash(key: Column) -> Column:
+    """60-bit uniform draw for a key: first 15 md5 hex chars as a long —
+    the same md5-domain convention as ``pipeline.hash_uniform``."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_sketch(
+    items: DataFrame,
+    key_col: str,
+    *,
+    k: int = 256,
+    by: str | None = None,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (per ``by`` group if
+    given): the ``k`` smallest 60-bit hash draws over the distinct keys.
+    Rows ``([by], h)`` — bounded at ``k`` per group, mergeable by
+    re-sketching the union (same-key rows share the same draw, so a
+    union is a multiset union of fixed-size states).
+
+    Shape: one partial-agg dedup shuffle on (by, key), then a per-group
+    top-k window over the *distinct* keys only. The raw corpus never
+    sorts; only the deduped key space does, and partial aggregation has
+    already collapsed it map-side.
+    """
+    from pyspark.sql import Window
+
+    keys = [by] if by else []
+    distinct = items.select(*keys, F.col(key_col).alias("_k")).distinct()
+    hashed = distinct.select(*keys, _kmv_hash(F.col("_k")).alias("h"))
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy()
+    ).orderBy("h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 256, by: str | None = None) -> DataFrame:
+    """Union sketch: k smallest distinct draws across the inputs (draws,
+    not keys — same key hashes identically, so draw-dedup IS key-dedup).
+    Estimates the distinct count of the UNION of the original key sets."""
+    from pyspark.sql import Window
+
+    keys = [by] if by else []
+    allh = reduce(lambda a, b: a.unionByName(b), sketches)
+    distinct = allh.select(*keys, "h").distinct()
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy()
+    ).orderBy("h")
+    return (
+        distinct.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, *, k: int = 256, by: str | None = None) -> DataFrame:
+    """Distinct-count estimate per group: exact row count when the group
+    holds fewer than ``k`` draws (the sketch saw every key), else
+    ``(k - 1) / theta`` with ``theta = h_(k) / 2^60``. Integer-exact
+    inputs into one IEEE division — engine-reproducible without
+    tolerance."""
+    keys = [by] if by else []
+    agg = sketch.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_draws"),
+        F.max("h").alias("h_max"),
+    )
+    est = F.when(
+        F.col("n_draws") < k, F.col("n_draws").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_DOMAIN) / F.col("h_max").cast("double")
+    )
+    return agg.select(*keys, "n_draws", F.round(est, 4).alias("est_distinct"))

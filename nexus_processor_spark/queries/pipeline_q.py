@@ -264,7 +264,36 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.decontaminate_bloom(corpus, eval_df)
 
 
+KMV_K = 128
+
+
+def q_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token estimates from k-minimum-values sketches: one
+    bounded 128-draw state per source, plus the union estimate computed
+    by MERGING the per-source sketches (never re-scanning the corpus) —
+    the mergeability that lets per-day/per-shard sketches roll up.
+    Integer-exact hash draws into one IEEE division: the estimates are
+    engine-reproducible, so the oracle checks them exactly."""
+    from nexus_processor_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    per_source = kmv_sketch(toks, "tok", k=KMV_K, by="source")
+    union = kmv_merge(per_source.drop("source"), k=KMV_K)
+    return kmv_estimate(per_source, k=KMV_K, by="source").unionByName(
+        kmv_estimate(union, k=KMV_K).select(
+            F.lit("__union__").alias("source"), "n_draws", "est_distinct"
+        )
+    )
+
+
 QUERIES = {
+    "kmv_distinct_tokens": q_kmv_distinct_tokens,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "decontaminate_bloom": q_decontaminate_bloom,
     "text_novelty": q_text_novelty,
@@ -754,4 +783,35 @@ ORACLE["cms_heavy_hitters"] = f"""
     )
     SELECT p.tok, p.exact_count, e.cms_est
     FROM probe p JOIN est e USING (tok)
+"""
+
+_KMV_DOM = "1152921504606846976.0"  # 2^60 as an exact double literal
+
+ORACLE["kmv_distinct_tokens"] = f"""
+    WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    dk AS (SELECT DISTINCT source, tok FROM t),
+    h AS (SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+          FROM dk),
+    rk AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+           FROM h),
+    sk AS (SELECT source, h FROM rk WHERE rn <= {KMV_K}),
+    uh AS (SELECT DISTINCT h FROM sk),
+    urk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM uh),
+    usk AS (SELECT h FROM urk WHERE rn <= {KMV_K}),
+    groups AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_draws,
+               max(h) AS h_max
+        FROM sk GROUP BY 1
+        UNION ALL
+        SELECT '__union__', CAST(count(*) AS BIGINT), max(h) FROM usk
+    )
+    SELECT source, n_draws,
+           round(CASE WHEN n_draws < {KMV_K}
+                      THEN CAST(n_draws AS DOUBLE)
+                      ELSE {float(KMV_K - 1)} * {_KMV_DOM}
+                           / CAST(h_max AS DOUBLE)
+                 END, 4) AS est_distinct
+    FROM groups
 """

@@ -97,10 +97,52 @@ def test_bloom_filter_is_shuffle_free_on_probe_side(spark):
     )._jdf.queryExecution().executedPlan().toString()
     # broadcast semi-joins only: the probe side must not hash-shuffle
     assert "BroadcastHashJoin" in plan
-    import re
-
     probe_shuffles = [
         ln for ln in plan.splitlines()
         if "Exchange hashpartitioning" in ln and "key" in ln
     ]
     assert not probe_shuffles, probe_shuffles
+
+
+def test_kmv_exact_below_k(spark):
+    from nexus_processor_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    items = spark.createDataFrame(
+        [(f"k{i % 17}",) for i in range(200)], "key string"
+    )
+    sk = kmv_sketch(items, "key", k=64)
+    [row] = kmv_estimate(sk, k=64).collect()
+    assert row.n_draws == 17 and row.est_distinct == 17.0
+
+
+def test_kmv_estimate_accuracy_and_merge(spark):
+    from nexus_processor_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    a = spark.range(4000).select(F.concat(F.lit("a"), F.col("id")).alias("key"))
+    b = spark.range(4000).select(F.concat(F.lit("b"), F.col("id")).alias("key"))
+    k = 256
+    ska, skb = kmv_sketch(a, "key", k=k), kmv_sketch(b, "key", k=k)
+    [ea] = kmv_estimate(ska, k=k).collect()
+    assert abs(ea.est_distinct - 4000) / 4000 < 0.2  # ~1/sqrt(k) error
+    [eu] = kmv_estimate(kmv_merge(ska, skb, k=k), k=k).collect()
+    assert abs(eu.est_distinct - 8000) / 8000 < 0.2
+    # merged sketch == sketch built directly over the union
+    direct = kmv_sketch(a.unionByName(b), "key", k=k)
+    assert sorted(r.h for r in kmv_merge(ska, skb, k=k).collect()) == \
+        sorted(r.h for r in direct.collect())
+
+
+def test_kmv_grouped_sketch_is_bounded(spark):
+    from nexus_processor_spark.operators.sketch import kmv_sketch
+
+    items = spark.createDataFrame(
+        [(f"g{i % 3}", f"k{i}") for i in range(500)], "g string, key string"
+    )
+    sk = kmv_sketch(items, "key", k=32, by="g")
+    per = {r.g: r.n for r in
+           sk.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert per == {"g0": 32, "g1": 32, "g2": 32}

@@ -194,3 +194,78 @@ def kmv_estimate(sketch: DataFrame, *, k: int = 256, by: str | None = None) -> D
         F.lit(float(k - 1)) * F.lit(_KMV_DOMAIN) / F.col("h_max").cast("double")
     )
     return agg.select(*keys, "n_draws", F.round(est, 4).alias("est_distinct"))
+
+
+# --------------------------------------------------------------- HLL
+
+HLL_B = 12            # 4096 registers: 3 md5 hex chars
+HLL_M = 1 << HLL_B
+HLL_W = 20            # rho domain: 5 more hex chars, 20 bits
+# alpha_m for m >= 128 (Flajolet et al. 2007)
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _rho_case(v: Column, w: int = HLL_W) -> Column:
+    """Position of the first 1-bit of a w-bit value (1-based from the
+    top); w+1 when v == 0. Pure integer comparisons — float log2 rounds
+    the 2^k-1 boundaries up at high bit widths, so it's banned here."""
+    expr = F.lit(w + 1)
+    # built innermost-first: the i=1 (top-bit) test must wrap LAST so it
+    # is evaluated first — when-chains short-circuit outside-in
+    for i in range(w, 0, -1):
+        expr = F.when(v >= F.lit(1 << (w - i)), F.lit(i)).otherwise(expr)
+    return expr
+
+
+def hll_registers(
+    items: DataFrame, key_col: str, *, by: str | None = None
+) -> DataFrame:
+    """HyperLogLog register table: ``([by], bucket, rho)`` with at most
+    4096 rows per group. Bucket = first 3 md5 hex chars; rho = first
+    1-bit position of the next 20 bits. One partial-agg shuffle (max is
+    algebraic); mergeable with :func:`hll_merge` by register-wise max."""
+    keys = [by] if by else []
+    h = F.md5(F.col(key_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
+    v = F.conv(F.substring(h, 4, 5), 16, 10).cast("long")
+    return (
+        items.select(*keys, bucket.alias("bucket"), _rho_case(v).alias("_r"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("_r").cast("long").alias("rho"))
+    )
+
+
+def hll_merge(*registers: DataFrame) -> DataFrame:
+    """Merge register tables (same grouping columns): register-wise max —
+    the union-of-sets sketch, the same algebra Spark's partial aggs use."""
+    allr = reduce(lambda a, b: a.unionByName(b), registers)
+    keys = [c for c in allr.columns if c not in ("bucket", "rho")]
+    return allr.groupBy(*keys, "bucket").agg(
+        F.max("rho").cast("long").alias("rho")
+    )
+
+
+def hll_estimate(registers: DataFrame, *, by: str | None = None) -> DataFrame:
+    """Cardinality estimate per group from a register table.
+
+    The harmonic sum ``sum(2^-rho)`` (absent registers contribute 2^0)
+    is a sum of dyadics with <= 2^21 denominators over <= 4096 terms —
+    EXACT in a double regardless of accumulation order, so the raw
+    estimate is engine-reproducible. Small-range linear counting
+    (est <= 2.5m and empty registers exist) uses one ``ln`` of an exact
+    rational; the result is rounded to 4 decimals."""
+    keys = [by] if by else []
+    agg = registers.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_regs"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+    )
+    m = F.lit(float(HLL_M))
+    # absent registers: (m - n_regs) buckets at rho=0 contribute 1 each
+    s = F.col("_s") + (m - F.col("n_regs").cast("double"))
+    raw = F.lit(_HLL_ALPHA) * m * m / s
+    zeros = m - F.col("n_regs").cast("double")  # all absent regs are zero
+    linear = m * F.log(m / zeros)
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0), linear
+    ).otherwise(raw)
+    return agg.select(*keys, F.round(est, 4).alias("est_distinct"))

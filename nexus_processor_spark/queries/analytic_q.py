@@ -118,7 +118,39 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-actor estimates per bank plus the union via
+    register-wise max MERGE (no corpus re-scan), annotated with the
+    exact count. Register math is engine-exact (comparison-chain rho,
+    dyadic-exact harmonic sum), so the estimates themselves are
+    oracle-checked, not tolerance-tested."""
+    from nexus_processor_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("bank"), "user_id"
+    )
+    regs = hll_registers(e, "user_id", by="bank")
+    per = hll_estimate(regs, by="bank")
+    union_est = hll_estimate(hll_merge(regs.drop("bank"))).select(
+        F.lit("__union__").alias("bank"), "est_distinct"
+    )
+    exact = e.groupBy("bank").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    exact_all = e.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    ).select(F.lit("__union__").alias("bank"), "exact_distinct")
+    return per.unionByName(union_est).join(
+        exact.unionByName(exact_all), "bank"
+    )
+
+
 QUERIES = {
+    "hll_distinct_actors": q_hll_distinct_actors,
     "pareto_parts": q_pareto_parts,
     "incident_overlap": q_incident_overlap,
     "asof_tolerance": q_asof_tolerance,
@@ -187,3 +219,65 @@ ORACLE = {
         GROUP BY source, n_tokens
     """,
 }
+
+
+def _hll_oracle_sql() -> str:
+    from nexus_processor_spark.operators.sketch import HLL_M, HLL_W, _HLL_ALPHA
+
+    rho = "CASE " + " ".join(
+        f"WHEN v >= {1 << (HLL_W - i)} THEN {i}" for i in range(1, HLL_W + 1)
+    ) + f" ELSE {HLL_W + 1} END"
+    # DuckDB parses bare decimal literals as DECIMAL (whose multiplies
+    # overflow) — every float literal must be cast to DOUBLE.
+    a = f"CAST({_HLL_ALPHA!r} AS DOUBLE)"
+    m = f"CAST({float(HLL_M)!r} AS DOUBLE)"
+    thr = f"CAST({2.5 * HLL_M!r} AS DOUBLE)"
+    est = f"""
+        CASE WHEN {a} * {m} * {m} / s <= {thr} AND zeros > 0
+             THEN {m} * ln({m} / zeros)
+             ELSE {a} * {m} * {m} / s
+        END
+    """
+    return f"""
+        WITH e AS (SELECT event_type AS bank, user_id FROM events),
+        hv AS (
+            SELECT bank,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 3))::BIGINT
+                     AS bucket,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 4, 5))::BIGINT
+                     AS v
+            FROM e
+        ),
+        regs AS (
+            SELECT bank, bucket, CAST(max({rho}) AS BIGINT) AS rho
+            FROM hv GROUP BY 1, 2
+        ),
+        uregs AS (
+            SELECT bucket, CAST(max(rho) AS BIGINT) AS rho
+            FROM regs GROUP BY 1
+        ),
+        groups AS (
+            SELECT bank,
+                   sum(power(CAST(2.0 AS DOUBLE), -rho)) + ({m} - count(*))
+                     AS s,
+                   {m} - count(*) AS zeros
+            FROM regs GROUP BY 1
+            UNION ALL
+            SELECT '__union__',
+                   sum(power(CAST(2.0 AS DOUBLE), -rho)) + ({m} - count(*)),
+                   {m} - count(*)
+            FROM uregs
+        ),
+        ex AS (
+            SELECT bank, CAST(count(DISTINCT user_id) AS BIGINT)
+                     AS exact_distinct
+            FROM e GROUP BY 1
+            UNION ALL
+            SELECT '__union__', CAST(count(DISTINCT user_id) AS BIGINT) FROM e
+        )
+        SELECT g.bank, round({est}, 4) AS est_distinct, ex.exact_distinct
+        FROM groups g JOIN ex USING (bank)
+    """
+
+
+ORACLE["hll_distinct_actors"] = _hll_oracle_sql()

@@ -146,3 +146,52 @@ def test_kmv_grouped_sketch_is_bounded(spark):
     per = {r.g: r.n for r in
            sk.groupBy("g").agg(F.count("*").alias("n")).collect()}
     assert per == {"g0": 32, "g1": 32, "g2": 32}
+
+
+def test_hll_accuracy_and_merge(spark):
+    from nexus_processor_spark.operators.sketch import (
+        HLL_M,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    n = 20000
+    a = spark.range(n).select(F.concat(F.lit("a"), F.col("id")).alias("key"))
+    b = spark.range(n).select(F.concat(F.lit("b"), F.col("id")).alias("key"))
+    ra, rb = hll_registers(a, "key"), hll_registers(b, "key")
+    assert ra.count() <= HLL_M
+    [ea] = hll_estimate(ra).collect()
+    assert abs(ea.est_distinct - n) / n < 0.05  # ~1.04/sqrt(4096) = 1.6%
+    merged = hll_merge(ra, rb)
+    [eu] = hll_estimate(merged).collect()
+    assert abs(eu.est_distinct - 2 * n) / (2 * n) < 0.05
+    # merge == registers of the union, register for register
+    direct = hll_registers(a.unionByName(b), "key")
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+
+def test_hll_small_range_linear_counting(spark):
+    from nexus_processor_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    small = spark.range(50).select(F.col("id").cast("string").alias("key"))
+    [e] = hll_estimate(hll_registers(small, "key")).collect()
+    # linear counting is near-exact when n << m
+    assert abs(e.est_distinct - 50) <= 2
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    from nexus_processor_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    once = spark.range(1000).select(F.col("id").cast("string").alias("key"))
+    thrice = once.unionByName(once).unionByName(once)
+    [e1] = hll_estimate(hll_registers(once, "key")).collect()
+    [e3] = hll_estimate(hll_registers(thrice, "key")).collect()
+    assert e1.est_distinct == e3.est_distinct

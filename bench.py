@@ -124,7 +124,9 @@ def run_docs(spark) -> dict[str, object]:
       (doc, gram) shuffle of the quality signals).
     * ``weighted_sample`` — corpus-wide A-ES top-k (TakeOrdered, no sort).
     """
-    from nexus_processor_spark.operators import dedup, pipeline, textstats
+    from pyspark.sql import functions as F
+
+    from nexus_processor_spark.operators import dedup, pipeline, sketch, textstats
 
     ensure_big_docs(spark)
     docs = spark.read.parquet(f"{DOCS_DIR}/documents.parquet")
@@ -150,6 +152,19 @@ def run_docs(spark) -> dict[str, object]:
             docs, 10_000, weight_col="n_chars"
         ),
         "hashed_features": lambda: textstats.hashed_features(docs, 64),
+        # bounded-state sketches over the token stream: CMS build (one
+        # bucket-key partial agg), KMV per-source (dedup + top-k window
+        # over distinct keys only), HLL registers (partial max agg)
+        "cms_build_tokens": lambda: sketch.cms_build(
+            docs.select(F.explode(F.split("text", " ")).alias("tok")), "tok"
+        ),
+        "kmv_sketch_tokens": lambda: sketch.kmv_sketch(
+            docs.select("source", F.explode(F.split("text", " ")).alias("tok")),
+            "tok", k=256, by="source",
+        ),
+        "hll_registers_tokens": lambda: sketch.hll_registers(
+            docs.select(F.explode(F.split("text", " ")).alias("tok")), "tok"
+        ),
     }
     out: dict[str, object] = {
         "rows": DOCS_ROWS,

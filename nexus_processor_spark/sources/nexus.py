@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import json
 import math
-from collections.abc import Iterable, Iterator
+from collections.abc import Callable, Iterable, Iterator
 from typing import Any
 
 import numpy as np
@@ -351,7 +351,10 @@ def pulse_times_from_tree(tree: dict[str, Any]) -> np.ndarray:
 
 
 def event_bank_frames(
-    tree: dict[str, Any], *, max_events: int | None = None
+    tree: dict[str, Any],
+    *,
+    max_events: int | None = None,
+    bank_filter: "Callable[[str], bool] | None" = None,
 ) -> list[pd.DataFrame]:
     """Per-bank event frames with CSR pulse expansion — fully vectorized.
 
@@ -372,6 +375,8 @@ def event_bank_frames(
     for gname, grp in sorted(_groups(entry).items()):
         if not (gname.endswith("_events") or gname.startswith("monitor")):
             continue
+        if bank_filter is not None and not bank_filter(gname):
+            continue  # pushed-down bank predicate: skip before any decode
         ds = _datasets(grp)
         if "event_id" not in ds or "event_time_offset" not in ds:
             continue

@@ -28,9 +28,20 @@ interactive/SQL-facing twin and is pinned row-equal to it by tests.
 from __future__ import annotations
 
 import glob as _glob
-from collections.abc import Iterator, Sequence
+from collections.abc import Iterable, Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 from pyspark.sql.types import StructType
 
 from nexus_processor_spark.schemas import TABLES
@@ -72,6 +83,44 @@ class NexusReader(DataSourceReader):
         # the task count equals the file count
         self.paths = sorted(_glob.glob(path))
         self.cols = [f.name for f in schema.fields]
+        self.bank_filters: list[Filter] = []
+        self.run_filters: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        """Prune work, not correctness: supported predicates skip event
+        banks before CSR expansion (``bank``) or whole files before any
+        extraction (``run_number``). Every filter is yielded back, so
+        Spark re-evaluates exactly — pushdown here only avoids reading.
+        """
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if self.table == "events" and attr == ("bank",) and isinstance(
+                f, (EqualTo, In)
+            ):
+                self.bank_filters.append(f)
+            elif attr == ("run_number",) and isinstance(
+                f,
+                (EqualTo, In, GreaterThan, GreaterThanOrEqual,
+                 LessThan, LessThanOrEqual),
+            ):
+                self.run_filters.append(f)
+            yield f
+
+    @staticmethod
+    def _passes(value, flt: Filter) -> bool:
+        if isinstance(flt, EqualTo):
+            return value == flt.value
+        if isinstance(flt, In):
+            return value in flt.value
+        if isinstance(flt, GreaterThan):
+            return value > flt.value
+        if isinstance(flt, GreaterThanOrEqual):
+            return value >= flt.value
+        if isinstance(flt, LessThan):
+            return value < flt.value
+        if isinstance(flt, LessThanOrEqual):
+            return value <= flt.value
+        return True  # pragma: no cover - only the six above are stored
 
     def partitions(self) -> Sequence[InputPartition]:
         return [InputPartition(p) for p in self.paths]
@@ -85,11 +134,25 @@ class NexusReader(DataSourceReader):
             load_tree,
         )
 
+        from nexus_processor_spark.sources.nexus import run_key
+
         path = partition.value
         try:
             tree = load_tree(path)
+            if self.run_filters:
+                _, run_number, _ = run_key(tree)
+                if not all(
+                    self._passes(run_number, f) for f in self.run_filters
+                ):
+                    return  # whole file pruned before any extraction
             if self.table == "events":
-                for frame in event_bank_frames(tree):
+                bank_ok = (
+                    None if not self.bank_filters else
+                    lambda b: all(
+                        self._passes(b, f) for f in self.bank_filters
+                    )
+                )
+                for frame in event_bank_frames(tree, bank_filter=bank_ok):
                     yield from frame[self.cols].itertuples(
                         index=False, name=None
                     )
@@ -114,5 +177,8 @@ class NexusReader(DataSourceReader):
 
 def register(spark) -> None:
     """Register the format for this session: idempotent, then
-    ``spark.read.format('nexus')`` resolves."""
+    ``spark.read.format('nexus')`` resolves. Python-source filter
+    pushdown is opt-in in Spark 4.1 (runtime-settable) — readers that
+    implement ``pushFilters`` error without it."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(NexusDataSource)

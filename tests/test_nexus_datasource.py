@@ -72,3 +72,59 @@ def test_datasource_composes_with_sql_pushdown(spark, run_files):
         "WHERE event_id >= 102 GROUP BY bank ORDER BY bank"
     ).collect()
     assert [(r.bank, r.n) for r in out] == [("bank1_events", 4)]
+
+
+def test_pushdown_prunes_banks_and_files(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In, IsNull
+    from pyspark.sql.datasource import InputPartition
+    from nexus_processor_spark.sources.nexus_datasource import NexusReader
+    from nexus_processor_spark.schemas import TABLES
+
+    tree = fixture_tree()
+    tree["entry"]["monitor1"] = {
+        "event_id": [7, 8], "event_time_offset": [0.5, 0.6],
+        "event_index": [0],
+    }
+    p = tmp_path / "run.json"
+    p.write_text(_json.dumps(tree))
+
+    reader = NexusReader(
+        {"table": "events", "path": str(tmp_path / "*.json")},
+        TABLES["events"][0],
+    )
+    flt = [EqualTo(("bank",), "monitor1"), IsNull(("pulse_time",))]
+    leftover = list(reader.pushFilters(flt))
+    # everything is yielded back for Spark to re-evaluate...
+    assert leftover == flt
+    # ...but only the supported one is retained for pruning
+    assert reader.bank_filters == [flt[0]]
+    rows = list(reader.read(InputPartition(str(p))))
+    banks = {r[3] for r in rows}
+    assert banks == {"monitor1"} and len(rows) == 2
+
+    # run_number predicate prunes the whole file before extraction
+    reader2 = NexusReader(
+        {"table": "events", "path": str(tmp_path / "*.json")},
+        TABLES["events"][0],
+    )
+    list(reader2.pushFilters([GreaterThan(("run_number",), 99999)]))
+    assert list(reader2.read(InputPartition(str(p)))) == []
+
+    reader3 = NexusReader(
+        {"table": "events", "path": str(tmp_path / "*.json")},
+        TABLES["events"][0],
+    )
+    list(reader3.pushFilters([In(("run_number",), (12345, 1))]))
+    assert len(list(reader3.read(InputPartition(str(p))))) == 6
+
+
+def test_pushdown_end_to_end_results_unchanged(spark, run_files):
+    from pyspark.sql import functions as F
+
+    df = _read(spark, run_files, "events")
+    got = df.filter(
+        (F.col("bank") == "bank1_events") & (F.col("run_number") == 12345)
+    ).count()
+    assert got == 4  # only run_1 matches the run filter

@@ -764,10 +764,12 @@ ORACLE["cms_heavy_hitters"] = f"""
     probe AS (SELECT tok, exact_count FROM ex
               ORDER BY exact_count DESC, tok LIMIT {CMS_TOPK}),
     d AS (SELECT unnest(range({CMS_DEPTH})) AS d),
+    -- bucket d = 8-hex slice d of ONE md5 digest (the minhash-banding
+    -- slice convention; sketch.md5_bucket pays one md5 for depth<=4)
     cms AS (
         SELECT d.d,
-               ('0x' || substr(md5(CAST(d.d AS VARCHAR) || '|' || t.tok),
-                               1, 8))::BIGINT % {CMS_WIDTH} AS bucket,
+               ('0x' || substr(md5(t.tok), 1 + 8 * d.d, 8))::BIGINT
+                 % {CMS_WIDTH} AS bucket,
                CAST(count(*) AS BIGINT) AS n
         FROM t CROSS JOIN d GROUP BY 1, 2
     ),
@@ -776,9 +778,8 @@ ORACLE["cms_heavy_hitters"] = f"""
         FROM probe p CROSS JOIN d
         LEFT JOIN cms c
           ON c.d = d.d
-         AND c.bucket = ('0x' || substr(md5(CAST(d.d AS VARCHAR)
-                                            || '|' || p.tok),
-                                        1, 8))::BIGINT % {CMS_WIDTH}
+         AND c.bucket = ('0x' || substr(md5(p.tok), 1 + 8 * d.d, 8))::BIGINT
+                        % {CMS_WIDTH}
         GROUP BY 1
     )
     SELECT p.tok, p.exact_count, e.cms_est

@@ -187,3 +187,16 @@ def test_asof_pandas_self_derived_sides_keep_on_column(spark):
         left, right, on="t", by="g", value_cols=["vt"]
     ).collect()}
     assert out == {101: 1.0, 102: 1.0}
+
+
+def test_skyline_plan_has_no_cartesian_and_broadcasts_groups(spark):
+    df = spark.range(10000).select(
+        F.col("id").alias("pk"),
+        (F.col("id") % 97).cast("double").alias("price"),
+        (F.col("id") % 31).cast("int").alias("size"),
+    )
+    plan = pareto_frontier_2d(
+        df, minimize="price", maximize="size"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan  # group table joins broadcast

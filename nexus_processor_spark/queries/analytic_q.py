@@ -149,7 +149,37 @@ def q_hll_distinct_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONCURRENCY_GRID = 86400.0  # day buckets over the ~30-day domain
+
+
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions in flight at every session boundary — gap-sessionize per
+    user, then the sweep-line concurrency aggregate built on the
+    DISTRIBUTED prefix sum (two-phase scan: bucket sums + tiny bucket
+    window + bounded within-bucket windows), never a single global-sort
+    window."""
+    from nexus_processor_spark.operators.asof import sessionize
+    from nexus_processor_spark.operators.prefix import interval_concurrency
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", event_seconds("ts").alias("t")
+    ).filter(F.col("t").isNotNull())
+    sessions = (
+        sessionize(e, 21600.0, time_col="t", key_col="user_id")
+        .groupBy("user_id", "session_id")
+        .agg(F.min("t").alias("s_start"), F.max("t").alias("s_end"))
+    )
+    return interval_concurrency(
+        sessions,
+        start_col="s_start",
+        end_col="s_end",
+        grid=CONCURRENCY_GRID,
+        id_cols=("user_id", "session_id"),
+    )
+
+
 QUERIES = {
+    "session_concurrency": q_session_concurrency,
     "hll_distinct_actors": q_hll_distinct_actors,
     "pareto_parts": q_pareto_parts,
     "incident_overlap": q_incident_overlap,
@@ -281,3 +311,32 @@ def _hll_oracle_sql() -> str:
 
 
 ORACLE["hll_distinct_actors"] = _hll_oracle_sql()
+
+ORACLE["session_concurrency"] = f"""
+    WITH e AS (SELECT user_id, {_TS} AS t FROM events),
+    x AS (
+        SELECT user_id, t,
+               CASE WHEN lag(t) OVER w IS NULL
+                      OR t - lag(t) OVER w > 21600 THEN 1 ELSE 0 END AS nw
+        FROM e WHERE t IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    s AS (
+        SELECT user_id, t,
+               sum(nw) OVER (PARTITION BY user_id ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        FROM x
+    ),
+    iv AS (SELECT user_id, session_id, min(t) AS s0, max(t) AS s1
+           FROM s GROUP BY 1, 2),
+    d AS (
+        SELECT s0 AS t, 1 AS delta, user_id, session_id FROM iv
+        UNION ALL
+        SELECT s1, -1, user_id, session_id FROM iv
+    )
+    SELECT t, delta, user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(sum(delta) OVER (
+               ORDER BY t, -delta, user_id, session_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent
+    FROM d
+"""

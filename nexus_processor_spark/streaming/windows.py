@@ -138,10 +138,18 @@ def funnel_join(
     time_col: str = "event_time",
     within_seconds: float = 3600.0,
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: a ``first`` event followed by a
-    ``second`` event with the same key within ``within_seconds`` — the
+    """Stream-stream join: a ``first`` event followed by a ``second``
+    event with the same key within ``within_seconds`` — the
     funnel/attribution shape (signup -> purchase, impression -> click).
+
+    ``how="leftOuter"`` emits ABANDONMENT rows too: a first-side event
+    whose horizon expires unmatched surfaces once the watermark passes
+    ``first_time + within_seconds`` (null second_time/lag) — the
+    "started the funnel, never finished" stream. Outer emission is
+    watermark-driven, so results for unmatched rows arrive late by
+    construction, and only time-bound conditions make it legal.
 
     Both sides carry watermarks and the join condition bounds the event
     times against each other, which is what lets Spark EVICT buffered
@@ -165,7 +173,7 @@ def funnel_join(
         & (F.col("second_time")
            <= F.col("first_time") + F.expr(f"INTERVAL {int(within_seconds)} SECONDS"))
     )
-    return a.join(b, cond).select(
+    return a.join(b, cond, how).select(
         F.col("k").alias(key_col),
         "first_time",
         "second_time",

@@ -452,3 +452,58 @@ def test_windowed_unique_counts_match_batch_distinct(spark, tmp_path):
         ).agg(F.countDistinct("user_id").alias("n")).collect()
     }
     assert got == expected
+
+
+def test_funnel_join_left_outer_emits_abandonment(spark, tmp_path):
+    """leftOuter funnel: unmatched first-side rows surface with null
+    second_time once the watermark passes their horizon."""
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m, 0)
+    first = spark.createDataFrame(
+        # user 9 never converts; a late second-side row at 23:00 advances
+        # the watermark far past every first-side horizon
+        [(1, t(10, 0)), (9, t(9, 0))],
+        "user_id long, event_time timestamp",
+    )
+    second = spark.createDataFrame(
+        [(1, t(10, 30)), (7, t(23, 0))],
+        "user_id long, event_time timestamp",
+    )
+    fdir, sdir = str(tmp_path / "f"), str(tmp_path / "s")
+    first.write.parquet(fdir)
+    second.write.parquet(sdir)
+    schema = "user_id long, event_time timestamp"
+    sa = spark.readStream.schema(schema).parquet(fdir)
+    sb = spark.readStream.schema(schema).parquet(sdir)
+    rows: set = set()
+
+    def drain():
+        joined = windows.funnel_join(
+            spark.readStream.schema(schema).parquet(fdir),
+            spark.readStream.schema(schema).parquet(sdir),
+            how="leftOuter",
+        )
+        q = (joined.writeStream
+             .foreachBatch(lambda df, _id: rows.update(
+                 (r.user_id, r.second_time is None, r.lag_seconds)
+                 for r in df.collect()))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).outputMode("append").start())
+        q.awaitTermination(120)
+
+    drain()
+    assert (1, False, 1800.0) in rows          # converted
+    # outer (abandonment) rows emit in a batch AFTER the watermark has
+    # passed the horizon — availableNow stops first, so the next arrival
+    # on the same checkpoint (the operational steady state: data keeps
+    # coming) triggers the evict-and-emit
+    # the global watermark is the MIN across both inputs — late arrivals
+    # must advance BOTH sides before eviction can emit outer rows
+    late = spark.createDataFrame(
+        [(8, t(23, 30))], "user_id long, event_time timestamp"
+    )
+    late.write.mode("append").parquet(sdir)
+    late.write.mode("append").parquet(fdir)
+    drain()
+    assert (9, True, None) in rows             # abandoned -> outer row

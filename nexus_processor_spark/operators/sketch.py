@@ -245,7 +245,13 @@ def hll_registers(
     """HyperLogLog register table: ``([by], bucket, rho)`` with at most
     4096 rows per group. Bucket = first 3 md5 hex chars; rho = first
     1-bit position of the next 20 bits. One partial-agg shuffle (max is
-    algebraic); mergeable with :func:`hll_merge` by register-wise max."""
+    algebraic); mergeable with :func:`hll_merge` by register-wise max.
+
+    No ``pre_aggregate`` knob on purpose: the partial aggregate already
+    collapses each task to <= 4096 register rows map-side, so a key
+    dedup first only ADDS a vocab-wide shuffle (measured 26s vs 17.8s
+    at 2M docs) — unlike ``cms_build``, whose win comes from shrinking
+    its x-depth explode, which HLL doesn't have."""
     keys = [by] if by else []
     h = F.md5(F.col(key_col).cast("string"))
     bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")

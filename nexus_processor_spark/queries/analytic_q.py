@@ -187,7 +187,53 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which user sessions overlapped an incident window — the generic
+    interval x interval ``overlap_join`` (both sides exploded onto the
+    hour grid, hash equi-join on the cell, exactly-once emission).
+    Session intervals are closed at second granularity: ``[start,
+    end + 1s)`` half-open, so single-event sessions still overlap."""
+    from nexus_processor_spark.operators.asof import sessionize
+    from nexus_processor_spark.operators.intervals import overlap_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        event_seconds("ts").alias("t"),
+        F.col("event_type").alias("bank"),
+    ).filter(F.col("t").isNotNull())
+    sessions = (
+        sessionize(e, 21600.0, time_col="t", key_col="user_id")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("t").alias("s_start"),
+            (F.max("t") + F.lit(1.0)).alias("s_end"),
+        )
+    )
+    windows = (
+        e.filter(F.col("bank") == "error")
+        .groupBy(
+            F.floor(F.col("t") / INCIDENT_INTERVAL).cast("long").alias("window_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .filter(F.col("n_errors") >= INCIDENT_MIN_ERRORS)
+        .select(
+            "window_id",
+            (F.col("window_id") * INCIDENT_INTERVAL - INCIDENT_PAD)
+            .cast("double").alias("w_start"),
+            ((F.col("window_id") + 1) * INCIDENT_INTERVAL + INCIDENT_PAD)
+            .cast("double").alias("w_end"),
+        )
+    )
+    return overlap_join(
+        sessions, windows,
+        l_start="s_start", l_end="s_end",
+        r_start="w_start", r_end="w_end",
+        grid=INCIDENT_INTERVAL,
+    ).select("user_id", "session_id", "window_id")
+
+
 QUERIES = {
+    "session_incident_overlap": q_session_incident_overlap,
     "session_concurrency": q_session_concurrency,
     "hll_distinct_actors": q_hll_distinct_actors,
     "pareto_parts": q_pareto_parts,
@@ -348,4 +394,39 @@ ORACLE["session_concurrency"] = f"""
                ORDER BY t, -delta, user_id, session_id
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent
     FROM d
+"""
+
+ORACLE["session_incident_overlap"] = f"""
+    WITH e AS (SELECT user_id, {_TS} AS t, event_type AS bank FROM events),
+    x AS (
+        SELECT user_id, t,
+               CASE WHEN lag(t) OVER w IS NULL
+                      OR t - lag(t) OVER w > 21600 THEN 1 ELSE 0 END AS nw
+        FROM e WHERE t IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    s AS (
+        SELECT user_id, t,
+               sum(nw) OVER (PARTITION BY user_id ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        FROM x
+    ),
+    iv AS (SELECT user_id, session_id, min(t) AS s0, max(t) + 1.0 AS s1
+           FROM s GROUP BY 1, 2),
+    w AS (
+        SELECT CAST(floor(t / {INCIDENT_INTERVAL}) AS BIGINT) AS window_id
+        FROM e WHERE t IS NOT NULL AND bank = 'error'
+        GROUP BY 1 HAVING count(*) >= {INCIDENT_MIN_ERRORS}
+    ),
+    win AS (
+        SELECT window_id,
+               CAST(window_id * {INCIDENT_INTERVAL} - {INCIDENT_PAD}
+                    AS DOUBLE) AS w_start,
+               CAST((window_id + 1) * {INCIDENT_INTERVAL} + {INCIDENT_PAD}
+                    AS DOUBLE) AS w_end
+        FROM w
+    )
+    SELECT iv.user_id, CAST(iv.session_id AS BIGINT) AS session_id,
+           win.window_id
+    FROM iv JOIN win ON iv.s0 < win.w_end AND win.w_start < iv.s1
 """

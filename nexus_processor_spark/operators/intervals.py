@@ -24,12 +24,19 @@ from pyspark.sql import functions as F
 
 
 def _cells(start: Column, end: Column, grid: float) -> Column:
-    """Grid cells [floor(start/grid) .. floor((end - eps)/grid)] for a
-    half-open [start, end); empty/negative intervals yield no cells."""
+    """Grid cells [floor(start/grid) .. hi] covering a half-open
+    [start, end); empty/negative intervals yield no cells (an empty
+    interval has empty intersection with everything — callers wanting
+    point semantics should widen, as ``point_in_interval_join`` does).
+
+    The end cell is computed EXACTLY — ``hi = floor(end/grid)``, minus
+    one iff ``end`` sits precisely on a cell boundary — never via an
+    epsilon subtraction: an absolute eps both drops pairs whose overlap
+    is smaller than eps and silently becomes a no-op when ``end - eps
+    == end`` at epoch-second float magnitudes."""
     lo = F.floor(start / F.lit(grid)).cast("long")
-    # half-open: an interval ending exactly on a boundary does not touch
-    # the cell that starts there
-    hi = F.floor((end - F.lit(1e-9)) / F.lit(grid)).cast("long")
+    fe = F.floor(end / F.lit(grid)).cast("long")
+    hi = F.when(end == fe.cast("double") * F.lit(grid), fe - 1).otherwise(fe)
     return F.when(end > start, F.sequence(lo, F.greatest(lo, hi)))
 
 

@@ -350,6 +350,23 @@ def scrub_pii(
     )
 
 
+def _contamination_audit(
+    corpus: DataFrame, matched_grams: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared tail of the decontamination variants: per-doc distinct-hit
+    counts + 0/1 flag, keeping EVERY corpus row as an audit table."""
+    hits = (
+        matched_grams.groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_eval_grams"))
+    )
+    found = F.coalesce(F.col("n_eval_grams"), F.lit(0)).cast("long")
+    return corpus.select(id_col).join(hits, id_col, "left").select(
+        F.col(id_col),
+        found.alias("n_eval_grams"),
+        (found > 0).cast("long").alias("contaminated"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_df: DataFrame,
@@ -376,17 +393,8 @@ def decontaminate(
     corpus_grams = corpus.select(
         F.col(id_col), F.explode(word_shingles_text(text_col, n)).alias("gram")
     )
-    hits = (
-        corpus_grams.join(F.broadcast(eval_grams), "gram", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").cast("long").alias("n_eval_grams"))
-    )
-    found = F.coalesce(F.col("n_eval_grams"), F.lit(0)).cast("long")
-    return corpus.select(id_col).join(hits, id_col, "left").select(
-        F.col(id_col),
-        found.alias("n_eval_grams"),
-        (found > 0).cast("long").alias("contaminated"),
-    )
+    matched = corpus_grams.join(F.broadcast(eval_grams), "gram", "left_semi")
+    return _contamination_audit(corpus, matched, id_col)
 
 
 def decontaminate_bloom(
@@ -423,17 +431,11 @@ def decontaminate_bloom(
     candidates = bloom_filter_candidates(
         corpus_grams, "gram", bloom, bits=bits, k=k
     )
-    hits = (
-        candidates.join(F.broadcast(eval_grams), "gram", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").cast("long").alias("n_eval_grams"))
-    )
-    found = F.coalesce(F.col("n_eval_grams"), F.lit(0)).cast("long")
-    return corpus.select(id_col).join(hits, id_col, "left").select(
-        F.col(id_col),
-        found.alias("n_eval_grams"),
-        (found > 0).cast("long").alias("contaminated"),
-    )
+    # deliberately NOT broadcast: this variant exists for eval sets too
+    # big to broadcast, and the candidate side is a trickle — a shuffle
+    # semi-join on gram is the right shape in that regime
+    matched = candidates.join(eval_grams, "gram", "left_semi")
+    return _contamination_audit(corpus, matched, id_col)
 
 
 def source_overlap(

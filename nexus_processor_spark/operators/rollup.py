@@ -174,24 +174,36 @@ def maintain_rollup_stream(
     """
     spark = events_stream.sparkSession
 
+    def _exists(path: str) -> bool:
+        # explicit check, NOT try/except around the read: a transient
+        # read failure must fail the batch (the checkpoint retries it),
+        # never be mistaken for "first batch" — that would silently
+        # rebuild the rollup from one batch of data
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+
     def _merge(batch: DataFrame, _batch_id: int) -> None:
-        try:
-            current = spark.read.parquet(rollup_path)
+        if _exists(rollup_path):
             merged = incremental_update(
-                current, batch, interval_seconds,
+                spark.read.parquet(rollup_path), batch, interval_seconds,
                 time_col=time_col, bank_col=bank_col, pulse_col=pulse_col,
             )
-        except Exception:  # first batch: no rollup yet
+        else:
             merged = build_interval_rollup(
                 batch, interval_seconds,
                 time_col=time_col, bank_col=bank_col, pulse_col=pulse_col,
             )
-        merged = merged.persist()
-        merged.count()
-        try:
-            merged.write.mode("overwrite").parquet(rollup_path)
-        finally:
-            merged.unpersist()
+        # stage-then-swap: the merged plan reads rollup_path, so it must
+        # be durable elsewhere before the overwrite deletes its inputs
+        # (persist+count is not enough — a lost executor recomputes from
+        # lineage against the half-deleted path). Both steps are
+        # retry-idempotent: staging depends only on old state, the swap
+        # only on staging.
+        staging = rollup_path.rstrip("/") + "._staging"
+        merged.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(rollup_path)
 
     writer = (
         events_stream.writeStream.outputMode("append")

@@ -137,6 +137,11 @@ class NexusReader(DataSourceReader):
         from nexus_processor_spark.sources.nexus import run_key
 
         path = partition.value
+        # Everything fallible runs INSIDE the try, and nothing is yielded
+        # until the whole file has parsed: skip_bad_files must mean
+        # all-or-nothing per file — a mid-file failure after partial
+        # yields would emit half a file while the log claims it was
+        # skipped entirely.
         try:
             tree = load_tree(path)
             if self.run_filters:
@@ -152,18 +157,21 @@ class NexusReader(DataSourceReader):
                         self._passes(b, f) for f in self.bank_filters
                     )
                 )
-                for frame in event_bank_frames(tree, bank_filter=bank_ok):
-                    yield from frame[self.cols].itertuples(
-                        index=False, name=None
-                    )
-                return
-            extractor = EXTRACTORS[self.table]
-            if self.table in ("metadata", "experiment_runs"):
-                rows = extractor(
-                    tree, source_path=path, ingestion_time=self.ingestion_time
-                )
+                out = [
+                    tuple(t)
+                    for frame in event_bank_frames(tree, bank_filter=bank_ok)
+                    for t in frame[self.cols].itertuples(index=False, name=None)
+                ]
             else:
-                rows = extractor(tree)
+                extractor = EXTRACTORS[self.table]
+                if self.table in ("metadata", "experiment_runs"):
+                    rows = extractor(
+                        tree, source_path=path,
+                        ingestion_time=self.ingestion_time,
+                    )
+                else:
+                    rows = extractor(tree)
+                out = [tuple(row.get(c) for c in self.cols) for row in rows]
         except Exception:
             if not self.skip_bad:
                 raise
@@ -171,8 +179,7 @@ class NexusReader(DataSourceReader):
                 f"nexus source: skipping bad file {path!r}", file=sys.stderr
             )
             return
-        for row in rows:
-            yield tuple(row.get(c) for c in self.cols)
+        yield from out
 
 
 def register(spark) -> None:

@@ -38,20 +38,32 @@ def maintain_sketch_stream(
     Returns the started ``StreamingQuery``."""
     spark = stream.sparkSession
 
+    def _exists(path: str) -> bool:
+        # explicit existence check, NOT try/except around the read: a
+        # transient read failure must FAIL the batch (checkpoint retries
+        # it), never be mistaken for "first batch" — that would silently
+        # reset all accumulated state to the current delta
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+
     def _step(batch: DataFrame, _batch_id: int) -> None:
         delta = build(batch)
-        try:
-            current = spark.read.parquet(state_path)
-            merged = merge(current, delta)
-        except Exception:  # first batch: no state yet
-            merged = delta
-        # the merged plan READS state_path — compute before overwriting
-        merged = merged.persist()
-        merged.count()
-        try:
-            merged.write.mode("overwrite").parquet(state_path)
-        finally:
-            merged.unpersist()
+        merged = (
+            merge(spark.read.parquet(state_path), delta)
+            if _exists(state_path) else delta
+        )
+        # stage-then-swap: the merged plan READS state_path, so it must
+        # be fully durable somewhere else before the overwrite deletes
+        # the files it depends on. persist()+count() is NOT enough — a
+        # lost executor between count() and the overwrite recomputes
+        # partitions from lineage against the half-deleted path. The
+        # staging write depends only on the old state; the swap depends
+        # only on the staging files, so every step is retry-idempotent.
+        staging = state_path.rstrip("/") + "._staging"
+        merged.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(state_path)
 
     writer = (
         stream.writeStream.outputMode("append")

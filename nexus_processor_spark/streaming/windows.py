@@ -170,8 +170,11 @@ def funnel_join(
     cond = (
         (F.col("k") == F.col("k2"))
         & (F.col("second_time") >= F.col("first_time"))
+        # float literal, not int(): truncation would turn a 0.5 s funnel
+        # horizon into exact-simultaneity matching
         & (F.col("second_time")
-           <= F.col("first_time") + F.expr(f"INTERVAL {int(within_seconds)} SECONDS"))
+           <= F.col("first_time")
+           + F.expr(f"INTERVAL {float(within_seconds)!r} SECONDS"))
     )
     return a.join(b, cond, how).select(
         F.col("k").alias(key_col),

@@ -200,3 +200,26 @@ def test_skyline_plan_has_no_cartesian_and_broadcasts_groups(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     assert "BroadcastHashJoin" in plan  # group table joins broadcast
+
+
+def test_overlap_join_epoch_magnitude_boundaries(spark):
+    """Boundary exclusion must work where `end - 1e-9 == end` in float64
+    (epoch seconds), and sub-eps overlaps just past a boundary must
+    still be found — the exact end-cell arithmetic, not an epsilon."""
+    base = 1.7e9
+    left = spark.createDataFrame(
+        [(1, base, base + 3600.0),            # ends exactly on a boundary
+         (2, base, base + 3600.0 + 5e-7)],    # overlaps the next cell by 0.5us
+        "lid long, ls double, le double",
+    )
+    right = spark.createDataFrame(
+        [(10, base + 3600.0, base + 7200.0)],
+        "rid long, rs double, re double",
+    )
+    got = sorted(
+        r.lid for r in overlap_join(
+            left, right, l_start="ls", l_end="le", r_start="rs", r_end="re",
+            grid=3600.0,
+        ).collect()
+    )
+    assert got == [2]  # 1 only touches at the closed endpoint; 2 overlaps

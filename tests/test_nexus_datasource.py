@@ -128,3 +128,29 @@ def test_pushdown_end_to_end_results_unchanged(spark, run_files):
         (F.col("bank") == "bank1_events") & (F.col("run_number") == 12345)
     ).count()
     assert got == 4  # only run_1 matches the run filter
+
+
+def test_skip_bad_files_is_all_or_nothing_per_file(spark, tmp_path):
+    """A file that fails AFTER its first bank parsed must contribute zero
+    rows under skip_bad_files — not a silent partial yield."""
+    import json as _json
+
+    from pyspark.sql.datasource import InputPartition
+    from nexus_processor_spark.schemas import TABLES
+    from nexus_processor_spark.sources.nexus_datasource import NexusReader
+
+    tree = fixture_tree()
+    # zbank sorts after bank1: bank1 parses fine, then this one explodes
+    # (event_id is a non-numeric string -> numpy conversion error)
+    tree["entry"]["zbank_events"] = {
+        "event_id": ["boom"], "event_time_offset": [0.1], "event_index": [0],
+    }
+    p = tmp_path / "partial.json"
+    p.write_text(_json.dumps(tree))
+
+    reader = NexusReader(
+        {"table": "events", "path": str(tmp_path / "*.json"),
+         "skip_bad_files": "true"},
+        TABLES["events"][0],
+    )
+    assert list(reader.read(InputPartition(str(p)))) == []

@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -63,10 +64,25 @@ class NexusDataSource(DataSource):
             raise ValueError(
                 f"unknown nexus table {table!r}; one of {sorted(TABLES)}"
             )
-        return TABLES[table][0]
+        # Plain (nullable, metadata-free) twin of the table schema: the
+        # simple streaming reader's prefetched-Arrow handoff asserts
+        # batch/declared schema equality, and BOTH non-nullable fields
+        # and field metadata fail that assert (Arrow batches arrive
+        # nullable and bare). Spark's own file sources treat read
+        # schemas as nullable too; the writer-side schemas (catalog)
+        # keep the strict nullability + description contract.
+        from pyspark.sql.types import StructField
+
+        return StructType([
+            StructField(f.name, f.dataType, True)
+            for f in TABLES[table][0].fields
+        ])
 
     def reader(self, schema: StructType) -> "NexusReader":
         return NexusReader(dict(self.options), schema)
+
+    def simpleStreamReader(self, schema: StructType) -> "NexusStreamReader":
+        return NexusStreamReader(dict(self.options), schema)
 
 
 class NexusReader(DataSourceReader):
@@ -81,6 +97,7 @@ class NexusReader(DataSourceReader):
             raise ValueError("nexus source requires a path: .load('<glob>')")
         # resolved at planning time so partitions() is deterministic and
         # the task count equals the file count
+        self.path_glob = path
         self.paths = sorted(_glob.glob(path))
         self.cols = [f.name for f in schema.fields]
         self.bank_filters: list[Filter] = []
@@ -180,6 +197,60 @@ class NexusReader(DataSourceReader):
             )
             return
         yield from out
+
+
+class NexusStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin: ``spark.readStream.format("nexus")`` watches the
+    glob and ingests each run file exactly once — the "new runs appear in
+    the instrument directory" flow, with recovery handled by the engine.
+
+    Offsets are the sorted list of files already ingested (tiny at run
+    granularity — runs are few and large; a production high-water-mark
+    variant would key on (mtime, name) to bound the offset). ``read``
+    parses only files not yet in the offset; ``readBetweenOffsets``
+    re-parses exactly the files between two offsets, which is what makes
+    crash replay deterministic.
+    """
+
+    def __init__(self, options: dict, schema: StructType) -> None:
+        # reuse the batch reader per-file parse (filters don't push into
+        # streams; construct with no pushed filters)
+        self._batch = NexusReader(dict(options), schema)
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _pending(self, done: list) -> list:
+        return [p for p in self._batch.paths if p not in set(done)]
+
+    def read(self, start: dict) -> tuple:
+        import glob as _g
+        import glob as _g
+
+        # re-glob: new files appear between micro-batches
+        self._batch.paths = sorted(_g.glob(self._batch.path_glob))
+        new = self._pending(start.get("files", []))
+        end = {"files": sorted(set(start.get("files", [])) | set(new))}
+        return iter(self._rows(new)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        done = set(start.get("files", []))
+        return self._rows([p for p in end.get("files", []) if p not in done])
+
+    def _rows(self, paths: list) -> list:
+        # materialized, not a generator: the simple-reader harness caches
+        # and copies the returned rows for replay, and generators don't
+        # pickle. Values are unboxed to plain Python (the streaming
+        # runner Arrow-serializes rows driver-side and rejects numpy
+        # scalars). Run-file batches are bounded (few files per trigger).
+        return [
+            tuple(x.item() if hasattr(x, "item") else x for x in t)
+            for p in paths
+            for t in self._batch.read(InputPartition(p))
+        ]
+
+    def commit(self, end: dict) -> None:
+        pass  # files are immutable; nothing to clean up
 
 
 def register(spark) -> None:

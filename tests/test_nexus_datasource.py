@@ -38,7 +38,10 @@ def test_datasource_matches_ingest_table(spark, run_files, tmp_path):
         via_map = nexus.ingest_table(
             spark, paths, table, ingestion_time="2026-01-01T00:00:00"
         )
-        assert via_ds.schema == via_map.schema, table
+        # names/types match; the source schema is the nullable,
+        # metadata-free twin (streaming Arrow handoff requirement)
+        assert [(f.name, f.dataType) for f in via_ds.schema.fields] == \
+            [(f.name, f.dataType) for f in via_map.schema.fields], table
         a = sorted(map(tuple, via_ds.collect()))
         b = sorted(map(tuple, via_map.collect()))
         assert a == b, table
@@ -154,3 +157,44 @@ def test_skip_bad_files_is_all_or_nothing_per_file(spark, tmp_path):
         TABLES["events"][0],
     )
     assert list(reader.read(InputPartition(str(p)))) == []
+
+
+def test_stream_ingests_each_file_exactly_once_across_restarts(spark, tmp_path):
+    """readStream.format('nexus'): new run files appear between drains;
+    the offset (ingested-file set) survives the checkpoint, so each file
+    contributes exactly once."""
+    import json as _json
+
+    register(spark)
+    data = tmp_path / "runs"
+    data.mkdir()
+    pattern = str(data / "*.json")
+
+    def add_run(i):
+        tree = fixture_tree()
+        tree["entry"]["run_number"] = 12344 + i
+        (data / f"run_{i}.json").write_text(_json.dumps(tree))
+
+    counts: list[tuple[int, int]] = []  # (run_number-ish proxy, rows)
+    rows: list = []
+
+    def drain():
+        stream = (spark.readStream.format("nexus")
+                  .option("table", "events").load(pattern))
+        assert stream.isStreaming
+        q = (stream.writeStream
+             .foreachBatch(lambda df, _id: rows.extend(
+                 (r.run_number, r.event_id) for r in df.collect()))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).outputMode("append").start())
+        q.awaitTermination(120)
+
+    add_run(1)
+    drain()
+    assert sorted({r for r, _ in rows}) == [12345]
+    assert len(rows) == 4
+
+    add_run(2)
+    drain()  # restart on the same checkpoint: only run_2 is new
+    assert sorted({r for r, _ in rows}) == [12345, 12346]
+    assert len(rows) == 8  # 4 + 4, no re-ingest of run_1

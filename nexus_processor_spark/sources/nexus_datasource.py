@@ -41,7 +41,9 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    DataSourceStreamWriter,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -83,6 +85,10 @@ class NexusDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> "NexusStreamReader":
         return NexusStreamReader(dict(self.options), schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool
+                     ) -> "NexusJsonlStreamWriter":
+        return NexusJsonlStreamWriter(dict(self.options))
 
 
 class NexusReader(DataSourceReader):
@@ -251,6 +257,89 @@ class NexusStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # files are immutable; nothing to clean up
+
+
+class JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file and its row count.
+    Must be a picklable value object."""
+
+    def __init__(self, staged: str, rows: int) -> None:
+        self.staged = staged
+        self.rows = rows
+
+
+class NexusJsonlStreamWriter(DataSourceStreamWriter):
+    """Exactly-once streaming JSONL sink (the stdout-JSONL replay shape
+    of ``streaming/replay.py``, S17, as a durable directory sink).
+
+    Two-phase per micro-batch: executors stage one
+    ``.staging/<uuid>.jsonl`` file per partition and report it in their
+    commit message; the driver's ``commit`` publishes the batch — rename
+    staged files to ``batch<id>-<k>.jsonl`` and write a
+    ``_manifest_<id>`` listing them. Exactly-once falls out of the
+    manifest: a REPLAYED batch (failure after commit, before the
+    checkpoint advanced) sees its manifest already present, discards its
+    re-staged files, and publishes nothing twice. ``abort`` deletes
+    staged files. Readers take the union of manifest contents and never
+    see staged/uncommitted data.
+    """
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("nexus jsonl sink requires .option('path', dir)")
+        self.path = path
+
+    def write(self, iterator) -> "JsonlCommit":
+        import json as _json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, ".staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        return JsonlCommit(staged, n)
+
+    def _manifest(self, batch_id: int) -> str:
+        import os
+
+        return os.path.join(self.path, f"_manifest_{batch_id}")
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+        import os
+
+        staged = [m.staged for m in messages if m is not None and m.rows > 0]
+        empty = [m.staged for m in messages if m is not None and m.rows == 0]
+        for p in empty:
+            os.remove(p)
+        manifest = self._manifest(batchId)
+        if os.path.exists(manifest):
+            # replayed batch: already published — drop the duplicates
+            for p in staged:
+                os.remove(p)
+            return
+        finals = []
+        for k, p in enumerate(sorted(staged)):
+            final = os.path.join(self.path, f"batch{batchId}-{k}.jsonl")
+            os.replace(p, final)
+            finals.append(os.path.basename(final))
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"batch": batchId, "files": finals}, f)
+        os.replace(tmp, manifest)  # atomic publish
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
 
 
 def register(spark) -> None:

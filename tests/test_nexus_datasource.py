@@ -198,3 +198,63 @@ def test_stream_ingests_each_file_exactly_once_across_restarts(spark, tmp_path):
     drain()  # restart on the same checkpoint: only run_2 is new
     assert sorted({r for r, _ in rows}) == [12345, 12346]
     assert len(rows) == 8  # 4 + 4, no re-ingest of run_1
+
+
+def test_jsonl_stream_sink_exactly_once(spark, tmp_path):
+    """writeStream.format('nexus'): staged-then-manifest JSONL sink —
+    every event lands exactly once across two drains, manifests list
+    exactly the published files, no staged leftovers."""
+    import json as _json
+    import os
+
+    register(spark)
+    data = tmp_path / "runs"
+    data.mkdir()
+    out = tmp_path / "sink"
+    out.mkdir()
+
+    def add_run(i):
+        tree = fixture_tree()
+        tree["entry"]["run_number"] = 12344 + i
+        (data / f"run_{i}.json").write_text(_json.dumps(tree))
+
+    def drain():
+        stream = (spark.readStream.format("nexus")
+                  .option("table", "events").load(str(data / "*.json")))
+        q = (stream.writeStream.format("nexus")
+             .option("path", str(out))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).outputMode("append").start())
+        q.awaitTermination(120)
+
+    def published():
+        rows = []
+        for name in os.listdir(out):
+            if name.startswith("_manifest_"):
+                m = _json.loads((out / name).read_text())
+                for f in m["files"]:
+                    rows += [
+                        _json.loads(ln)
+                        for ln in (out / f).read_text().splitlines()
+                    ]
+        return rows
+
+    add_run(1)
+    drain()
+    rows = published()
+    assert len(rows) == 4
+    assert {r["run_number"] for r in rows} == {12345}
+
+    add_run(2)
+    drain()
+    rows = published()
+    assert len(rows) == 8
+    assert {r["run_number"] for r in rows} == {12345, 12346}
+    # nothing left staged; no unmanifested jsonl files
+    assert not os.listdir(out / ".staging")
+    jsonls = {n for n in os.listdir(out) if n.endswith(".jsonl")}
+    manifested = set()
+    for name in os.listdir(out):
+        if name.startswith("_manifest_"):
+            manifested |= set(_json.loads((out / name).read_text())["files"])
+    assert jsonls == manifested

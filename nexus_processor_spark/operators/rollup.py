@@ -157,62 +157,45 @@ def maintain_rollup_stream(
     trigger_available_now: bool = True,
 ):
     """Maintain the continuous aggregate FROM a stream: each micro-batch
-    merges into the rollup parquet via ``incremental_update`` — the
-    wiring for the module docstring's "streaming ingest maintains the
-    rollup" path.
+    merges into the versioned rollup state — the wiring for the module
+    docstring's "streaming ingest maintains the rollup" path.
 
-    Per batch: read the current rollup (absent on the first batch),
-    merge the batch's buckets, materialize the merged frame (persist +
-    count — the plan READS the path it is about to overwrite, so it must
-    be computed before the overwrite starts), then overwrite. Work per
-    batch is O(batch + touched buckets); exactly-once comes from the
-    checkpointed source offsets plus the idempotent full-state overwrite.
-    At warehouse scale, swap the overwrite for a MERGE INTO on an
-    Iceberg/Delta rollup table — the batch body is unchanged.
+    Work per batch is O(batch + touched buckets). Exactly-once comes
+    from the versioned state store (streaming/sketches.py): the merge
+    sums event counts, so a REPLAYED micro-batch must not re-apply —
+    the per-batch-id version check skips it, and writes never touch the
+    version they read (crash-safe). At warehouse scale, swap for a
+    MERGE INTO on an Iceberg/Delta rollup table keyed by batch id.
 
-    Returns the started ``StreamingQuery``.
+    Returns the started ``StreamingQuery``; read the maintained rollup
+    with ``streaming.sketches.read_state``.
     """
-    spark = events_stream.sparkSession
+    # Delegates to the versioned state store (streaming/sketches.py):
+    # rollup merges SUM counts, so a replayed micro-batch must not
+    # re-apply — the per-batch-id version check gives exactly-once, and
+    # writes never overwrite the version they read (crash-safe). Read
+    # the maintained rollup with ``streaming.sketches.read_state``.
+    from nexus_processor_spark.streaming.sketches import maintain_sketch_stream
 
-    def _exists(path: str) -> bool:
-        # explicit check, NOT try/except around the read: a transient
-        # read failure must fail the batch (the checkpoint retries it),
-        # never be mistaken for "first batch" — that would silently
-        # rebuild the rollup from one batch of data
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(p))
-
-    def _merge(batch: DataFrame, _batch_id: int) -> None:
-        if _exists(rollup_path):
-            merged = incremental_update(
-                spark.read.parquet(rollup_path), batch, interval_seconds,
-                time_col=time_col, bank_col=bank_col, pulse_col=pulse_col,
+    return maintain_sketch_stream(
+        events_stream, rollup_path,
+        checkpoint_dir=checkpoint_dir,
+        build=lambda b: build_interval_rollup(
+            b, interval_seconds,
+            time_col=time_col, bank_col=bank_col, pulse_col=pulse_col,
+        ),
+        merge=lambda cur, delta: (
+            cur.unionByName(delta)
+            .groupBy(bank_col, "interval")
+            .agg(
+                F.sum("event_count").alias("event_count"),
+                F.min("min_time").alias("min_time"),
+                F.max("max_time").alias("max_time"),
+                F.hll_union_agg("pulse_sketch").alias("pulse_sketch"),
             )
-        else:
-            merged = build_interval_rollup(
-                batch, interval_seconds,
-                time_col=time_col, bank_col=bank_col, pulse_col=pulse_col,
-            )
-        # stage-then-swap: the merged plan reads rollup_path, so it must
-        # be durable elsewhere before the overwrite deletes its inputs
-        # (persist+count is not enough — a lost executor recomputes from
-        # lineage against the half-deleted path). Both steps are
-        # retry-idempotent: staging depends only on old state, the swap
-        # only on staging.
-        staging = rollup_path.rstrip("/") + "._staging"
-        merged.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).write.mode("overwrite").parquet(rollup_path)
-
-    writer = (
-        events_stream.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(_merge)
+        ),
+        trigger_available_now=trigger_available_now,
     )
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def build_value_histogram_rollup(

@@ -102,17 +102,17 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = load_table(spark, sf_dir, "documents").select(
         "source", F.explode(F.split("text", " ")).alias("tok")
     )
-    # persisted: referenced by all three totals AND the final join; the
-    # canonical-plan exchange-reuse rule does NOT fire across these
-    # branches, so without the persist each branch re-scans the corpus
-    # (measured 18.5s vs 11.8s at 2M docs). Same pattern as the dedup
-    # shingle projection.
-    ws = toks.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).alias("c")
-    ).persist()
-    st = ws.groupBy("source").agg(F.sum("c").alias("n_tokens"))
-    wc = ws.groupBy("tok").agg(F.sum("c").alias("cc"))
-    tot = ws.agg(F.sum("c").alias("nn"))
+    # The totals aggregate the RAW token stream, not the ws table: the
+    # exchange-reuse rule doesn't fire across branches, so deriving them
+    # from ws would re-run its corpus shuffle per branch (18.5s) unless
+    # ws were persisted (11.8s) — but a registry query can't own a
+    # persist's lifetime (every bench/parity run would pin another
+    # corpus-sized cache). Raw map-side count aggs measure 14.3s at 2M
+    # docs: the no-leak middle ground.
+    ws = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    st = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_tokens"))
+    wc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cc"))
+    tot = toks.agg(F.count(F.lit(1)).alias("nn"))
     p = F.col("c").cast("double") / F.col("n_tokens")
     q = F.col("cc").cast("double") / F.col("nn")
     return (

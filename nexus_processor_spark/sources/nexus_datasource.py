@@ -155,9 +155,8 @@ class NexusReader(DataSourceReader):
             EXTRACTORS,
             event_bank_frames,
             load_tree,
+            run_key,
         )
-
-        from nexus_processor_spark.sources.nexus import run_key
 
         path = partition.value
         # Everything fallible runs INSIDE the try, and nothing is yielded
@@ -230,7 +229,6 @@ class NexusStreamReader(SimpleDataSourceStreamReader):
         return [p for p in self._batch.paths if p not in set(done)]
 
     def read(self, start: dict) -> tuple:
-        import glob as _g
         import glob as _g
 
         # re-glob: new files appear between micro-batches

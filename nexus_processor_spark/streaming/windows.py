@@ -13,6 +13,8 @@ reference behavior to match — SURVEY.md §7.3)."""
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -170,11 +172,13 @@ def funnel_join(
     cond = (
         (F.col("k") == F.col("k2"))
         & (F.col("second_time") >= F.col("first_time"))
-        # float literal, not int(): truncation would turn a 0.5 s funnel
-        # horizon into exact-simultaneity matching
+        # Decimal expansion, not int() or float repr: int() truncates a
+        # 0.5 s horizon to zero, and float repr emits scientific
+        # notation (INTERVAL 1e-05 SECONDS fails to parse)
         & (F.col("second_time")
            <= F.col("first_time")
-           + F.expr(f"INTERVAL {float(within_seconds)!r} SECONDS"))
+           + F.expr(
+               f"INTERVAL {Decimal(repr(float(within_seconds))):f} SECONDS"))
     )
     return a.join(b, cond, how).select(
         F.col("k").alias(key_col),

@@ -8,8 +8,10 @@ from nexus_processor_spark.operators import sketch as sk
 from nexus_processor_spark.sources import catalog, nexus
 from nexus_processor_spark.streaming import replay
 from nexus_processor_spark.streaming.sketches import (
+    apply_state_batch,
     maintain_cms_stream,
     maintain_hll_stream,
+    read_state,
 )
 from tests.test_nexus_ingest import fixture_tree
 
@@ -32,7 +34,7 @@ def test_hll_stream_state_equals_batch_registers(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"), by="bank",
     )
     q.awaitTermination(60)
-    got = sorted(map(tuple, spark.read.parquet(state).collect()))
+    got = sorted(map(tuple, read_state(spark, state).collect()))
     batch = catalog.read_table(spark, root, "events")
     want = sorted(map(tuple, sk.hll_registers(batch, "event_id", by="bank").collect()))
     assert got == want
@@ -43,7 +45,7 @@ def test_hll_stream_state_equals_batch_registers(spark, tmp_path):
         "event_id", state, checkpoint_dir=str(tmp_path / "ckpt"), by="bank",
     )
     q2.awaitTermination(60)
-    assert sorted(map(tuple, spark.read.parquet(state).collect())) == want
+    assert sorted(map(tuple, read_state(spark, state).collect())) == want
 
 
 def test_cms_stream_state_equals_batch_build(spark, tmp_path):
@@ -55,7 +57,38 @@ def test_cms_stream_state_equals_batch_build(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt2"), width=64, depth=2,
     )
     q.awaitTermination(60)
-    got = sorted(map(tuple, spark.read.parquet(state).collect()))
+    got = sorted(map(tuple, read_state(spark, state).collect()))
     batch = catalog.read_table(spark, root, "events")
     want = sorted(map(tuple, sk.cms_build(batch, "bank", width=64, depth=2).collect()))
     assert got == want
+
+
+def test_replayed_batch_is_skipped_not_double_merged(spark, tmp_path):
+    """The versioned store makes sum-merges exactly-once: re-applying
+    the SAME batch id is a no-op; a new id merges."""
+    from nexus_processor_spark.operators.sketch import cms_build, cms_merge
+
+    state = str(tmp_path / "state")
+    items = spark.createDataFrame([("a",), ("a",), ("b",)], "key string")
+    delta = cms_build(items, "key", width=16, depth=2)
+    assert apply_state_batch(spark, state, 0, delta, cms_merge) is True
+    v0 = sorted(map(tuple, read_state(spark, state).collect()))
+    # at-least-once redelivery of batch 0: counts must NOT double
+    assert apply_state_batch(spark, state, 0, delta, cms_merge) is False
+    assert sorted(map(tuple, read_state(spark, state).collect())) == v0
+    # a genuinely new batch merges (sums add)
+    assert apply_state_batch(spark, state, 1, delta, cms_merge) is True
+    doubled = sorted(map(tuple, read_state(spark, state).collect()))
+    assert doubled == sorted((d, b, 2 * n) for d, b, n in v0)
+
+
+def test_old_versions_pruned_but_previous_kept(spark, tmp_path):
+    from nexus_processor_spark.operators.sketch import cms_build, cms_merge
+    from nexus_processor_spark.streaming.sketches import _versions
+
+    state = str(tmp_path / "state")
+    items = spark.createDataFrame([("x",)], "key string")
+    delta = cms_build(items, "key", width=8, depth=1)
+    for bid in range(4):
+        apply_state_batch(spark, state, bid, delta, cms_merge)
+    assert _versions(spark, state) == [2, 3]  # last two kept

@@ -71,8 +71,19 @@ def current_state_dir(spark: SparkSession, state_path: str) -> str | None:
     return f"{state_path}/v{vs[-1]}" if vs else None
 
 
-def read_state(spark: SparkSession, state_path: str) -> DataFrame:
-    """The current state as a DataFrame (raises if none published yet)."""
+def read_state(
+    spark: SparkSession, state_path: str, *, version: int | None = None
+) -> DataFrame:
+    """The current state as a DataFrame (raises if none published yet).
+    ``version`` time-travels to a specific retained batch id — the last
+    ``_KEEP_VERSIONS`` are readable, older ones are pruned."""
+    if version is not None:
+        if version not in _versions(spark, state_path):
+            raise FileNotFoundError(
+                f"version {version} not retained under {state_path}; "
+                f"have {_versions(spark, state_path)}"
+            )
+        return spark.read.parquet(f"{state_path}/v{version}")
     d = current_state_dir(spark, state_path)
     if d is None:
         raise FileNotFoundError(f"no committed state under {state_path}")

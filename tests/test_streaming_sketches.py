@@ -92,3 +92,20 @@ def test_old_versions_pruned_but_previous_kept(spark, tmp_path):
     for bid in range(4):
         apply_state_batch(spark, state, bid, delta, cms_merge)
     assert _versions(spark, state) == [2, 3]  # last two kept
+
+
+def test_read_state_time_travel(spark, tmp_path):
+    import pytest
+
+    from nexus_processor_spark.operators.sketch import cms_build, cms_merge
+
+    state = str(tmp_path / "state")
+    items = spark.createDataFrame([("x",)], "key string")
+    delta = cms_build(items, "key", width=8, depth=1)
+    for bid in range(3):
+        apply_state_batch(spark, state, bid, delta, cms_merge)
+    [(d, b, n2)] = read_state(spark, state, version=1).collect()
+    [(_, _, n3)] = read_state(spark, state, version=2).collect()
+    assert (n2, n3) == (2, 3)
+    with pytest.raises(FileNotFoundError):
+        read_state(spark, state, version=0)  # pruned

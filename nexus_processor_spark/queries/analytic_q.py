@@ -232,7 +232,29 @@ def q_session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "session_id", "window_id")
 
 
+EDIT_PREFIX = 24
+EDIT_K = 2
+
+
+def q_edit_dist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical document prefixes within Levenshtein distance 2 —
+    the PassJoin exact edit-distance similarity join (segment blocking,
+    constant per-row key fanout, full recall; operators/fuzzy.py). The
+    entity-resolution primitive the set-similarity joins can't express
+    (token order and character edits matter)."""
+    from nexus_processor_spark.operators.fuzzy import edit_distance_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.substring("text", 1, EDIT_PREFIX)).alias("prefix"),
+    )
+    return edit_distance_pairs(
+        docs, id_col="doc_id", text_col="prefix", max_dist=EDIT_K
+    )
+
+
 QUERIES = {
+    "edit_dist_pairs": q_edit_dist_pairs,
     "session_incident_overlap": q_session_incident_overlap,
     "session_concurrency": q_session_concurrency,
     "hll_distinct_actors": q_hll_distinct_actors,
@@ -429,4 +451,14 @@ ORACLE["session_incident_overlap"] = f"""
     SELECT iv.user_id, CAST(iv.session_id AS BIGINT) AS session_id,
            win.window_id
     FROM iv JOIN win ON iv.s0 < win.w_end AND win.w_start < iv.s1
+"""
+
+ORACLE["edit_dist_pairs"] = f"""
+    WITH t AS (SELECT doc_id, lower(substr(text, 1, {EDIT_PREFIX})) AS s
+               FROM documents)
+    SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE abs(length(a.s) - length(b.s)) <= {EDIT_K}
+      AND levenshtein(a.s, b.s) <= {EDIT_K}
 """

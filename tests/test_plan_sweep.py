@@ -26,7 +26,9 @@ SF = "/root/testdata/sf0.001"
 #     pq_topk, ivf_pq_topk, semantic_dedup, sim_brute_topk (query side),
 #     sim_ivf_recall, text_semantic_topk
 #   fixed band list: range_join_bands
+#   bounded short-string block: edit_dist_pairs (partners of len <= 2k)
 BNLJ_ALLOWED = {
+    "edit_dist_pairs",
     "bm25_search", "global_sales", "important_parts", "ivf_pq_topk",
     "kmeans_assign", "kmeans_fit", "mix_temperature", "pq_encode",
     "pq_topk", "price_quantile_histogram", "quality_orders",

@@ -253,7 +253,48 @@ def q_edit_dist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REFERRAL_DOMAIN = 200
+
+
+def q_referral_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy resolution via Spark 4's recursive CTE: parent(v) = the
+    smallest co-occurring (same hour) user group below v — a forest by
+    construction (parent < child, unique parent), so the UNION ALL
+    recursion emits each node exactly once: no cycles, no path
+    explosion. Output: every node with its tree root and depth."""
+    e = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % REFERRAL_DOMAIN).alias("u"),
+        F.floor(event_seconds("ts") / 3600.0).cast("long").alias("h"),
+    ).filter(F.col("u").isNotNull() & F.col("h").isNotNull())
+    e.createOrReplaceTempView("_referral_events")
+    return spark.sql(f"""
+        WITH RECURSIVE
+        n AS (SELECT DISTINCT u, h FROM _referral_events),
+        parents AS (
+            SELECT b.u AS child, min(a.u) AS parent
+            FROM n a JOIN n b ON a.h = b.h AND a.u < b.u
+            GROUP BY b.u
+        ),
+        nodes AS (SELECT DISTINCT u FROM _referral_events),
+        roots AS (
+            SELECT u FROM nodes x
+            WHERE NOT EXISTS (SELECT 1 FROM parents p WHERE p.child = x.u)
+        ),
+        tree(u, root, depth) AS (
+            SELECT u, u, 0 FROM roots
+            UNION ALL
+            SELECT p.child, t.root, t.depth + 1
+            FROM tree t JOIN parents p ON p.parent = t.u
+            WHERE t.depth < 50
+        )
+        SELECT u AS user_group, root,
+               CAST(depth AS BIGINT) AS depth
+        FROM tree
+    """)
+
+
 QUERIES = {
+    "referral_roots": q_referral_roots,
     "edit_dist_pairs": q_edit_dist_pairs,
     "session_incident_overlap": q_session_incident_overlap,
     "session_concurrency": q_session_concurrency,
@@ -461,4 +502,31 @@ ORACLE["edit_dist_pairs"] = f"""
     FROM t a JOIN t b ON a.doc_id < b.doc_id
     WHERE abs(length(a.s) - length(b.s)) <= {EDIT_K}
       AND levenshtein(a.s, b.s) <= {EDIT_K}
+"""
+
+ORACLE["referral_roots"] = f"""
+    WITH RECURSIVE
+    e AS (SELECT user_id % {REFERRAL_DOMAIN} AS u,
+                 CAST(floor(({_TS}) / 3600.0) AS BIGINT) AS h
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    n AS (SELECT DISTINCT u, h FROM e),
+    parents AS (
+        SELECT b.u AS child, min(a.u) AS parent
+        FROM n a JOIN n b ON a.h = b.h AND a.u < b.u
+        GROUP BY b.u
+    ),
+    nodes AS (SELECT DISTINCT u FROM e),
+    roots AS (
+        SELECT u FROM nodes x
+        WHERE NOT EXISTS (SELECT 1 FROM parents p WHERE p.child = x.u)
+    ),
+    tree(u, root, depth) AS (
+        SELECT u, u, 0 FROM roots
+        UNION ALL
+        SELECT p.child, t.root, t.depth + 1
+        FROM tree t JOIN parents p ON p.parent = t.u
+        WHERE t.depth < 50
+    )
+    SELECT u AS user_group, root, CAST(depth AS BIGINT) AS depth FROM tree
 """

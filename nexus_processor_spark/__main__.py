@@ -27,6 +27,10 @@ def _build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--tables", default=None,
                      help="comma-separated subset (default: all nine)")
     ing.add_argument("--mode", default="append", choices=["append", "overwrite"])
+    ing.add_argument("--max-events", type=int, default=None,
+                     help="cap events per bank (reference --max-events)")
+    ing.add_argument("--max-events-per-file", type=int, default=None,
+                     help="output file chunking (reference --max-events-per-file)")
     ing.add_argument("--skip-bad-files", action="store_true",
                      help="log and skip unreadable files instead of failing")
 
@@ -124,11 +128,14 @@ def main(argv: list[str] | None = None) -> int:
             stamp = datetime.now(timezone.utc).isoformat()
             frames = {
                 t: nexus.ingest_table(spark, args.files, t, ingestion_time=stamp,
-                                      skip_bad_files=args.skip_bad_files)
+                                      skip_bad_files=args.skip_bad_files,
+                                      max_events=args.max_events)
                 for t in tables
             }
             for name, df in frames.items():
-                path = catalog.write_table(df, args.output, name, mode=args.mode)
+                path = catalog.write_table(
+                    df, args.output, name, mode=args.mode,
+                    max_records_per_file=args.max_events_per_file)
                 print(f"wrote {name} -> {path}", file=sys.stderr)
         elif args.cmd == "timeslice":
             from nexus_processor_spark.operators import timeslice

@@ -507,8 +507,12 @@ def ingest_table(
     *,
     ingestion_time: str = "",
     skip_bad_files: bool = False,
+    max_events: int | None = None,
 ) -> DataFrame:
     """Parse ``paths`` into one typed DataFrame for ``table``.
+
+    ``max_events`` caps events PER BANK at extraction (reference CLI
+    ``--max-events``, parquet.py:460-461); ignored for non-event tables.
 
     One task per file (repartition on the path list); extraction happens
     executor-side inside ``mapInPandas``; the output schema is the declared
@@ -534,7 +538,10 @@ def ingest_table(
                     if table == "events":
                         # vectorized fast path: numpy-backed frames
                         # straight into Arrow, no per-event Python objects
-                        yield from (f[cols] for f in event_bank_frames(tree))
+                        yield from (
+                            f[cols] for f in
+                            event_bank_frames(tree, max_events=max_events)
+                        )
                         continue
                     rows = extractor(tree, source_path=path,
                                      ingestion_time=ingestion_time) \

@@ -173,3 +173,14 @@ def test_ingest_multiple_files_parallel(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 3  # one task per file
     assert df.count() == 12
     assert df.select("run_id").distinct().count() == 3
+
+
+def test_ingest_table_max_events_cap(spark, tmp_path):
+    """CLI --max-events parity: the per-bank cap flows through the
+    distributed ingest."""
+    p = tmp_path / "run.json"
+    p.write_text(json.dumps(fixture_tree()))
+    capped = nexus.ingest_table(spark, [str(p)], "events", max_events=2)
+    assert capped.count() == 2  # bank1 has 4 events, capped at 2
+    full = nexus.ingest_table(spark, [str(p)], "events")
+    assert full.count() == 4

@@ -40,6 +40,12 @@ def _build_parser() -> argparse.ArgumentParser:
     ts.add_argument("--run-id", default=None)
     ts.add_argument("--bank", default=None)
     ts.add_argument("--by-bank", action="store_true")
+    ts.add_argument("--start", type=float, default=None,
+                    help="half-open range start, epoch seconds (reference --start)")
+    ts.add_argument("--end", type=float, default=None,
+                    help="half-open range end, epoch seconds (reference --end)")
+    ts.add_argument("--summary", action="store_true",
+                    help="print the global range summary instead of rows")
     ts.add_argument("--include-error-events", action="store_true",
                     help="keep error/unmapped banks (excluded by default)")
     ts.add_argument("--output", default=None, help="write result parquet here")
@@ -49,6 +55,12 @@ def _build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--run-id", default=None)
     rp.add_argument("--bank", default=None)
     rp.add_argument("--rate", type=float, default=None, help="events/sec")
+    rp.add_argument("--instrument", default=None,
+                    help="filter by instrument id (reference --instrument)")
+    rp.add_argument("--run-start", type=int, default=None,
+                    help="run-number range start (reference --run-start)")
+    rp.add_argument("--run-end", type=int, default=None,
+                    help="run-number range end (reference --run-end)")
 
     ddl = sub.add_parser("ddl", help="print CREATE TABLE statements")
     ddl.add_argument("table", nargs="?", default=None)
@@ -111,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     from nexus_processor_spark.session import get_spark
     from nexus_processor_spark.sources import catalog
@@ -146,9 +159,22 @@ def main(argv: list[str] | None = None) -> int:
             if not args.include_error_events:
                 events = timeslice.exclude_error_banks(events)
             enriched = timeslice.with_absolute_time(events)
-            fn = (timeslice.count_by_bank_and_interval if args.by_bank
-                  else timeslice.count_by_interval)
-            result = fn(enriched, args.interval)
+            if args.start is not None or args.end is not None:
+                lo = args.start if args.start is not None else float("-inf")
+                hi = args.end if args.end is not None else float("inf")
+                if args.summary:
+                    result = timeslice.count_in_time_range(enriched, lo, hi)
+                else:
+                    enriched = enriched.filter(
+                        (F.col("absolute_time") >= lo)
+                        & (F.col("absolute_time") < hi))
+                    fn = (timeslice.count_by_bank_and_interval if args.by_bank
+                          else timeslice.count_by_interval)
+                    result = fn(enriched, args.interval)
+            else:
+                fn = (timeslice.count_by_bank_and_interval if args.by_bank
+                      else timeslice.count_by_interval)
+                result = fn(enriched, args.interval)
             if args.output:
                 result.write.mode("overwrite").parquet(args.output)
             else:
@@ -157,7 +183,14 @@ def main(argv: list[str] | None = None) -> int:
             from nexus_processor_spark.streaming import replay as rp
 
             events = catalog.read_table(spark, args.root, "events")
-            events = rp.filtered_events(events, run_id=args.run_id, bank=args.bank)
+            run_range = (
+                (args.run_start, args.run_end)
+                if args.run_start is not None and args.run_end is not None
+                else None
+            )
+            events = rp.filtered_events(
+                events, run_id=args.run_id, bank=args.bank,
+                instrument_id=args.instrument, run_range=run_range)
             n = rp.replay_to_jsonl(events, rate_events_per_sec=args.rate)
             print(f"replayed {n} events", file=sys.stderr)
         elif args.cmd == "corpus":

@@ -132,3 +132,48 @@ def test_query_cli_explain_flag(spark, capsys):
                  "--sf-dir", "/root/testdata/sf0.001", "--explain"]) == 0
     out = capsys.readouterr().out
     assert "HashAggregate" in out and "Physical Plan" in out
+
+
+def test_timeslice_range_and_summary_flags(spark, tmp_path, capsys):
+    import json as _json
+
+    from nexus_processor_spark.__main__ import main
+    from tests.test_nexus_ingest import fixture_tree
+
+    src = tmp_path / "run.json"
+    src.write_text(_json.dumps(fixture_tree()))
+    main(["ingest", str(src), "--output", str(tmp_path / "lake")])
+    capsys.readouterr()
+
+    out = tmp_path / "slice"
+    # events sit at pulse_time 10.0/10.5 + offsets; [10, 11) catches all 4
+    main(["timeslice", "--root", str(tmp_path / "lake"),
+          "--interval", "1", "--start", "10", "--end", "11",
+          "--output", str(out)])
+    rows = spark.read.parquet(str(out)).collect()
+    assert sum(r.event_count for r in rows) == 4
+
+    main(["timeslice", "--root", str(tmp_path / "lake"),
+          "--start", "10", "--end", "10.5", "--summary"])
+    printed = capsys.readouterr().out
+    assert "event_count" in printed
+
+
+def test_replay_run_range_flags(tmp_path, capsys):
+    import json as _json
+
+    from nexus_processor_spark.__main__ import main
+    from tests.test_nexus_ingest import fixture_tree
+
+    src = tmp_path / "run.json"
+    src.write_text(_json.dumps(fixture_tree()))
+    main(["ingest", str(src), "--output", str(tmp_path / "lake")])
+    capsys.readouterr()
+
+    main(["replay", "--root", str(tmp_path / "lake"),
+          "--run-start", "12000", "--run-end", "13000"])
+    assert capsys.readouterr().out.count("\n") == 4  # all four events
+
+    main(["replay", "--root", str(tmp_path / "lake"),
+          "--run-start", "1", "--run-end", "2"])
+    assert capsys.readouterr().out.count("\n") == 0  # range excludes the run

@@ -62,6 +62,24 @@ def _build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--run-end", type=int, default=None,
                     help="run-number range end (reference --run-end)")
 
+    st = sub.add_parser(
+        "stream", help="streaming replay of the events table "
+        "(reference spark_replay_events.py)")
+    st.add_argument("--root", required=True)
+    st.add_argument("--sink", default="count",
+                    choices=["count", "console", "kafka"],
+                    help="count: drain via foreachBatch and print totals")
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--start-timestamp", default=None,
+                    help="ISO timestamp; skip older data (reference --start-timestamp)")
+    st.add_argument("--max-files-per-trigger", type=int, default=None)
+    st.add_argument("--trigger-interval", type=int, default=10,
+                    help="processing-time trigger seconds (console/kafka)")
+    st.add_argument("--bootstrap-servers", default=None)
+    st.add_argument("--topic", default=None)
+    st.add_argument("--timeout", type=float, default=None,
+                    help="stop after N seconds (console/kafka; count drains)")
+
     ddl = sub.add_parser("ddl", help="print CREATE TABLE statements")
     ddl.add_argument("table", nargs="?", default=None)
 
@@ -193,6 +211,42 @@ def main(argv: list[str] | None = None) -> int:
                 instrument_id=args.instrument, run_range=run_range)
             n = rp.replay_to_jsonl(events, rate_events_per_sec=args.rate)
             print(f"replayed {n} events", file=sys.stderr)
+        elif args.cmd == "stream":
+            from nexus_processor_spark.streaming import replay as rp
+
+            stream = rp.read_events_stream(
+                spark, args.root,
+                max_files_per_trigger=args.max_files_per_trigger,
+                start_timestamp=args.start_timestamp,
+            )
+            if args.sink == "count":
+                total = [0]
+
+                def _count(df, _id, _t=total):
+                    _t[0] += df.count()
+
+                q = rp.stream_foreach_batch(
+                    stream, _count, checkpoint=args.checkpoint,
+                    available_now=True,
+                )
+                q.awaitTermination()
+                print(f"streamed {total[0]} events", file=sys.stderr)
+            elif args.sink == "console":
+                q = rp.stream_to_console(
+                    stream, trigger_seconds=args.trigger_interval)
+                q.awaitTermination(args.timeout)
+                q.stop()
+            else:  # kafka — needs the spark-sql-kafka package on the cp
+                if not (args.bootstrap_servers and args.topic):
+                    raise SystemExit(
+                        "--sink kafka requires --bootstrap-servers and --topic")
+                q = rp.stream_to_kafka(
+                    stream, brokers=args.bootstrap_servers, topic=args.topic,
+                    checkpoint=args.checkpoint,
+                    trigger_seconds=args.trigger_interval,
+                )
+                q.awaitTermination(args.timeout)
+                q.stop()
         elif args.cmd == "corpus":
             docs = spark.read.parquet(args.input)
             if args.op == "profile":

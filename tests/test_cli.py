@@ -177,3 +177,22 @@ def test_replay_run_range_flags(tmp_path, capsys):
     main(["replay", "--root", str(tmp_path / "lake"),
           "--run-start", "1", "--run-end", "2"])
     assert capsys.readouterr().out.count("\n") == 0  # range excludes the run
+
+
+def test_stream_count_sink_drains_exactly_once(tmp_path, capsys):
+    import json as _json
+
+    from nexus_processor_spark.__main__ import main
+    from tests.test_nexus_ingest import fixture_tree
+
+    src = tmp_path / "run.json"
+    src.write_text(_json.dumps(fixture_tree()))
+    main(["ingest", str(src), "--output", str(tmp_path / "lake")])
+    capsys.readouterr()
+
+    ck = str(tmp_path / "ck")
+    main(["stream", "--root", str(tmp_path / "lake"), "--checkpoint", ck])
+    assert "streamed 4 events" in capsys.readouterr().err
+    # second drain on the same checkpoint: no new data
+    main(["stream", "--root", str(tmp_path / "lake"), "--checkpoint", ck])
+    assert "streamed 0 events" in capsys.readouterr().err

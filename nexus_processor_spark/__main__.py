@@ -55,6 +55,15 @@ def _build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--run-id", default=None)
     rp.add_argument("--bank", default=None)
     rp.add_argument("--rate", type=float, default=None, help="events/sec")
+    rp.add_argument("--output", dest="replay_output", default="stdout",
+                    choices=["stdout", "flight"],
+                    help="stdout JSONL or an Arrow Flight server "
+                         "(reference replay_events --output)")
+    rp.add_argument("--port", type=int, default=8815,
+                    help="Flight server port (reference --port)")
+    rp.add_argument("--serve-seconds", type=float, default=None,
+                    help="stop the Flight server after N seconds "
+                         "(default: serve until interrupted)")
     rp.add_argument("--instrument", default=None,
                     help="filter by instrument id (reference --instrument)")
     rp.add_argument("--run-start", type=int, default=None,
@@ -209,8 +218,26 @@ def main(argv: list[str] | None = None) -> int:
             events = rp.filtered_events(
                 events, run_id=args.run_id, bank=args.bank,
                 instrument_id=args.instrument, run_range=run_range)
-            n = rp.replay_to_jsonl(events, rate_events_per_sec=args.rate)
-            print(f"replayed {n} events", file=sys.stderr)
+            if args.replay_output == "flight":
+                from nexus_processor_spark.sources.flight import (
+                    EventFlightServer,
+                )
+
+                ordered = rp.ordered_replay(events)
+                server = EventFlightServer(
+                    {"events": lambda: ordered},
+                    location=f"grpc://0.0.0.0:{args.port}",
+                )
+                print(f"serving events at {server.endpoint}",
+                      file=sys.stderr, flush=True)
+                if args.serve_seconds is not None:
+                    import threading
+
+                    threading.Timer(args.serve_seconds, server.shutdown).start()
+                server.serve()
+            else:
+                n = rp.replay_to_jsonl(events, rate_events_per_sec=args.rate)
+                print(f"replayed {n} events", file=sys.stderr)
         elif args.cmd == "stream":
             from nexus_processor_spark.streaming import replay as rp
 

@@ -196,3 +196,42 @@ def test_stream_count_sink_drains_exactly_once(tmp_path, capsys):
     # second drain on the same checkpoint: no new data
     main(["stream", "--root", str(tmp_path / "lake"), "--checkpoint", ck])
     assert "streamed 0 events" in capsys.readouterr().err
+
+
+def test_replay_flight_server_serves_events(tmp_path, capsys):
+    import json as _json
+    import threading
+
+    from nexus_processor_spark.__main__ import main
+    from nexus_processor_spark.sources.flight import read_flight
+    from tests.test_nexus_ingest import fixture_tree
+
+    src = tmp_path / "run.json"
+    src.write_text(_json.dumps(fixture_tree()))
+    main(["ingest", str(src), "--output", str(tmp_path / "lake")])
+    capsys.readouterr()
+
+    got = {}
+
+    def serve():
+        main(["replay", "--root", str(tmp_path / "lake"),
+              "--output", "flight", "--port", "0", "--serve-seconds", "8"])
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    import re
+    import time
+
+    endpoint = None
+    for _ in range(40):
+        time.sleep(0.25)
+        err = capsys.readouterr().err
+        m = re.search(r"serving events at (grpc://\S+)", err)
+        if m:
+            endpoint = m.group(1)
+            break
+    assert endpoint, "server never announced its endpoint"
+    tbl = read_flight(endpoint, "events")
+    got["rows"] = tbl.num_rows
+    t.join(20)
+    assert got["rows"] == 4

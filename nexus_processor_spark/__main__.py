@@ -27,6 +27,8 @@ def _build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--tables", default=None,
                      help="comma-separated subset (default: all nine)")
     ing.add_argument("--mode", default="append", choices=["append", "overwrite"])
+    ing.add_argument("--time-log", default="proton_charge",
+                     help="DAS log naming the pulse clock (reference --time-log)")
     ing.add_argument("--max-events", type=int, default=None,
                      help="cap events per bank (reference --max-events)")
     ing.add_argument("--max-events-per-file", type=int, default=None,
@@ -55,6 +57,13 @@ def _build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--run-id", default=None)
     rp.add_argument("--bank", default=None)
     rp.add_argument("--rate", type=float, default=None, help="events/sec")
+    rp.add_argument("--format", dest="replay_fmt", default="jsonl",
+                    choices=["jsonl", "csv"],
+                    help="stdout format (reference --format)")
+    rp.add_argument("--batch-size", type=int, default=10_000,
+                    help="emit chunk size (reference --batch-size)")
+    rp.add_argument("--dry-run", action="store_true",
+                    help="print the replay count, emit nothing")
     rp.add_argument("--output", dest="replay_output", default="stdout",
                     choices=["stdout", "flight"],
                     help="stdout JSONL or an Arrow Flight server "
@@ -157,7 +166,13 @@ def main(argv: list[str] | None = None) -> int:
 
     # Stop only a session we created — embedding callers (tests, notebooks)
     # keep theirs.
-    owned = SparkSession.getActiveSession() is None
+    # getActiveSession is THREAD-local: a CLI invoked from a worker
+    # thread of an embedding process (tests, notebook executors) must not
+    # stop the process-wide session, so also check the global instance.
+    owned = (
+        SparkSession.getActiveSession() is None
+        and getattr(SparkSession, "_instantiatedSession", None) is None
+    )
     spark = get_spark(f"nexus-{args.cmd}")
     try:
         if args.cmd == "ingest":
@@ -169,7 +184,8 @@ def main(argv: list[str] | None = None) -> int:
             frames = {
                 t: nexus.ingest_table(spark, args.files, t, ingestion_time=stamp,
                                       skip_bad_files=args.skip_bad_files,
-                                      max_events=args.max_events)
+                                      max_events=args.max_events,
+                                      time_log=args.time_log)
                 for t in tables
             }
             for name, df in frames.items():
@@ -235,8 +251,13 @@ def main(argv: list[str] | None = None) -> int:
 
                     threading.Timer(args.serve_seconds, server.shutdown).start()
                 server.serve()
+            elif args.dry_run:
+                print(f"would replay {events.count()} events",
+                      file=sys.stderr)
             else:
-                n = rp.replay_to_jsonl(events, rate_events_per_sec=args.rate)
+                n = rp.replay_to_jsonl(
+                    events, rate_events_per_sec=args.rate,
+                    batch_size=args.batch_size, fmt=args.replay_fmt)
                 print(f"replayed {n} events", file=sys.stderr)
         elif args.cmd == "stream":
             from nexus_processor_spark.streaming import replay as rp

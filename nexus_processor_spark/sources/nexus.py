@@ -334,14 +334,19 @@ def extract_daslogs(tree: dict[str, Any]) -> list[dict[str, Any]]:
     return rows
 
 
-def pulse_times_from_tree(tree: dict[str, Any]) -> np.ndarray:
-    """Sorted proton-charge sample times = the pulse clock
-    (reference parquet.py:864-876)."""
+def pulse_times_from_tree(
+    tree: dict[str, Any], time_log: str = "proton_charge"
+) -> np.ndarray:
+    """Sorted pulse-clock sample times from the named DAS log (reference
+    parquet.py:864-876; CLI ``--time-log``, default proton_charge), with
+    the reference's fallback aliases tried after it."""
     entry = tree.get("entry", {})
     for name, grp in _groups(entry).items():
         if name.lower() != "daslogs":
             continue
-        for log in ("proton_charge", "SampleProtonCharge", "pcharge", "ProtonCharge"):
+        logs = (time_log, "proton_charge", "SampleProtonCharge",
+                "pcharge", "ProtonCharge")
+        for log in dict.fromkeys(logs):
             lg = _groups(grp).get(log)
             if lg and "time" in _datasets(lg):
                 t = _decode(_datasets(lg)["time"])
@@ -355,6 +360,7 @@ def event_bank_frames(
     *,
     max_events: int | None = None,
     bank_filter: "Callable[[str], bool] | None" = None,
+    time_log: str = "proton_charge",
 ) -> list[pd.DataFrame]:
     """Per-bank event frames with CSR pulse expansion — fully vectorized.
 
@@ -369,7 +375,7 @@ def event_bank_frames(
     and ``ingest_table`` hands the frames to Arrow unchanged.
     """
     entry = tree.get("entry", {})
-    pulse_clock = pulse_times_from_tree(tree)
+    pulse_clock = pulse_times_from_tree(tree, time_log)
     inst, run, rid = run_key(tree)
     frames: list[pd.DataFrame] = []
     for gname, grp in sorted(_groups(entry).items()):
@@ -508,6 +514,7 @@ def ingest_table(
     ingestion_time: str = "",
     skip_bad_files: bool = False,
     max_events: int | None = None,
+    time_log: str = "proton_charge",
 ) -> DataFrame:
     """Parse ``paths`` into one typed DataFrame for ``table``.
 
@@ -540,7 +547,8 @@ def ingest_table(
                         # straight into Arrow, no per-event Python objects
                         yield from (
                             f[cols] for f in
-                            event_bank_frames(tree, max_events=max_events)
+                            event_bank_frames(tree, max_events=max_events,
+                                              time_log=time_log)
                         )
                         continue
                     rows = extractor(tree, source_path=path,

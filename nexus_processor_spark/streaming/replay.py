@@ -83,8 +83,10 @@ def replay_to_jsonl(
     *,
     rate_events_per_sec: float | None = None,
     batch_size: int = 10_000,
+    fmt: str = "jsonl",
 ) -> int:
-    """S17: JSON-lines replay to a stream handle with optional pacing.
+    """S17: JSON-lines (or CSV, reference replay_events ``--format``)
+    replay to a stream handle with optional pacing.
 
     Mirrors the reference's stdout replay (replay_events.py:97-144):
     rows marshal to JSON JVM-side (``toJSON``), the driver emits them in
@@ -99,10 +101,25 @@ def replay_to_jsonl(
     import sys
     import time
 
+    from pyspark.sql import functions as F
+
     fh = out or sys.stdout
     emitted = 0
     pending = 0
-    for line in ordered_replay(events).toJSON().toLocalIterator(prefetchPartitions=True):
+    ordered = ordered_replay(events)
+    if fmt == "csv":
+        # header first, then to_csv rows (nulls -> empty fields, unlike
+        # concat_ws which would silently drop them and misalign columns)
+        try:
+            fh.write(",".join(ordered.columns) + "\n")
+        except BrokenPipeError:
+            return 0
+        lines = ordered.select(
+            F.to_csv(F.struct(*ordered.columns)).alias("line")
+        ).rdd.map(lambda r: r.line)
+    else:
+        lines = ordered.toJSON()
+    for line in lines.toLocalIterator(prefetchPartitions=True):
         try:
             fh.write(line + "\n")
         except BrokenPipeError:

@@ -235,3 +235,43 @@ def test_replay_flight_server_serves_events(tmp_path, capsys):
     got["rows"] = tbl.num_rows
     t.join(20)
     assert got["rows"] == 4
+
+
+def test_replay_csv_and_dry_run(tmp_path, capsys):
+    import json as _json
+
+    from nexus_processor_spark.__main__ import main
+    from tests.test_nexus_ingest import fixture_tree
+
+    src = tmp_path / "run.json"
+    src.write_text(_json.dumps(fixture_tree()))
+    main(["ingest", str(src), "--output", str(tmp_path / "lake")])
+    capsys.readouterr()
+
+    main(["replay", "--root", str(tmp_path / "lake"), "--format", "csv"])
+    cap = capsys.readouterr()
+    lines = cap.out.strip().splitlines()
+    assert "instrument_id" in lines[0].split(",")  # header names all cols
+    assert len(lines) == 5  # header + 4 events
+    assert all(len(ln.split(",")) == len(lines[0].split(",")) for ln in lines)
+
+    main(["replay", "--root", str(tmp_path / "lake"), "--dry-run"])
+    cap = capsys.readouterr()
+    assert "would replay 4 events" in cap.err and cap.out == ""
+
+
+def test_ingest_time_log_selects_pulse_clock(spark, tmp_path):
+    import json as _json
+
+    from nexus_processor_spark.sources import nexus
+    from tests.test_nexus_ingest import fixture_tree
+
+    tree = fixture_tree()
+    # an alternative clock with very different times
+    tree["entry"]["DASlogs"]["frame_clock"] = {"time": [100.0, 200.0]}
+    p = tmp_path / "run.json"
+    p.write_text(_json.dumps(tree))
+    default = nexus.ingest_table(spark, [str(p)], "events")
+    alt = nexus.ingest_table(spark, [str(p)], "events", time_log="frame_clock")
+    assert {r.pulse_time for r in default.collect()} == {10.0, 10.5}
+    assert {r.pulse_time for r in alt.collect()} == {100.0, 200.0}

@@ -202,19 +202,15 @@ def main(argv: list[str] | None = None) -> int:
             if not args.include_error_events:
                 events = timeslice.exclude_error_banks(events)
             enriched = timeslice.with_absolute_time(events)
-            if args.start is not None or args.end is not None:
-                lo = args.start if args.start is not None else float("-inf")
-                hi = args.end if args.end is not None else float("inf")
-                if args.summary:
-                    result = timeslice.count_in_time_range(enriched, lo, hi)
-                else:
+            lo = args.start if args.start is not None else float("-inf")
+            hi = args.end if args.end is not None else float("inf")
+            if args.summary:
+                result = timeslice.count_in_time_range(enriched, lo, hi)
+            else:
+                if args.start is not None or args.end is not None:
                     enriched = enriched.filter(
                         (F.col("absolute_time") >= lo)
                         & (F.col("absolute_time") < hi))
-                    fn = (timeslice.count_by_bank_and_interval if args.by_bank
-                          else timeslice.count_by_interval)
-                    result = fn(enriched, args.interval)
-            else:
                 fn = (timeslice.count_by_bank_and_interval if args.by_bank
                       else timeslice.count_by_interval)
                 result = fn(enriched, args.interval)
@@ -226,15 +222,19 @@ def main(argv: list[str] | None = None) -> int:
             from nexus_processor_spark.streaming import replay as rp
 
             events = catalog.read_table(spark, args.root, "events")
-            run_range = (
-                (args.run_start, args.run_end)
-                if args.run_start is not None and args.run_end is not None
-                else None
-            )
+            run_range = None
+            if args.run_start is not None or args.run_end is not None:
+                run_range = (
+                    args.run_start if args.run_start is not None else 0,
+                    args.run_end if args.run_end is not None else 2**62,
+                )
             events = rp.filtered_events(
                 events, run_id=args.run_id, bank=args.bank,
                 instrument_id=args.instrument, run_range=run_range)
-            if args.replay_output == "flight":
+            if args.dry_run:
+                print(f"would replay {events.count()} events",
+                      file=sys.stderr)
+            elif args.replay_output == "flight":
                 from nexus_processor_spark.sources.flight import (
                     EventFlightServer,
                 )
@@ -251,9 +251,6 @@ def main(argv: list[str] | None = None) -> int:
 
                     threading.Timer(args.serve_seconds, server.shutdown).start()
                 server.serve()
-            elif args.dry_run:
-                print(f"would replay {events.count()} events",
-                      file=sys.stderr)
             else:
                 n = rp.replay_to_jsonl(
                     events, rate_events_per_sec=args.rate,
@@ -281,7 +278,8 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"streamed {total[0]} events", file=sys.stderr)
             elif args.sink == "console":
                 q = rp.stream_to_console(
-                    stream, trigger_seconds=args.trigger_interval)
+                    stream, trigger_seconds=args.trigger_interval,
+                    checkpoint=args.checkpoint)
                 q.awaitTermination(args.timeout)
                 q.stop()
             else:  # kafka — needs the spark-sql-kafka package on the cp

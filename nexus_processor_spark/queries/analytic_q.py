@@ -267,6 +267,11 @@ def q_referral_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(event_seconds("ts") / 3600.0).cast("long").alias("h"),
     ).filter(F.col("u").isNotNull() & F.col("h").isNotNull())
     e.createOrReplaceTempView("_referral_events")
+    # forest depth is < domain size, so this guard loses nothing; the
+    # engine's own recursion ceiling must clear it too
+    spark.conf.set(
+        "spark.sql.cteRecursionLevelLimit", str(REFERRAL_DOMAIN + 10)
+    )
     return spark.sql(f"""
         WITH RECURSIVE
         n AS (SELECT DISTINCT u, h FROM _referral_events),
@@ -285,7 +290,7 @@ def q_referral_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
             UNION ALL
             SELECT p.child, t.root, t.depth + 1
             FROM tree t JOIN parents p ON p.parent = t.u
-            WHERE t.depth < 50
+            WHERE t.depth < {REFERRAL_DOMAIN}
         )
         SELECT u AS user_group, root,
                CAST(depth AS BIGINT) AS depth
@@ -526,7 +531,7 @@ ORACLE["referral_roots"] = f"""
         UNION ALL
         SELECT p.child, t.root, t.depth + 1
         FROM tree t JOIN parents p ON p.parent = t.u
-        WHERE t.depth < 50
+        WHERE t.depth < {REFERRAL_DOMAIN}
     )
     SELECT u AS user_group, root, CAST(depth AS BIGINT) AS depth FROM tree
 """

@@ -349,6 +349,16 @@ def pulse_times_from_tree(
         for log in dict.fromkeys(logs):
             lg = _groups(grp).get(log)
             if lg and "time" in _datasets(lg):
+                if log != time_log:
+                    import sys
+
+                    # the user named a clock this file doesn't have —
+                    # falling back changes pulse_time values, so say so
+                    print(
+                        f"nexus: DAS log {time_log!r} absent; pulse clock "
+                        f"falling back to {log!r}",
+                        file=sys.stderr,
+                    )
                 t = _decode(_datasets(lg)["time"])
                 arr = np.asarray(t if isinstance(t, list) else [t], dtype="float64")
                 return np.sort(arr)

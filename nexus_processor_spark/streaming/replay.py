@@ -114,12 +114,16 @@ def replay_to_jsonl(
             fh.write(",".join(ordered.columns) + "\n")
         except BrokenPipeError:
             return 0
-        lines = ordered.select(
+        # stays JVM-side: to_csv is a codegen expression and the rows
+        # come back through the same Arrow-less local iterator as
+        # toJSON — never .rdd.map (a per-row Python stage on executors)
+        rows = ordered.select(
             F.to_csv(F.struct(*ordered.columns)).alias("line")
-        ).rdd.map(lambda r: r.line)
+        ).toLocalIterator(prefetchPartitions=True)
+        line_iter = (r.line for r in rows)
     else:
-        lines = ordered.toJSON()
-    for line in lines.toLocalIterator(prefetchPartitions=True):
+        line_iter = ordered.toJSON().toLocalIterator(prefetchPartitions=True)
+    for line in line_iter:
         try:
             fh.write(line + "\n")
         except BrokenPipeError:
@@ -226,11 +230,18 @@ def stream_to_kafka(
             .start())
 
 
-def stream_to_console(events: DataFrame, *, trigger_seconds: int = 10) -> StreamingQuery:
-    """S16: console debug sink (reference sre:480-484)."""
-    return (events.writeStream.format("console")
-            .trigger(processingTime=f"{trigger_seconds} seconds")
-            .start())
+def stream_to_console(
+    events: DataFrame, *, trigger_seconds: int = 10,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """S16: console debug sink (reference sre:480-484). With a
+    ``checkpoint``, restarts resume from committed offsets instead of
+    re-emitting every processed file."""
+    w = (events.writeStream.format("console")
+         .trigger(processingTime=f"{trigger_seconds} seconds"))
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
 
 
 def stream_foreach_batch(

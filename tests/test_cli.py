@@ -275,3 +275,28 @@ def test_ingest_time_log_selects_pulse_clock(spark, tmp_path):
     alt = nexus.ingest_table(spark, [str(p)], "events", time_log="frame_clock")
     assert {r.pulse_time for r in default.collect()} == {10.0, 10.5}
     assert {r.pulse_time for r in alt.collect()} == {100.0, 200.0}
+
+
+def test_summary_without_range_and_one_sided_run_range(tmp_path, capsys):
+    import json as _json
+
+    from nexus_processor_spark.__main__ import main
+    from tests.test_nexus_ingest import fixture_tree
+
+    src = tmp_path / "run.json"
+    src.write_text(_json.dumps(fixture_tree()))
+    main(["ingest", str(src), "--output", str(tmp_path / "lake")])
+    capsys.readouterr()
+
+    # --summary alone must print the GLOBAL summary, not interval rows
+    main(["timeslice", "--root", str(tmp_path / "lake"), "--summary"])
+    printed = capsys.readouterr().out
+    assert "event_count" in printed and "interval_start" not in printed
+
+    # a one-sided run range must filter (lower bound above the run)
+    main(["replay", "--root", str(tmp_path / "lake"),
+          "--run-start", "99999", "--dry-run"])
+    assert "would replay 0 events" in capsys.readouterr().err
+    main(["replay", "--root", str(tmp_path / "lake"),
+          "--run-end", "99999", "--dry-run"])
+    assert "would replay 4 events" in capsys.readouterr().err

@@ -126,7 +126,7 @@ def run_docs(spark) -> dict[str, object]:
     """
     from pyspark.sql import functions as F
 
-    from nexus_processor_spark.operators import dedup, pipeline, sketch, textstats
+    from nexus_processor_spark.operators import dedup, fuzzy, pipeline, sketch, textstats
 
     ensure_big_docs(spark)
     docs = spark.read.parquet(f"{DOCS_DIR}/documents.parquet")
@@ -164,6 +164,14 @@ def run_docs(spark) -> dict[str, object]:
         ),
         "hll_registers_tokens": lambda: sketch.hll_registers(
             docs.select(F.explode(F.split("text", " ")).alias("tok")), "tok"
+        ),
+        # PassJoin exact edit-distance join on a 100k-doc prefix sample:
+        # candidate machinery cost (constant per-row key fanout), k=2
+        "edit_distance_100k": lambda: fuzzy.edit_distance_pairs(
+            docs.sample(fraction=0.05, seed=7).select(
+                "doc_id", F.lower(F.substring("text", 1, 24)).alias("prefix")
+            ),
+            id_col="doc_id", text_col="prefix", max_dist=2,
         ),
     }
     out: dict[str, object] = {

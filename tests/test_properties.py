@@ -290,3 +290,70 @@ def test_triangle_count_total_matches_closed_wedges_bulk(spark):
     total = sum(r["n_triangles"] for r in per_vertex)
     expected_triangles = int(np.trace(np.linalg.matrix_power(adj, 3)) // 6)
     assert total == 3 * expected_triangles
+
+
+def test_interval_cells_cover_exactly_bulk(spark):
+    """_cells(start, end, grid) must equal the set of grid cells whose
+    [c*g, (c+1)*g) range intersects the half-open [start, end) — for
+    random intervals including boundary-aligned and sub-grid ones."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nexus_processor_spark.operators.intervals import _cells
+
+    rng = random.Random(31)
+    grid = 7.5
+    rows = []
+    for i in range(300):
+        s = rng.uniform(-40, 40)
+        if i % 5 == 0:
+            s = round(s / grid) * grid  # force boundary alignment
+        ln = rng.choice([0.0, 1e-4, 0.5, grid, grid * 3.2, 40.0])
+        rows.append((i, s, s + ln))
+    df = spark.createDataFrame(rows, "i long, s double, e double")
+    got = {}
+    out = df.select(
+        "i", F.explode(_cells(F.col("s"), F.col("e"), grid)).alias("c")
+    ).collect()
+    for r in out:
+        got.setdefault(r.i, set()).add(r.c)
+    for i, s, e in rows:
+        if e <= s:
+            want = set()
+        else:
+            lo = math.floor(s / grid)
+            hi = math.floor(e / grid)
+            if e == hi * grid:
+                hi -= 1
+            want = set(range(lo, max(lo, hi) + 1))
+        assert got.get(i, set()) == want, (i, s, e)
+
+
+def test_distributed_prefix_sum_grids_bulk(spark):
+    """The two-phase scan equals the python prefix sum for degenerate
+    grids: one bucket holds everything, and one-row-per-bucket."""
+    import random
+
+    from nexus_processor_spark.operators.prefix import distributed_running_sum
+
+    rng = random.Random(17)
+    rows = [(i, rng.uniform(0, 100.0), rng.randint(-9, 9))
+            for i in range(500)]
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = {}
+    acc = 0
+    for i, _, v in ordered:
+        acc += v
+        want[i] = acc
+    df = spark.createDataFrame(rows, "id long, t double, v int")
+    for grid in (1e6, 0.01, 13.0):
+        got = {
+            r.id: r.running_total
+            for r in distributed_running_sum(
+                df, order_col="t", value_col="v", grid=grid,
+                tiebreak_cols=("id",),
+            ).collect()
+        }
+        assert got == want, grid

@@ -298,7 +298,50 @@ def q_referral_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+TRAJ_BUCKET = 21600.0  # 6h resample grid
+TRAJ_TOPK = 20
+
+
+def q_trajectory_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory similarity search (the REPOSE/top-k-similarity shape
+    from the retrieved-paper corpus, re-expressed relationally): every
+    user's activity becomes a resampled curve — mean event value per 6h
+    bucket — and the query returns the top-20 users nearest the probe
+    (lowest user id) by L2 over their SHARED buckets. One curve agg
+    (partial map-side), probe curve broadcast, one bucket equi-join —
+    never a per-pair DTW scan."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(event_seconds("ts") / TRAJ_BUCKET).cast("long").alias("b"),
+        "value",
+    ).filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+    curves = e.groupBy("user_id", "b").agg(F.avg("value").alias("v"))
+    probe_id = e.agg(F.min("user_id").alias("m"))
+    probe = (
+        curves.join(F.broadcast(probe_id), F.col("user_id") == F.col("m"))
+        .select(F.col("b"), F.col("v").alias("pv"), F.col("m"))
+    )
+    return (
+        curves.join(F.broadcast(probe), "b")
+        .filter(F.col("user_id") != F.col("m"))
+        .groupBy("user_id")
+        .agg(
+            # multiplication, not pow(x, 2); rounded at 2 (repo sum
+            # convention — accumulation-order ulps at 1e7 magnitudes
+            # would break a 1e-6 round)
+            F.round(
+                F.sum((F.col("v") - F.col("pv")) * (F.col("v") - F.col("pv"))),
+                2,
+            ).alias("l2sq"),
+            F.count(F.lit(1)).cast("long").alias("shared_buckets"),
+        )
+        .orderBy("l2sq", "user_id")
+        .limit(TRAJ_TOPK)
+    )
+
+
 QUERIES = {
+    "trajectory_topk": q_trajectory_topk,
     "referral_roots": q_referral_roots,
     "edit_dist_pairs": q_edit_dist_pairs,
     "session_incident_overlap": q_session_incident_overlap,
@@ -534,4 +577,27 @@ ORACLE["referral_roots"] = f"""
         WHERE t.depth < {REFERRAL_DOMAIN}
     )
     SELECT u AS user_group, root, CAST(depth AS BIGINT) AS depth FROM tree
+"""
+
+ORACLE["trajectory_topk"] = f"""
+    WITH e AS (
+        SELECT user_id, CAST(floor(({_TS}) / {TRAJ_BUCKET}) AS BIGINT) AS b,
+               value
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+    ),
+    curves AS (SELECT user_id, b, avg(value) AS v FROM e GROUP BY 1, 2),
+    probe AS (
+        SELECT c.b, c.v AS pv, m.m
+        FROM curves c JOIN (SELECT min(user_id) AS m FROM e) m
+          ON c.user_id = m.m
+    )
+    SELECT c.user_id,
+           round(sum((c.v - p.pv) * (c.v - p.pv)), 2) AS l2sq,
+           CAST(count(*) AS BIGINT) AS shared_buckets
+    FROM curves c JOIN probe p ON c.b = p.b
+    WHERE c.user_id <> p.m
+    GROUP BY c.user_id
+    ORDER BY l2sq, c.user_id
+    LIMIT {TRAJ_TOPK}
 """

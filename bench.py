@@ -624,7 +624,7 @@ def main() -> None:
         vecs = results.get("vecbench")
 
     total = round(sum(timings.values()), 3)
-    out = {
+    full = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
@@ -632,16 +632,35 @@ def main() -> None:
         "sf": sf,
     }
     if big is not None:
-        out["bigbench"] = big
+        full["bigbench"] = big
     if ops is not None:
-        out["opsbench"] = ops
+        full["opsbench"] = ops
     if docs is not None:
-        out["docsbench"] = docs
+        full["docsbench"] = docs
     if rep is not None:
-        out["replaybench"] = rep
+        full["replaybench"] = rep
     if vecs is not None:
-        out["vecbench"] = vecs
-    print(json.dumps(out))
+        full["vecbench"] = vecs
+    # The driver's tail capture parses only the LAST stdout line; the full
+    # per-section payload overflows it (BENCH_r03 came back parsed:null).
+    # Persist the full result to a sidecar and keep the final line compact.
+    sections_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SECTIONS",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_SECTIONS.json"))
+    try:
+        with open(sections_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+        _note(f"full bench sections written to {sections_path}")
+    except OSError as exc:  # pragma: no cover - read-only fs fallback
+        _note(f"could not write {sections_path}: {exc}")
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }), flush=True)
     spark.stop()
 
 

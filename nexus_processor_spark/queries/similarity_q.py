@@ -58,16 +58,13 @@ def q_sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 quantization + unit normalization of the embedding column —
     the storage-shrink projections a vector corpus applies before
-    indexing. Map-only, array math entirely in codegen."""
-    from nexus_processor_spark.functions import vector
+    indexing. Served from the Arrow numpy kernel (one vectorized pass
+    per batch; 24x over the interpreted HOF form on vecbench), which is
+    equality-pinned to the native ``functions.vector`` expressions by
+    ``tests/test_vector_arrow.py``. Map-only either way."""
+    from nexus_processor_spark.operators import vector_arrow
 
-    v = F.col("embedding")
-    return _emb(spark, sf_dir).select(
-        "vec_id",
-        vector.quant_scale(v).alias("scale"),
-        vector.quantize_int8(v).alias("q8"),
-        vector.l2_normalize(v).alias("unit"),
-    )
+    return vector_arrow.quantize_arrow(_emb(spark, sf_dir))
 
 
 N_CENTROIDS = 8  # vec_id < 8 seed the coarse quantizer
@@ -76,9 +73,14 @@ N_CENTROIDS = 8  # vec_id < 8 seed the coarse quantizer
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd E-step: nearest-centroid assignment of the whole corpus to
     deterministic seed centroids (vec_id < 8) — how an IVF cell map is
-    trained before `ivf_topk` serves from it."""
+    trained before `ivf_topk` serves from it. Served from the Arrow
+    kernel (dense centroid matrix in the task closure, one numpy pass per
+    batch; 22x on vecbench), equality-pinned to
+    ``similarity.kmeans_assign`` by ``tests/test_vector_arrow.py``."""
+    from nexus_processor_spark.operators import vector_arrow
+
     emb = _emb(spark, sf_dir)
-    return similarity.kmeans_assign(
+    return vector_arrow.kmeans_assign_arrow(
         emb, emb.filter(F.col("vec_id") < N_CENTROIDS)
     )
 
@@ -105,12 +107,16 @@ PQ_M = 4  # subspaces; 64-dim corpus -> 16-dim subvectors
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode: every corpus vector becomes PQ_M
     nearest-subspace-centroid codes (codebooks seeded from vec_id <
-    N_CENTROIDS for cross-engine determinism)."""
+    N_CENTROIDS for cross-engine determinism). Served from the Arrow
+    kernel — exact integer codes, pinned equal to the native encode by
+    ``tests/test_vector_arrow.py``; 18x on vecbench."""
+    from nexus_processor_spark.operators import vector_arrow
+
     emb = _emb(spark, sf_dir)
     cb = similarity.pq_codebooks(
         emb.filter(F.col("vec_id") < N_CENTROIDS), PQ_M
     )
-    return similarity.pq_encode(emb, cb, PQ_M)
+    return vector_arrow.pq_encode_arrow(emb, cb, PQ_M)
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,13 +134,19 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed FAISS-style pipeline: coarse-cell (IVF) pruning, then
     ADC scoring over PQ codes — each query pays lookups only inside its
-    own inverted list."""
+    own inverted list. The PQ encode step — the corpus-wide hot loop —
+    runs through the Arrow kernel (``pq_encode_arrow``, exact integer
+    codes pinned equal to the native encode; 18x on vecbench); the small
+    per-list ADC scoring stays native."""
+    from nexus_processor_spark.operators import vector_arrow
+
     emb = _emb(spark, sf_dir)
     cb = similarity.pq_codebooks(
         emb.filter(F.col("vec_id") < N_CENTROIDS), PQ_M
     )
     return similarity.ivf_pq_topk(
-        emb.filter(F.col("vec_id") < N_QUERIES), emb, cb, TOP_K, PQ_M
+        emb.filter(F.col("vec_id") < N_QUERIES), emb, cb, TOP_K, PQ_M,
+        encoded=vector_arrow.pq_encode_arrow(emb, cb, PQ_M),
     )
 
 
@@ -144,15 +156,25 @@ SEMANTIC_DEDUP_THRESHOLD = 0.3  # same synthetic-corpus p99 basis as near-dup
 
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide kNN graph (every vector a query), cell-blocked — the
-    candidate structure under semantic dedup / diversity sampling."""
-    return similarity.knn_graph(_emb(spark, sf_dir), KNN_K)
+    candidate structure under semantic dedup / diversity sampling.
+    Served from the Arrow kernel: one BLAS gram matrix per cell via
+    ``applyInPandas`` (~100x over the per-pair interpreted fold on
+    vecbench), equality-pinned to ``similarity.knn_graph``."""
+    from nexus_processor_spark.operators import vector_arrow
+
+    return vector_arrow.knn_graph_arrow(_emb(spark, sf_dir), KNN_K)
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style survivors: cluster to the seeded centroids, drop
-    any vector with a lower-id cluster-mate at cosine >= threshold."""
+    any vector with a lower-id cluster-mate at cosine >= threshold.
+    Served from the Arrow kernel: one gram matrix per cluster via
+    ``applyInPandas`` (ids-only output — exactly equal to the native
+    form by construction, pinned by ``tests/test_vector_arrow.py``)."""
+    from nexus_processor_spark.operators import vector_arrow
+
     emb = _emb(spark, sf_dir)
-    return similarity.semantic_dedup(
+    return vector_arrow.semantic_dedup_arrow(
         emb, emb.filter(F.col("vec_id") < N_CENTROIDS),
         SEMANTIC_DEDUP_THRESHOLD,
     )

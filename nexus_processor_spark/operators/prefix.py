@@ -60,6 +60,42 @@ def distributed_running_sum(
     )
 
 
+def distributed_row_number(
+    df: DataFrame,
+    *,
+    order_col: str,
+    tiebreak_cols: tuple[str, ...] = (),
+    grid: float,
+    out_col: str = "row_index",
+    zero_based: bool = True,
+) -> DataFrame:
+    """Global row ordinal in ``(order_col, *tiebreak_cols)`` order via the
+    same two-phase scan as :func:`distributed_running_sum` — per-bucket
+    ``row_number`` under ``PARTITION BY bucket`` (bounded partitions) plus
+    broadcast cumulative bucket counts, instead of the single-task
+    ``row_number() OVER (ORDER BY ...)`` global window. Equal full sort
+    keys get an arbitrary-but-stable order within the tie; pass a unique
+    tiebreak for full determinism."""
+    order_keys = [order_col, *tiebreak_cols]
+    b = F.floor(F.col(order_col) / F.lit(grid)).cast("long")
+    rows = df.withColumn("_b", b)
+    bucket_counts = rows.groupBy("_b").agg(F.count(F.lit(1)).alias("_bn"))
+    w_b = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_counts.select(
+        "_b", F.coalesce(F.sum("_bn").over(w_b), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_b").orderBy(*order_keys)
+    base = F.lit(1) if zero_based else F.lit(0)
+    return (
+        rows.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            out_col,
+            (F.col("_off") + F.row_number().over(w_in) - base).cast("long"),
+        )
+        .drop("_b", "_off")
+    )
+
+
 def interval_concurrency(
     intervals: DataFrame,
     *,

@@ -163,18 +163,43 @@ def kmv_sketch(
     Shape: one partial-agg dedup shuffle on (by, key), then a per-group
     top-k window over the *distinct* keys only. The raw corpus never
     sorts; only the deduped key space does, and partial aggregation has
-    already collapsed it map-side.
+    already collapsed it map-side. Ungrouped sketches never sort the
+    full key space on one task either: :func:`_k_smallest` pre-filters
+    to the k smallest per input partition, so the final k-selection sees
+    at most ``numPartitions * k`` rows.
     """
     from pyspark.sql import Window
 
     keys = [by] if by else []
     distinct = items.select(*keys, F.col(key_col).alias("_k")).distinct()
     hashed = distinct.select(*keys, _kmv_hash(F.col("_k")).alias("h"))
-    w = (
-        Window.partitionBy(*keys) if keys else Window.partitionBy()
-    ).orderBy("h")
+    if not keys:
+        return _k_smallest(hashed, k)
+    w = Window.partitionBy(*keys).orderBy("h")
     return (
         hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _k_smallest(hashed: DataFrame, k: int) -> DataFrame:
+    """Global k smallest ``h`` values, two-phase: per-input-partition
+    k-smallest (bounded windows keyed on ``spark_partition_id``), then
+    the final k over the <= numPartitions*k survivors — never a global
+    sort of the whole key space on one task."""
+    from pyspark.sql import Window
+
+    w_p = Window.partitionBy("_pid").orderBy("h")
+    cand = (
+        hashed.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(w_p))
+        .filter(F.col("_rn") <= k)
+        .drop("_pid", "_rn")
+    )
+    w = Window.partitionBy().orderBy("h")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
@@ -189,9 +214,9 @@ def kmv_merge(*sketches: DataFrame, k: int = 256, by: str | None = None) -> Data
     keys = [by] if by else []
     allh = reduce(lambda a, b: a.unionByName(b), sketches)
     distinct = allh.select(*keys, "h").distinct()
-    w = (
-        Window.partitionBy(*keys) if keys else Window.partitionBy()
-    ).orderBy("h")
+    if not keys:
+        return _k_smallest(distinct, k)
+    w = Window.partitionBy(*keys).orderBy("h")
     return (
         distinct.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)

@@ -165,19 +165,35 @@ def pack_sequences(
     overflow by at most one document, the standard streaming-packing
     approximation (exact bin packing is NP-hard and order-destroying).
 
-    Unsharded packing is a single global window (one task) — fine for a
-    shard's worth of docs, wrong for a corpus; at scale pass ``shard_col``
-    (e.g. a hash bucket assigned at ingest) so each shard packs
-    independently and pack ids are (shard, pack_id) pairs.
+    Sharded packing windows inside each shard (bounded partitions, pack
+    ids are (shard, pack_id) pairs). Unsharded packing — one global
+    id-ordered cumsum — runs through the two-phase distributed scan
+    (``prefix.distributed_running_sum`` over an id-grid bucket), never a
+    single-task global window, so it holds at corpus scale too; it
+    requires a numeric ``id_col``.
     """
-    base = Window.partitionBy(shard_col) if shard_col else Window.partitionBy()
-    w = base.orderBy(id_col).rowsBetween(Window.unboundedPreceding,
-                                         Window.currentRow)
-    cum = F.sum(tokens_col).over(w) - F.col(tokens_col)  # tokens before me
-    cols = [F.col(shard_col)] if shard_col else []
-    return df.select(
-        *cols, F.col(id_col), F.col(tokens_col),
-        F.floor(cum / F.lit(budget_tokens)).cast("long").alias("pack_id"),
+    if shard_col:
+        w = Window.partitionBy(shard_col).orderBy(id_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = F.sum(tokens_col).over(w) - F.col(tokens_col)  # tokens before
+        return df.select(
+            F.col(shard_col), F.col(id_col), F.col(tokens_col),
+            F.floor(cum / F.lit(budget_tokens)).cast("long").alias("pack_id"),
+        )
+    from nexus_processor_spark.operators.prefix import distributed_running_sum
+
+    run = distributed_running_sum(
+        df.select(id_col, tokens_col),
+        order_col=id_col,
+        value_col=tokens_col,
+        grid=65536.0,
+        out_col="_cum",
+    )
+    cum_before = F.col("_cum") - F.col(tokens_col)
+    return run.select(
+        F.col(id_col), F.col(tokens_col),
+        F.floor(cum_before / F.lit(budget_tokens)).cast("long").alias("pack_id"),
     )
 
 

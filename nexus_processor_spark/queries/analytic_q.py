@@ -267,11 +267,10 @@ def q_referral_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(event_seconds("ts") / 3600.0).cast("long").alias("h"),
     ).filter(F.col("u").isNotNull() & F.col("h").isNotNull())
     e.createOrReplaceTempView("_referral_events")
-    # forest depth is < domain size, so this guard loses nothing; the
-    # engine's own recursion ceiling must clear it too
-    spark.conf.set(
-        "spark.sql.cteRecursionLevelLimit", str(REFERRAL_DOMAIN + 10)
-    )
+    # forest depth is < domain size (200), so the WHERE depth guard loses
+    # nothing; the engine recursion ceiling that must clear it is owned by
+    # session.DEFAULT_CONFS (cteRecursionLevelLimit=256) — queries never
+    # mutate session conf themselves.
     return spark.sql(f"""
         WITH RECURSIVE
         n AS (SELECT DISTINCT u, h FROM _referral_events),

@@ -806,9 +806,10 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue — the scalar ``= (SELECT max(...))`` subquery decorrelated into
     an unpartitioned window max over the grouped aggregate.
 
-    The agg output is one row per supplier (tiny), so the empty-frame
-    window costs one extra exchange over ~1e4 rows, not a second pass over
-    lineitem.
+    The global max is a 1-row aggregate broadcast back onto the
+    per-supplier table (the scalar-subquery BNLJ pattern) rather than an
+    unpartitioned window — the supplier dimension grows with SF, so even
+    the grouped aggregate should never funnel through one window task.
     """
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ntz("1996-01-01"))
@@ -820,8 +821,8 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("total_revenue")
     )
-    w = Window.partitionBy()
-    best = rev.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
+    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
+    best = rev.join(F.broadcast(max_rev)).filter(
         F.col("total_revenue") == F.col("max_rev")
     )
     return (

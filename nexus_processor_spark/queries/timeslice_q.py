@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nexus_processor_spark.functions.core import event_seconds
-from nexus_processor_spark.operators import timeslice
+from nexus_processor_spark.operators import prefix, timeslice
 from nexus_processor_spark.sources.tables import load_events_time_range, load_table
 
 INTERVAL = 3600.0
@@ -69,12 +69,23 @@ def q_timeslice_bank_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pulse_index_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: 0-based pulse ordinals by time order (unique-key tiebreak so the
-    assignment is deterministic across engines)."""
+    assignment is deterministic across engines).
+
+    Served by the two-phase distributed scan (``prefix.
+    distributed_row_number``): per-hour-bucket row_number + broadcast
+    cumulative bucket counts — same ordinal as ``row_number() OVER
+    (ORDER BY ...)`` but with bounded partitions instead of the
+    single-task global window (the reference hazard SURVEY §2.5 flags)."""
     e = _events(spark, sf_dir).filter(F.col("bank") == "click")
-    w = Window.orderBy("absolute_time", "event_id")
-    return e.select(
+    return prefix.distributed_row_number(
+        e.select("event_id", "absolute_time"),
+        order_col="absolute_time",
+        tiebreak_cols=("event_id",),
+        grid=3600.0,
+        out_col="pulse_index",
+    ).select(
         "event_id",
-        (F.row_number().over(w) - F.lit(1)).cast("long").alias("pulse_index"),
+        "pulse_index",
         F.col("absolute_time").alias("pulse_time"),
     )
 

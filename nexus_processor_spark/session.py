@@ -46,6 +46,13 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.parquet.filterPushdown": "true",
+    # Recursive-CTE ceiling: the hierarchy queries (queries/analytic_q.py
+    # q_referral_roots) recurse to forest depth, bounded by their derived
+    # key domain (<= 200) + slack. Owned HERE so no registry query
+    # mutates session state mid-flight (a query-local conf.set would leak
+    # into co-tenant queries); the engine default (100) stays available
+    # by overriding via extra_confs.
+    "spark.sql.cteRecursionLevelLimit": "256",
     # local[] has no dynamic executors; partition counts come from cores.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

@@ -342,8 +342,15 @@ class NexusJsonlStreamWriter(DataSourceStreamWriter):
 
 def register(spark) -> None:
     """Register the format for this session: idempotent, then
-    ``spark.read.format('nexus')`` resolves. Python-source filter
-    pushdown is opt-in in Spark 4.1 (runtime-settable) — readers that
-    implement ``pushFilters`` error without it."""
+    ``spark.read.format('nexus')`` resolves.
+
+    CALLER CONTRACT — this mutates session-wide conf: Python-source
+    filter pushdown is opt-in in Spark 4.1 (runtime-settable) and
+    readers that implement ``pushFilters`` error without it, so
+    registering the format flips ``spark.sql.python.filterPushdown.
+    enabled=true`` for the WHOLE session (it affects every Python data
+    source, not just this one). Call at session setup, not per-query;
+    restore the conf yourself if a co-tenant source must keep pushdown
+    off."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(NexusDataSource)

@@ -37,14 +37,78 @@ BNLJ_ALLOWED = {
     "text_semantic_topk", "tfidf_top_terms", "timeslice_range",
 }
 
+# Unpartitioned WindowExec collapses its input onto ONE task — fatal on a
+# fact table at scale (the reference's own W1 hazard). It is acceptable
+# ONLY over a relation that is bounded by construction. Every entry here
+# was audited against its physical plan:
+WINDOW_ALLOWED = {
+    # cumulative-offset window of the two-phase distributed scan
+    # (operators/prefix.py): runs over the BUCKET table (|grid buckets|
+    # rows), never the fact rows
+    "pulse_index_window": "prefix bucket offsets (hour grid)",
+    "session_concurrency": "prefix bucket offsets (sweep-line grid)",
+    "pack_sequences": "prefix bucket offsets (doc-id grid)",
+    # final k-selection over per-partition-prefiltered candidates
+    # (<= numPartitions * k rows, sketch.py _k_smallest)
+    "kmv_distinct_tokens": "KMV final k-smallest over bounded candidates",
+    # windows over grouped/grid aggregates bounded by the domain, not
+    # data volume
+    "moving_avg_revenue": "daily-revenue grid (calendar-bounded)",
+    "yearly_revenue_share": "per-year aggregate (calendar-bounded)",
+    "source_mix": "per-source aggregate (|sources| rows)",
+    "pareto_parts": "skyline flags over distinct (brand,size) groups",
+    # window over a pre-limited head
+    "tokens_encoded": "vocab rank over .limit(VOCAB_SIZE) head",
+}
+
+
+def _collect_unpartitioned_windows(plan) -> list[str]:
+    """Walk a physical plan via py4j; return descriptions of WindowExec /
+    WindowGroupLimitExec nodes whose partitionSpec is empty."""
+    hits: list[str] = []
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls in ("WindowExec", "WindowGroupLimitExec") and \
+                node.partitionSpec().isEmpty():
+            hits.append(node.simpleString(200))
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.initialPlan())
+            return
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(plan)
+    return hits
+
+
+def test_no_session_conf_mutation_in_registry_queries():
+    """Registry queries must not flip session-wide conf (a query that
+    mutates global state surprises co-tenant queries). Session-level
+    knobs belong in session.DEFAULT_CONFS; source registration contracts
+    (nexus_datasource.register) are session-setup calls, not queries."""
+    from pathlib import Path
+
+    qdir = Path(__file__).resolve().parent.parent / \
+        "nexus_processor_spark" / "queries"
+    offenders = [
+        f"{p.name}:{i + 1}"
+        for p in sorted(qdir.glob("*.py"))
+        for i, line in enumerate(p.read_text().splitlines())
+        if "conf.set" in line
+    ]
+    assert not offenders, f"session conf mutation in queries: {offenders}"
+
 
 @pytest.mark.slow
 def test_no_plan_antipatterns_across_registry(spark):
     qs = registry.queries()
-    cartesian, py_udf, bnlj_new, errors = [], [], [], []
+    cartesian, py_udf, bnlj_new, win_new, errors = [], [], [], [], []
     for name, fn in sorted(qs.items()):
         try:
-            plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+            exec_plan = fn(spark, SF)._jdf.queryExecution().executedPlan()
+            plan = exec_plan.toString()
         except Exception as e:  # a query failing to PLAN is itself a bug
             errors.append((name, str(e)[:120]))
             continue
@@ -54,6 +118,10 @@ def test_no_plan_antipatterns_across_registry(spark):
             py_udf.append(name)
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
             bnlj_new.append(name)
+        if name not in WINDOW_ALLOWED:
+            hits = _collect_unpartitioned_windows(exec_plan)
+            if hits:
+                win_new.append((name, hits[0][:120]))
     assert not errors, errors
     assert not cartesian, f"cartesian products: {cartesian}"
     assert not py_udf, f"row-at-a-time Python UDFs: {py_udf}"
@@ -61,4 +129,10 @@ def test_no_plan_antipatterns_across_registry(spark):
         f"new BroadcastNestedLoopJoin in {bnlj_new}: if the build side is "
         "a bounded scalar/centroid/band relation, add to BNLJ_ALLOWED "
         "with a justification; otherwise fix the join"
+    )
+    assert not win_new, (
+        f"new unpartitioned WindowExec in {win_new}: if the window input "
+        "is bounded by construction (bucket/group table, pre-limited "
+        "head), add to WINDOW_ALLOWED with a justification; otherwise "
+        "use the two-phase pattern in operators/prefix.py"
     )

@@ -265,17 +265,23 @@ def main(argv: list[str] | None = None) -> int:
                 start_timestamp=args.start_timestamp,
             )
             if args.sink == "count":
-                total = [0]
+                # foreachBatch is at-least-once: a batch replayed after a
+                # crash-restart arrives again with the SAME batch id, so
+                # key the tally on batch id to keep the printed total
+                # exactly-once.
+                counted: dict[int, int] = {}
 
-                def _count(df, _id, _t=total):
-                    _t[0] += df.count()
+                def _count(df, batch_id, _c=counted):
+                    if batch_id not in _c:
+                        _c[batch_id] = df.count()
 
                 q = rp.stream_foreach_batch(
                     stream, _count, checkpoint=args.checkpoint,
                     available_now=True,
                 )
                 q.awaitTermination()
-                print(f"streamed {total[0]} events", file=sys.stderr)
+                print(f"streamed {sum(counted.values())} events",
+                      file=sys.stderr)
             elif args.sink == "console":
                 q = rp.stream_to_console(
                     stream, trigger_seconds=args.trigger_interval,

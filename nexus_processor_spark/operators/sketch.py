@@ -303,10 +303,16 @@ def hll_estimate(registers: DataFrame, *, by: str | None = None) -> DataFrame:
 
     The harmonic sum ``sum(2^-rho)`` (absent registers contribute 2^0)
     is a sum of dyadics with <= 2^21 denominators over <= 4096 terms —
-    EXACT in a double regardless of accumulation order, so the raw
-    estimate is engine-reproducible. Small-range linear counting
-    (est <= 2.5m and empty registers exist) uses one ``ln`` of an exact
-    rational; the result is rounded to 4 decimals."""
+    EXACT in a double regardless of accumulation order, so the raw-branch
+    estimate is engine-reproducible bit-for-bit. The small-range linear
+    counting branch (est <= 2.5m and empty registers exist) takes one
+    ``ln`` of an exact rational: its INPUT is engine-exact, but libm/JVM
+    ``log`` implementations are only correctly-rounded to ~1 ulp, so
+    cross-engine equality of the rounded (1e-4) output is observed on
+    every platform we run, not guaranteed by construction — a 1-ulp
+    divergence landing exactly on a rounding boundary would flip the 4th
+    decimal. If that ever bites, compare the pre-ln rational (m, zeros)
+    instead."""
     keys = [by] if by else []
     agg = registers.groupBy(*keys).agg(
         F.count("*").cast("long").alias("n_regs"),

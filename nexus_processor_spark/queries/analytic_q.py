@@ -132,7 +132,10 @@ def q_hll_distinct_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
     register-wise max MERGE (no corpus re-scan), annotated with the
     exact count. Register math is engine-exact (comparison-chain rho,
     dyadic-exact harmonic sum), so the estimates themselves are
-    oracle-checked, not tolerance-tested."""
+    oracle-checked, not tolerance-tested. Caveat: the raw HLL branch is
+    exact by construction; the small-range linear-counting branch takes
+    one libm ``ln`` whose cross-engine bit-equality is observed, not
+    guaranteed (see ``sketch.hll_estimate``)."""
     from nexus_processor_spark.operators.sketch import (
         hll_estimate,
         hll_merge,

@@ -209,37 +209,71 @@ class NexusStreamReader(SimpleDataSourceStreamReader):
     glob and ingests each run file exactly once — the "new runs appear in
     the instrument directory" flow, with recovery handled by the engine.
 
-    Offsets are the sorted list of files already ingested (tiny at run
-    granularity — runs are few and large; a production high-water-mark
-    variant would key on (mtime, name) to bound the offset). ``read``
-    parses only files not yet in the offset; ``readBetweenOffsets``
-    re-parses exactly the files between two offsets, which is what makes
-    crash replay deterministic.
+    Offsets are COMPACTED so a long-lived stream's checkpoint log stays
+    bounded: ``{"hw": <name>, "recent": [...]}`` where every globbed file
+    with name <= ``hw`` is ingested (files are immutable and never
+    deleted) and ``recent`` lists only out-of-order stragglers above the
+    high-water mark. With the reference's naming — zero-padded run
+    numbers, so new files sort after old ones — ``recent`` is empty or a
+    handful of in-flight names, regardless of stream age. Contract: a
+    NEW file must never sort at-or-below the fully-ingested prefix (it
+    would be treated as already seen); set
+    ``.option("offset_compaction", "false")`` for arbitrary arrival
+    order, which keeps the full sorted ingested-file list per offset
+    (legacy scheme; both offset forms stay readable either way, so
+    checkpoints survive flipping the option).
+
+    ``read`` parses only files not yet in the offset;
+    ``readBetweenOffsets`` re-parses exactly the files between two
+    offsets, which is what makes crash replay deterministic.
     """
 
     def __init__(self, options: dict, schema: StructType) -> None:
         # reuse the batch reader per-file parse (filters don't push into
         # streams; construct with no pushed filters)
         self._batch = NexusReader(dict(options), schema)
+        self._compact = str(
+            options.get("offset_compaction", "true")
+        ).lower() != "false"
 
     def initialOffset(self) -> dict:
-        return {"files": []}
+        return {"hw": "", "recent": []} if self._compact else {"files": []}
 
-    def _pending(self, done: list) -> list:
-        return [p for p in self._batch.paths if p not in set(done)]
+    def _ingested(self, off: dict, universe: list) -> set:
+        if "files" in off:  # legacy / uncompacted offset
+            return set(off["files"])
+        hw = off.get("hw", "")
+        below = {p for p in universe if hw and p <= hw}
+        return below | set(off.get("recent", []))
+
+    def _offset(self, ingested: set, universe: list) -> dict:
+        if not self._compact:
+            return {"files": sorted(ingested)}
+        hw = ""
+        for p in sorted(set(universe) | ingested):
+            if p not in ingested:
+                break
+            hw = p
+        return {"hw": hw, "recent": sorted(p for p in ingested if p > hw)}
 
     def read(self, start: dict) -> tuple:
         import glob as _g
 
         # re-glob: new files appear between micro-batches
-        self._batch.paths = sorted(_g.glob(self._batch.path_glob))
-        new = self._pending(start.get("files", []))
-        end = {"files": sorted(set(start.get("files", [])) | set(new))}
+        universe = sorted(_g.glob(self._batch.path_glob))
+        self._batch.paths = universe
+        done = self._ingested(start, universe)
+        new = [p for p in universe if p not in done]
+        end = self._offset(done | set(new), universe)
         return iter(self._rows(new)), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        done = set(start.get("files", []))
-        return self._rows([p for p in end.get("files", []) if p not in done])
+        import glob as _g
+
+        universe = sorted(_g.glob(self._batch.path_glob))
+        done = self._ingested(start, universe)
+        span = self._ingested(end, universe) - done
+        return self._rows(sorted(span))
 
     def _rows(self, paths: list) -> list:
         # materialized, not a generator: the simple-reader harness caches

@@ -36,6 +36,32 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
 
+def test_minhash_hash_fn_same_verified_pairs(spark):
+    """md5 (oracle scheme) and xxhash64 (scale scheme) draw different
+    permutations, so raw signatures differ — but the operator's contract
+    is the VERIFIED pair set, and on a dup-seeded corpus (same-group
+    pairs at Jaccard 1.0 collide in every band under any hash; candidates
+    below the gate are filtered either way) both schemes must emit the
+    identical result. Pins the ARCHITECTURE.md switching claim."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = []
+    for g in range(5):
+        text = f"{base} group{g} kilo lima mike november oscar papa"
+        for m in range(3):                      # 3 exact dups per group
+            rows.append((g * 10 + m, text))
+    for i in range(20):                          # sub-threshold noise
+        rows.append((1000 + i, f"{base} noise{i} unique{i} words{i} x{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = {(g * 10 + a, g * 10 + b)
+                for g in range(5) for a in range(3) for b in range(3) if a < b}
+    got = {}
+    for fn in ("md5", "xxhash64"):
+        got[fn] = {(r.id_a, r.id_b)
+                   for r in dedup.minhash_dedup_pairs(
+                       docs, threshold=0.9, hash_fn=fn).collect()}
+    assert got["md5"] == got["xxhash64"] == expected
+
+
 def test_lsh_max_bucket_caps_fanout(docs):
     sigs = dedup.minhash_signatures(docs)
     capped = dedup.lsh_candidate_pairs(sigs, max_bucket=1)

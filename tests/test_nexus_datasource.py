@@ -159,6 +159,51 @@ def test_skip_bad_files_is_all_or_nothing_per_file(spark, tmp_path):
     assert list(reader.read(InputPartition(str(p)))) == []
 
 
+def test_stream_offsets_stay_bounded(tmp_path):
+    """Offset compaction: after N in-order run files the offset is a
+    high-water mark with an empty straggler list — the checkpoint log
+    entry does NOT grow with stream age. Replay between compacted
+    offsets still yields exactly the span's rows."""
+    from nexus_processor_spark.sources.nexus_datasource import (
+        NexusStreamReader,
+        TABLES,
+    )
+
+    data = tmp_path / "runs"
+    data.mkdir()
+    pattern = str(data / "*.json")
+    reader = NexusStreamReader(
+        {"table": "events", "path": pattern}, TABLES["events"][0]
+    )
+    off = reader.initialOffset()
+    offsets = [off]
+    for i in range(1, 8):
+        tree = fixture_tree()
+        tree["entry"]["run_number"] = 12344 + i
+        (data / f"run_{i:04d}.json").write_text(json.dumps(tree))
+        rows, off = reader.read(off)
+        assert len(list(rows)) == 4          # each batch = the new file
+        assert off["recent"] == []            # in-order arrival compacts
+        assert off["hw"].endswith(f"run_{i:04d}.json")
+        offsets.append(off)
+    # offset size is O(1), not O(files)
+    assert len(json.dumps(off)) < 120
+    # deterministic replay of a middle span from compacted offsets
+    replay = list(reader.readBetweenOffsets(offsets[2], offsets[5]))
+    assert len(replay) == 12                  # files 3,4,5 x 4 rows
+    # uncompacted mode keeps the legacy full-list offsets
+    legacy = NexusStreamReader(
+        {"table": "events", "path": pattern, "offset_compaction": "false"},
+        TABLES["events"][0],
+    )
+    rows, off0 = legacy.read(legacy.initialOffset())
+    assert len(list(rows)) == 28 and len(off0["files"]) == 7
+    # and a legacy offset is readable by a compacting reader (checkpoint
+    # survives flipping the option)
+    rows, off1 = reader.read(off0)
+    assert list(rows) == [] and off1["recent"] == []
+
+
 def test_stream_ingests_each_file_exactly_once_across_restarts(spark, tmp_path):
     """readStream.format('nexus'): new run files appear between drains;
     the offset (ingested-file set) survives the checkpoint, so each file

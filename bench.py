@@ -565,13 +565,16 @@ def main() -> None:
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).limit(1).count()
 
-    # Best-of-2 per query: the first execution of a plan shape pays JIT
-    # compilation of its generated code; the second is the steady-state
-    # number a long-running cluster job actually sees.
+    # Best-of-3 per query: the first execution of a plan shape pays JIT
+    # compilation of its generated code; later reps are the steady-state
+    # number a long-running cluster job actually sees. (Best-of-2 left
+    # ~20% JIT noise on the sub-second queries — r03's apparent
+    # timeslice_bank_interval/text_profile "drift" vs r01 reproduced as
+    # run-to-run variance, not a plan change; see COVERAGE.md.)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -224,6 +224,67 @@ def kmv_merge(*sketches: DataFrame, k: int = 256, by: str | None = None) -> Data
     )
 
 
+def kmv_set_ops(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """Theta-sketch-style set algebra from two KMV sketches: union,
+    intersection, difference, and Jaccard ESTIMATES without touching the
+    original key sets (Beyer et al. 2007 / the DataSketches theta rule).
+
+    Let U be the k smallest draws of the sketch union (the union sketch)
+    and ``K = |U ∩ A ∩ B|`` the union-sketch draws seen by BOTH sides.
+    ``K / |U|`` is an unbiased Jaccard estimate (each union draw is a
+    uniform sample of A∪B), so ``inter_est = jaccard_est * union_est``
+    and ``diff_a_est = union_est - b_est``. When the union holds fewer
+    than k draws every sketch saw its whole key set and all outputs are
+    exact.
+
+    All inputs are integer-exact (draw counts, 60-bit hashes); the only
+    float ops are single IEEE divisions/multiplications — estimates are
+    engine-reproducible, so oracles check them exactly.
+
+    One row: ``n_union_draws, n_common_draws, union_est, inter_jaccard,
+    inter_est, a_est, b_est``. Bounded work everywhere: both sketches
+    are <= k rows by construction.
+    """
+    a = sketch_a.select("h")
+    b = sketch_b.select("h")
+    u = _k_smallest(a.unionByName(b).distinct(), k)
+    common = a.join(b, "h")  # draws present in both sketches
+    stats = (
+        u.join(common.select(F.col("h").alias("h"), F.lit(1).alias("_both")),
+               "h", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_union_draws"),
+            F.sum(F.coalesce(F.col("_both"), F.lit(0))).cast("long")
+            .alias("n_common_draws"),
+            F.max("h").alias("_hmax"),
+        )
+    )
+    union_est = F.when(
+        F.col("n_union_draws") < k, F.col("n_union_draws").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_DOMAIN) / F.col("_hmax").cast("double")
+    )
+    a_est = kmv_estimate(a.select(F.col("h")), k=k).select(
+        F.col("est_distinct").alias("a_est"))
+    b_est = kmv_estimate(b.select(F.col("h")), k=k).select(
+        F.col("est_distinct").alias("b_est"))
+    jac = F.col("n_common_draws").cast("double") / F.col("n_union_draws")
+    return (
+        stats.withColumn("union_est", F.round(union_est, 4))
+        .withColumn("inter_jaccard", F.round(jac, 6))
+        .withColumn("inter_est", F.round(jac * F.col("union_est"), 4))
+        .crossJoin(F.broadcast(a_est))
+        .crossJoin(F.broadcast(b_est))
+        .select("n_union_draws", "n_common_draws", "union_est",
+                "inter_jaccard", "inter_est", "a_est", "b_est")
+    )
+
+
 def kmv_estimate(sketch: DataFrame, *, k: int = 256, by: str | None = None) -> DataFrame:
     """Distinct-count estimate per group: exact row count when the group
     holds fewer than ``k`` draws (the sketch saw every key), else

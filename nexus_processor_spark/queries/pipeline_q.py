@@ -292,7 +292,26 @@ def q_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-level set algebra: union, intersection, and Jaccard
+    estimates between two sources' token sets computed ONLY from their
+    bounded KMV states (theta-sketch rule: the union sketch is a uniform
+    sample of A∪B, so the fraction of its draws seen by both sides
+    estimates Jaccard) — the cross-shard overlap report that never
+    rescans either corpus. Integer-exact draws into single IEEE ops:
+    oracle-checked exactly."""
+    from nexus_processor_spark.operators.sketch import kmv_set_ops, kmv_sketch
+
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    a = kmv_sketch(toks.filter(F.col("source") == "src0"), "tok", k=KMV_K)
+    b = kmv_sketch(toks.filter(F.col("source") == "src1"), "tok", k=KMV_K)
+    return kmv_set_ops(a, b, k=KMV_K)
+
+
 QUERIES = {
+    "kmv_set_ops": q_kmv_set_ops,
     "kmv_distinct_tokens": q_kmv_distinct_tokens,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "decontaminate_bloom": q_decontaminate_bloom,
@@ -815,4 +834,54 @@ ORACLE["kmv_distinct_tokens"] = f"""
                            / CAST(h_max AS DOUBLE)
                  END, 4) AS est_distinct
     FROM groups
+"""
+
+ORACLE["kmv_set_ops"] = f"""
+    WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+               FROM documents WHERE source IN ('src0', 'src1')),
+    dk AS (SELECT DISTINCT source, tok FROM t),
+    h AS (SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+          FROM dk),
+    rk AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+           FROM h),
+    a AS (SELECT h FROM rk WHERE source = 'src0' AND rn <= {KMV_K}),
+    b AS (SELECT h FROM rk WHERE source = 'src1' AND rn <= {KMV_K}),
+    uh AS (SELECT DISTINCT h
+           FROM (SELECT h FROM a UNION ALL SELECT h FROM b)),
+    urk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM uh),
+    usk AS (SELECT h FROM urk WHERE rn <= {KMV_K}),
+    common AS (SELECT a.h FROM a JOIN b USING (h)),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_union_draws,
+               CAST(count(c.h) AS BIGINT) AS n_common_draws,
+               max(u.h) AS hmax
+        FROM usk u LEFT JOIN common c ON u.h = c.h
+    ),
+    ue AS (
+        SELECT n_union_draws, n_common_draws,
+               round(CASE WHEN n_union_draws < {KMV_K}
+                          THEN CAST(n_union_draws AS DOUBLE)
+                          ELSE {float(KMV_K - 1)} * {_KMV_DOM}
+                               / CAST(hmax AS DOUBLE)
+                     END, 4) AS union_est
+        FROM stats
+    ),
+    ae AS (SELECT round(CASE WHEN count(*) < {KMV_K}
+                             THEN CAST(count(*) AS DOUBLE)
+                             ELSE {float(KMV_K - 1)} * {_KMV_DOM}
+                                  / CAST(max(h) AS DOUBLE)
+                        END, 4) AS a_est FROM a),
+    be AS (SELECT round(CASE WHEN count(*) < {KMV_K}
+                             THEN CAST(count(*) AS DOUBLE)
+                             ELSE {float(KMV_K - 1)} * {_KMV_DOM}
+                                  / CAST(max(h) AS DOUBLE)
+                        END, 4) AS b_est FROM b)
+    SELECT n_union_draws, n_common_draws, union_est,
+           round(CAST(n_common_draws AS DOUBLE) / n_union_draws, 6)
+               AS inter_jaccard,
+           round(CAST(n_common_draws AS DOUBLE) / n_union_draws * union_est,
+                 4) AS inter_est,
+           a_est, b_est
+    FROM ue, ae, be
 """

@@ -30,7 +30,7 @@ SF = "/root/testdata/sf0.001"
 BNLJ_ALLOWED = {
     "edit_dist_pairs",
     "bm25_search", "global_sales", "important_parts", "ivf_pq_topk",
-    "kmeans_assign", "kmeans_fit", "mix_temperature", "pq_encode",
+    "kmeans_assign", "kmeans_fit", "kmv_set_ops", "mix_temperature", "pq_encode",
     "pq_topk", "price_quantile_histogram", "quality_orders",
     "quality_quantile", "range_join_bands", "semantic_dedup",
     "sim_brute_topk", "sim_ivf_recall", "source_divergence",
@@ -51,6 +51,7 @@ WINDOW_ALLOWED = {
     # final k-selection over per-partition-prefiltered candidates
     # (<= numPartitions * k rows, sketch.py _k_smallest)
     "kmv_distinct_tokens": "KMV final k-smallest over bounded candidates",
+    "kmv_set_ops": "KMV k-smallest + estimate over <= 2k sketch rows",
     # windows over grouped/grid aggregates bounded by the domain, not
     # data volume
     "moving_avg_revenue": "daily-revenue grid (calendar-bounded)",

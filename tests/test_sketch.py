@@ -136,6 +136,42 @@ def test_kmv_estimate_accuracy_and_merge(spark):
         sorted(r.h for r in direct.collect())
 
 
+def test_kmv_set_ops_exact_below_k(spark):
+    """When the union fits inside k, every estimate is exact: the
+    sketches ARE the key sets."""
+    from nexus_processor_spark.operators.sketch import kmv_set_ops, kmv_sketch
+
+    a = spark.createDataFrame([(f"k{i}",) for i in range(30)], "key string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(20, 50)], "key string")
+    k = 256
+    [r] = kmv_set_ops(
+        kmv_sketch(a, "key", k=k), kmv_sketch(b, "key", k=k), k=k
+    ).collect()
+    assert r.n_union_draws == 50 and r.n_common_draws == 10
+    assert r.union_est == 50.0 and r.inter_est == 10.0
+    assert r.a_est == 30.0 and r.b_est == 30.0
+    assert abs(r.inter_jaccard - 0.2) < 1e-9
+
+
+def test_kmv_set_ops_estimates_in_sketch_regime(spark):
+    """Above k: union/intersection/Jaccard estimates land within the
+    ~1/sqrt(k) KMV error band on a half-overlapping pair of 4k-key sets
+    (truth: union 6000, intersection 2000, jaccard 1/3)."""
+    from nexus_processor_spark.operators.sketch import kmv_set_ops, kmv_sketch
+
+    a = spark.range(4000).select(F.concat(F.lit("x"), F.col("id")).alias("key"))
+    b = spark.range(2000, 6000).select(
+        F.concat(F.lit("x"), F.col("id")).alias("key"))
+    k = 256
+    [r] = kmv_set_ops(
+        kmv_sketch(a, "key", k=k), kmv_sketch(b, "key", k=k), k=k
+    ).collect()
+    assert r.n_union_draws == k
+    assert abs(r.union_est - 6000) / 6000 < 0.2
+    assert abs(r.inter_jaccard - 1 / 3) < 0.15
+    assert abs(r.inter_est - 2000) / 2000 < 0.35
+
+
 def test_kmv_grouped_sketch_is_bounded(spark):
     from nexus_processor_spark.operators.sketch import kmv_sketch
 

@@ -65,6 +65,10 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=None,
+                    help="write a JSON artifact (e.g. ORACLE_FULL_r04.json) "
+                         "with one row per query so a judge can diff "
+                         "instead of re-running")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -80,6 +84,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     names = args.names or list(qs)
     failed = []
+    report: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -87,15 +92,21 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             failed.append(name)
+            report[name] = {"status": "FAIL",
+                            "err": f"spark: {type(e).__name__}: {e}"[:200]}
             continue
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows-only: {len(sdf)} rows, {time.time()-t0:.1f}s)")
+            report[name] = {"status": "ROWS_ONLY", "rows": len(sdf),
+                            "secs": round(time.time() - t0, 2)}
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             failed.append(name)
+            report[name] = {"status": "FAIL",
+                            "err": f"duckdb: {type(e).__name__}: {e}"[:200]}
             continue
         problems = compare(name, sdf, odf)
         if problems:
@@ -103,9 +114,24 @@ def main() -> int:
             for p in problems:
                 print(f"     {p}")
             failed.append(name)
+            report[name] = {"status": "FAIL", "rows": len(sdf),
+                            "problems": [p[:200] for p in problems]}
         else:
             print(f"PASS {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            report[name] = {"status": "PASS", "rows": len(sdf),
+                            "secs": round(time.time() - t0, 2)}
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    if args.out:
+        import json
+
+        with open(args.out, "w") as fh:
+            json.dump({
+                "sf": args.sf,
+                "total": len(names),
+                "passed": len(names) - len(failed),
+                "queries": report,
+            }, fh, indent=1, sort_keys=True)
+        print(f"wrote {args.out}")
     spark.stop()
     return 1 if failed else 0
 

@@ -152,6 +152,8 @@ def run_docs(spark) -> dict[str, object]:
             docs, 10_000, weight_col="n_chars"
         ),
         "hashed_features": lambda: textstats.hashed_features(docs, 64),
+        "hashed_features_xx": lambda: textstats.hashed_features(
+            docs, 64, hash_fn="xxhash64"),
         # bounded-state sketches over the token stream: CMS build (one
         # bucket-key partial agg), KMV per-source (dedup + top-k window
         # over distinct keys only), HLL registers (partial max agg)

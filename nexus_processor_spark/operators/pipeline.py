@@ -683,6 +683,41 @@ def incremental_dedup(
     ).join(seen, "content_hash", "left_anti")
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot delta between two corpus versions: per-id status
+    ``added`` (id only in new), ``removed`` (only in old), ``changed``
+    (same id, different content hash), ``unchanged`` — the audit table a
+    versioned training corpus publishes with each refresh so downstream
+    consumers re-process only the delta.
+
+    Both sides reduce to ``(id, md5(text))`` BEFORE the full-outer join,
+    so the shuffle carries fixed-width hashes, never documents — the
+    same key-set-not-data rule as :func:`incremental_dedup`. Null text
+    hashes to null and compares null-safely: two null texts are
+    ``unchanged``; text appearing or disappearing reports ``changed``.
+
+    Output: ``(id_col, status)`` — one row per id in either snapshot.
+    """
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("_ho"),
+                   F.lit(1).alias("_in_o"))
+    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("_hn"),
+                   F.lit(1).alias("_in_n"))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("_in_o").isNull(), F.lit("added"))
+        .when(F.col("_in_n").isNull(), F.lit("removed"))
+        .when(F.col("_ho").eqNullSafe(F.col("_hn")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(id_col), status.alias("status"))
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

@@ -292,6 +292,33 @@ def q_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-corpus snapshot diff, rolled up to per-status counts.
+    v2 is derived deterministically from the documents table: ids
+    divisible by 20 are dropped (removed), ids divisible by 7 get
+    re-crawled text (changed), and a shifted id slice is appended
+    (added) — then ``pipeline.corpus_diff`` reports the delta from
+    hash-only full-outer join."""
+    docs = _docs(spark, sf_dir)
+    old = docs.select("doc_id", "text")
+    kept = docs.filter(F.col("doc_id") % 20 != 0)
+    new = kept.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" v2-recrawl")))
+        .otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+        )
+    )
+    return (
+        pipeline.corpus_diff(old, new)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
 def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-level set algebra: union, intersection, and Jaccard
     estimates between two sources' token sets computed ONLY from their
@@ -311,6 +338,7 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "corpus_diff": q_corpus_diff,
     "kmv_set_ops": q_kmv_set_ops,
     "kmv_distinct_tokens": q_kmv_distinct_tokens,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -834,6 +862,29 @@ ORACLE["kmv_distinct_tokens"] = f"""
                            / CAST(h_max AS DOUBLE)
                  END, 4) AS est_distinct
     FROM groups
+"""
+
+ORACLE["corpus_diff"] = """
+    WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+    kept AS (SELECT doc_id,
+                    CASE WHEN doc_id % 7 = 0 THEN text || ' v2-recrawl'
+                         ELSE text END AS text
+             FROM documents WHERE doc_id % 20 != 0),
+    new AS (
+        SELECT doc_id, md5(text) AS h FROM kept
+        UNION ALL
+        SELECT doc_id + 10000000, md5(text) FROM documents
+        WHERE doc_id % 13 = 0
+    ),
+    j AS (
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs FROM j GROUP BY 1
 """
 
 ORACLE["kmv_set_ops"] = f"""

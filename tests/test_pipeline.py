@@ -251,6 +251,34 @@ def test_incremental_dedup_anti_joins_seen_hashes(spark):
     assert kept == {11, 12}
 
 
+def test_corpus_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [
+            (1, "same"),
+            (2, "before"),
+            (3, "gone"),
+            (4, None),        # null text both sides -> unchanged
+            (5, None),        # text appears -> changed
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "same"),
+            (2, "after"),     # content changed
+            (4, None),
+            (5, "appeared"),
+            (6, "brand new"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in pipeline.corpus_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged", 2: "changed", 3: "removed",
+        4: "unchanged", 5: "changed", 6: "added",
+    }
+
+
 def test_quantile_filter_approx_close_to_exact(spark):
     """The scale-path t-digest threshold lands on a real value near the
     exact cut (within a few percent of corpus rank)."""

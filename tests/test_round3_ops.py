@@ -327,6 +327,19 @@ def test_hashed_features_and_dense_assembly(spark):
                 vec[b] = float(w)
         assert dense[doc] == vec
 
+    # xxhash64 scale twin: a different (valid) feature space — same
+    # schema, buckets in range, per-doc absolute mass bounded by (and for
+    # collision-free docs equal to) the token count, and deterministic.
+    xx = textstats.hashed_features(df, dim, hash_fn="xxhash64")
+    rows = xx.collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    assert all(0 <= r.bucket < dim for r in rows)
+    mass = {}
+    for r in rows:
+        mass[r.doc_id] = mass.get(r.doc_id, 0) + abs(r.weight)
+    assert mass[1] <= 3 and mass[2] == 1
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, xx.collect()))
+
 
 def test_round3_plan_shapes(spark):
     """Physical-plan pins for the round's scale claims."""

@@ -154,6 +154,22 @@ def run_docs(spark) -> dict[str, object]:
         "hashed_features": lambda: textstats.hashed_features(docs, 64),
         "hashed_features_xx": lambda: textstats.hashed_features(
             docs, 64, hash_fn="xxhash64"),
+        # snapshot delta at corpus scale: hash-width full-outer join
+        # (v2 = 5% dropped, ~14% re-crawled, 7% appended)
+        "corpus_diff": lambda: pipeline.corpus_diff(
+            docs,
+            docs.filter(F.col("doc_id") % 20 != 0).select(
+                "doc_id",
+                F.when(F.col("doc_id") % 7 == 0,
+                       F.concat(F.col("text"), F.lit(" v2")))
+                .otherwise(F.col("text")).alias("text"),
+            ).unionByName(
+                docs.filter(F.col("doc_id") % 13 == 0).select(
+                    (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                    "text",
+                )
+            ),
+        ).groupBy("status").count(),
         # bounded-state sketches over the token stream: CMS build (one
         # bucket-key partial agg), KMV per-source (dedup + top-k window
         # over distinct keys only), HLL registers (partial max agg)

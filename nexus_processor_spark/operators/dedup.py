@@ -185,6 +185,94 @@ def jaccard_verify(
     )
 
 
+def _shingle_hash_projection(
+    df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    num_bands: int,
+    rows_per_band: int,
+    shingle_words: int,
+    hash_fn: str,
+) -> DataFrame:
+    """Per-doc ``(id, sh, minhash columns)`` projection — the expensive
+    pass both :func:`minhash_dedup_pairs` and :func:`band_signatures`
+    start from (see the in-body comments in minhash_dedup_pairs for why
+    the hashes live inside this projection)."""
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be md5 or xxhash64, got {hash_fn!r}")
+    n_minhashes = num_bands * rows_per_band
+    n_salts = -(-n_minhashes // BANDS_PER_MD5)
+    raw = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), word_shingles_text(text_col, shingle_words).alias("sh")
+    )
+    if hash_fn == "xxhash64":
+        return raw.select(
+            id_col, "sh",
+            *[minhash_xx(F.col("sh"), j).alias(f"_m{j}")
+              for j in range(n_minhashes)],
+        )
+    return raw.select(
+        id_col, "sh",
+        *[salted_md5s(F.col("sh"), k).alias(f"_h{k}")
+          for k in range(n_salts)],
+    )
+
+
+def _band_sig_col(b: int, rows_per_band: int, hash_fn: str) -> F.Column:
+    """The band-``b`` signature from a :func:`_shingle_hash_projection`
+    row: ``rows_per_band`` consecutive minhashes combined into one key."""
+    js = range(b * rows_per_band, (b + 1) * rows_per_band)
+    if hash_fn == "xxhash64":
+        # Combine the band's minhashes into one 64-bit key. xxhash64
+        # skips null inputs (it would hash shingle-less docs to the
+        # seed and collide them all), so guard on the first minhash.
+        combined = F.xxhash64(*[F.col(f"_m{j}") for j in js])
+        return F.when(
+            F.col(f"_m{b * rows_per_band}").isNotNull(), combined
+        )
+    # F.concat (not concat_ws): null minhash (shingle-less doc) must
+    # null the whole signature, never collapse to a colliding "".
+    parts = [chunk_min(F.col(f"_h{j // BANDS_PER_MD5}"), j) for j in js]
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+
+def band_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    rows_per_band: int = 2,
+    shingle_words: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The ``(id, band, sig)`` table :func:`minhash_dedup_pairs` buckets
+    on, as a standalone output — the persistable near-dup INDEX: store it
+    for the kept corpus and a new batch is near-dup-checked by one
+    equi-join on ``(band, sig)`` (see ``streaming.curate``). At
+    ``rows_per_band=1`` this is exactly :func:`minhash_signatures`
+    (pinned by tests)."""
+    sh = _shingle_hash_projection(
+        df, text_col=text_col, id_col=id_col, num_bands=num_bands,
+        rows_per_band=rows_per_band, shingle_words=shingle_words,
+        hash_fn=hash_fn,
+    )
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            _band_sig_col(b, rows_per_band, hash_fn).alias("sig"),
+        )
+        for b in range(num_bands)
+    ])
+    return (
+        sh.select(id_col, F.explode(band_arr).alias("bs"))
+        .select(id_col, F.col("bs.band").alias("band"),
+                F.col("bs.sig").alias("sig"))
+        .filter(F.col("sig").isNotNull())
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     *,
@@ -213,13 +301,6 @@ def minhash_dedup_pairs(
     materializes it once (MEMORY_AND_DISK) — at warehouse scale, checkpoint
     this projection to the lake instead and share it across dedup runs.
     """
-    if hash_fn not in ("md5", "xxhash64"):
-        raise ValueError(f"hash_fn must be md5 or xxhash64, got {hash_fn!r}")
-    n_minhashes = num_bands * rows_per_band
-    n_salts = -(-n_minhashes // BANDS_PER_MD5)
-    raw = spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), word_shingles_text(text_col, shingle_words).alias("sh")
-    )
     # The hash minhashes are the expensive columns; they live INSIDE the
     # persisted projection so they're computed exactly once. (Computing all
     # band sigs in one projection instead does NOT help: codegen
@@ -227,18 +308,11 @@ def minhash_dedup_pairs(
     # so each band would re-hash its salt's whole array — measured 2x worse.)
     # md5 is the cross-engine-checkable scheme; xxhash64 the scale path
     # (native long codegen, ~10x cheaper per shingle).
-    if hash_fn == "xxhash64":
-        sh = raw.select(
-            id_col, "sh",
-            *[minhash_xx(F.col("sh"), j).alias(f"_m{j}")
-              for j in range(n_minhashes)],
-        )
-    else:
-        sh = raw.select(
-            id_col, "sh",
-            *[salted_md5s(F.col("sh"), k).alias(f"_h{k}")
-              for k in range(n_salts)],
-        )
+    sh = _shingle_hash_projection(
+        df, text_col=text_col, id_col=id_col, num_bands=num_bands,
+        rows_per_band=rows_per_band, shingle_words=shingle_words,
+        hash_fn=hash_fn,
+    )
     if persist_shingles:
         # Prime the cache with an explicit action: four plan branches read
         # this projection, and a lazily-persisted DF would be recomputed by
@@ -246,22 +320,9 @@ def minhash_dedup_pairs(
         sh = sh.persist()
         sh.count()
 
-    def band_sig(b: int) -> F.Column:
-        js = range(b * rows_per_band, (b + 1) * rows_per_band)
-        if hash_fn == "xxhash64":
-            # Combine the band's minhashes into one 64-bit key. xxhash64
-            # skips null inputs (it would hash shingle-less docs to the
-            # seed and collide them all), so guard on the first minhash.
-            combined = F.xxhash64(*[F.col(f"_m{j}") for j in js])
-            return F.when(
-                F.col(f"_m{b * rows_per_band}").isNotNull(), combined
-            )
-        # F.concat (not concat_ws): null minhash (shingle-less doc) must
-        # null the whole signature, never collapse to a colliding "".
-        parts = [chunk_min(F.col(f"_h{j // BANDS_PER_MD5}"), j) for j in js]
-        return parts[0] if len(parts) == 1 else F.concat(*parts)
-
-    band_arr = F.array(*[band_sig(b) for b in range(num_bands)])
+    band_arr = F.array(*[
+        _band_sig_col(b, rows_per_band, hash_fn) for b in range(num_bands)
+    ])
     sigs = (
         sh.select(id_col, F.posexplode(band_arr).alias("band", "sig"))
         .filter(F.col("sig").isNotNull())

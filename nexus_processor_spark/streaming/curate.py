@@ -1,0 +1,225 @@
+"""Streaming corpus curation: the nightly-ingest twin of
+``pipeline.curate_corpus``.
+
+Each micro-batch of new documents is gated (length floor), exact-deduped
+(within the batch AND against every previously-kept document), and
+near-deduped (MinHash bands within the batch and against the kept
+corpus), then the survivors are appended to a per-batch sink directory
+and the dedup state advances — all exactly-once.
+
+## State = hashes, never documents
+
+The accumulated state holds only the SURVIVORS' content md5s and their
+banded MinHash signatures (fixed-width keys, ``kind`` + ``key`` rows):
+at 100 TB of kept corpus the state is ~1+num_bands short strings per
+document — the key-set-not-data rule (`pipeline.incremental_dedup`).
+Dropped documents contribute nothing, so one viral duplicate never
+bloats the index.
+
+Cross-batch near-dup is CANDIDATE-level: a new doc is dropped when any
+of its band signatures collides with a kept doc's (collision probability
+j**rows_per_band per band — the standard LSH precision dial). The exact
+Jaccard verify needs both shingle sets and the state deliberately keeps
+neither; within a batch, where both texts are present, pairs ARE
+verified (``dedup.minhash_dedup_pairs``).
+
+## Exactly-once
+
+Per batch id: (1) write the full audit table (every input doc with
+``keep`` + first ``drop_reason``) to ``sink_path/batch=<id>`` in
+overwrite mode — idempotent under retry; (2) publish the state delta via
+``sketches.apply_state_batch`` (versioned, _SUCCESS-gated). A replayed
+batch finds its version complete and skips BOTH steps, so neither the
+sink nor the state double-applies; a crash between (1) and (2) replays
+into an overwrite of the same directory. Reference exactly-once
+semantics: SURVEY.md §2 T3 (checkpointed sink contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nexus_processor_spark.operators import dedup
+from nexus_processor_spark.streaming import sketches
+
+NUM_BANDS = 8
+ROWS_PER_BAND = 2
+STATE_SCHEMA = "kind string, key string"
+
+
+def _band_keys(docs: DataFrame, *, text_col: str, id_col: str) -> DataFrame:
+    """(id, key) band-signature keys at the SAME (b, r) banding the
+    verified within-batch pass uses, so cross-state collisions carry
+    j**r precision, not r=1's j."""
+    return dedup.band_signatures(
+        docs, text_col=text_col, id_col=id_col,
+        num_bands=NUM_BANDS, rows_per_band=ROWS_PER_BAND,
+    ).select(
+        id_col,
+        F.concat_ws(":", F.col("band").cast("string"), "sig").alias("key"),
+    )
+
+
+def _survivor_state(
+    survivors: DataFrame, *, text_col: str, id_col: str
+) -> DataFrame:
+    """State delta rows for kept docs: content md5s + band signatures."""
+    md5s = (
+        survivors.select(F.md5(F.col(text_col)).alias("key"))
+        .where(F.col("key").isNotNull())
+        .distinct()
+        .select(F.lit("md5").alias("kind"), "key")
+    )
+    bands = (
+        _band_keys(survivors, text_col=text_col, id_col=id_col)
+        .select("key").distinct()
+        .select(F.lit("band").alias("kind"), "key")
+    )
+    return md5s.unionByName(bands)
+
+
+def curate_batch(
+    batch: DataFrame,
+    state: DataFrame | None,
+    *,
+    min_chars: int = 20,
+    near_dup_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One batch through the gates against ``state`` (None = cold start).
+    Returns the audit table: every input row + ``keep`` boolean + first
+    ``drop_reason`` (``low_quality`` / ``exact_dup`` / ``near_dup`` /
+    null). Pure DataFrame logic — shared by the stream and by tests."""
+    t = F.col(text_col)
+    quality_ok = t.isNotNull() & (F.length(t) >= min_chars)
+
+    q = batch.withColumn("_q_ok", quality_ok)
+    qdocs = q.filter("_q_ok")
+
+    # exact: first-id-wins within the batch, then anti vs state md5s
+    w_first = F.row_number().over(
+        Window.partitionBy(F.md5(t)).orderBy(id_col)
+    )
+    exact_batch = qdocs.withColumn("_rn", w_first).withColumn(
+        "_exact_first", F.col("_rn") == 1
+    ).drop("_rn")
+    if state is not None:
+        seen = state.filter(F.col("kind") == "md5").select(
+            F.col("key").alias("_seen_md5")).distinct()
+        exact = exact_batch.join(
+            seen, F.md5(t) == F.col("_seen_md5"), "left",
+        ).withColumn(
+            "_exact_ok", F.col("_exact_first") & F.col("_seen_md5").isNull()
+        ).drop("_seen_md5")
+    else:
+        exact = exact_batch.withColumn("_exact_ok", F.col("_exact_first"))
+    edocs = exact.filter("_exact_ok")
+
+    # near-dup within the batch (verified pairs, keep lowest id) ...
+    pairs = dedup.minhash_dedup_pairs(
+        edocs, text_col=text_col, id_col=id_col,
+        num_bands=NUM_BANDS, rows_per_band=ROWS_PER_BAND,
+        threshold=near_dup_threshold, persist_shingles=False,
+    )
+    dropped_in_batch = pairs.select(F.col("id_b").alias(id_col)).distinct() \
+        .withColumn("_near_batch", F.lit(True))
+    # ... and vs the kept corpus (band-signature collision, no verify)
+    sigs = _band_keys(edocs, text_col=text_col, id_col=id_col) \
+        .withColumnRenamed("key", "_bkey")
+    if state is not None:
+        kept_bands = state.filter(F.col("kind") == "band").select(
+            F.col("key").alias("_bkey"))
+        dropped_vs_state = (
+            sigs.join(kept_bands, "_bkey", "left_semi")
+            .select(id_col).distinct().withColumn("_near_state", F.lit(True))
+        )
+    else:
+        dropped_vs_state = sigs.select(id_col).limit(0).withColumn(
+            "_near_state", F.lit(True))
+
+    audit = (
+        exact.join(dropped_in_batch, id_col, "left")
+        .join(dropped_vs_state, id_col, "left")
+    )
+    near_dropped = (
+        F.coalesce(F.col("_near_batch"), F.lit(False))
+        | F.coalesce(F.col("_near_state"), F.lit(False))
+    )
+    full = q.drop("_q_ok").join(
+        audit.select(
+            id_col, "_q_ok", "_exact_ok",
+            near_dropped.alias("_near_dropped"),
+        ),
+        id_col, "left",
+    )
+    # rows filtered before a stage carry nulls for its flags: fill from
+    # the earlier stage's verdict
+    q_ok = F.coalesce(F.col("_q_ok"), F.lit(False))
+    exact_ok = F.coalesce(F.col("_exact_ok"), F.lit(False))
+    near_drop = F.coalesce(F.col("_near_dropped"), F.lit(False))
+    keep = q_ok & exact_ok & ~near_drop
+    reason = (
+        F.when(~q_ok, "low_quality")
+        .when(~exact_ok, "exact_dup")
+        .when(near_drop, "near_dup")
+    )
+    return full.select(
+        *batch.columns, keep.alias("keep"), reason.alias("drop_reason")
+    )
+
+
+def curate_stream(
+    stream: DataFrame,
+    *,
+    state_path: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    min_chars: int = 20,
+    near_dup_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_available_now: bool = True,
+):
+    """Start the curation stream over a document source. Audit rows land
+    in ``sink_path/batch=<id>`` (survivors = ``filter(keep)``); the
+    dedup state advances under ``state_path``. Returns the
+    ``StreamingQuery``."""
+    spark = stream.sparkSession
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        fs, _, jvm = sketches._fs(spark, state_path)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(
+                f"{state_path}/v{batch_id}/_SUCCESS")):
+            return  # replayed batch: sink + state already published
+        state = None
+        cur = sketches.current_state_dir(spark, state_path)
+        if cur is not None:
+            state = spark.read.parquet(cur)
+        audit = curate_batch(
+            batch, state,
+            min_chars=min_chars, near_dup_threshold=near_dup_threshold,
+            text_col=text_col, id_col=id_col,
+        ).persist()
+        try:
+            audit.write.mode("overwrite").parquet(
+                f"{sink_path}/batch={batch_id}")
+            delta = _survivor_state(
+                audit.filter("keep"), text_col=text_col, id_col=id_col
+            )
+            sketches.apply_state_batch(
+                spark, state_path, batch_id, delta,
+                lambda cur_df, d: cur_df.unionByName(d).distinct(),
+            )
+        finally:
+            audit.unpersist()
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_step)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -105,17 +105,26 @@ def _build_parser() -> argparse.ArgumentParser:
         "corpus", help="training-corpus ops over a documents parquet"
     )
     co.add_argument("op", choices=["profile", "dedup", "neardup", "sample",
-                                   "score", "mix", "boilerplate", "curate"])
+                                   "score", "mix", "boilerplate", "curate",
+                                   "diff", "curate-stream"])
     co.add_argument("--eval-set", default=None,
                     help="curate: eval/benchmark parquet for decontamination")
     co.add_argument("--input", required=True,
-                    help="documents parquet path (doc_id, text, ...)")
+                    help="documents parquet path (doc_id, text, ...); for "
+                         "curate-stream, a glob the stream watches")
     co.add_argument("--output", default=None,
-                    help="write result parquet here (default: show)")
+                    help="write result parquet here (default: show); "
+                         "required for curate-stream (the audit sink dir)")
     co.add_argument("--fraction", type=float, default=0.1,
                     help="sample: deterministic hash-sample fraction")
     co.add_argument("--threshold", type=float, default=0.5,
-                    help="neardup: Jaccard threshold")
+                    help="neardup/curate-stream: Jaccard threshold")
+    co.add_argument("--against", default=None,
+                    help="diff: the NEW snapshot parquet (--input is old)")
+    co.add_argument("--state", default=None,
+                    help="curate-stream: versioned dedup-state directory")
+    co.add_argument("--checkpoint", dest="corpus_checkpoint", default=None,
+                    help="curate-stream: stream checkpoint directory")
 
     ck = sub.add_parser(
         "check", help="data-quality expectation suite over a parquet table"
@@ -300,8 +309,33 @@ def main(argv: list[str] | None = None) -> int:
                 q.awaitTermination(args.timeout)
                 q.stop()
         elif args.cmd == "corpus":
+            if args.op == "curate-stream":
+                from nexus_processor_spark.streaming import curate
+
+                if not (args.output and args.state and args.corpus_checkpoint):
+                    raise SystemExit(
+                        "corpus curate-stream requires --output (audit sink)"
+                        ", --state and --checkpoint")
+                stream = spark.readStream.schema(
+                    "doc_id long, text string").parquet(args.input)
+                q = curate.curate_stream(
+                    stream, state_path=args.state, sink_path=args.output,
+                    checkpoint_dir=args.corpus_checkpoint,
+                    near_dup_threshold=args.threshold,
+                )
+                q.awaitTermination()
+                print(f"curated into {args.output}", file=sys.stderr)
+                return 0  # session cleanup in the finally below
             docs = spark.read.parquet(args.input)
-            if args.op == "profile":
+            if args.op == "diff":
+                from nexus_processor_spark.operators import pipeline
+
+                if not args.against:
+                    raise SystemExit("corpus diff requires --against NEW")
+                result = pipeline.corpus_diff(
+                    docs, spark.read.parquet(args.against)
+                )
+            elif args.op == "profile":
                 from nexus_processor_spark.operators import textstats
 
                 result = textstats.text_profile(docs)

@@ -80,6 +80,44 @@ def test_corpus_cli_ops(spark, tmp_path):
     assert mix.count() == 2 and "weight" in mix.columns
 
 
+def test_corpus_diff_cli(spark, tmp_path):
+    old = str(tmp_path / "v1.parquet")
+    new = str(tmp_path / "v2.parquet")
+    spark.createDataFrame(
+        [(1, "same"), (2, "before")], "doc_id long, text string"
+    ).write.parquet(old)
+    spark.createDataFrame(
+        [(1, "same"), (2, "after"), (3, "added")], "doc_id long, text string"
+    ).write.parquet(new)
+    out = str(tmp_path / "diff.parquet")
+    assert main(["corpus", "diff", "--input", old, "--against", new,
+                 "--output", out]) == 0
+    got = {r.doc_id: r.status for r in spark.read.parquet(out).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "added"}
+
+
+def test_corpus_curate_stream_cli(spark, tmp_path):
+    long_a = ("the quick brown fox jumps over the lazy dog while the band "
+              "plays a slow tune in the park")
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, long_a), (2, long_a), (3, "too short")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    sink = str(tmp_path / "sink")
+    assert main([
+        "corpus", "curate-stream", "--input", str(src / "*"),
+        "--output", sink, "--state", str(tmp_path / "state"),
+        "--checkpoint", str(tmp_path / "ck"),
+    ]) == 0
+    got = {r.doc_id: (r.keep, r.drop_reason)
+           for r in spark.read.option("basePath", sink)
+           .parquet(f"{sink}/batch=*").collect()}
+    assert got == {1: (True, None), 2: (False, "exact_dup"),
+                   3: (False, "low_quality")}
+
+
 def test_check_cli_gate_semantics(spark, tmp_path, capsys):
     good = tmp_path / "good.parquet"
     spark.createDataFrame(

@@ -658,6 +658,71 @@ def anomaly_zscore(
     )
 
 
+def seasonal_anomaly(
+    events: DataFrame,
+    interval_seconds: float,
+    *,
+    periods: int = 24,
+    series_col: str = "bank",
+    time_col: str = "absolute_time",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonally-adjusted volume anomalies: each (series, bucket) count
+    is z-scored against the SAME seasonal slot (``bucket % periods`` —
+    hour-of-day at hourly buckets) across all OTHER cycles, so a quiet
+    3am hour is judged against 3am history, not the daily average that
+    :func:`anomaly_zscore`'s trailing window mixes in.
+
+    The leave-one-out baseline needs no second scan and no window at
+    all: per (series, slot) the count ``m``, sum ``S`` and sum of
+    squares ``S2`` give every member's excluded-self mean
+    ``(S-n)/(m-1)`` and sample variance ``((S2-n²)-(m-1)·mu²)/(m-2)``
+    algebraically. Plan: one bucket aggregate (data-scale), one
+    slot-level aggregate (bounded by series x periods), broadcast join
+    back — shuffles carry buckets, never events, and nothing funnels to
+    one task at any scale.
+
+    Same edge semantics as :func:`anomaly_zscore`: fewer than 3 other
+    observations in the slot -> null z, no flag; zero-variance baseline
+    -> null z but a deviating count still flags. z rounds at 1e-6 before
+    the threshold compare (cross-engine-stable cut).
+    """
+    t = F.col(time_col)
+    counts = (
+        events.filter(t.isNotNull())
+        .withColumn("interval", interval_floor(t, interval_seconds))
+        .groupBy(series_col, "interval")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("slot", F.pmod(F.col("interval"), F.lit(periods)))
+    )
+    stats = counts.groupBy(series_col, "slot").agg(
+        F.count(F.lit(1)).cast("long").alias("_m"),
+        F.sum("n").cast("long").alias("_s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("_s2"),
+    )
+    j = counts.join(F.broadcast(stats), [series_col, "slot"])
+    n = F.col("n").cast("double")
+    m, s, s2 = F.col("_m"), F.col("_s").cast("double"), F.col("_s2").cast("double")
+    mu = (s - n) / (m - 1).cast("double")
+    var = ((s2 - n * n) - (m - 1).cast("double") * mu * mu) \
+        / (m - 2).cast("double")
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.round((n - mu) / sd, 6)
+    enough = m >= 4  # >= 3 other observations in the slot
+    flagged = F.when(
+        enough & (sd > 0), F.abs(z) > F.lit(z_threshold)
+    ).when(enough & (sd == 0), n != mu)
+    return j.select(
+        series_col,
+        "interval",
+        "slot",
+        F.col("n"),
+        F.round(mu, 6).alias("baseline_mu"),
+        F.when(enough & (sd > 0), z).alias("z"),
+        F.coalesce(flagged, F.lit(False)).alias("is_anomaly"),
+    )
+
+
 def downsample_lttb(
     events: DataFrame,
     n_buckets: int,

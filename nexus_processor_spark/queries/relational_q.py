@@ -806,10 +806,14 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue — the scalar ``= (SELECT max(...))`` subquery decorrelated into
     an unpartitioned window max over the grouped aggregate.
 
-    The global max is a 1-row aggregate broadcast back onto the
-    per-supplier table (the scalar-subquery BNLJ pattern) rather than an
-    unpartitioned window — the supplier dimension grows with SF, so even
-    the grouped aggregate should never funnel through one window task.
+    The max selection is ``rank() = 1`` over the per-supplier aggregate:
+    Spark's InferWindowGroupLimit turns the rank filter into a PARTIAL
+    WindowGroupLimit before the exchange, so each task forwards only its
+    own top rows and the final (empty-partition) window sees at most
+    ~numPartitions rows — one lineitem scan, and the funnel stays bounded
+    even though the supplier dimension grows with SF. (A scalar-max
+    broadcast join would bound it too, but reads the aggregate twice —
+    two lineitem scans.)
     """
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ntz("1996-01-01"))
@@ -821,9 +825,9 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("total_revenue")
     )
-    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
-    best = rev.join(F.broadcast(max_rev)).filter(
-        F.col("total_revenue") == F.col("max_rev")
+    w = Window.orderBy(F.col("total_revenue").desc())
+    best = rev.withColumn("_rnk", F.rank().over(w)).filter(
+        F.col("_rnk") == 1
     )
     return (
         best.join(F.broadcast(sup), best.l_suppkey == sup.s_suppkey)

@@ -271,6 +271,19 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeslice.anomaly_zscore(_events(spark, sf_dir), INTERVAL)
 
 
+SEASONAL_PERIODS = 24  # hour-of-day seasonality at hourly buckets
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted volume anomalies: each (bank, hour) count
+    z-scored against the same hour-of-day across all other days via the
+    algebraic leave-one-out baseline — group sums only, no window in the
+    whole plan."""
+    return timeslice.seasonal_anomaly(
+        _events(spark, sf_dir), INTERVAL, periods=SEASONAL_PERIODS
+    )
+
+
 HIST_LO, HIST_HI, HIST_NB = 0.0, 500.0, 50
 
 
@@ -318,6 +331,7 @@ QUERIES = {
     "time_weighted_avg": q_time_weighted_avg,
     "counter_rate": q_counter_rate,
     "anomaly_zscore": q_anomaly_zscore,
+    "seasonal_anomaly": q_seasonal_anomaly,
     "rollup_percentile": q_rollup_percentile,
     "timeslice_gapfill": q_timeslice_gapfill,
     "interval_totals": q_interval_totals,
@@ -526,6 +540,57 @@ ORACLE = {
                 END, FALSE) AS is_anomaly
         FROM x
     """.replace("{_E}", _E).replace("{IV}", str(INTERVAL)),
+    "seasonal_anomaly": """
+        WITH e AS ({_E}),
+        c AS (
+            SELECT bank, CAST(floor(t/{IV}) AS BIGINT) AS interval,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e WHERE t IS NOT NULL GROUP BY 1, 2
+        ),
+        cs AS (
+            SELECT bank, interval, n,
+                   ((interval % {P}) + {P}) % {P} AS slot
+            FROM c
+        ),
+        st AS (
+            SELECT bank, slot,
+                   CAST(count(*) AS BIGINT) AS m,
+                   CAST(sum(n) AS BIGINT) AS s,
+                   CAST(sum(n * n) AS BIGINT) AS s2
+            FROM cs GROUP BY 1, 2
+        ),
+        x AS (
+            SELECT cs.bank, cs.interval, cs.slot, cs.n, st.m,
+                   (CAST(st.s AS DOUBLE) - CAST(cs.n AS DOUBLE))
+                       / CAST(st.m - 1 AS DOUBLE) AS mu,
+                   ((CAST(st.s2 AS DOUBLE)
+                       - CAST(cs.n AS DOUBLE) * CAST(cs.n AS DOUBLE))
+                     - CAST(st.m - 1 AS DOUBLE)
+                       * ((CAST(st.s AS DOUBLE) - CAST(cs.n AS DOUBLE))
+                          / CAST(st.m - 1 AS DOUBLE))
+                       * ((CAST(st.s AS DOUBLE) - CAST(cs.n AS DOUBLE))
+                          / CAST(st.m - 1 AS DOUBLE)))
+                     / CAST(st.m - 2 AS DOUBLE) AS var
+            FROM cs JOIN st ON cs.bank = st.bank AND cs.slot = st.slot
+        ),
+        y AS (
+            SELECT bank, interval, slot, n, m, mu,
+                   sqrt(greatest(var, 0.0)) AS sd
+            FROM x
+        )
+        SELECT bank, interval, slot, n,
+               round(mu, 6) AS baseline_mu,
+               CASE WHEN m >= 4 AND sd > 0
+                    THEN round((CAST(n AS DOUBLE) - mu) / sd, 6) END AS z,
+               COALESCE(CASE
+                    WHEN m >= 4 AND sd > 0
+                        THEN abs(round((CAST(n AS DOUBLE) - mu) / sd, 6))
+                             > 3.0
+                    WHEN m >= 4 AND sd = 0 THEN CAST(n AS DOUBLE) <> mu
+                END, FALSE) AS is_anomaly
+        FROM y
+    """.replace("{_E}", _E).replace("{IV}", str(INTERVAL))
+       .replace("{P}", str(SEASONAL_PERIODS)),
     "time_weighted_avg": f"""
         WITH e AS ({_E}),
         h AS (

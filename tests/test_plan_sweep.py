@@ -52,6 +52,9 @@ WINDOW_ALLOWED = {
     # (<= numPartitions * k rows, sketch.py _k_smallest)
     "kmv_distinct_tokens": "KMV final k-smallest over bounded candidates",
     "kmv_set_ops": "KMV k-smallest + estimate over <= 2k sketch rows",
+    "top_supplier": "rank()=1 with PARTIAL WindowGroupLimit: final window "
+                    "sees <= numPartitions rows (plan-pinned in "
+                    "test_plans.py)",
     # windows over grouped/grid aggregates bounded by the domain, not
     # data volume
     "moving_avg_revenue": "daily-revenue grid (calendar-bounded)",

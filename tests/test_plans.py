@@ -188,12 +188,15 @@ def test_volume_shipping_broadcasts_dims_and_supplier(spark):
 
 
 def test_top_supplier_scans_lineitem_once(spark):
-    """Q15's scalar max subquery is decorrelated into a window over the
-    per-supplier aggregate — lineitem must be scanned once, not once per
-    side of a self-join."""
+    """Q15's scalar max subquery is decorrelated into rank()=1 over the
+    per-supplier aggregate — lineitem must be scanned once (not once per
+    side of a self-join or scalar branch), and the rank filter must plan
+    a PARTIAL WindowGroupLimit so the final unpartitioned window sees
+    only per-task top rows, not the whole supplier dimension."""
     plan = explain.executed_plan(relational_q.q_top_supplier(spark, SF))
     assert plan.count("lineitem.parquet") == 1
     assert "Window" in plan
+    assert "Partial" in plan and "WindowGroupLimit" in plan
 
 
 def test_waiting_suppliers_stays_in_equi_joins(spark):
@@ -245,10 +248,10 @@ def test_knn_graph_and_semantic_dedup_avoid_cartesian(spark):
 
     plan = explain.executed_plan(q_semantic_dedup(spark, SF))
     assert "CartesianProduct" not in plan
-    # the centroid assignment is persisted: its BroadcastNestedLoopJoin
-    # (k-row centroid broadcast — never a data-scale side) lives inside
-    # the cached relation, and the three consumers read the cache
-    assert "InMemoryTableScan" in plan
+    # the registry serves the Arrow kernel: per-cluster gram matrices run
+    # as an applyInPandas stage grouped on the centroid assignment — the
+    # pair space never appears as a join at all
+    assert "FlatMapGroupsInPandas" in plan
 
     # logical shape without the cache: the only nested loops are the
     # k-row centroid broadcasts inside kmeans_assign — the data-scale

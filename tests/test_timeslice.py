@@ -277,3 +277,71 @@ def test_anomaly_zscore_flags_spike_only(spark):
     assert not any(r["is_anomaly"] for iv, r in res.items() if iv != 30)
     # calm buckets have zero variance -> null z, not false alarms
     assert res[10]["z"] is None
+
+
+def test_seasonal_anomaly_judges_against_same_slot(spark):
+    """A busy daily peak hour is NORMAL for its slot; the same volume in
+    a quiet slot flags. 8 'days' of 4-slot cycles: slot 0 always 40
+    events, slots 1-3 always 5 — then day 7 puts 40 into slot 2."""
+    import math
+
+    rows = []
+    eid = 0
+
+    def bucket(day, slot, n):
+        nonlocal eid
+        for _ in range(n):
+            rows.append((eid, "A", (day * 4 + slot) * 60.0 + 1.0, 0.0))
+            eid += 1
+
+    for day in range(7):
+        bucket(day, 0, 40)
+        for s in (1, 2, 3):
+            bucket(day, s, 5)
+    bucket(7, 0, 40)
+    bucket(7, 1, 5)
+    bucket(7, 2, 40)   # peak-sized volume in a quiet slot
+    bucket(7, 3, 5)
+    df = spark.createDataFrame(
+        rows, "event_id long, bank string, absolute_time double, value double"
+    )
+    res = {(r["slot"], r["interval"]): r for r in
+           timeslice.seasonal_anomaly(df, 60.0, periods=4).collect()}
+    # the anomalous quiet-slot spike flags...
+    spike = res[(2, 7 * 4 + 2)]
+    assert spike["is_anomaly"] and spike["baseline_mu"] == 5.0
+    # ...while every peak-hour 40 is normal for ITS slot (zero variance,
+    # equal to baseline -> no flag, null z)
+    assert not any(r["is_anomaly"] for k, r in res.items() if k[0] == 0)
+    assert res[(0, 0)]["z"] is None
+    # numpy pin of the leave-one-out z for the spike: others = 7x5
+    others = [5.0] * 7
+    mu = sum(others) / 7
+    sd = math.sqrt(sum((x - mu) ** 2 for x in others) / 6)
+    assert sd == 0.0  # degenerate here: flagged via the sd==0 branch
+    # a slot with real variance: make day-6 slot 3 carry 6 events instead
+    rows2 = [r for r in rows]
+    rows2.append((eid, "A", (6 * 4 + 3) * 60.0 + 1.0, 0.0))
+    df2 = spark.createDataFrame(
+        rows2, "event_id long, bank string, absolute_time double, value double"
+    )
+    res2 = {(r["slot"], r["interval"]): r for r in
+            timeslice.seasonal_anomaly(df2, 60.0, periods=4).collect()}
+    z = res2[(3, 6 * 4 + 3)]["z"]
+    others = [5.0] * 7  # the other seven slot-3 buckets
+    mu = sum(others) / 7
+    sd = math.sqrt(sum((x - mu) ** 2 for x in others) / 6)
+    assert sd == 0 and z is None  # still flat without the changed bucket
+    # leave-one-out on a NON-flat slot: bump two different days
+    rows3 = rows2 + [(eid + 1, "A", (5 * 4 + 3) * 60.0 + 1.0, 0.0),
+                     (eid + 2, "A", (5 * 4 + 3) * 60.0 + 1.0, 0.0)]
+    df3 = spark.createDataFrame(
+        rows3, "event_id long, bank string, absolute_time double, value double"
+    )
+    res3 = {(r["slot"], r["interval"]): r for r in
+            timeslice.seasonal_anomaly(df3, 60.0, periods=4).collect()}
+    got = res3[(3, 7 * 4 + 3)]  # n=5 judged against [5,5,5,5,5,7,6]
+    others = [5, 5, 5, 5, 5, 7, 6]
+    mu = sum(others) / len(others)
+    sd = math.sqrt(sum((x - mu) ** 2 for x in others) / (len(others) - 1))
+    assert got["z"] == pytest.approx(round((5 - mu) / sd, 6), abs=1e-9)

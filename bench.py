@@ -127,6 +127,7 @@ def run_docs(spark) -> dict[str, object]:
     from pyspark.sql import functions as F
 
     from nexus_processor_spark.operators import dedup, fuzzy, pipeline, sketch, textstats
+    from nexus_processor_spark.streaming import curate
 
     ensure_big_docs(spark)
     docs = spark.read.parquet(f"{DOCS_DIR}/documents.parquet")
@@ -154,6 +155,10 @@ def run_docs(spark) -> dict[str, object]:
         "hashed_features": lambda: textstats.hashed_features(docs, 64),
         "hashed_features_xx": lambda: textstats.hashed_features(
             docs, 64, hash_fn="xxhash64"),
+        # cold-start streaming-curation batch on a 10% sample (~200k
+        # docs): gate + in-batch exact dedup + verified near-dup
+        "curate_batch_200k": lambda: curate.curate_batch(
+            docs.sample(fraction=0.1, seed=11), None),
         # snapshot delta at corpus scale: hash-width full-outer join
         # (v2 = 5% dropped, ~14% re-crawled, 7% appended)
         "corpus_diff": lambda: pipeline.corpus_diff(

@@ -161,11 +161,16 @@ def jaccard_verify(
     id_col: str = "doc_id",
     shingle_words: int = 3,
     threshold: float = 0.0,
+    broadcast_pairs: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs.
 
     The doc->shingle-set map joins in twice; ``array_intersect`` does the
     set math per pair without exploding shingles through a shuffle.
+    ``broadcast_pairs`` broadcasts the (banding-collapsed, small)
+    candidate side of both joins so the corpus-sized shingle projection
+    streams map-side instead of shuffling its arrays — the same rule
+    ``minhash_dedup_pairs`` applies to its verify stage.
     """
     sh = docs.select(
         F.col(id_col), word_shingles_text(text_col, shingle_words).alias("sh")
@@ -174,8 +179,12 @@ def jaccard_verify(
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    if broadcast_pairs:
+        joined = F.broadcast(F.broadcast(pairs).join(a, "id_a")).join(b, "id_b")
+    else:
+        joined = pairs.join(a, "id_a").join(b, "id_b")
     return (
-        pairs.join(a, "id_a").join(b, "id_b")
+        joined
         .select(
             "id_a", "id_b",
             F.when(union > 0, inter.cast("double") / union.cast("double"))
@@ -246,14 +255,21 @@ def band_signatures(
     rows_per_band: int = 2,
     shingle_words: int = 3,
     hash_fn: str = "md5",
+    projection: DataFrame | None = None,
 ) -> DataFrame:
     """The ``(id, band, sig)`` table :func:`minhash_dedup_pairs` buckets
     on, as a standalone output — the persistable near-dup INDEX: store it
     for the kept corpus and a new batch is near-dup-checked by one
     equi-join on ``(band, sig)`` (see ``streaming.curate``). At
     ``rows_per_band=1`` this is exactly :func:`minhash_signatures`
-    (pinned by tests)."""
-    sh = _shingle_hash_projection(
+    (pinned by tests).
+
+    ``projection`` supplies a pre-built (optionally persisted)
+    :func:`_shingle_hash_projection` with MATCHING num_bands /
+    rows_per_band / hash_fn, so several consumers (pair detection, index
+    build) share one expensive minhash pass; the caller owns its
+    lifecycle."""
+    sh = projection if projection is not None else _shingle_hash_projection(
         df, text_col=text_col, id_col=id_col, num_bands=num_bands,
         rows_per_band=rows_per_band, shingle_words=shingle_words,
         hash_fn=hash_fn,
@@ -286,8 +302,14 @@ def minhash_dedup_pairs(
     persist_shingles: bool = True,
     broadcast_verify: bool = True,
     hash_fn: str = "md5",
+    projection: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pair detection: LSH candidates -> Jaccard gate.
+
+    ``projection`` supplies a pre-built :func:`_shingle_hash_projection`
+    (matching parameters; caller owns persistence — ``persist_shingles``
+    is ignored) so the expensive minhash pass is shared with other
+    consumers, e.g. ``band_signatures`` in ``streaming.curate``.
 
     Classic (b, r) banding: each of ``num_bands`` signatures concatenates
     ``rows_per_band`` independent minhashes, so two docs collide on a band
@@ -308,17 +330,21 @@ def minhash_dedup_pairs(
     # so each band would re-hash its salt's whole array — measured 2x worse.)
     # md5 is the cross-engine-checkable scheme; xxhash64 the scale path
     # (native long codegen, ~10x cheaper per shingle).
-    sh = _shingle_hash_projection(
-        df, text_col=text_col, id_col=id_col, num_bands=num_bands,
-        rows_per_band=rows_per_band, shingle_words=shingle_words,
-        hash_fn=hash_fn,
-    )
-    if persist_shingles:
-        # Prime the cache with an explicit action: four plan branches read
-        # this projection, and a lazily-persisted DF would be recomputed by
-        # each branch racing within the first job (measured 3x slower).
-        sh = sh.persist()
-        sh.count()
+    if projection is not None:
+        sh = projection
+    else:
+        sh = _shingle_hash_projection(
+            df, text_col=text_col, id_col=id_col, num_bands=num_bands,
+            rows_per_band=rows_per_band, shingle_words=shingle_words,
+            hash_fn=hash_fn,
+        )
+        if persist_shingles:
+            # Prime the cache with an explicit action: four plan branches
+            # read this projection, and a lazily-persisted DF would be
+            # recomputed by each branch racing within the first job
+            # (measured 3x slower).
+            sh = sh.persist()
+            sh.count()
 
     band_arr = F.array(*[
         _band_sig_col(b, rows_per_band, hash_fn) for b in range(num_bands)

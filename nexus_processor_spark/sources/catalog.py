@@ -117,6 +117,16 @@ def write_table(
         else:
             df.writeTo(ident).append()
         return ident
+    if fmt == "snapshot":
+        # Executed lakehouse semantics without the (absent) Iceberg jars:
+        # atomic manifest commits, snapshot isolation, time travel —
+        # sources/snapshots.py. Partition pruning is traded for the
+        # commit protocol; pick per table.
+        from nexus_processor_spark.sources import snapshots
+
+        path = f"{root}/{table}"
+        snapshots.write_snapshot(df, path, mode=mode)
+        return path
     if max_records_per_file is None and table == "events":
         max_records_per_file = MAX_EVENTS_PER_FILE
     path = f"{root}/{table}"
@@ -140,6 +150,10 @@ def read_table(
     if fmt == "iceberg":
         require_iceberg_catalog(spark, root)
         return spark.read.table(f"{root}.{table}")
+    if fmt == "snapshot":
+        from nexus_processor_spark.sources import snapshots
+
+        return snapshots.read_snapshot(spark, f"{root}/{table}")
     return spark.read.option("basePath", f"{root}/{table}").parquet(f"{root}/{table}")
 
 

@@ -99,6 +99,7 @@ def curate_batch(
     state: DataFrame | None,
     *,
     min_chars: int = 20,
+    max_dup_char_fraction: float | None = None,
     near_dup_threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -106,13 +107,36 @@ def curate_batch(
 ) -> DataFrame:
     """One batch through the gates against ``state`` (None = cold start).
     Returns the audit table: every input row + ``keep`` boolean + first
-    ``drop_reason`` (``low_quality`` / ``exact_dup`` / ``near_dup`` /
-    null). Pure DataFrame logic — shared by the stream and by tests."""
+    ``drop_reason`` (``low_quality`` / ``repetitive`` / ``exact_dup`` /
+    ``near_dup`` / null). Pure DataFrame logic — shared by the stream
+    and by tests.
+
+    ``max_dup_char_fraction`` enables the Gopher-style repetition gate
+    (same dial as ``pipeline.curate_corpus``): docs whose duplicate-
+    bigram character mass exceeds it drop before the dedup stages — the
+    gate is a pure per-doc statistic, so it needs no state."""
     t = F.col(text_col)
     quality_ok = t.isNotNull() & (F.length(t) >= min_chars)
 
     q = batch.withColumn("_q_ok", quality_ok)
-    qdocs = q.filter("_q_ok")
+    if max_dup_char_fraction is not None:
+        from nexus_processor_spark.operators import pipeline
+
+        rep = pipeline.duplicate_ngram_stats(
+            q.filter("_q_ok"), text_col=text_col, id_col=id_col
+        ).select(
+            id_col,
+            (F.col("dup_char_fraction") <= max_dup_char_fraction)
+            .alias("_rep_ok"),
+        )
+        # a quality-failed doc has no repetition row; its flag stays
+        # vacuously true so the first drop_reason reads low_quality
+        q = q.join(rep, id_col, "left").withColumn(
+            "_rep_ok", F.coalesce(F.col("_rep_ok"), F.lit(True))
+        )
+    else:
+        q = q.withColumn("_rep_ok", F.lit(True))
+    qdocs = q.filter("_q_ok AND _rep_ok")
 
     # exact: first-id-wins within the batch, then anti vs state md5s
     w_first = F.row_number().over(
@@ -184,21 +208,23 @@ def curate_batch(
         F.coalesce(F.col("_near_batch"), F.lit(False))
         | F.coalesce(F.col("_near_state"), F.lit(False))
     )
-    full = q.drop("_q_ok").join(
+    full = q.join(
         audit.select(
-            id_col, "_q_ok", "_exact_ok",
+            id_col, "_exact_ok",
             near_dropped.alias("_near_dropped"),
         ),
         id_col, "left",
     )
-    # rows filtered before a stage carry nulls for its flags: fill from
-    # the earlier stage's verdict
-    q_ok = F.coalesce(F.col("_q_ok"), F.lit(False))
+    # rows filtered before a stage carry nulls for its flags: fill them
+    # as failed so keep stays False and reason reports the FIRST gate
+    q_ok = F.col("_q_ok")
+    rep_ok = F.col("_rep_ok")
     exact_ok = F.coalesce(F.col("_exact_ok"), F.lit(False))
     near_drop = F.coalesce(F.col("_near_dropped"), F.lit(False))
-    keep = q_ok & exact_ok & ~near_drop
+    keep = q_ok & rep_ok & exact_ok & ~near_drop
     reason = (
         F.when(~q_ok, "low_quality")
+        .when(~rep_ok, "repetitive")
         .when(~exact_ok, "exact_dup")
         .when(near_drop, "near_dup")
     )

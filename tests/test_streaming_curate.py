@@ -48,6 +48,24 @@ def test_curate_batch_cold_start_reasons(spark):
     assert audit[6] == (False, "low_quality")
 
 
+def test_curate_batch_repetition_gate(spark):
+    loopy = "spam ham " * 30 + "end"     # duplicate-bigram heavy
+    batch = spark.createDataFrame(
+        [(1, LONG_A), (2, loopy), (3, "tiny")],
+        "doc_id long, text string",
+    )
+    audit = {r.doc_id: (r.keep, r.drop_reason)
+             for r in curate.curate_batch(
+                 batch, None, max_dup_char_fraction=0.5).collect()}
+    assert audit[1] == (True, None)
+    assert audit[2] == (False, "repetitive")
+    assert audit[3] == (False, "low_quality")
+    # gate off: the loopy doc passes (unique content, no dups)
+    audit2 = {r.doc_id: r.keep
+              for r in curate.curate_batch(batch, None).collect()}
+    assert audit2[2] is True
+
+
 def test_curate_batch_against_state(spark):
     kept = spark.createDataFrame([(1, LONG_A)], "doc_id long, text string")
     state = curate._survivor_state(kept, text_col="text", id_col="doc_id")

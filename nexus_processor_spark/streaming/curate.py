@@ -101,6 +101,8 @@ def curate_batch(
     min_chars: int = 20,
     max_dup_char_fraction: float | None = None,
     near_dup_threshold: float = 0.5,
+    eval_df: DataFrame | None = None,
+    max_contamination_hits: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
     _projection_out: list | None = None,
@@ -108,13 +110,19 @@ def curate_batch(
     """One batch through the gates against ``state`` (None = cold start).
     Returns the audit table: every input row + ``keep`` boolean + first
     ``drop_reason`` (``low_quality`` / ``repetitive`` / ``exact_dup`` /
-    ``near_dup`` / null). Pure DataFrame logic — shared by the stream
+    ``near_dup`` / ``contaminated`` / null). Pure DataFrame logic — shared by the stream
     and by tests.
 
     ``max_dup_char_fraction`` enables the Gopher-style repetition gate
     (same dial as ``pipeline.curate_corpus``): docs whose duplicate-
     bigram character mass exceeds it drop before the dedup stages — the
-    gate is a pure per-doc statistic, so it needs no state."""
+    gate is a pure per-doc statistic, so it needs no state.
+
+    ``eval_df`` enables benchmark decontamination after the dedup
+    stages (``pipeline.decontaminate`` semantics: drop when the doc
+    shares more than ``max_contamination_hits`` distinct 3-grams with
+    the eval set; the eval gram set broadcasts, the batch never
+    shuffles on gram)."""
     t = F.col(text_col)
     quality_ok = t.isNotNull() & (F.length(t) >= min_chars)
 
@@ -200,9 +208,25 @@ def curate_batch(
         dropped_vs_state = sigs.select(id_col).limit(0).withColumn(
             "_near_state", F.lit(True))
 
+    if eval_df is not None:
+        from nexus_processor_spark.operators import pipeline
+
+        contaminated = (
+            pipeline.decontaminate(
+                edocs.select(id_col, text_col), eval_df,
+                text_col=text_col, id_col=id_col,
+            )
+            .filter(F.col("n_eval_grams") > max_contamination_hits)
+            .select(id_col).withColumn("_contam", F.lit(True))
+        )
+    else:
+        contaminated = batch.select(id_col).limit(0).withColumn(
+            "_contam", F.lit(True))
+
     audit = (
         exact.join(dropped_in_batch, id_col, "left")
         .join(dropped_vs_state, id_col, "left")
+        .join(contaminated, id_col, "left")
     )
     near_dropped = (
         F.coalesce(F.col("_near_batch"), F.lit(False))
@@ -212,6 +236,7 @@ def curate_batch(
         audit.select(
             id_col, "_exact_ok",
             near_dropped.alias("_near_dropped"),
+            F.coalesce(F.col("_contam"), F.lit(False)).alias("_contam"),
         ),
         id_col, "left",
     )
@@ -221,12 +246,14 @@ def curate_batch(
     rep_ok = F.col("_rep_ok")
     exact_ok = F.coalesce(F.col("_exact_ok"), F.lit(False))
     near_drop = F.coalesce(F.col("_near_dropped"), F.lit(False))
-    keep = q_ok & rep_ok & exact_ok & ~near_drop
+    contam = F.coalesce(F.col("_contam"), F.lit(False))
+    keep = q_ok & rep_ok & exact_ok & ~near_drop & ~contam
     reason = (
         F.when(~q_ok, "low_quality")
         .when(~rep_ok, "repetitive")
         .when(~exact_ok, "exact_dup")
         .when(near_drop, "near_dup")
+        .when(contam, "contaminated")
     )
     return full.select(
         *batch.columns, keep.alias("keep"), reason.alias("drop_reason")

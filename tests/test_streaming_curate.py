@@ -84,6 +84,28 @@ def test_curate_batch_against_state(spark):
     assert audit[12] == (True, None)
 
 
+def test_curate_batch_decontamination_gate(spark):
+    eval_df = spark.createDataFrame(
+        [(1, "held out benchmark question about lazy dogs")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, LONG_A),
+            # shares the 3-gram "held out benchmark" with the eval set
+            (2, "this doc quotes the held out benchmark question verbatim"),
+            (3, OTHER),
+        ],
+        "doc_id long, text string",
+    )
+    audit = {r.doc_id: (r.keep, r.drop_reason)
+             for r in curate.curate_batch(
+                 batch, None, eval_df=eval_df).collect()}
+    assert audit[1] == (True, None)
+    assert audit[2] == (False, "contaminated")
+    assert audit[3] == (True, None)
+
+
 def test_curate_stream_exactly_once_across_drains(spark, tmp_path):
     """File-source drains: each batch curated against the state built by
     every earlier batch; re-draining with no new files changes nothing."""

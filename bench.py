@@ -462,6 +462,10 @@ def run_ops(spark) -> dict[str, object]:
         ),
         "cohort_retention": lambda: behavior.cohort_retention(ev),
         "anomaly_zscore": lambda: timeslice.anomaly_zscore(evt, 3600.0),
+        # windowless seasonal baseline: bucket agg + bounded slot agg +
+        # broadcast join — nothing funnels to one task at any scale
+        "seasonal_anomaly": lambda: timeslice.seasonal_anomaly(
+            evt, 3600.0, periods=24),
         "quality_checks": lambda: quality.run_checks(
             ev,
             [

@@ -1,0 +1,40 @@
+"""The driver runs bench.py per round; pin its contract cheaply so a
+registry rename can never break the bench at driver time."""
+
+from __future__ import annotations
+
+import json
+
+
+def test_headline_names_resolve_in_registry():
+    import bench
+    from nexus_processor_spark import queries as registry
+
+    qs = registry.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
+
+
+def test_final_stdout_line_is_compact_json():
+    """The driver parses ONLY the last stdout line; bench.py's contract
+    is a compact headline object (sections go to BENCH_SECTIONS.json).
+    Pin the shape by reconstructing the exact dict bench prints."""
+    line = json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {"q": 1.0},
+        "sf": 0.1,
+    })
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_runtime"
+    # a 17-query headline line stays well under typical tail-capture
+    # limits (~4 KB); the r03 failure was the inlined section payload
+    import bench
+
+    est = len(json.dumps({
+        "metric": "headline_queries_total_runtime", "value": 123.456,
+        "unit": "sec", "sf": 0.1,
+        "queries": {n: 123.456 for n in bench.HEADLINE},
+    }))
+    assert est < 1024

@@ -48,6 +48,27 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURATE_MIN_CHARS = 20
+CURATE_THRESHOLD = 0.5
+
+
+def q_curate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-curation batch kernel (streaming/curate.py,
+    cold start): quality floor -> first-id-wins exact dedup -> banded
+    MinHash candidates -> exact-Jaccard near-dup, every doc tagged with
+    keep + first drop_reason. The oracle replays the identical gates in
+    SQL (same md5 minhash chunks as dedup_minhash_pairs), so the
+    streaming pipeline's per-batch decision logic is hash-checked, not
+    just unit-tested."""
+    from nexus_processor_spark.streaming import curate
+
+    audit = curate.curate_batch(
+        _docs(spark, sf_dir).select("doc_id", "text"), None,
+        min_chars=CURATE_MIN_CHARS, near_dup_threshold=CURATE_THRESHOLD,
+    )
+    return audit.select("doc_id", "keep", "drop_reason")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(_docs(spark, sf_dir), bits=SIMHASH_BITS)
 
@@ -182,6 +203,7 @@ QUERIES = {
     "dedup_exact_survivors": q_dedup_exact_survivors,
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "curate_audit": q_curate_audit,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_simhash_wide": q_dedup_simhash_wide,
@@ -414,3 +436,63 @@ ORACLE = {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
     """,
 }
+
+ORACLE["curate_audit"] = f"""
+    WITH q AS (
+        SELECT doc_id, text,
+               text IS NOT NULL AND length(text) >= {CURATE_MIN_CHARS}
+                   AS q_ok
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) = 1 AS exact_ok
+        FROM q WHERE q_ok
+    ),
+    ed AS (SELECT doc_id, text FROM ex WHERE exact_ok),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(
+                   generate_series(1,
+                     greatest(len(string_split(text, ' ')) - 2, 0)),
+                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                 )
+               ) AS sh
+        FROM ed
+    ),
+    sig AS (
+        SELECT s.doc_id, b.band,
+               {_chunk_sql('2 * b.band')} || {_chunk_sql('2 * b.band + 1')}
+                   AS sig
+        FROM sh s, (SELECT unnest(range({NUM_BANDS})) AS band) b
+        WHERE len(s.sh) > 0
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    ),
+    dropped AS (
+        SELECT DISTINCT c.id_b AS doc_id
+        FROM cand c JOIN sh x ON c.id_a = x.doc_id
+                    JOIN sh y ON c.id_b = y.doc_id
+        WHERE CASE WHEN len(x.sh) + len(y.sh)
+                        - len(list_intersect(x.sh, y.sh)) > 0
+                   THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                        / CAST(len(x.sh) + len(y.sh)
+                               - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                   ELSE 0.0 END >= {CURATE_THRESHOLD}
+    )
+    SELECT q.doc_id,
+           q.q_ok AND coalesce(ex.exact_ok, FALSE)
+               AND d.doc_id IS NULL AS keep,
+           CASE WHEN NOT q.q_ok THEN 'low_quality'
+                WHEN NOT coalesce(ex.exact_ok, FALSE) THEN 'exact_dup'
+                WHEN d.doc_id IS NOT NULL THEN 'near_dup'
+           END AS drop_reason
+    FROM q
+    LEFT JOIN ex ON q.doc_id = ex.doc_id
+    LEFT JOIN dropped d ON q.doc_id = d.doc_id
+"""

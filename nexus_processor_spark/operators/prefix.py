@@ -26,6 +26,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+_NULL_BUCKET = -(2**63)  # sorts before every real floor(order/grid) bucket
+
+
+def _bucket(order_col: str, grid: float) -> Column:
+    """Coarse-grid bucket id; NULL order keys land in a dedicated first
+    bucket so they are ranked (NULLS FIRST, matching the single-task
+    ``OVER (ORDER BY ...)`` window these operators replace) instead of
+    silently dropped by the bucket equi-join. An all-null column would
+    make that one bucket the whole dataset — callers with meaningfully
+    many null keys should filter them explicitly."""
+    return F.when(
+        F.col(order_col).isNull(), F.lit(_NULL_BUCKET)
+    ).otherwise(F.floor(F.col(order_col) / F.lit(grid))).cast("long")
+
 
 def distributed_running_sum(
     df: DataFrame,
@@ -39,10 +53,10 @@ def distributed_running_sum(
     """Running sum of ``value_col`` in ``(order_col, *tiebreak_cols)``
     order, inclusive of the current row. Rows with equal full sort keys
     receive order-dependent intermediate totals only within that exact
-    tie — give a unique tiebreak for full determinism."""
+    tie — give a unique tiebreak for full determinism. NULL order keys
+    rank first (see :func:`_bucket`)."""
     order_keys = [order_col, *tiebreak_cols]
-    b = F.floor(F.col(order_col) / F.lit(grid)).cast("long")
-    rows = df.withColumn("_b", b)
+    rows = df.withColumn("_b", _bucket(order_col, grid))
     bucket_sums = rows.groupBy("_b").agg(F.sum(value_col).alias("_bs"))
     w_b = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     offsets = bucket_sums.select(
@@ -75,10 +89,10 @@ def distributed_row_number(
     broadcast cumulative bucket counts, instead of the single-task
     ``row_number() OVER (ORDER BY ...)`` global window. Equal full sort
     keys get an arbitrary-but-stable order within the tie; pass a unique
-    tiebreak for full determinism."""
+    tiebreak for full determinism. NULL order keys rank first (see
+    :func:`_bucket`)."""
     order_keys = [order_col, *tiebreak_cols]
-    b = F.floor(F.col(order_col) / F.lit(grid)).cast("long")
-    rows = df.withColumn("_b", b)
+    rows = df.withColumn("_b", _bucket(order_col, grid))
     bucket_counts = rows.groupBy("_b").agg(F.count(F.lit(1)).alias("_bn"))
     w_b = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     offsets = bucket_counts.select(

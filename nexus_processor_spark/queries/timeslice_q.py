@@ -75,8 +75,15 @@ def q_pulse_index_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed_row_number``): per-hour-bucket row_number + broadcast
     cumulative bucket counts — same ordinal as ``row_number() OVER
     (ORDER BY ...)`` but with bounded partitions instead of the
-    single-task global window (the reference hazard SURVEY §2.5 flags)."""
-    e = _events(spark, sf_dir).filter(F.col("bank") == "click")
+    single-task global window (the reference hazard SURVEY §2.5 flags).
+
+    Null timestamps are excluded explicitly: an ordinal over an unknown
+    time is meaningless, and the exclusion keeps the cross-engine
+    contract independent of NULLS FIRST/LAST defaults (the operator
+    itself ranks null keys first — pinned by tests/test_prefix.py)."""
+    e = _events(spark, sf_dir).filter(
+        (F.col("bank") == "click") & F.col("absolute_time").isNotNull()
+    )
     return prefix.distributed_row_number(
         e.select("event_id", "absolute_time"),
         order_col="absolute_time",
@@ -735,7 +742,7 @@ ORACLE = {
         SELECT event_id,
                row_number() OVER (ORDER BY t, event_id) - 1 AS pulse_index,
                t AS pulse_time
-        FROM e WHERE bank = 'click'
+        FROM e WHERE bank = 'click' AND t IS NOT NULL
     """,
     "enrich_broadcast_join": f"""
         WITH e AS ({_E}),

@@ -209,19 +209,22 @@ class NexusStreamReader(SimpleDataSourceStreamReader):
     glob and ingests each run file exactly once — the "new runs appear in
     the instrument directory" flow, with recovery handled by the engine.
 
-    Offsets are COMPACTED so a long-lived stream's checkpoint log stays
-    bounded: ``{"hw": <name>, "recent": [...]}`` where every globbed file
-    with name <= ``hw`` is ingested (files are immutable and never
+    The default offset is the full sorted ingested-file list — safe for
+    ANY arrival order (a new file is ingested wherever its name sorts).
+    Opt IN to COMPACTED offsets with ``.option("offset_compaction",
+    "true")`` to keep a long-lived stream's checkpoint log bounded:
+    ``{"hw": <name>, "recent": [...]}`` where every globbed file with
+    name <= ``hw`` is treated as ingested (files are immutable and never
     deleted) and ``recent`` lists only out-of-order stragglers above the
     high-water mark. With the reference's naming — zero-padded run
     numbers, so new files sort after old ones — ``recent`` is empty or a
-    handful of in-flight names, regardless of stream age. Contract: a
-    NEW file must never sort at-or-below the fully-ingested prefix (it
-    would be treated as already seen); set
-    ``.option("offset_compaction", "false")`` for arbitrary arrival
-    order, which keeps the full sorted ingested-file list per offset
-    (legacy scheme; both offset forms stay readable either way, so
-    checkpoints survive flipping the option).
+    handful of in-flight names, regardless of stream age. Compaction's
+    contract: a NEW file must never sort at-or-below the fully-ingested
+    prefix (it would be treated as already seen and silently skipped) —
+    which is why the unbounded-but-safe list is the default and the
+    bounded form requires the caller to assert monotone naming. Both
+    offset forms stay readable either way, so checkpoints survive
+    flipping the option.
 
     ``read`` parses only files not yet in the offset;
     ``readBetweenOffsets`` re-parses exactly the files between two
@@ -233,8 +236,8 @@ class NexusStreamReader(SimpleDataSourceStreamReader):
         # streams; construct with no pushed filters)
         self._batch = NexusReader(dict(options), schema)
         self._compact = str(
-            options.get("offset_compaction", "true")
-        ).lower() != "false"
+            options.get("offset_compaction", "false")
+        ).lower() == "true"
 
     def initialOffset(self) -> dict:
         return {"hw": "", "recent": []} if self._compact else {"files": []}

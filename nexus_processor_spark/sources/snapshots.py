@@ -13,15 +13,30 @@ fully executed and test-pinned in this environment:
 
 * Data files land under ``<table>/data/<uuid>/`` (one directory per
   commit attempt — writers never touch other commits' files).
-* A commit is the atomic rename of ``manifest.<v>.json.tmp`` →
-  ``manifest.<v>.json`` listing EVERY data directory visible in that
-  snapshot. Readers resolve the highest manifest and read exactly its
-  listed directories: a crash before rename leaves orphan data that no
-  reader ever sees; a reader holding version v is unaffected by later
-  commits (snapshot isolation).
+* A commit is the CREATE-EXCLUSIVE publication of ``manifest.<v>.json``
+  (written to a private tmp name, then ``os.link``-ed into place —
+  put-if-absent, so two racing writers can never both claim version v;
+  the loser re-reads the new current manifest and retries at v+1, its
+  already-written data directory intact). The manifest lists EVERY data
+  directory visible in that snapshot. Readers resolve the highest
+  manifest and read exactly its listed directories: a crash before the
+  link leaves orphan data that no reader ever sees; a reader holding
+  version v is unaffected by later commits (snapshot isolation).
 * ``append`` lists the previous snapshot's directories + the new one;
   ``overwrite`` lists only the new one (old files stay on disk for time
-  travel until ``expire_snapshots`` prunes unreferenced directories).
+  travel until ``expire_snapshots`` prunes directories referenced only
+  by expired manifests — never unreferenced/in-flight directories,
+  which may belong to a concurrent writer's not-yet-committed attempt).
+
+## Schema across snapshots
+
+``read_snapshot`` applies the REQUESTED manifest's recorded schema to
+every directory it lists. An ``append`` whose DataFrame adds a column
+therefore reads older directories null-filled for the new column
+(standard mergeable add-column evolution); a column present only in
+older snapshots disappears from newer reads but time-travels intact.
+Renames are not matched by position — a renamed column reads as
+null-for-old + dropped-old-name, so treat renames as add+drop.
 
 This is the standard snapshot/manifest design from the public Iceberg /
 Delta literature reduced to its observable semantics — not a port of
@@ -61,43 +76,77 @@ def current_version(table_path: str) -> int | None:
     return vs[-1] if vs else None
 
 
+def _publish_manifest(table_path: str, version: int, manifest: dict) -> bool:
+    """Put-if-absent publication of ``manifest.<version>.json``: write to
+    a commit-private tmp name, then ``os.link`` it into place — link
+    fails with EEXIST when another writer already owns the version, so
+    exactly one committer wins. Returns False on a lost race."""
+    tmp = os.path.join(
+        table_path, f"manifest.{version}.json.tmp.{uuid.uuid4().hex}"
+    )
+    final = os.path.join(table_path, f"manifest.{version}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    try:
+        os.link(tmp, final)  # THE commit point (create-exclusive)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
 def write_snapshot(
     df: DataFrame,
     table_path: str,
     *,
     mode: str = "append",
-) -> int:
+    version: int | None = None,
+) -> int | None:
     """Commit ``df`` as a new snapshot; returns the committed version.
 
     The data write happens into a fresh commit-private directory; the
-    snapshot becomes visible only at the manifest rename (atomic on any
-    POSIX filesystem; on an object store this maps to the usual
+    snapshot becomes visible only at the create-exclusive manifest
+    publication (on an object store this maps to the usual
     put-if-absent commit). A crash at ANY earlier point leaves the table
-    exactly at its previous version.
+    exactly at its previous version. A writer that loses the version
+    race re-reads the new current manifest and retries at the next
+    number — its data directory is already on disk, so the retry is
+    manifest-only and no committed snapshot's directories are dropped.
+
+    ``version`` pins the commit to an exact number (idempotent external
+    sequencers, e.g. a streaming batch id): if that manifest already
+    exists the commit is SKIPPED and None is returned — data written by
+    the skipped attempt stays orphaned and invisible.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append or overwrite, got {mode!r}")
+    if version is not None and os.path.exists(
+        os.path.join(table_path, f"manifest.{version}.json")
+    ):
+        return None
     os.makedirs(table_path, exist_ok=True)
     commit_dir = f"data/{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(os.path.join(table_path, commit_dir))
 
-    prev = current_version(table_path)
-    dirs = [commit_dir]
-    if mode == "append" and prev is not None:
-        dirs = _read_manifest(table_path, prev)["data_dirs"] + dirs
-    version = 0 if prev is None else prev + 1
-    manifest = {
-        "version": version,
-        "mode": mode,
-        "schema": df.schema.jsonValue(),
-        "data_dirs": dirs,
-    }
-    tmp = os.path.join(table_path, f"manifest.{version}.json.tmp")
-    final = os.path.join(table_path, f"manifest.{version}.json")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, final)  # THE commit point
-    return version
+    while True:
+        prev = current_version(table_path)
+        dirs = [commit_dir]
+        if mode == "append" and prev is not None:
+            dirs = _read_manifest(table_path, prev)["data_dirs"] + dirs
+        v = version if version is not None else (
+            0 if prev is None else prev + 1
+        )
+        manifest = {
+            "version": v,
+            "mode": mode,
+            "schema": df.schema.jsonValue(),
+            "data_dirs": dirs,
+        }
+        if _publish_manifest(table_path, v, manifest):
+            return v
+        if version is not None:  # pinned version taken: idempotent skip
+            return None
 
 
 def read_snapshot(
@@ -128,9 +177,15 @@ def read_snapshot(
 
 def expire_snapshots(table_path: str, *, keep_last: int = 2) -> list[int]:
     """Drop manifests older than the last ``keep_last`` and delete data
-    directories no retained snapshot references. Returns the expired
-    versions. Readers of retained versions are unaffected (their
-    directories survive by definition)."""
+    directories referenced by an expired manifest and by NO retained
+    one. Returns the expired versions. Readers of retained versions are
+    unaffected (their directories survive by definition), and so is a
+    concurrent writer mid-commit: its data directory is referenced by
+    no manifest at all yet, and unreferenced directories are never
+    touched here (orphans from crashed attempts are reclaimed only when
+    a later expiry sees them referenced by an expired manifest — i.e.
+    never; they are invisible and bounded by crash count, a deliberate
+    trade against deleting an in-flight commit's files)."""
     import shutil
 
     vs = _versions(table_path)
@@ -139,11 +194,13 @@ def expire_snapshots(table_path: str, *, keep_last: int = 2) -> list[int]:
     referenced: set[str] = set()
     for v in kept:
         referenced.update(_read_manifest(table_path, v)["data_dirs"])
+    removable: set[str] = set()
+    for v in expired:
+        removable.update(_read_manifest(table_path, v)["data_dirs"])
     for v in expired:
         os.remove(os.path.join(table_path, f"manifest.{v}.json"))
-    data_root = os.path.join(table_path, "data")
-    if os.path.isdir(data_root):
-        for name in os.listdir(data_root):
-            if f"data/{name}" not in referenced:
-                shutil.rmtree(os.path.join(data_root, name))
+    for d in removable - referenced:
+        full = os.path.join(table_path, d)
+        if os.path.isdir(full):
+            shutil.rmtree(full)
     return expired

@@ -173,7 +173,8 @@ def test_stream_offsets_stay_bounded(tmp_path):
     data.mkdir()
     pattern = str(data / "*.json")
     reader = NexusStreamReader(
-        {"table": "events", "path": pattern}, TABLES["events"][0]
+        {"table": "events", "path": pattern, "offset_compaction": "true"},
+        TABLES["events"][0],
     )
     off = reader.initialOffset()
     offsets = [off]
@@ -191,10 +192,9 @@ def test_stream_offsets_stay_bounded(tmp_path):
     # deterministic replay of a middle span from compacted offsets
     replay = list(reader.readBetweenOffsets(offsets[2], offsets[5]))
     assert len(replay) == 12                  # files 3,4,5 x 4 rows
-    # uncompacted mode keeps the legacy full-list offsets
+    # default (no option) keeps the safe full-list offsets
     legacy = NexusStreamReader(
-        {"table": "events", "path": pattern, "offset_compaction": "false"},
-        TABLES["events"][0],
+        {"table": "events", "path": pattern}, TABLES["events"][0]
     )
     rows, off0 = legacy.read(legacy.initialOffset())
     assert len(list(rows)) == 28 and len(off0["files"]) == 7

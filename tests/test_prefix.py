@@ -102,3 +102,41 @@ def test_concurrency_start_meets_end_counts_both(spark):
     }
     assert got[(10.0, 1)] == 2  # the start at t=10 sees the ending one
     assert got[(10.0, -1)] == 1
+
+
+def test_row_number_ranks_null_keys_first(spark):
+    """NULL order keys are ranked (NULLS FIRST), not silently dropped by
+    the bucket equi-join — same rows as the single-task global window."""
+    from nexus_processor_spark.operators.prefix import distributed_row_number
+
+    rows = [(1, 5.0), (2, None), (3, 1.0), (4, None), (5, 9.0)]
+    df = spark.createDataFrame(rows, "id long, t double")
+    got = {
+        r.id: r.row_index
+        for r in distributed_row_number(
+            df, order_col="t", tiebreak_cols=("id",), grid=2.0
+        ).collect()
+    }
+    w = Window.orderBy(F.asc_nulls_first("t"), "id")
+    want = {
+        r.id: r.ri
+        for r in df.select(
+            "id", (F.row_number().over(w) - 1).alias("ri")).collect()
+    }
+    assert len(got) == 5  # every row ranked, nulls included
+    assert got == want == {2: 0, 4: 1, 3: 2, 1: 3, 5: 4}
+
+
+def test_running_sum_keeps_null_key_rows(spark):
+    from nexus_processor_spark.operators.prefix import distributed_running_sum
+
+    rows = [(1, 5.0, 10), (2, None, 1), (3, 1.0, 100), (4, None, 2)]
+    df = spark.createDataFrame(rows, "id long, t double, v int")
+    got = {
+        r.id: r.running_total
+        for r in distributed_running_sum(
+            df, order_col="t", value_col="v", grid=2.0, tiebreak_cols=("id",)
+        ).collect()
+    }
+    # nulls first: 2 (1), 4 (3), then 3 (103), 1 (113)
+    assert got == {2: 1, 4: 3, 3: 103, 1: 113}

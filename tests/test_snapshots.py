@@ -98,3 +98,87 @@ def test_schema_travels_with_the_manifest(spark, tmp_path):
     assert [f.name for f in got.schema.fields] == ["id", "v"]
     rows = sorted((r.id, r.v) for r in got.collect())
     assert rows == [(0, 0), (1, 2), (2, 4)]
+
+
+def test_concurrent_commit_retries_not_lost(spark, tmp_path, monkeypatch):
+    """Two writers racing for the same version: the put-if-absent
+    manifest publication makes exactly one win; the loser retries at the
+    next number and BOTH appends stay visible (no lost commit)."""
+    t = str(tmp_path / "tbl")
+    snap.write_snapshot(_df(spark, 0, 10), t)  # v0
+
+    real_publish = snap._publish_manifest
+    raced = {"done": False}
+
+    def racing_publish(table_path, version, manifest):
+        # first attempt: a concurrent writer lands the same version just
+        # before us, so our create-exclusive link must lose
+        if not raced["done"]:
+            raced["done"] = True
+            other = dict(manifest)
+            other["data_dirs"] = ["data/rival"]
+            _df(spark, 500, 503).write.parquet(os.path.join(t, "data/rival"))
+            assert real_publish(table_path, version, other)
+        return real_publish(table_path, version, manifest)
+
+    monkeypatch.setattr(snap, "_publish_manifest", racing_publish)
+    v = snap.write_snapshot(_df(spark, 10, 15), t, mode="append")
+    assert v == 2  # lost v1 to the rival, retried
+    # latest snapshot sees v0's rows + OUR append; the rival's v1 is a
+    # committed overwrite-style manifest we appended on top of
+    got = sorted(r.id for r in snap.read_snapshot(spark, t).collect())
+    assert set(range(10, 15)).issubset(got)
+    assert snap.read_snapshot(spark, t, version=1).count() == 3
+
+
+def test_pinned_version_commit_is_idempotent(spark, tmp_path):
+    """version= pins the commit number: a second attempt at an existing
+    version is skipped (None), its data invisible — the external
+    sequencer (streaming batch id) replay contract."""
+    t = str(tmp_path / "tbl")
+    assert snap.write_snapshot(_df(spark, 0, 5), t, version=7) == 7
+    assert snap.write_snapshot(_df(spark, 90, 99), t,
+                               mode="append", version=7) is None
+    assert snap.read_snapshot(spark, t).count() == 5
+    assert snap.write_snapshot(_df(spark, 5, 8), t,
+                               mode="append", version=9) == 9
+    assert snap.read_snapshot(spark, t).count() == 8
+
+
+def test_expire_leaves_inflight_commit_dirs(spark, tmp_path):
+    """A concurrent writer's data directory (written, manifest not yet
+    published) survives expiry: only directories referenced by expired
+    manifests — and by no kept one — are deleted."""
+    t = str(tmp_path / "tbl")
+    snap.write_snapshot(_df(spark, 0, 10), t)                     # v0
+    snap.write_snapshot(_df(spark, 10, 20), t, mode="overwrite")  # v1
+    snap.write_snapshot(_df(spark, 20, 25), t, mode="append")     # v2
+    inflight = os.path.join(t, "data", "inflightcafe")
+    _df(spark, 900, 905).write.parquet(inflight)
+    snap.expire_snapshots(t, keep_last=2)
+    assert os.path.isdir(inflight)  # in-flight commit untouched
+    # ... so publishing it afterwards yields a readable snapshot
+    prev = snap.current_version(t)
+    dirs = snap._read_manifest(t, prev)["data_dirs"] + ["data/inflightcafe"]
+    assert snap._publish_manifest(t, prev + 1, {
+        "version": prev + 1, "mode": "append",
+        "schema": _df(spark, 0, 1).schema.jsonValue(), "data_dirs": dirs,
+    })
+    assert snap.read_snapshot(spark, t).count() == 20
+
+
+def test_append_schema_evolution_null_fills_old_dirs(spark, tmp_path):
+    """Add-column append: the latest manifest's schema applies to every
+    listed directory, so pre-evolution rows read null for the new
+    column; time travel to the old version keeps the old schema."""
+    t = str(tmp_path / "tbl")
+    snap.write_snapshot(_df(spark, 0, 3), t)
+    evolved = spark.range(3, 5).selectExpr(
+        "id", "id * 2 AS v", "CAST(id AS STRING) AS tag")
+    snap.write_snapshot(evolved, t, mode="append")
+    got = snap.read_snapshot(spark, t)
+    assert [f.name for f in got.schema.fields] == ["id", "v", "tag"]
+    tags = {r.id: r.tag for r in got.collect()}
+    assert tags == {0: None, 1: None, 2: None, 3: "3", 4: "4"}
+    old = snap.read_snapshot(spark, t, version=0)
+    assert [f.name for f in old.schema.fields] == ["id", "v"]

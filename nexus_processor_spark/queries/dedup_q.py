@@ -69,6 +69,35 @@ def q_curate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit.select("doc_id", "keep", "drop_reason")
 
 
+def q_curate_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CROSS-BATCH curation semantics (streaming/curate.py): even
+    doc_ids are curated cold, their survivors' hash-only state is built
+    (content md5s, band signatures + owner refs, 16 minhash values),
+    and odd doc_ids are curated AGAINST that state — exact dedup vs the
+    kept md5 set, then band-collision candidates verified by
+    estimated Jaccard (agreeing minhashes / 16) >= threshold. The
+    oracle replays both batches and the verify in SQL, so the
+    state-side drop decision — including the r4-advisor fix that a raw
+    band collision alone must NOT drop — is hash-checked end to end."""
+    from nexus_processor_spark.streaming import curate
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    a1 = curate.curate_batch(
+        b1, None,
+        min_chars=CURATE_MIN_CHARS, near_dup_threshold=CURATE_THRESHOLD,
+    )
+    state = curate._survivor_state(
+        a1.filter("keep"), text_col="text", id_col="doc_id"
+    )
+    a2 = curate.curate_batch(
+        b2, state,
+        min_chars=CURATE_MIN_CHARS, near_dup_threshold=CURATE_THRESHOLD,
+    )
+    return a2.select("doc_id", "keep", "drop_reason")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(_docs(spark, sf_dir), bits=SIMHASH_BITS)
 
@@ -204,6 +233,7 @@ QUERIES = {
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "curate_audit": q_curate_audit,
+    "curate_state_audit": q_curate_state_audit,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_simhash_wide": q_dedup_simhash_wide,
@@ -495,4 +525,161 @@ ORACLE["curate_audit"] = f"""
     FROM q
     LEFT JOIN ex ON q.doc_id = ex.doc_id
     LEFT JOIN dropped d ON q.doc_id = d.doc_id
+"""
+
+
+def _sh_from(src: str) -> str:
+    """Distinct word-3-gram shingles of a (doc_id, text) CTE."""
+    return f"""
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(
+                   generate_series(1,
+                     greatest(len(string_split(text, ' ')) - 2, 0)),
+                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                 )
+               ) AS sh
+        FROM {src}
+    """
+
+
+def _sig_r2_from(shsrc: str) -> str:
+    """(doc_id, band, sig) r=2 banded signatures from a shingle CTE."""
+    return f"""
+        SELECT s.doc_id, b.band,
+               {_chunk_sql('2 * b.band')} || {_chunk_sql('2 * b.band + 1')}
+                   AS sig
+        FROM {shsrc} s, (SELECT unnest(range({NUM_BANDS})) AS band) b
+        WHERE len(s.sh) > 0
+    """
+
+
+def _mins16_from(shsrc: str) -> str:
+    """(doc_id, j, m): the 16 per-doc minhash chunks from a shingle CTE."""
+    return f"""
+        SELECT s.doc_id, j.j,
+               list_aggregate(
+                 list_transform(s.sh,
+                   x -> substr(md5(CAST(j.j // 4 AS VARCHAR) || '|' || x),
+                               1 + 8 * (j.j % 4), 8)),
+                 'min'
+               ) AS m
+        FROM {shsrc} s, (SELECT unnest(range(16)) AS j) j
+        WHERE len(s.sh) > 0
+    """
+
+
+_JACCARD_XY = """
+    CASE WHEN len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) > 0
+         THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              / CAST(len(x.sh) + len(y.sh)
+                     - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         ELSE 0.0 END
+"""
+
+ORACLE["curate_state_audit"] = f"""
+    WITH
+    q1 AS (
+        SELECT doc_id, text,
+               text IS NOT NULL AND length(text) >= {CURATE_MIN_CHARS}
+                   AS q_ok
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    ex1 AS (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) = 1 AS exact_ok
+        FROM q1 WHERE q_ok
+    ),
+    ed1 AS (SELECT doc_id, text FROM ex1 WHERE exact_ok),
+    sh1 AS ({_sh_from('ed1')}),
+    sig1 AS ({_sig_r2_from('sh1')}),
+    cand1 AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig1 a JOIN sig1 b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    ),
+    drop1 AS (
+        SELECT DISTINCT c.id_b AS doc_id
+        FROM cand1 c JOIN sh1 x ON c.id_a = x.doc_id
+                     JOIN sh1 y ON c.id_b = y.doc_id
+        WHERE {_JACCARD_XY} >= {CURATE_THRESHOLD}
+    ),
+    keep1 AS (
+        SELECT doc_id FROM ed1
+        WHERE doc_id NOT IN (SELECT doc_id FROM drop1)
+    ),
+    smd5 AS (
+        SELECT DISTINCT md5(d.text) AS m
+        FROM ed1 d JOIN keep1 k ON d.doc_id = k.doc_id
+    ),
+    ssig AS (
+        SELECT s.band, s.sig, md5(d.text) AS ref
+        FROM sig1 s
+        JOIN keep1 k ON s.doc_id = k.doc_id
+        JOIN ed1 d ON s.doc_id = d.doc_id
+    ),
+    mins1 AS ({_mins16_from('sh1')}),
+    smins AS (
+        SELECT md5(d.text) AS ref, m.j, m.m
+        FROM mins1 m
+        JOIN keep1 k ON m.doc_id = k.doc_id
+        JOIN ed1 d ON m.doc_id = d.doc_id
+    ),
+    q2 AS (
+        SELECT doc_id, text,
+               text IS NOT NULL AND length(text) >= {CURATE_MIN_CHARS}
+                   AS q_ok
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    ex2 AS (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) = 1
+               AND md5(text) NOT IN (SELECT m FROM smd5) AS exact_ok
+        FROM q2 WHERE q_ok
+    ),
+    ed2 AS (SELECT doc_id, text FROM ex2 WHERE exact_ok),
+    sh2 AS ({_sh_from('ed2')}),
+    sig2 AS ({_sig_r2_from('sh2')}),
+    mins2 AS ({_mins16_from('sh2')}),
+    cand2 AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig2 a JOIN sig2 b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    ),
+    drop2b AS (
+        SELECT DISTINCT c.id_b AS doc_id
+        FROM cand2 c JOIN sh2 x ON c.id_a = x.doc_id
+                     JOIN sh2 y ON c.id_b = y.doc_id
+        WHERE {_JACCARD_XY} >= {CURATE_THRESHOLD}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id, s.ref
+        FROM sig2 a JOIN ssig s ON a.band = s.band AND a.sig = s.sig
+    ),
+    est AS (
+        SELECT c.doc_id, c.ref,
+               sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) / 16.0 AS e
+        FROM cands c
+        JOIN mins2 x ON x.doc_id = c.doc_id
+        JOIN smins y ON y.ref = c.ref AND y.j = x.j
+        GROUP BY c.doc_id, c.ref
+    ),
+    drops AS (
+        SELECT DISTINCT doc_id FROM est WHERE e >= {CURATE_THRESHOLD}
+    ),
+    dropn AS (
+        SELECT doc_id FROM drop2b UNION SELECT doc_id FROM drops
+    )
+    SELECT q2.doc_id,
+           q2.q_ok AND coalesce(ex2.exact_ok, FALSE)
+               AND dn.doc_id IS NULL AS keep,
+           CASE WHEN NOT q2.q_ok THEN 'low_quality'
+                WHEN NOT coalesce(ex2.exact_ok, FALSE) THEN 'exact_dup'
+                WHEN dn.doc_id IS NOT NULL THEN 'near_dup'
+           END AS drop_reason
+    FROM q2
+    LEFT JOIN ex2 ON q2.doc_id = ex2.doc_id
+    LEFT JOIN dropn dn ON q2.doc_id = dn.doc_id
 """

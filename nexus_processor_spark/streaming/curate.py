@@ -94,6 +94,23 @@ def state_versions(state_path: str) -> list[int]:
     return snapshots._versions(state_path)
 
 
+def _compact_state(df: DataFrame) -> DataFrame:
+    """Fold a delta log into one equivalent state: key rows dedupe,
+    ``qhist`` per-value counts SUM (they are additive across deltas)."""
+    hist = (
+        df.filter(F.col("kind") == "qhist")
+        .groupBy("kind", "key")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(
+            "kind", "key",
+            F.lit(None).cast("string").alias("ref"),
+            F.lit(None).cast("array<string>").alias("vals"),
+            "cnt",
+        )
+    )
+    return df.filter(F.col("kind") != "qhist").distinct().unionByName(hist)
+
+
 def _advance_state(
     spark: SparkSession,
     state_path: str,
@@ -112,10 +129,9 @@ def _advance_state(
         if cur is not None else 0
     )
     if cur is not None and n_dirs + 1 >= compact_every:
-        merged = (
+        merged = _compact_state(
             snapshots.read_snapshot(spark, state_path)
             .unionByName(delta, allowMissingColumns=True)
-            .distinct()
         )
         v = snapshots.write_snapshot(
             merged, state_path, mode="overwrite", version=batch_id
@@ -214,11 +230,29 @@ def _survivor_state(
     return md5s.unionByName(bands).unionByName(mins)
 
 
+def _qhist_delta(batch: DataFrame, *, metric_col: str) -> DataFrame:
+    """State delta: per-value counts of the quality metric over ALL of
+    the batch's input docs (kept or dropped — the corpus-relative
+    quantile in ``pipeline.curate_corpus`` ranks against every input).
+    Bounded by the metric's value cardinality, not the corpus (bucket a
+    continuous metric first)."""
+    m = F.col(metric_col).cast("double")
+    return (
+        batch.where(m.isNotNull())
+        .groupBy(m.cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(*_state_rows(
+            "qhist", {"key": F.col("key"), "cnt": F.col("cnt")}))
+    )
+
+
 def curate_batch(
     batch: DataFrame,
     state: DataFrame | None,
     *,
     min_chars: int = 20,
+    quality_q: float | None = None,
+    quality_metric_col: str = "n_chars",
     max_dup_char_fraction: float | None = None,
     near_dup_threshold: float = 0.5,
     eval_df: DataFrame | None = None,
@@ -242,11 +276,50 @@ def curate_batch(
     stages (``pipeline.decontaminate`` semantics: drop when the doc
     shares more than ``max_contamination_hits`` distinct 3-grams with
     the eval set; the eval gram set broadcasts, the batch never
-    shuffles on gram)."""
+    shuffles on gram).
+
+    ``quality_q`` enables the corpus-relative quantile gate
+    (``pipeline.curate_corpus`` / ``quantile_filter`` semantics): docs
+    whose ``quality_metric_col`` sits below the q-quantile drop as
+    ``low_quality``. The quantile ranks against the ACCUMULATED metric
+    distribution — the state's ``qhist`` per-value counts plus this
+    batch — via a frequency-weighted exact interpolated percentile over
+    the bounded histogram (value-identical to ``percentile`` over the
+    expanded multiset, test-pinned), rounded to 6 digits like
+    ``quantile_filter``. A single cold batch therefore matches
+    ``curate_corpus(quality_exact=True)`` exactly; across batches the
+    gate sees every doc observed so far (a streaming gate can only rank
+    against its past — that prefix-distribution semantics is the
+    documented contract)."""
+    out_cols = list(batch.columns)
     t = F.col(text_col)
     quality_ok = t.isNotNull() & (F.length(t) >= min_chars)
+    if quality_q is not None:
+        m = F.col(quality_metric_col).cast("double")
+        hist = (
+            batch.where(m.isNotNull())
+            .groupBy(m.alias("_qv"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_qn"))
+        )
+        if state is not None:
+            hist = hist.unionByName(
+                state.filter(F.col("kind") == "qhist").select(
+                    F.col("key").cast("double").alias("_qv"),
+                    F.col("cnt").alias("_qn"),
+                )
+            )
+        thr = (
+            hist.groupBy("_qv").agg(F.sum("_qn").alias("_qn"))
+            .agg(F.round(
+                F.percentile("_qv", F.lit(quality_q), F.col("_qn")), 6
+            ).alias("_qthr"))
+        )
+        batch = batch.crossJoin(F.broadcast(thr))
+        quality_ok = quality_ok & F.coalesce(
+            m >= F.col("_qthr"), F.lit(False)
+        )
 
-    q = batch.withColumn("_q_ok", quality_ok)
+    q = batch.withColumn("_q_ok", quality_ok).drop("_qthr")
     if max_dup_char_fraction is not None:
         from nexus_processor_spark.operators import pipeline
 
@@ -402,7 +475,7 @@ def curate_batch(
         .when(contam, "contaminated")
     )
     return full.select(
-        *batch.columns, keep.alias("keep"), reason.alias("drop_reason")
+        *out_cols, keep.alias("keep"), reason.alias("drop_reason")
     )
 
 
@@ -413,6 +486,8 @@ def curate_stream(
     sink_path: str,
     checkpoint_dir: str,
     min_chars: int = 20,
+    quality_q: float | None = None,
+    quality_metric_col: str = "n_chars",
     near_dup_threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -436,6 +511,7 @@ def curate_stream(
         audit = curate_batch(
             batch, state,
             min_chars=min_chars, near_dup_threshold=near_dup_threshold,
+            quality_q=quality_q, quality_metric_col=quality_metric_col,
             text_col=text_col, id_col=id_col, _projection_out=handles,
         ).persist()
         try:
@@ -445,6 +521,10 @@ def curate_stream(
                 audit.filter("keep"), text_col=text_col, id_col=id_col,
                 sigs=handles[0] if handles else None,
             )
+            if quality_q is not None:
+                delta = delta.unionByName(
+                    _qhist_delta(batch, metric_col=quality_metric_col)
+                )
             _advance_state(
                 spark, state_path, batch_id, delta,
                 compact_every=compact_every,

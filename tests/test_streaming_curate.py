@@ -341,3 +341,78 @@ def test_legacy_band_rows_fall_back_to_unconditional_drop(spark):
     audit = {r.doc_id: (r.keep, r.drop_reason)
              for r in curate.curate_batch(batch, legacy).collect()}
     assert audit[2] == (False, "near_dup")
+
+
+def test_quality_gate_single_batch_matches_curate_corpus(spark):
+    """Stream/batch quality-gate parity: one cold batch through
+    curate_batch(quality_q=...) makes the same keep/reason decisions as
+    pipeline.curate_corpus(quality_exact=True) — the histogram-weighted
+    percentile equals the interpolated percentile over the raw values."""
+    from nexus_processor_spark.operators import pipeline
+
+    rows = [
+        (1, LONG_A, 97),
+        (2, LONG_A, 97),          # exact dup of 1
+        (3, NEAR_A, 97),          # near dup of 1 (single pair, no chain)
+        (4, OTHER, 95),
+        (5, "medium words here to clear floors", 35),
+        (6, "tail doc", 8),       # bottom quartile -> low_quality
+        (7, None, None),          # null text/metric -> low_quality
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    got = {r.doc_id: (r.keep, r.drop_reason)
+           for r in curate.curate_batch(
+               docs, None, min_chars=0, quality_q=0.25).collect()}
+    want = {r.doc_id: (r.keep, r.drop_reason)
+            for r in pipeline.curate_corpus(
+                docs, quality_q=0.25, quality_exact=True).collect()}
+    assert got == want
+    assert got[6] == (False, "low_quality")
+    assert got[2] == (False, "exact_dup")
+    assert got[3] == (False, "near_dup")
+
+
+def test_quality_gate_accumulates_across_batches(spark, tmp_path):
+    """The stream gates each batch on the distribution of EVERY doc seen
+    so far (state qhist + batch), not the batch alone — and the counts
+    survive log compaction (compact_every=2 forces two folds)."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    schema = "doc_id long, text string, n_chars long"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = curate.curate_stream(
+            stream, state_path=state, sink_path=str(tmp_path / "sink"),
+            checkpoint_dir=str(tmp_path / "ck"),
+            quality_q=0.5, compact_every=2)
+        q.awaitTermination(120)
+
+    def add_batch(b, metrics):
+        rows = [(bid, text, m) for (bid, text), m in
+                zip(_mk_docs(f"q{b}x", len(metrics), 1000 * b), metrics)]
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / f"b{b}"))
+        drain()
+        return {r.doc_id % 1000: (r.keep, r.drop_reason) for r in
+                spark.read.parquet(f"{tmp_path}/sink/batch={b}").collect()}
+
+    # batch 0, metrics 1..8: thr = median(1..8) = 4.5 -> keep 5..8
+    got0 = add_batch(0, list(range(1, 9)))
+    assert {i for i, (k, _) in got0.items() if k} == {4, 5, 6, 7}
+    # batch 1, metrics 9..16: accumulated median over 1..16 = 8.5 ->
+    # ALL kept (batch-local thr 12.5 would have dropped 9..12)
+    got1 = add_batch(1, list(range(9, 17)))
+    assert all(k for k, _ in got1.values()), got1
+    # batch 2, metrics 1..8 again: accumulated {1..16, 1..8} median 6.5
+    # -> keep only 7, 8 (post-compaction counts still correct)
+    got2 = add_batch(2, list(range(1, 9)))
+    assert {i for i, (k, _) in got2.items() if k} == {6, 7}
+    assert all(r == "low_quality" for k, r in got2.values() if not k)
+    # the folded state holds summed per-value counts: 24 docs seen
+    st = curate.read_state(spark, state)
+    from pyspark.sql import functions as F
+
+    total = st.filter("kind = 'qhist'").agg(F.sum("cnt")).first()[0]
+    assert total == 24

@@ -217,6 +217,61 @@ def run_docs(spark) -> dict[str, object]:
     return out
 
 
+def run_curate(spark) -> dict[str, object]:
+    """Streaming-curation state scaling: 5 consecutive ~200k-doc batches
+    through the full gate pipeline, each curated AGAINST the state the
+    earlier batches accumulated (exact-dedup md5s, verified near-dup
+    band/mins rows). Reports per-batch wall seconds: with the
+    log-structured state (append one delta dir + manifest per commit),
+    batch time tracks the BATCH kernel, not the accumulated corpus —
+    the r4 store rewrote the full merged state every batch, which shows
+    up here as monotone per-batch growth."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nexus_processor_spark.streaming import curate
+
+    ensure_big_docs(spark)
+    docs = spark.read.parquet(f"{DOCS_DIR}/documents.parquet")
+    state_dir = tempfile.mkdtemp(prefix="curate_bench_state_")
+    out: dict[str, object] = {"batches": []}
+    try:
+        for b in range(5):
+            batch = docs.filter(F.col("doc_id") % 10 == b)
+            s = time.perf_counter()
+            state = curate.read_state(spark, state_dir)
+            handles: list = []
+            audit = curate.curate_batch(
+                batch, state, _projection_out=handles
+            ).persist()
+            try:
+                n_kept = audit.filter("keep").count()
+                delta = curate._survivor_state(
+                    audit.filter("keep"), text_col="text", id_col="doc_id",
+                    sigs=handles[0] if handles else None,
+                )
+                curate._advance_state(spark, state_dir, b, delta)
+            finally:
+                audit.unpersist()
+                for h in handles:
+                    h.unpersist()
+            out["batches"].append({
+                "sec": round(time.perf_counter() - s, 3),
+                "kept": n_kept,
+            })
+            spark.catalog.clearCache()
+        st = curate.read_state(spark, state_dir)
+        out["state_rows"] = st.count()
+        secs = [b["sec"] for b in out["batches"]]
+        out["batch_sec_first"] = secs[0]
+        out["batch_sec_last"] = secs[-1]
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return out
+
+
 def run_replay(spark, sf_dir: str) -> dict[str, object]:
     """Replay egress throughput against BASELINE.md rows 8-9: the
     reference documents ~100K events/s for stdout JSONL and ~10M events/s
@@ -628,6 +683,7 @@ def main() -> None:
     docs = None
     rep = None
     vecs = None
+    cur = None
     if os.environ.get("SPARK_GRAFT_BIGBENCH", "1") != "0":
         # Ordered by signal value; each checks the remaining budget and
         # records a skip marker instead of risking a hard kill.
@@ -637,6 +693,7 @@ def main() -> None:
             ("opsbench", lambda: run_ops(spark), 240.0),
             ("replaybench", lambda: run_replay(spark, sf_dir), 120.0),
             ("vecbench", lambda: run_vecs(spark), 240.0),
+            ("curatebench", lambda: run_curate(spark), 240.0),
         )
         results: dict[str, object] = {}
         for name, fn, est in sections:
@@ -652,6 +709,7 @@ def main() -> None:
         docs = results.get("docsbench")
         rep = results.get("replaybench")
         vecs = results.get("vecbench")
+        cur = results.get("curatebench")
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -671,6 +729,8 @@ def main() -> None:
         full["replaybench"] = rep
     if vecs is not None:
         full["vecbench"] = vecs
+    if cur is not None:
+        full["curatebench"] = cur
     # The driver's tail capture parses only the LAST stdout line; the full
     # per-section payload overflows it (BENCH_r03 came back parsed:null).
     # Persist the full result to a sidecar and keep the final line compact.

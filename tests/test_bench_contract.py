@@ -38,3 +38,22 @@ def test_final_stdout_line_is_compact_json():
         "queries": {n: 123.456 for n in bench.HEADLINE},
     }))
     assert est < 1024
+
+
+def test_readme_query_count_matches_registry():
+    """Doc-hygiene pin: any 'N queries' / 'N oracle-paired' literal in
+    README.md must equal the live registry size (r4 shipped a stale
+    count; this keeps the docs honest as the registry grows)."""
+    import re
+    from pathlib import Path
+
+    from nexus_processor_spark import queries as registry
+
+    n = len(registry.queries())
+    text = (Path(__file__).resolve().parents[1] / "README.md").read_text()
+    counts = re.findall(r"(\d+) queries, all (\d+) oracle-paired", text)
+    assert counts, "README lost its registry-count sentence"
+    for a, b in counts:
+        assert int(a) == n and int(b) == n, (
+            f"README says {a}/{b} queries; registry has {n}"
+        )

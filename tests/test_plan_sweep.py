@@ -28,6 +28,9 @@ SF = "/root/testdata/sf0.001"
 #   fixed band list: range_join_bands
 #   bounded short-string block: edit_dist_pairs (partners of len <= 2k)
 BNLJ_ALLOWED = {
+    # one-row broadcast quantile threshold crossJoin (same shape as
+    # quality_quantile / quantile_filter): build side is a 1-row agg
+    "curate_quality_audit",
     "edit_dist_pairs",
     "bm25_search", "global_sales", "important_parts", "ivf_pq_topk",
     "kmeans_assign", "kmeans_fit", "kmv_set_ops", "mix_temperature", "pq_encode",

@@ -27,6 +27,11 @@ fully executed and test-pinned in this environment:
   travel until ``expire_snapshots`` prunes directories referenced only
   by expired manifests — never unreferenced/in-flight directories,
   which may belong to a concurrent writer's not-yet-committed attempt).
+* Manifests optionally carry per-directory column min/max
+  (``stats_cols`` on write), and ``read_snapshot(prune=...)`` skips
+  directories provably disjoint from a requested range before Spark
+  ever lists them — the manifest-level data skipping that makes a
+  lakehouse table queryable at 100 TB without scanning its history.
 
 ## Schema across snapshots
 
@@ -102,6 +107,7 @@ def write_snapshot(
     *,
     mode: str = "append",
     version: int | None = None,
+    stats_cols: tuple[str, ...] = (),
 ) -> int | None:
     """Commit ``df`` as a new snapshot; returns the committed version.
 
@@ -118,6 +124,13 @@ def write_snapshot(
     sequencers, e.g. a streaming batch id): if that manifest already
     exists the commit is SKIPPED and None is returned — data written by
     the skipped attempt stays orphaned and invisible.
+
+    ``stats_cols`` records per-directory min/max for the named columns
+    in the manifest (one delta-sized aggregate scan of the freshly
+    written directory; appends inherit earlier directories' stats from
+    the previous manifest). ``read_snapshot(prune=...)`` uses them to
+    skip whole directories on read — the manifest-level file skipping
+    of the Iceberg/Delta design, executed here.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append or overwrite, got {mode!r}")
@@ -128,12 +141,28 @@ def write_snapshot(
     os.makedirs(table_path, exist_ok=True)
     commit_dir = f"data/{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(os.path.join(table_path, commit_dir))
+    new_stats = {}
+    if stats_cols:
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        written = spark.read.parquet(os.path.join(table_path, commit_dir))
+        row = written.agg(*[
+            a for c in stats_cols
+            for a in (F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}"))
+        ]).first()
+        new_stats = {
+            c: [row[f"_lo_{c}"], row[f"_hi_{c}"]] for c in stats_cols
+        }
 
     while True:
         prev = current_version(table_path)
         dirs = [commit_dir]
+        stats = {commit_dir: new_stats} if new_stats else {}
         if mode == "append" and prev is not None:
-            dirs = _read_manifest(table_path, prev)["data_dirs"] + dirs
+            pm = _read_manifest(table_path, prev)
+            dirs = pm["data_dirs"] + dirs
+            stats = {**pm.get("stats", {}), **stats}
         v = version if version is not None else (
             0 if prev is None else prev + 1
         )
@@ -143,6 +172,8 @@ def write_snapshot(
             "schema": df.schema.jsonValue(),
             "data_dirs": dirs,
         }
+        if stats:
+            manifest["stats"] = stats
         if _publish_manifest(table_path, v, manifest):
             return v
         if version is not None:  # pinned version taken: idempotent skip
@@ -154,10 +185,21 @@ def read_snapshot(
     table_path: str,
     *,
     version: int | None = None,
+    prune: dict | None = None,
 ) -> DataFrame:
     """Read a snapshot (latest by default; ``version`` time-travels).
     Only the manifest's directories are scanned — uncommitted/orphaned
-    data is invisible by construction."""
+    data is invisible by construction.
+
+    ``prune`` maps column -> (lo, hi) half-open-agnostic RANGE (either
+    bound None for unbounded): directories whose recorded [min, max]
+    for that column cannot overlap the range are skipped entirely —
+    manifest-level file skipping, an I/O optimization only. Rows inside
+    surviving directories are NOT filtered (exactly like partition
+    pruning); apply the real predicate on the returned frame.
+    Directories without stats for a pruned column are conservatively
+    kept. Returns an empty frame of the manifest schema when every
+    directory prunes away."""
     vs = _versions(table_path)
     if not vs:
         raise FileNotFoundError(f"no committed snapshot under {table_path}")
@@ -168,10 +210,28 @@ def read_snapshot(
             f"version {version} not present under {table_path}; have {vs}"
         )
     m = _read_manifest(table_path, version)
-    paths = [os.path.join(table_path, d) for d in m["data_dirs"]]
+    dirs = m["data_dirs"]
+    if prune:
+        stats = m.get("stats", {})
+
+        def _keep(d: str) -> bool:
+            for col, (lo, hi) in prune.items():
+                rec = stats.get(d, {}).get(col)
+                if rec is None or rec[0] is None or rec[1] is None:
+                    continue  # no stats -> cannot prove disjoint
+                if hi is not None and rec[0] is not None and rec[0] > hi:
+                    return False
+                if lo is not None and rec[1] is not None and rec[1] < lo:
+                    return False
+            return True
+
+        dirs = [d for d in dirs if _keep(d)]
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(m["schema"])
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(table_path, d) for d in dirs]
     return spark.read.schema(schema).parquet(*paths)
 
 

@@ -182,3 +182,40 @@ def test_append_schema_evolution_null_fills_old_dirs(spark, tmp_path):
     assert tags == {0: None, 1: None, 2: None, 3: "3", 4: "4"}
     old = snap.read_snapshot(spark, t, version=0)
     assert [f.name for f in old.schema.fields] == ["id", "v"]
+
+
+def test_manifest_stats_prune_directories(spark, tmp_path):
+    """Per-directory min/max in the manifest skip whole directories on
+    read: three appended commits with disjoint id ranges, a pruned read
+    lists only the overlapping directory's files (I/O-level skip; rows
+    inside surviving dirs are untouched, like partition pruning)."""
+    t = str(tmp_path / "tbl")
+    snap.write_snapshot(_df(spark, 0, 10), t, stats_cols=("id",))
+    snap.write_snapshot(_df(spark, 100, 110), t,
+                        mode="append", stats_cols=("id",))
+    snap.write_snapshot(_df(spark, 200, 210), t,
+                        mode="append", stats_cols=("id",))
+
+    got = snap.read_snapshot(spark, t, prune={"id": (100, 150)})
+    assert sorted(r.id for r in got.collect()) == list(range(100, 110))
+    dirs = {f.split("/data/")[1].split("/")[0] for f in got.inputFiles()}
+    assert len(dirs) == 1  # two of three directories never scanned
+
+    low = snap.read_snapshot(spark, t, prune={"id": (None, 50)})
+    assert sorted(r.id for r in low.collect()) == list(range(10))
+    empty = snap.read_snapshot(spark, t, prune={"id": (1000, None)})
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "v"]
+    # unpruned read still sees everything
+    assert snap.read_snapshot(spark, t).count() == 30
+
+
+def test_stats_less_directories_are_kept_conservatively(spark, tmp_path):
+    """A directory committed without stats can't be proven disjoint, so
+    a pruned read keeps it — pruning is an optimization, never a filter."""
+    t = str(tmp_path / "tbl")
+    snap.write_snapshot(_df(spark, 0, 10), t, stats_cols=("id",))
+    snap.write_snapshot(_df(spark, 500, 505), t, mode="append")  # no stats
+    got = snap.read_snapshot(spark, t, prune={"id": (0, 5)})
+    assert sorted(r.id for r in got.collect()) == list(range(10)) + list(
+        range(500, 505))

@@ -123,6 +123,9 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="diff: the NEW snapshot parquet (--input is old)")
     co.add_argument("--state", default=None,
                     help="curate-stream: versioned dedup-state directory")
+    co.add_argument("--quality-q", type=float, default=None,
+                    help="curate-stream: drop docs under this quantile "
+                         "of text length over the ACCUMULATED corpus")
     co.add_argument("--checkpoint", dest="corpus_checkpoint", default=None,
                     help="curate-stream: stream checkpoint directory")
 
@@ -318,10 +321,16 @@ def main(argv: list[str] | None = None) -> int:
                         ", --state and --checkpoint")
                 stream = spark.readStream.schema(
                     "doc_id long, text string").parquet(args.input)
+                if args.quality_q is not None:
+                    # derive the metric in-stream: the accumulated
+                    # quantile gate ranks on text length
+                    stream = stream.withColumn(
+                        "n_chars", F.length("text").cast("long"))
                 q = curate.curate_stream(
                     stream, state_path=args.state, sink_path=args.output,
                     checkpoint_dir=args.corpus_checkpoint,
                     near_dup_threshold=args.threshold,
+                    quality_q=args.quality_q,
                 )
                 q.awaitTermination()
                 print(f"curated into {args.output}", file=sys.stderr)

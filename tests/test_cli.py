@@ -118,6 +118,30 @@ def test_corpus_curate_stream_cli(spark, tmp_path):
                    3: (False, "low_quality")}
 
 
+def test_corpus_curate_stream_cli_quality_quantile(spark, tmp_path):
+    """--quality-q gates on the accumulated text-length quantile (the
+    metric is derived in-stream); the bottom-half docs drop low_quality."""
+    texts = [
+        (i, " ".join(f"doc{i}tok{j}" for j in range(4 + 4 * i)))
+        for i in range(1, 5)
+    ]
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(texts, "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    sink = str(tmp_path / "sink")
+    assert main([
+        "corpus", "curate-stream", "--input", str(src / "*"),
+        "--output", sink, "--state", str(tmp_path / "state"),
+        "--checkpoint", str(tmp_path / "ck"), "--quality-q", "0.5",
+    ]) == 0
+    got = {r.doc_id: (r.keep, r.drop_reason)
+           for r in spark.read.option("basePath", sink)
+           .parquet(f"{sink}/batch=*").collect()}
+    assert got == {1: (False, "low_quality"), 2: (False, "low_quality"),
+                   3: (True, None), 4: (True, None)}
+
+
 def test_check_cli_gate_semantics(spark, tmp_path, capsys):
     good = tmp_path / "good.parquet"
     spark.createDataFrame(

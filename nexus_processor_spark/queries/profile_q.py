@@ -44,6 +44,44 @@ def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.table_diff(old, new, "o_orderkey")
 
 
+def q_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE through the REAL snapshot machinery
+    (sources/snapshots.py): orders committed as two key-ranged
+    directories with manifest stats, then an upsert of deterministic
+    updates (price doubled where key % 97 == 0) plus brand-new keys
+    (key + 10M). Only the directories whose key range contains an
+    update are rewritten; the oracle is the plain row-level MERGE in
+    SQL, so any key lost or duplicated by the directory surgery
+    hash-mismatches."""
+    import tempfile
+
+    from nexus_processor_spark.sources import snapshots
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    median = orders.agg(
+        F.expr("percentile_approx(o_orderkey, 0.5)")).first()[0]
+    t = tempfile.mkdtemp(prefix="orders_upsert_q_")
+    snapshots.write_snapshot(
+        orders.filter(F.col("o_orderkey") < median), t,
+        mode="overwrite", stats_cols=("o_orderkey",))
+    snapshots.write_snapshot(
+        orders.filter(F.col("o_orderkey") >= median), t,
+        mode="append", stats_cols=("o_orderkey",))
+    mod = orders.filter(F.pmod("o_orderkey", F.lit(97)) == 0)
+    updates = mod.withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    ).unionByName(
+        mod.select(
+            (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+            "o_totalprice",
+        )
+    )
+    snapshots.upsert_snapshot(spark, t, updates, "o_orderkey")
+    return snapshots.read_snapshot(spark, t)
+
+
 def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-width histogram of l_extendedprice (width_bucket + one
     groupBy — identical bucketing function in DuckDB)."""
@@ -93,6 +131,7 @@ QUERIES = {
     "price_quantile_histogram": q_price_quantile_histogram,
     "profile_orders": q_profile_orders,
     "orders_snapshot_diff": q_orders_snapshot_diff,
+    "orders_upsert": q_orders_upsert,
     "price_histogram": q_price_histogram,
 }
 
@@ -174,6 +213,15 @@ ORACLE = {
         ) ORDER BY "check"
     """,
     "profile_orders": " UNION ALL ".join(_profile_one(c) for c in PROFILE_COLS),
+    "orders_upsert": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 0
+    """,
     "orders_snapshot_diff": """
         WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice
                    FROM orders WHERE o_orderkey % 10 <> 0),

@@ -235,6 +235,128 @@ def read_snapshot(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def upsert_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key_col: str,
+    *,
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """Copy-on-write MERGE: rows of ``updates`` replace same-key rows of
+    the current snapshot; new keys append. Directory-level CoW — only
+    directories whose recorded ``key_col`` [min, max] actually CONTAINS
+    an update key are rewritten (one small join of the update keys
+    against the manifest's per-dir ranges); every other directory
+    carries over BY REFERENCE, stats intact, untouched on disk. At
+    100 TB that is the difference between rewriting a table and
+    rewriting the few files a trickle of updates lands in. Directories
+    without ``key_col`` stats are rewritten conservatively.
+
+    The commit is the same put-if-absent manifest publication as
+    ``write_snapshot``; on a lost race the affected-directory set is
+    recomputed against the new current manifest and the merge re-runs
+    (the orphaned first attempt stays invisible). Requires an existing
+    snapshot (commit the base with ``write_snapshot`` first); ``updates``
+    must carry the snapshot schema. ``updates`` is evaluated twice
+    (affected-dir probe + rewrite) — persist upstream if it's expensive.
+    Previous versions time-travel unchanged (the pre-image directories
+    survive until ``expire_snapshots``)."""
+    from pyspark.sql import functions as F
+
+    if current_version(table_path) is None:
+        raise FileNotFoundError(f"no committed snapshot under {table_path}")
+    stats_cols = tuple(dict.fromkeys((key_col, *stats_cols)))
+
+    while True:
+        prev = current_version(table_path)
+        m = _read_manifest(table_path, prev)
+        stats = m.get("stats", {})
+        ranged = [
+            (d, s[key_col][0], s[key_col][1])
+            for d in m["data_dirs"]
+            if (s := stats.get(d, {})).get(key_col) is not None
+            and s[key_col][0] is not None and s[key_col][1] is not None
+        ]
+        statless = [
+            d for d in m["data_dirs"]
+            if stats.get(d, {}).get(key_col) is None
+            or None in stats[d][key_col]
+        ]
+        affected = set(statless)
+        if ranged:
+            dirs_df = spark.createDataFrame(
+                ranged, ["_dir", "_lo", "_hi"]
+            )
+            hit = (
+                updates.select(F.col(key_col).alias("_k")).distinct()
+                .join(
+                    F.broadcast(dirs_df),
+                    (F.col("_k") >= F.col("_lo"))
+                    & (F.col("_k") <= F.col("_hi")),
+                )
+                .select("_dir").distinct()
+            )
+            affected |= {r._dir for r in hit.collect()}
+        untouched = [d for d in m["data_dirs"] if d not in affected]
+
+        merged = updates
+        if affected:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(m["schema"])
+            old = spark.read.schema(schema).parquet(*[
+                os.path.join(table_path, d) for d in affected
+            ])
+            merged = updates.unionByName(
+                old.join(
+                    updates.select(key_col).distinct(), key_col, "left_anti"
+                ),
+                allowMissingColumns=True,
+            )
+        commit_dir = f"data/{uuid.uuid4().hex}"
+        full = os.path.join(table_path, commit_dir)
+        merged.write.mode("overwrite").parquet(full)
+        written = spark.read.parquet(full)
+        row = written.agg(*[
+            a for c in stats_cols
+            for a in (F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}"))
+        ]).first()
+        manifest = {
+            "version": prev + 1,
+            "mode": "upsert",
+            "schema": written.schema.jsonValue(),
+            "data_dirs": untouched + [commit_dir],
+            "stats": {
+                **{d: stats[d] for d in untouched if d in stats},
+                commit_dir: {
+                    c: [row[f"_lo_{c}"], row[f"_hi_{c}"]] for c in stats_cols
+                },
+            },
+        }
+        if _publish_manifest(table_path, prev + 1, manifest):
+            return prev + 1
+        # lost the race: recompute against the new current manifest
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    *,
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """Bin-pack the current snapshot into ONE data directory (a small
+    upsert-heavy table accumulates directories; readers pay per-dir
+    listing). Same rows, new overwrite-mode manifest; older versions
+    time-travel unchanged until ``expire_snapshots``."""
+    v = write_snapshot(
+        read_snapshot(spark, table_path), table_path,
+        mode="overwrite", stats_cols=stats_cols,
+    )
+    assert v is not None  # unpinned commits always land
+    return v
+
+
 def expire_snapshots(table_path: str, *, keep_last: int = 2) -> list[int]:
     """Drop manifests older than the last ``keep_last`` and delete data
     directories referenced by an expired manifest and by NO retained

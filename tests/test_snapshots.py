@@ -219,3 +219,70 @@ def test_stats_less_directories_are_kept_conservatively(spark, tmp_path):
     got = snap.read_snapshot(spark, t, prune={"id": (0, 5)})
     assert sorted(r.id for r in got.collect()) == list(range(10)) + list(
         range(500, 505))
+
+
+def test_upsert_rewrites_only_directories_containing_update_keys(spark, tmp_path):
+    """Directory-level copy-on-write: updates landing in one of three
+    directories rewrite only that directory — the other two carry over
+    by reference (same names, stats intact), and time travel still sees
+    the pre-image."""
+    t = str(tmp_path / "tbl")
+    snap.write_snapshot(_df(spark, 0, 10), t, stats_cols=("id",))
+    snap.write_snapshot(_df(spark, 100, 110), t,
+                        mode="append", stats_cols=("id",))
+    snap.write_snapshot(_df(spark, 200, 210), t,
+                        mode="append", stats_cols=("id",))
+    before = snap._read_manifest(t, 2)["data_dirs"]
+
+    # 105 lives in dir 1; 300 is a brand-new key (no directory contains
+    # it, so RANGE overlap alone must not mark dirs 2/3 affected)
+    updates = spark.createDataFrame([(105, -1), (300, -3)], "id long, v long")
+    v = snap.upsert_snapshot(spark, t, updates, "id")
+    assert v == 3
+    after = snap._read_manifest(t, 3)
+    kept = [d for d in after["data_dirs"] if d in before]
+    assert set(kept) == {before[0], before[2]}  # dir 1 rewritten
+    assert len(after["data_dirs"]) == 3
+    # carried dirs keep their stats for future pruning
+    assert after["stats"][before[0]]["id"] == [0, 9]
+
+    got = {r.id: r.v for r in snap.read_snapshot(spark, t).collect()}
+    want = {i: i * 2 for i in list(range(10)) + list(range(100, 110))
+            + list(range(200, 210))}
+    want[105] = -1
+    want[300] = -3
+    assert got == want
+    # pre-image intact at the previous version
+    old = {r.id: r.v for r in snap.read_snapshot(spark, t, version=2).collect()}
+    assert old[105] == 210 and 300 not in old
+
+
+def test_upsert_treats_stats_less_directories_conservatively(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snap.write_snapshot(_df(spark, 0, 10), t)  # no stats recorded
+    updates = spark.createDataFrame([(3, -1)], "id long, v long")
+    snap.upsert_snapshot(spark, t, updates, "id")
+    got = {r.id: r.v for r in snap.read_snapshot(spark, t).collect()}
+    assert got[3] == -1 and got[4] == 8 and len(got) == 10
+
+
+def test_upsert_requires_a_committed_base(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        snap.upsert_snapshot(
+            spark, str(tmp_path / "none"),
+            spark.createDataFrame([(1, 1)], "id long, v long"), "id")
+
+
+def test_compact_snapshot_bin_packs_to_one_directory(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 50, 10):
+        snap.write_snapshot(
+            _df(spark, lo, lo + 10), t,
+            mode="append" if lo else "overwrite", stats_cols=("id",))
+    assert len(snap._read_manifest(t, 4)["data_dirs"]) == 5
+    v = snap.compact_snapshot(spark, t, stats_cols=("id",))
+    m = snap._read_manifest(t, v)
+    assert len(m["data_dirs"]) == 1
+    assert m["stats"][m["data_dirs"][0]]["id"] == [0, 49]
+    assert snap.read_snapshot(spark, t).count() == 50
+    assert snap.read_snapshot(spark, t, version=4).count() == 50

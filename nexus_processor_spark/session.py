@@ -60,14 +60,31 @@ DEFAULT_CONFS: dict[str, str] = {
 }
 
 
+def _pin_worker_blas_threads() -> None:
+    """Single-thread BLAS inside Python workers. Every core already runs
+    a worker, so an OpenBLAS that additionally fans each matmul out to
+    all cores (its default) oversubscribes the box N× — measured on the
+    gram-matrix kernels (vector_arrow.semantic_dedup_arrow @200k: reps
+    swung 10.9-31.4 s isolated; pinned, they sit tight at the low end).
+    Must run BEFORE the JVM launches: local-mode workers inherit this
+    process's environment. Explicit user settings win."""
+    for var in (
+        "OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+        "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS",
+    ):
+        os.environ.setdefault(var, "1")
+
+
 def get_spark(app_name: str = "nexus-processor-spark", master: str | None = None,
               extra_confs: dict[str, str] | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when no cluster is
     configured; on a real cluster, leave it None and submit via
-    spark-submit so the cluster manager decides.
+    spark-submit so the cluster manager decides (and set the BLAS
+    thread pins in the executor environment instead).
     """
+    _pin_worker_blas_threads()
     builder = SparkSession.builder.appName(app_name)
     if master is None and "SPARK_MASTER" not in os.environ:
         master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"

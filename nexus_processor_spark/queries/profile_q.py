@@ -82,6 +82,52 @@ def q_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshots.read_snapshot(spark, t)
 
 
+def q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One CDC change batch applied to a snapshotted orders table
+    through streaming/cdc.py: last-write-wins sequencing (price*2 at
+    seq 1 loses to price*3 at seq 2), tombstone deletes at the highest
+    seq, all merged copy-on-write into the ranged base directories. The
+    oracle is the row-level CASE/WHERE MERGE — any key the directory
+    surgery loses, duplicates, or resurrects hash-mismatches."""
+    import tempfile
+
+    from nexus_processor_spark.sources import snapshots
+    from nexus_processor_spark.streaming import cdc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    median = orders.agg(
+        F.expr("percentile_approx(o_orderkey, 0.5)")).first()[0]
+    t = tempfile.mkdtemp(prefix="orders_cdc_q_")
+    snapshots.write_snapshot(
+        orders.filter(F.col("o_orderkey") < median), t,
+        mode="overwrite", stats_cols=("o_orderkey",))
+    snapshots.write_snapshot(
+        orders.filter(F.col("o_orderkey") >= median), t,
+        mode="append", stats_cols=("o_orderkey",))
+    mod = orders.filter(F.pmod("o_orderkey", F.lit(89)) == 0)
+
+    def _chg(df, price, seq, deleted):
+        return df.select(
+            "o_orderkey", price.alias("o_totalprice"),
+            F.lit(seq).alias("seq"), F.lit(deleted).alias("deleted"),
+        )
+
+    changes = (
+        _chg(mod, F.col("o_totalprice") * 2, 1, False)
+        .unionByName(_chg(mod, F.col("o_totalprice") * 3, 2, False))
+        .unionByName(_chg(
+            orders.filter(F.pmod("o_orderkey", F.lit(97)) == 0),
+            F.lit(None).cast("double"), 3, True,
+        ))
+    )
+    cdc.apply_cdc_batch(
+        spark, t, changes, "o_orderkey", seq_col="seq", delete_col="deleted"
+    )
+    return snapshots.read_snapshot(spark, t)
+
+
 def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-width histogram of l_extendedprice (width_bucket + one
     groupBy — identical bucketing function in DuckDB)."""
@@ -132,6 +178,7 @@ QUERIES = {
     "profile_orders": q_profile_orders,
     "orders_snapshot_diff": q_orders_snapshot_diff,
     "orders_upsert": q_orders_upsert,
+    "orders_cdc_apply": q_orders_cdc_apply,
     "price_histogram": q_price_histogram,
 }
 
@@ -213,6 +260,12 @@ ORACLE = {
         ) ORDER BY "check"
     """,
     "profile_orders": " UNION ALL ".join(_profile_one(c) for c in PROFILE_COLS),
+    "orders_cdc_apply": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice * 3
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+    """,
     "orders_upsert": """
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2

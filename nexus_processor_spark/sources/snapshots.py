@@ -242,9 +242,15 @@ def upsert_snapshot(
     key_col: str,
     *,
     stats_cols: tuple[str, ...] = (),
-) -> int:
+    version: int | None = None,
+    delete_keys: DataFrame | None = None,
+) -> int | None:
     """Copy-on-write MERGE: rows of ``updates`` replace same-key rows of
-    the current snapshot; new keys append. Directory-level CoW — only
+    the current snapshot; new keys append; keys in ``delete_keys`` (a
+    one-column frame of ``key_col`` values) are REMOVED — they join the
+    directory probe and the anti-join but contribute no replacement
+    rows, so a delete is "replace with nothing" inside the same single
+    commit. Directory-level CoW — only
     directories whose recorded ``key_col`` [min, max] actually CONTAINS
     an update key are rewritten (one small join of the update keys
     against the manifest's per-dir ranges); every other directory
@@ -261,11 +267,20 @@ def upsert_snapshot(
     must carry the snapshot schema. ``updates`` is evaluated twice
     (affected-dir probe + rewrite) — persist upstream if it's expensive.
     Previous versions time-travel unchanged (the pre-image directories
-    survive until ``expire_snapshots``)."""
+    survive until ``expire_snapshots``).
+
+    ``version`` pins the commit number exactly as in
+    :func:`write_snapshot`: an already-present manifest means a replayed
+    external sequencer batch — the merge is SKIPPED and None returned
+    (the streaming CDC-apply idempotency contract)."""
     from pyspark.sql import functions as F
 
     if current_version(table_path) is None:
         raise FileNotFoundError(f"no committed snapshot under {table_path}")
+    if version is not None and os.path.exists(
+        os.path.join(table_path, f"manifest.{version}.json")
+    ):
+        return None
     stats_cols = tuple(dict.fromkeys((key_col, *stats_cols)))
 
     while True:
@@ -283,13 +298,18 @@ def upsert_snapshot(
             if stats.get(d, {}).get(key_col) is None
             or None in stats[d][key_col]
         ]
+        touched_keys = updates.select(F.col(key_col)).distinct()
+        if delete_keys is not None:
+            touched_keys = touched_keys.unionByName(
+                delete_keys.select(F.col(key_col))
+            ).distinct()
         affected = set(statless)
         if ranged:
             dirs_df = spark.createDataFrame(
                 ranged, ["_dir", "_lo", "_hi"]
             )
             hit = (
-                updates.select(F.col(key_col).alias("_k")).distinct()
+                touched_keys.select(F.col(key_col).alias("_k"))
                 .join(
                     F.broadcast(dirs_df),
                     (F.col("_k") >= F.col("_lo"))
@@ -309,9 +329,7 @@ def upsert_snapshot(
                 os.path.join(table_path, d) for d in affected
             ])
             merged = updates.unionByName(
-                old.join(
-                    updates.select(key_col).distinct(), key_col, "left_anti"
-                ),
+                old.join(touched_keys, key_col, "left_anti"),
                 allowMissingColumns=True,
             )
         commit_dir = f"data/{uuid.uuid4().hex}"
@@ -322,8 +340,9 @@ def upsert_snapshot(
             a for c in stats_cols
             for a in (F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}"))
         ]).first()
+        v = version if version is not None else prev + 1
         manifest = {
-            "version": prev + 1,
+            "version": v,
             "mode": "upsert",
             "schema": written.schema.jsonValue(),
             "data_dirs": untouched + [commit_dir],
@@ -334,8 +353,10 @@ def upsert_snapshot(
                 },
             },
         }
-        if _publish_manifest(table_path, prev + 1, manifest):
-            return prev + 1
+        if _publish_manifest(table_path, v, manifest):
+            return v
+        if version is not None:  # pinned version taken: idempotent skip
+            return None
         # lost the race: recompute against the new current manifest
 
 

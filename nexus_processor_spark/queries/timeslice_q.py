@@ -97,6 +97,52 @@ def q_pulse_index_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_snapshot_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/P4 over the snapshot-table format: events committed as four
+    time-ranged directories with manifest min/max stats, then the
+    half-open range query reads with ``prune=`` (directories provably
+    outside the window are never listed) and applies the exact
+    predicate. The oracle is the plain range aggregate over ALL events
+    — a directory wrongly skipped at a boundary loses rows and
+    hash-mismatches, so manifest-level skipping is correctness-pinned,
+    not just unit-tested."""
+    import tempfile
+
+    from nexus_processor_spark.sources import snapshots
+
+    ev = _events(spark, sf_dir).select("event_id", "absolute_time", "bank")
+    qs = ev.agg(F.expr(
+        "percentile_approx(absolute_time, array(0.25, 0.5, 0.75))"
+    )).first()[0]
+    t = tempfile.mkdtemp(prefix="events_prune_q_")
+    bounds = [(None, qs[0]), (qs[0], qs[1]), (qs[1], qs[2]), (qs[2], None)]
+    for i, (lo, hi) in enumerate(bounds):
+        part = ev
+        if lo is not None:
+            part = part.filter(F.col("absolute_time") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("absolute_time") < hi)
+        snapshots.write_snapshot(
+            part, t, mode="overwrite" if i == 0 else "append",
+            stats_cols=("absolute_time",),
+        )
+    pruned = snapshots.read_snapshot(
+        spark, t, prune={"absolute_time": (RANGE_START, RANGE_END)}
+    )
+    return (
+        pruned.filter(
+            (F.col("absolute_time") >= RANGE_START)
+            & (F.col("absolute_time") < RANGE_END)
+        )
+        .groupBy("bank")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("absolute_time").alias("min_time"),
+            F.max("absolute_time").alias("max_time"),
+        )
+    )
+
+
 def q_enrich_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: enrich events with a (broadcast) pulse-time dimension derived as
     the hourly grid, then absolute-time arithmetic (P9)."""
@@ -353,6 +399,7 @@ QUERIES = {
     "timeslice_bank_interval": q_timeslice_bank_interval,
     "pulse_index_window": q_pulse_index_window,
     "enrich_broadcast_join": q_enrich_broadcast_join,
+    "events_snapshot_prune": q_events_snapshot_prune,
     "replay_summary": q_replay_summary,
 }
 
@@ -743,6 +790,13 @@ ORACLE = {
                row_number() OVER (ORDER BY t, event_id) - 1 AS pulse_index,
                t AS pulse_time
         FROM e WHERE bank = 'click' AND t IS NOT NULL
+    """,
+    "events_snapshot_prune": f"""
+        WITH e AS ({_E})
+        SELECT bank, CAST(count(*) AS BIGINT) AS n_events,
+               min(t) AS min_time, max(t) AS max_time
+        FROM e WHERE t >= {RANGE_START} AND t < {RANGE_END}
+        GROUP BY bank
     """,
     "enrich_broadcast_join": f"""
         WITH e AS ({_E}),

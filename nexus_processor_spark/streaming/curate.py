@@ -488,7 +488,10 @@ def curate_stream(
     min_chars: int = 20,
     quality_q: float | None = None,
     quality_metric_col: str = "n_chars",
+    max_dup_char_fraction: float | None = None,
     near_dup_threshold: float = 0.5,
+    eval_df: DataFrame | None = None,
+    max_contamination_hits: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
     compact_every: int = COMPACT_EVERY,
@@ -498,7 +501,11 @@ def curate_stream(
     in ``sink_path/batch=<id>`` (survivors = ``filter(keep)``); the
     dedup state advances as one appended delta directory per batch under
     ``state_path`` (compacted every ``compact_every`` commits — see the
-    module docstring). Returns the ``StreamingQuery``."""
+    module docstring). Every ``curate_batch`` gate is exposed:
+    repetition (``max_dup_char_fraction``), decontamination
+    (``eval_df`` — a STATIC benchmark frame probed per batch), and the
+    accumulated quality quantile (``quality_q``). Returns the
+    ``StreamingQuery``."""
     spark = stream.sparkSession
 
     def _step(batch: DataFrame, batch_id: int) -> None:
@@ -512,6 +519,8 @@ def curate_stream(
             batch, state,
             min_chars=min_chars, near_dup_threshold=near_dup_threshold,
             quality_q=quality_q, quality_metric_col=quality_metric_col,
+            max_dup_char_fraction=max_dup_char_fraction,
+            eval_df=eval_df, max_contamination_hits=max_contamination_hits,
             text_col=text_col, id_col=id_col, _projection_out=handles,
         ).persist()
         try:

@@ -416,3 +416,30 @@ def test_quality_gate_accumulates_across_batches(spark, tmp_path):
 
     total = st.filter("kind = 'qhist'").agg(F.sum("cnt")).first()[0]
     assert total == 24
+
+
+def test_stream_exposes_repetition_and_decontamination_gates(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    schema = "doc_id long, text string"
+    loopy = "spam ham " * 30 + "end"
+    eval_df = spark.createDataFrame(
+        [(1, "held out benchmark question about lazy dogs")], schema)
+    spark.createDataFrame(
+        [(1, LONG_A), (2, loopy),
+         (3, "this doc quotes the held out benchmark question verbatim")],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = curate.curate_stream(
+        stream, state_path=str(tmp_path / "state"), sink_path=sink,
+        checkpoint_dir=str(tmp_path / "ck"),
+        max_dup_char_fraction=0.5, eval_df=eval_df)
+    q.awaitTermination(120)
+    got = {r.doc_id: (r.keep, r.drop_reason)
+           for r in spark.read.option("basePath", sink)
+           .parquet(f"{sink}/batch=*").collect()}
+    assert got == {1: (True, None), 2: (False, "repetitive"),
+                   3: (False, "contaminated")}

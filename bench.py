@@ -48,6 +48,7 @@ HEADLINE = (
 
 BIG_ROWS = int(os.environ.get("SPARK_GRAFT_BIG_ROWS", "100000000"))
 BIG_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "sfbig")
+SNAP_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "snapbig")
 
 # Wall-clock budget for the OPTIONAL data-scale sections (big / docs /
 # replay / vecs). A fresh container pays one-time synthesis of ~8 GB of
@@ -432,8 +433,49 @@ def run_big(spark, qs) -> dict[str, object]:
             .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
         )
 
+    def _ensure_snapshot_table():
+        # Snapshot-table twin (written once): 16 time-ranged manifest
+        # directories with ts min/max stats — the range query then skips
+        # 10 of 16 directories at the MANIFEST (no listing, no footer
+        # reads), the lakehouse layer above row-group pruning.
+        from nexus_processor_spark.sources import snapshots
+
+        if snapshots.current_version(SNAP_DIR) is not None:
+            return
+        raw = spark.read.parquet(f"{BIG_DIR}/events_sorted.parquet")
+        lo_hi = raw.agg(F.min("ts"), F.max("ts")).first()
+        lo, hi = lo_hi[0], lo_hi[1] + 1
+        step = (hi - lo) // 16 + 1
+        for i in range(16):
+            part = raw.filter(
+                (F.col("ts") >= lo + i * step)
+                & (F.col("ts") < lo + (i + 1) * step)
+            )
+            snapshots.write_snapshot(
+                part, SNAP_DIR, mode="overwrite" if i == 0 else "append",
+                stats_cols=("ts",),
+            )
+
+    def _range_snapshot():
+        from nexus_processor_spark.sources import snapshots
+
+        lo_s, hi_s = t0 + 5 * day, t0 + 15 * day
+        raw = snapshots.read_snapshot(
+            spark, SNAP_DIR,
+            prune={"ts": (int(lo_s * 1e9), int(hi_s * 1e9))},
+        )
+        pushed = timeslice.push_time_range(raw, lo_s, hi_s)
+        ev = pushed.select(
+            "event_id",
+            event_seconds("ts").alias("absolute_time"),
+            F.col("event_type").alias("bank"),
+            F.col("user_id").alias("pulse_index"),
+        )
+        return timeslice.count_in_time_range(ev, lo_s, hi_s)
+
     _ensure_sorted()
     _ensure_zordered()
+    _ensure_snapshot_table()
     shapes = {
         "timeslice_interval": lambda: qs["timeslice_interval"](spark, BIG_DIR),
         "timeslice_range": lambda: timeslice.count_in_time_range(
@@ -442,6 +484,7 @@ def run_big(spark, qs) -> dict[str, object]:
         "timeslice_range_pushdown": lambda: _range_pushdown("events.parquet"),
         "timeslice_range_sorted": lambda: _range_pushdown("events_sorted.parquet"),
         "timeslice_range_zorder": lambda: _range_pushdown("events_zorder.parquet"),
+        "timeslice_range_snapshot": _range_snapshot,
         "user_slice_sorted": lambda: _user_slice("events_sorted.parquet"),
         "user_slice_zorder": lambda: _user_slice("events_zorder.parquet"),
         "enrich_join": _enrich_join,

@@ -286,3 +286,68 @@ def test_compact_snapshot_bin_packs_to_one_directory(spark, tmp_path):
     assert m["stats"][m["data_dirs"][0]]["id"] == [0, 49]
     assert snap.read_snapshot(spark, t).count() == 50
     assert snap.read_snapshot(spark, t, version=4).count() == 50
+
+
+def test_snapshot_model_property(spark, tmp_path):
+    """Model-based check: a random op sequence (append / overwrite /
+    upsert / delete) against the snapshot table equals a plain dict
+    model at every step, and every retained version time-travels to its
+    historical model state."""
+    import random
+
+    rng = random.Random(20240814)
+    t = str(tmp_path / "tbl")
+    model: dict[int, int] = {}
+    history: list[dict[int, int]] = []
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(k, v) for k, v in rows], "id long, v long")
+
+    snap.write_snapshot(df_of([(i, i) for i in range(8)]), t,
+                        stats_cols=("id",))
+    model = {i: i for i in range(8)}
+    history.append(dict(model))
+
+    for step in range(7):
+        op = rng.choice(["append", "overwrite", "upsert", "delete"])
+        if op == "append":
+            # disjoint new keys (append does not dedupe; keep the model
+            # a function by appending fresh keys only)
+            base = 100 * (step + 1)
+            rows = [(base + j, rng.randrange(1000)) for j in range(3)]
+            snap.write_snapshot(df_of(rows), t, mode="append",
+                                stats_cols=("id",))
+            model.update(dict(rows))
+        elif op == "overwrite":
+            rows = [(rng.randrange(50), rng.randrange(1000))
+                    for _ in range(4)]
+            rows = list(dict(rows).items())
+            snap.write_snapshot(df_of(rows), t, mode="overwrite",
+                                stats_cols=("id",))
+            model = dict(rows)
+        elif op == "upsert":
+            keys = rng.sample(sorted(model) + [9000 + step], 2)
+            rows = [(k, rng.randrange(1000)) for k in keys]
+            snap.upsert_snapshot(spark, t, df_of(rows), "id")
+            model.update(dict(rows))
+        else:
+            if model:
+                kill = rng.sample(sorted(model),
+                                  min(2, len(model)))
+                snap.upsert_snapshot(
+                    spark, t, df_of([]).limit(0), "id",
+                    delete_keys=spark.createDataFrame(
+                        [(k,) for k in kill], "id long"),
+                )
+                for k in kill:
+                    model.pop(k)
+        history.append(dict(model))
+        got = {r.id: r.v for r in snap.read_snapshot(spark, t).collect()}
+        assert got == model, (step, op)
+
+    # every retained version replays its historical state
+    for v in snap._versions(t):
+        got = {r.id: r.v
+               for r in snap.read_snapshot(spark, t, version=v).collect()}
+        assert got == history[v], v

@@ -120,12 +120,16 @@ def write_table(
     if fmt == "snapshot":
         # Executed lakehouse semantics without the (absent) Iceberg jars:
         # atomic manifest commits, snapshot isolation, time travel —
-        # sources/snapshots.py. Partition pruning is traded for the
-        # commit protocol; pick per table.
+        # sources/snapshots.py. Partition-directory pruning is traded
+        # for the commit protocol, but `sort_by` columns get manifest
+        # min/max stats, so `read_snapshot(prune=...)` recovers
+        # directory-level skipping on the clustered keys.
         from nexus_processor_spark.sources import snapshots
 
         path = f"{root}/{table}"
-        snapshots.write_snapshot(df, path, mode=mode)
+        snapshots.write_snapshot(
+            df, path, mode=mode, stats_cols=tuple(sort_by or ()),
+        )
         return path
     if max_records_per_file is None and table == "events":
         max_records_per_file = MAX_EVENTS_PER_FILE

@@ -152,7 +152,13 @@ def write_snapshot(
             for a in (F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}"))
         ]).first()
         new_stats = {
-            c: [row[f"_lo_{c}"], row[f"_hi_{c}"]] for c in stats_cols
+            c: [row[f"_lo_{c}"], row[f"_hi_{c}"]]
+            for c in stats_cols
+            # manifest is JSON: only natively-representable stat types
+            # (prune compares with the same semantics); a timestamp/
+            # decimal column simply records no stats (= never pruned)
+            if all(isinstance(v, (int, float, str, type(None)))
+                   for v in (row[f"_lo_{c}"], row[f"_hi_{c}"]))
         }
 
     while True:
@@ -349,7 +355,10 @@ def upsert_snapshot(
             "stats": {
                 **{d: stats[d] for d in untouched if d in stats},
                 commit_dir: {
-                    c: [row[f"_lo_{c}"], row[f"_hi_{c}"]] for c in stats_cols
+                    c: [row[f"_lo_{c}"], row[f"_hi_{c}"]]
+                    for c in stats_cols
+                    if all(isinstance(v, (int, float, str, type(None)))
+                           for v in (row[f"_lo_{c}"], row[f"_hi_{c}"]))
                 },
             },
         }

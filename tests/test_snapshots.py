@@ -351,3 +351,31 @@ def test_snapshot_model_property(spark, tmp_path):
         got = {r.id: r.v
                for r in snap.read_snapshot(spark, t, version=v).collect()}
         assert got == history[v], v
+
+
+def test_catalog_snapshot_sort_by_records_prunable_stats(spark, tmp_path):
+    """write_table(fmt='snapshot', sort_by=...) records manifest stats
+    on the clustered keys; non-JSON stat types (timestamps) simply skip
+    stats instead of corrupting the manifest."""
+    from pyspark.sql import functions as F
+
+    from nexus_processor_spark.sources import catalog
+
+    root = str(tmp_path / "lake")
+    base = spark.range(100).select(
+        F.lit("INST").alias("instrument_id"),
+        F.col("id").alias("run_number"),
+        F.concat(F.lit("INST_"), F.col("id")).alias("run_id"),
+        F.lit("t").alias("title"),
+        F.timestamp_seconds(F.col("id") * 3600).alias("start_time"),
+    )
+    p = catalog.write_table(
+        base, root, "metadata", fmt="snapshot",
+        sort_by=["run_number", "start_time"],
+    )
+    m = snap._read_manifest(p, 0)
+    d = m["data_dirs"][0]
+    assert m["stats"][d]["run_number"] == [0, 99]
+    assert "start_time" not in m["stats"][d]  # timestamp: no JSON stats
+    got = snap.read_snapshot(spark, p, prune={"run_number": (200, None)})
+    assert got.count() == 0

@@ -476,8 +476,23 @@ def run_big(spark, qs) -> dict[str, object]:
     _ensure_sorted()
     _ensure_zordered()
     _ensure_snapshot_table()
+    def _interval_sorted():
+        # The flagship rollup on the TIME-SORTED layout (the reference's
+        # store is written time-ordered): rows cluster by bucket, so the
+        # map-combine exact distinct collapses the shuffle to occupied
+        # (bucket, word) masks instead of one row per event.
+        ev = spark.read.parquet(f"{BIG_DIR}/events_sorted.parquet").select(
+            "ts",
+            F.col("event_type").alias("bank"),
+            F.col("user_id").alias("pulse_index"),
+        )
+        return timeslice.count_by_interval_ns(
+            ev, 3600.0, assume_clustered=True
+        )
+
     shapes = {
         "timeslice_interval": lambda: qs["timeslice_interval"](spark, BIG_DIR),
+        "timeslice_interval_sorted": _interval_sorted,
         "timeslice_range": lambda: timeslice.count_in_time_range(
             _events(BIG_DIR), t0 + 5 * day, t0 + 15 * day
         ),

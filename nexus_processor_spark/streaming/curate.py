@@ -1,11 +1,13 @@
 """Streaming corpus curation: the nightly-ingest twin of
 ``pipeline.curate_corpus``.
 
-Each micro-batch of new documents is gated (length floor), exact-deduped
-(within the batch AND against every previously-kept document), and
-near-deduped (MinHash bands within the batch and against the kept
-corpus), then the survivors are appended to a per-batch sink directory
-and the dedup state advances — all exactly-once.
+Each micro-batch of new documents is gated (length floor, optional
+Gopher-repetition / benchmark-decontamination gates, and an optional
+corpus-relative quality quantile ranked on the ACCUMULATED metric
+distribution), exact-deduped (within the batch AND against every
+previously-kept document), and near-deduped (MinHash bands within the
+batch and against the kept corpus), then the survivors are appended to
+a per-batch sink directory and the state advances — all exactly-once.
 
 ## State = hashes, never documents
 

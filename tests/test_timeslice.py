@@ -345,3 +345,27 @@ def test_seasonal_anomaly_judges_against_same_slot(spark):
     mu = sum(others) / len(others)
     sd = math.sqrt(sum((x - mu) ** 2 for x in others) / (len(others) - 1))
     assert got["z"] == pytest.approx(round((5 - mu) / sd, 6), abs=1e-9)
+
+
+def test_bitmap_distinct_clustered_form_is_equal(spark):
+    """The map-combine (assume_clustered) bitmap form returns the same
+    exact distincts as the repartition form and count_distinct — on
+    unclustered input too (it is a performance dial, never a semantics
+    one), including negatives and word boundaries."""
+    import random
+
+    from nexus_processor_spark.operators.timeslice import bitmap_distinct
+
+    rng = random.Random(5)
+    rows = [(i % 7, rng.choice([-65, -64, -1, 0, 1, 63, 64, 65,
+                                rng.randrange(-10**6, 10**6)]))
+            for i in range(5000)]
+    df = spark.createDataFrame(rows, "g long, v long")
+    want = {r.g: r.n for r in df.groupBy("g").agg(
+        __import__("pyspark.sql.functions", fromlist=["F"])
+        .count_distinct("v").alias("n")).collect()}
+    a = {r.g: r.n for r in bitmap_distinct(
+        df, ["g"], "v", "n").collect()}
+    b = {r.g: r.n for r in bitmap_distinct(
+        df, ["g"], "v", "n", assume_clustered=True).collect()}
+    assert a == b == want

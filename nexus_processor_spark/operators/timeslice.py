@@ -280,10 +280,12 @@ def count_by_bank_and_interval_ns(
     ts_col: str = "ts",
     bank_col: str = "bank",
     pulse_col: str = "pulse_index",
+    assume_clustered: bool = False,
 ) -> DataFrame:
     """Long-ns specialization of ``count_by_bank_and_interval`` — same
     integer-division bucket and per-group time conversion as
-    ``count_by_interval_ns`` (A2 at the (interval, bank) grain)."""
+    ``count_by_interval_ns`` (A2 at the (interval, bank) grain), with
+    the same ``assume_clustered`` layout dial for time-ordered stores."""
     from nexus_processor_spark.functions.core import event_seconds
 
     interval_ns = round(float(interval_seconds) * 1e9)
@@ -300,7 +302,10 @@ def count_by_bank_and_interval_ns(
         F.min("_ts").alias("_mn"),
         F.max("_ts").alias("_mx"),
     )
-    pulses = bitmap_distinct(base, ["interval", bank_col], "_pulse", "n_pulses")
+    pulses = bitmap_distinct(
+        base, ["interval", bank_col], "_pulse", "n_pulses",
+        assume_clustered=assume_clustered,
+    )
     df = plain.join(pulses, ["interval", bank_col])
     start, end = interval_bounds(F.col("interval"), interval_seconds)
     return df.select(

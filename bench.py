@@ -438,10 +438,15 @@ def run_big(spark, qs) -> dict[str, object]:
         # directories with ts min/max stats — the range query then skips
         # 10 of 16 directories at the MANIFEST (no listing, no footer
         # reads), the lakehouse layer above row-group pruning.
+        import shutil
+
         from nexus_processor_spark.sources import snapshots
 
-        if snapshots.current_version(SNAP_DIR) is not None:
+        # complete iff all 16 ranged commits landed (versions 0..15);
+        # a killed partial build self-heals by rebuilding from scratch
+        if snapshots.current_version(SNAP_DIR) == 15:
             return
+        shutil.rmtree(SNAP_DIR, ignore_errors=True)
         raw = spark.read.parquet(f"{BIG_DIR}/events_sorted.parquet")
         lo_hi = raw.agg(F.min("ts"), F.max("ts")).first()
         lo, hi = lo_hi[0], lo_hi[1] + 1

@@ -53,16 +53,15 @@ def q_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     update are rewritten; the oracle is the plain row-level MERGE in
     SQL, so any key lost or duplicated by the directory surgery
     hash-mismatches."""
-    import tempfile
-
     from nexus_processor_spark.sources import snapshots
+    from nexus_processor_spark.sources.tables import scratch_dir
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
     median = orders.agg(
         F.expr("percentile_approx(o_orderkey, 0.5)")).first()[0]
-    t = tempfile.mkdtemp(prefix="orders_upsert_q_")
+    t = scratch_dir("orders_upsert_q")
     snapshots.write_snapshot(
         orders.filter(F.col("o_orderkey") < median), t,
         mode="overwrite", stats_cols=("o_orderkey",))
@@ -89,9 +88,8 @@ def q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq, all merged copy-on-write into the ranged base directories. The
     oracle is the row-level CASE/WHERE MERGE — any key the directory
     surgery loses, duplicates, or resurrects hash-mismatches."""
-    import tempfile
-
     from nexus_processor_spark.sources import snapshots
+    from nexus_processor_spark.sources.tables import scratch_dir
     from nexus_processor_spark.streaming import cdc
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -99,7 +97,7 @@ def q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     median = orders.agg(
         F.expr("percentile_approx(o_orderkey, 0.5)")).first()[0]
-    t = tempfile.mkdtemp(prefix="orders_cdc_q_")
+    t = scratch_dir("orders_cdc_q")
     snapshots.write_snapshot(
         orders.filter(F.col("o_orderkey") < median), t,
         mode="overwrite", stats_cols=("o_orderkey",))

@@ -106,15 +106,14 @@ def q_events_snapshot_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a directory wrongly skipped at a boundary loses rows and
     hash-mismatches, so manifest-level skipping is correctness-pinned,
     not just unit-tested."""
-    import tempfile
-
     from nexus_processor_spark.sources import snapshots
+    from nexus_processor_spark.sources.tables import scratch_dir
 
     ev = _events(spark, sf_dir).select("event_id", "absolute_time", "bank")
     qs = ev.agg(F.expr(
         "percentile_approx(absolute_time, array(0.25, 0.5, 0.75))"
     )).first()[0]
-    t = tempfile.mkdtemp(prefix="events_prune_q_")
+    t = scratch_dir("events_prune_q")
     bounds = [(None, qs[0]), (qs[0], qs[1]), (qs[1], qs[2]), (qs[2], None)]
     for i, (lo, hi) in enumerate(bounds):
         part = ev

@@ -60,6 +60,19 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST_RE = re.compile(r"^manifest\.(\d+)\.json$")
 
 
+def _require_local(table_path: str) -> None:
+    """This store is LOCAL-FILESYSTEM by contract: commits are
+    ``os.link`` put-if-absent and listings are ``os.listdir``. A URI
+    path (hdfs://, s3a://) would silently become a literal local
+    directory on the driver — fail loudly instead (on a cluster, mount
+    the table root or port `_publish_manifest` to the object store's
+    native put-if-absent)."""
+    if "://" in table_path:
+        raise ValueError(
+            f"snapshot tables are local-filesystem only, got {table_path!r}"
+        )
+
+
 def _versions(table_path: str) -> list[int]:
     if not os.path.isdir(table_path):
         return []
@@ -132,6 +145,7 @@ def write_snapshot(
     skip whole directories on read — the manifest-level file skipping
     of the Iceberg/Delta design, executed here.
     """
+    _require_local(table_path)
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append or overwrite, got {mode!r}")
     if version is not None and os.path.exists(
@@ -281,6 +295,7 @@ def upsert_snapshot(
     (the streaming CDC-apply idempotency contract)."""
     from pyspark.sql import functions as F
 
+    _require_local(table_path)
     if current_version(table_path) is None:
         raise FileNotFoundError(f"no committed snapshot under {table_path}")
     if version is not None and os.path.exists(
@@ -400,6 +415,7 @@ def expire_snapshots(table_path: str, *, keep_last: int = 2) -> list[int]:
     trade against deleting an in-flight commit's files)."""
     import shutil
 
+    _require_local(table_path)
     vs = _versions(table_path)
     expired = vs[:-keep_last] if keep_last > 0 else vs
     kept = vs[len(expired):]
@@ -409,10 +425,15 @@ def expire_snapshots(table_path: str, *, keep_last: int = 2) -> list[int]:
     removable: set[str] = set()
     for v in expired:
         removable.update(_read_manifest(table_path, v)["data_dirs"])
-    for v in expired:
-        os.remove(os.path.join(table_path, f"manifest.{v}.json"))
+    # data directories FIRST, manifests last: the expired manifests are
+    # the only record that these directories are reclaimable, so a crash
+    # between the two loops must leave the manifests (a re-run then
+    # re-expires the same versions; rmtree is isdir-guarded) rather
+    # than leak unreferenced directories forever
     for d in removable - referenced:
         full = os.path.join(table_path, d)
         if os.path.isdir(full):
             shutil.rmtree(full)
+    for v in expired:
+        os.remove(os.path.join(table_path, f"manifest.{v}.json"))
     return expired

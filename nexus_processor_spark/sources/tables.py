@@ -114,3 +114,20 @@ def ts_ns_sql(probe_dir: str = "/root/testdata/sf0.01") -> str:
     the twin of the loader's long-ns contract (see ``ts_epoch_sql``)."""
     return ("ts" if ts_epoch_sql(probe_dir) != "epoch(ts)"
             else "epoch_us(ts) * 1000")
+
+
+def scratch_dir(name: str) -> str:
+    """Deterministic per-name scratch directory for queries that
+    materialize side tables (snapshot/upsert/CDC registry queries): the
+    previous run's copy is wiped before reuse, so repeated verify/bench
+    rounds keep exactly ONE live copy instead of leaking a fresh
+    mkdtemp per invocation. The returned DataFrames read lazily from
+    this path — collect them before invoking the same query again."""
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "nexus_spark_scratch", name)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    return root

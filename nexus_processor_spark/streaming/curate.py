@@ -407,8 +407,14 @@ def curate_batch(
         )
         kept_mins = state.filter(F.col("kind") == "mins").select(
             F.col("key").alias("_ref"), F.col("vals").alias("_kvals"))
+        # aggregate minhashes only for docs that actually collided — the
+        # candidate set is collision-sized, so the verify costs O(cand),
+        # not an extra O(batch) shuffle per micro-batch
+        cand_sigs = sigs_tbl.join(
+            cand_state.select(id_col).distinct(), id_col, "left_semi"
+        )
         est = (
-            cand_state.join(_doc_minhashes(sigs_tbl, id_col), id_col)
+            cand_state.join(_doc_minhashes(cand_sigs, id_col), id_col)
             .join(kept_mins, "_ref", "left")
             .withColumn(
                 "_est",

@@ -43,7 +43,12 @@ def filtered_events(
     only the string column would NOT prune (SURVEY.md §4)."""
     df = events
     if run_id is not None:
-        inst, _, num = run_id.rpartition(":")
+        inst, sep, num = run_id.rpartition(":")
+        if not sep or not inst or not num.isdigit():
+            raise ValueError(
+                f"run_id must be '<instrument_id>:<run_number>', "
+                f"got {run_id!r}"
+            )
         df = df.filter(
             (F.col("instrument_id") == inst) & (F.col("run_number") == int(num))
         )
@@ -58,8 +63,15 @@ def filtered_events(
 
 def ordered_replay(events: DataFrame) -> DataFrame:
     """Deterministic temporal order (T5): global range sort — one shuffle,
-    range-partitioned so it scales out instead of collapsing to a task."""
-    return events.orderBy("run_id", "pulse_index", "time_offset")
+    range-partitioned so it scales out instead of collapsing to a task.
+    Runs order by NUMERIC (instrument_id, run_number) when the columns
+    are present — the lexicographic ``run_id`` string would replay run
+    'X:10' before 'X:9' across a digit-count boundary."""
+    if {"instrument_id", "run_number"} <= set(events.columns):
+        keys = ["instrument_id", "run_number"]
+    else:
+        keys = ["run_id"]
+    return events.orderBy(*keys, "pulse_index", "time_offset")
 
 
 def marshal_kafka(events: DataFrame) -> DataFrame:
@@ -70,10 +82,11 @@ def marshal_kafka(events: DataFrame) -> DataFrame:
     )
 
 
-def replay_to_iterator(events: DataFrame, batch_size: int = 10_000) -> Iterator[Row]:
+def replay_to_iterator(events: DataFrame) -> Iterator[Row]:
     """S17 stdout-replay analog: stream rows to the driver without
     collecting the whole table (toLocalIterator fetches one partition at a
-    time). The caller owns pacing/printing."""
+    time). The caller owns pacing/printing; chunked, rate-limited
+    emission lives in :func:`replay_to_jsonl`."""
     return ordered_replay(events).toLocalIterator(prefetchPartitions=False)
 
 
@@ -100,8 +113,6 @@ def replay_to_jsonl(
     """
     import sys
     import time
-
-    from pyspark.sql import functions as F
 
     fh = out or sys.stdout
     emitted = 0

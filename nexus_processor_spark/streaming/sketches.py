@@ -78,10 +78,11 @@ def read_state(
     ``version`` time-travels to a specific retained batch id — the last
     ``_KEEP_VERSIONS`` are readable, older ones are pruned."""
     if version is not None:
-        if version not in _versions(spark, state_path):
+        vs = _versions(spark, state_path)
+        if version not in vs:
             raise FileNotFoundError(
                 f"version {version} not retained under {state_path}; "
-                f"have {_versions(spark, state_path)}"
+                f"have {vs}"
             )
         return spark.read.parquet(f"{state_path}/v{version}")
     d = current_state_dir(spark, state_path)

@@ -29,7 +29,9 @@ from pyspark.sql.types import (
 )
 
 RUNNING_TOTALS_SCHEMA = StructType([
-    StructField("bank", StringType(), False),
+    # nullable: the input bank column is nullable (EVENTS_SCHEMA), and a
+    # null-bank group legitimately keys its own running totals
+    StructField("bank", StringType(), True),
     StructField("batch_events", LongType(), True),
     StructField("total_events", LongType(), True),
     StructField("max_pulse_index", LongType(), True),
@@ -56,8 +58,13 @@ def _update_running_totals(
         batch += len(pdf)
         total += len(pdf)
         if len(pdf):
-            max_pulse = max(max_pulse, int(pdf["pulse_index"].max()))
-            weight += float(pdf["event_weight"].sum())
+            # pulse_index is nullable: an all-null chunk yields NaN from
+            # max() and int(NaN) would kill the query — skip nulls, and
+            # count/weight still accumulate for the rows
+            mp = pdf["pulse_index"].dropna()
+            if len(mp):
+                max_pulse = max(max_pulse, int(mp.max()))
+            weight += float(pdf["event_weight"].fillna(0.0).sum())
     state.update((total, max_pulse, weight))
     yield pd.DataFrame([{
         "bank": key[0],

@@ -18,6 +18,47 @@ from decimal import Decimal
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_WATERMARK_UNITS = {
+    "second": 1.0, "seconds": 1.0, "minute": 60.0, "minutes": 60.0,
+    "hour": 3600.0, "hours": 3600.0, "day": 86400.0, "days": 86400.0,
+}
+
+
+def _duration(seconds: float, what: str) -> str:
+    """Spark duration string for an exact-decimal positive second count
+    (``0.5 seconds`` parses; ``int()`` would truncate it to an invalid
+    zero — the pitfall funnel_join's Decimal expansion exists for)."""
+    if not seconds > 0:
+        raise ValueError(f"{what} must be positive, got {seconds}")
+    return f"{Decimal(repr(float(seconds))):f} seconds"
+
+
+def _whole_seconds(seconds: float, what: str) -> int:
+    """Validated integral second count for the operators whose interval
+    ids divide whole-second epochs — fractional widths are rejected
+    loudly instead of silently truncated."""
+    n = int(seconds)
+    if n != seconds or n <= 0:
+        raise ValueError(
+            f"{what} must be a positive whole number of seconds for the "
+            f"interval-id arithmetic, got {seconds}"
+        )
+    return n
+
+
+def _watermark_seconds(watermark: str) -> float | None:
+    """Best-effort parse of a '<n> <unit>' watermark string (None when
+    the form isn't recognized — Spark validates the real thing)."""
+    parts = watermark.strip().split()
+    if len(parts) != 2:
+        return None
+    try:
+        n = float(parts[0])
+    except ValueError:
+        return None
+    unit = _WATERMARK_UNITS.get(parts[1].lower())
+    return None if unit is None else n * unit
+
 
 def session_counts(
     events: DataFrame,
@@ -31,7 +72,8 @@ def session_counts(
     twin of ``operators.asof.sessionize`` (same gap semantics: a session
     extends while consecutive events arrive within ``gap_seconds``).
     Output: key, session bounds, event count."""
-    win = F.session_window(F.col(time_col), f"{int(gap_seconds)} seconds")
+    win = F.session_window(
+        F.col(time_col), _duration(gap_seconds, "gap_seconds"))
     return (
         events.withWatermark(time_col, watermark)
         .groupBy(win.alias("w"), F.col(key_col))
@@ -59,7 +101,7 @@ def windowed_counts(
     for long-nanos inputs). Output mirrors the batch schema: interval id =
     floor(epoch/N), plus window bounds and the count.
     """
-    n = int(interval_seconds)
+    n = _whole_seconds(interval_seconds, "interval_seconds")
     win = F.window(F.col(time_col), f"{n} seconds")
     return (
         events.withWatermark(time_col, watermark)
@@ -94,8 +136,8 @@ def sliding_counts(
     equals the sum of the tumbling slide-width buckets it spans — pinned
     by tests against the batch ``floor(t/N)`` operator.
     """
-    w = int(window_seconds)
-    s = int(slide_seconds)
+    w = _whole_seconds(window_seconds, "window_seconds")
+    s = _whole_seconds(slide_seconds, "slide_seconds")
     if w % s != 0:
         raise ValueError(f"slide {s}s must divide window {w}s")
     win = F.window(F.col(time_col), f"{w} seconds", f"{s} seconds")
@@ -184,8 +226,11 @@ def funnel_join(
         F.col("k").alias(key_col),
         "first_time",
         "second_time",
-        (F.unix_timestamp("second_time") - F.unix_timestamp("first_time"))
-        .cast("double").alias("lag_seconds"),
+        # double-epoch subtraction keeps the sub-second fraction the
+        # fractional within_seconds horizon admits (unix_timestamp
+        # truncates to whole seconds)
+        (F.col("second_time").cast("double")
+         - F.col("first_time").cast("double")).alias("lag_seconds"),
     )
 
 
@@ -226,8 +271,21 @@ def windowed_unique_counts(
     windowed count counts survivors. Two stateful stages, both
     watermark-bounded. Batch twin (test anchor):
     ``groupBy(floor(t/N)).agg(countDistinct(key))``.
+
+    The dedup state is evicted ``watermark`` behind the max observed
+    event time, NOT at bucket end — with an interval longer than the
+    watermark, a key could repeat inside one bucket after its dedup row
+    was evicted and be counted twice. That configuration is rejected
+    loudly: the watermark must cover the interval.
     """
-    n = int(interval_seconds)
+    n = _whole_seconds(interval_seconds, "interval_seconds")
+    wm = _watermark_seconds(watermark)
+    if wm is not None and wm < n:
+        raise ValueError(
+            f"watermark ({watermark}) must be >= interval_seconds ({n}s): "
+            "the (bucket, key) dedup state would be evicted mid-bucket "
+            "and repeats would overcount uniques"
+        )
     deduped = (
         events
         .withColumn(

@@ -507,3 +507,75 @@ def test_funnel_join_left_outer_emits_abandonment(spark, tmp_path):
     late.write.mode("append").parquet(fdir)
     drain()
     assert (9, True, None) in rows             # abandoned -> outer row
+
+
+def test_ordered_replay_numeric_run_order(spark):
+    """Runs replay in numeric run_number order — the lexicographic
+    run_id string would put 'X:10' before 'X:9'."""
+    ev = spark.createDataFrame(
+        [("REF_L", 9, "REF_L:9", 0, 1.0), ("REF_L", 10, "REF_L:10", 0, 2.0)],
+        "instrument_id string, run_number long, run_id string, "
+        "pulse_index long, time_offset double",
+    )
+    got = [r.run_id for r in replay.ordered_replay(ev).collect()]
+    assert got == ["REF_L:9", "REF_L:10"]
+
+
+def test_filtered_events_rejects_malformed_run_id(spark, tmp_path):
+    root = _lake(spark, tmp_path)
+    ev = catalog.read_table(spark, root, "events")
+    import pytest
+
+    with pytest.raises(ValueError, match="instrument_id.*run_number"):
+        replay.filtered_events(ev, run_id="12345")
+    with pytest.raises(ValueError, match="instrument_id.*run_number"):
+        replay.filtered_events(ev, run_id="REF_L_12345")
+
+
+def test_window_durations_validated(spark):
+    """Fractional durations: supported exactly where no interval-id
+    arithmetic needs whole seconds (session gap), rejected loudly where
+    it does — never silently truncated by int()."""
+    import pytest
+
+    from nexus_processor_spark.streaming import windows as W
+
+    ev = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00")], "user_id string, t string"
+    ).select("user_id", F.col("t").cast("timestamp").alias("event_time"),
+             F.lit("b").alias("bank"))
+    # session gap takes exact fractional seconds ('0.5 seconds' parses)
+    assert W.session_counts(ev, 0.5).columns[0] == "user_id"
+    with pytest.raises(ValueError, match="whole number"):
+        W.windowed_counts(ev, 0.5)
+    with pytest.raises(ValueError, match="whole number"):
+        W.sliding_counts(ev, 3600.0, 0.5)
+    with pytest.raises(ValueError, match="watermark.*interval"):
+        W.windowed_unique_counts(ev, 3600.0, watermark="10 minutes")
+    # watermark covering the interval is accepted
+    W.windowed_unique_counts(ev, 60.0, watermark="10 minutes")
+
+
+def test_running_totals_null_pulse_rows_survive(spark, tmp_path):
+    """A micro-batch group whose pulse_index values are all null must not
+    kill the query (int(NaN)) — counts accumulate, max skips nulls."""
+    from nexus_processor_spark.streaming import stateful
+
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = ("bank string, pulse_index long, event_weight double, "
+              "event_time timestamp")
+    spark.createDataFrame(
+        [("b1", None, 2.0, None), ("b1", None, 3.0, None),
+         (None, 5, 1.0, None)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (stateful.running_bank_totals(stream)
+         .writeStream.format("memory").queryName("rt_nulls")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.bank: (r.total_events, r.max_pulse_index, r.total_weight)
+           for r in spark.sql("SELECT * FROM rt_nulls").collect()}
+    assert got["b1"] == (2, -1, 5.0)
+    assert got[None] == (1, 5, 1.0)

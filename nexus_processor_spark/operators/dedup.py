@@ -39,11 +39,33 @@ from nexus_processor_spark.functions.text import (
 from nexus_processor_spark.plans.layout import spread
 
 
+def _drop_over_full(
+    df: DataFrame, key_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """Exclude rows in over-full key buckets WITHOUT a per-key window:
+    ``count() OVER (PARTITION BY key)`` ships the entire mega-bucket to
+    one task and buffers it just to learn it should be dropped. Instead
+    a partial-aggregated count (map-side combine, one row per bucket)
+    keeps only the over-cap keys — rare by construction, that is the
+    point of the cap — and the facts anti-join that tiny broadcast
+    blacklist: zero shuffle of the fact rows, no single-task buffer."""
+    big = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select(*key_cols)
+    )
+    return df.join(F.broadcast(big), key_cols, "left_anti")
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content-hash dedup: one row per distinct content with the surviving
-    (minimum) id and the duplicate count."""
+    (minimum) id and the duplicate count. Null-text rows carry no
+    content and belong to no group (md5(null) would otherwise cluster
+    every failed-fetch row into one phantom "duplicate" group)."""
     return (
-        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        df.where(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -53,11 +75,14 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """The deduplicated corpus itself (first-id-wins survivor rows)."""
+    """The deduplicated corpus itself (first-id-wins survivor rows).
+    Null-text rows are not duplicates of each other — they ALL survive
+    (there is no content to compare; dropping all-but-one of 10k failed
+    fetches would silently destroy rows)."""
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
     return (
         df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter((F.col("_rn") == 1) | F.col(text_col).isNull())
         .drop("_rn")
     )
 
@@ -139,10 +164,7 @@ def lsh_candidate_pairs(
     """
     sig = signatures
     if max_bucket is not None:
-        counts = Window.partitionBy("band", "sig")
-        sig = sig.withColumn("_n", F.count(F.lit(1)).over(counts)).filter(
-            F.col("_n") <= max_bucket
-        ).drop("_n")
+        sig = _drop_over_full(sig, ["band", "sig"], max_bucket)
     a = sig.select(F.col("band"), F.col("sig"), F.col(id_col).alias("id_a"))
     b = sig.select(F.col("band"), F.col("sig"), F.col(id_col).alias("id_b"))
     return (
@@ -384,6 +406,7 @@ def dup_clusters(
     pairs: DataFrame,
     *,
     max_iterations: int = 20,
+    require_convergence: bool = False,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph -> (id, cluster_id).
 
@@ -399,7 +422,11 @@ def dup_clusters(
     If the iteration cap is reached before fixpoint (pathological
     chain-shaped components with diameter > ``max_iterations``), a warning
     is logged and ``dup_clusters.last_converged`` is set False so callers
-    can distinguish a fixpoint from a cutoff.
+    can distinguish a fixpoint from a cutoff — note the attribute is
+    process-global and races under concurrent callers; pass
+    ``require_convergence=True`` to RAISE on a cutoff instead (the only
+    race-free contract, and the right default posture for a dedup whose
+    under-merged clusters would ship duplicates).
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -437,6 +464,11 @@ def dup_clusters(
         if changed == 0:
             break
     dup_clusters.last_converged = changed == 0
+    if changed != 0 and require_convergence:
+        raise RuntimeError(
+            f"dup_clusters hit max_iterations={max_iterations} before "
+            "fixpoint; raise max_iterations"
+        )
     if changed != 0:
         import warnings
 
@@ -476,8 +508,16 @@ def simhash_signatures(
     Two-step projection: the per-token md5 values materialize once in
     their own column; the per-bit vote folds reference it (CollapseProject
     keeps expensive multiply-referenced aliases split — inlined, the md5
-    transform would rerun inside every one of the ``bits`` aggregates)."""
-    valued = spread(df.select(F.col(id_col), F.col(text_col))).select(
+    transform would rerun inside every one of the ``bits`` aggregates).
+
+    Null-text docs emit NO signature (matching
+    :func:`simhash_signatures_agg` and the minhash path): the null token
+    array would otherwise fold to signature 0 for every such doc,
+    colliding them all into one mega-bucket of false duplicates."""
+    valued = spread(
+        df.select(F.col(id_col), F.col(text_col))
+        .where(F.col(text_col).isNotNull())
+    ).select(
         F.col(id_col),
         simhash_values(tokens(text_col), bits).alias("_vals"),
     )
@@ -561,6 +601,12 @@ def simhash_band_candidates(
     filter, which shrinks the dedup exchange to survivors only.
     """
     n_bands = hamming_max + 1
+    if bits < n_bands:
+        raise ValueError(
+            f"bits ({bits}) must be >= hamming_max + 1 ({n_bands}): the "
+            "pigeonhole banding would produce a zero-width band whose "
+            "constant key degenerates the equi-join to all-pairs"
+        )
     bounds = [bits * i // n_bands for i in range(n_bands + 1)]
 
     def _band_val(i: int) -> F.Column:
@@ -585,12 +631,7 @@ def simhash_band_candidates(
         )
     )
     if max_bucket is not None:
-        w = Window.partitionBy("band", "val")
-        banded = (
-            banded.withColumn("_n", F.count(F.lit(1)).over(w))
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
-        )
+        banded = _drop_over_full(banded, ["band", "val"], max_bucket)
     a = banded.select(
         "band", "val", F.col(id_col).alias("id_a"), F.col(sig_col).alias("sh_a")
     )
@@ -629,14 +670,16 @@ def build_minhash_index(
     Shingle-less docs (shorter than the shingle width) emit null bands
     and an empty vector — they can never collide.
     """
+    # the SAME projection + band scheme the pair detector uses — the
+    # banding is the join-key contract between lake indexes and
+    # band_signatures/minhash_dedup_pairs, so there is exactly one
+    # implementation of it (a drifting private copy here would make
+    # incremental_near_dup silently miss every match against old indexes)
     n_minhashes = num_bands * rows_per_band
-    n_salts = -(-n_minhashes // BANDS_PER_MD5)
-    raw = spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), word_shingles_text(text_col, shingle_words).alias("sh")
-    )
-    hashed = raw.select(
-        id_col,
-        *[salted_md5s(F.col("sh"), k).alias(f"_h{k}") for k in range(n_salts)],
+    hashed = _shingle_hash_projection(
+        df, text_col=text_col, id_col=id_col, num_bands=num_bands,
+        rows_per_band=rows_per_band, shingle_words=shingle_words,
+        hash_fn="md5",
     )
     mins = [chunk_min(F.col(f"_h{j // BANDS_PER_MD5}"), j).alias(f"_m{j}")
             for j in range(n_minhashes)]
@@ -685,6 +728,22 @@ def incremental_near_dup(
     corpus' text — the index (two string arrays per doc) is the entire
     working set of the old side.
     """
+    # fail LOUDLY on a (b, r) scheme mismatch with the persisted index:
+    # mismatched band keys never join and the size==k estimator guard
+    # forces est 0.0, so the gate would otherwise report "no near-dups"
+    # forever while admitting every duplicate batch
+    probe = (
+        index.select(F.length(F.element_at("bands", 1)).alias("_w"))
+        .where(F.col("_w").isNotNull()).first()
+    )
+    if probe is not None and probe["_w"] != 8 * rows_per_band:
+        raise ValueError(
+            f"index band width {probe['_w']} chars != "
+            f"{8 * rows_per_band} expected for rows_per_band="
+            f"{rows_per_band}: the index was built with a different "
+            "banding scheme — pass the num_bands/rows_per_band it was "
+            "built with"
+        )
     new_index = build_minhash_index(
         new_docs, text_col=text_col, id_col=id_col, num_bands=num_bands,
         rows_per_band=rows_per_band, shingle_words=shingle_words,
@@ -703,10 +762,7 @@ def incremental_near_dup(
     a = keyed(new_index, "new")
     b = keyed(index, "indexed")
     if max_bucket is not None:
-        w = Window.partitionBy("band", "sig")
-        b = b.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
-            F.col("_n") <= max_bucket
-        ).drop("_n")
+        b = _drop_over_full(b, ["band", "sig"], max_bucket)
     cands = (
         a.join(b, ["band", "sig"])
         .select("new_id", "indexed_id", "new_mins", "indexed_mins")
@@ -739,6 +795,7 @@ def prefix_filter_pairs(
     threshold: float = 0.5,
     shingle_words: int = 3,
     max_bucket: int | None = None,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (AllPairs /
     PPJoin family, Bayardo et al. WWW'07 — public literature): every pair
@@ -767,8 +824,14 @@ def prefix_filter_pairs(
     sh = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), word_shingles_text(text_col, shingle_words).alias("sh")
     ).filter(F.size("sh") > 0)
-    sh = sh.persist()
-    sh.count()  # prime: frequency pass + both verify branches read this
+    if persist_shingles:
+        # the frequency pass + both verify branches read this projection;
+        # long-lived sessions that cannot afford a pinned corpus-sized
+        # cache block pass persist_shingles=False (shingles recompute
+        # per consumer instead) — the caller cannot unpersist through
+        # the returned plan, so the knob is the escape hatch
+        sh = sh.persist()
+        sh.count()  # prime: racing consumers would re-hash a cold cache
 
     freq = (
         sh.select(F.col(id_col), F.explode("sh").alias("g"))

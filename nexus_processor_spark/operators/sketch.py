@@ -126,11 +126,19 @@ def bloom_filter_candidates(
     positives. One broadcast left-semi join per hash function, all
     map-side: the big side is never shuffled, never exploded."""
     b = F.broadcast(bloom.withColumnRenamed("pos", "_pos"))
-    out = df
+    # ALL k positions materialize in ONE projection before the first
+    # join (the md5_bucket slice sharing only collapses to one digest
+    # inside a single projection — computed per join stage, the k
+    # probes would pay k full md5 passes over the corpus)
+    out = df.withColumn(
+        "_posarr",
+        F.array(*[md5_bucket(F.col(key_col), i, bits) for i in range(k)]),
+    )
     for i in range(k):
-        pos_i = md5_bucket(F.col(key_col), i, bits)
-        out = out.withColumn("_pos", pos_i).join(b, "_pos", "left_semi")
-    return out.drop("_pos")
+        out = out.withColumn(
+            "_pos", F.element_at("_posarr", i + 1)
+        ).join(b, "_pos", "left_semi")
+    return out.drop("_pos", "_posarr")
 
 
 # --------------------------------------------------------------- KMV
@@ -326,24 +334,43 @@ def _rho_case(v: Column, w: int = HLL_W) -> Column:
 
 
 def hll_registers(
-    items: DataFrame, key_col: str, *, by: str | None = None
+    items: DataFrame, key_col: str, *, by: str | None = None,
+    w: int = HLL_W,
 ) -> DataFrame:
     """HyperLogLog register table: ``([by], bucket, rho)`` with at most
     4096 rows per group. Bucket = first 3 md5 hex chars; rho = first
-    1-bit position of the next 20 bits. One partial-agg shuffle (max is
-    algebraic); mergeable with :func:`hll_merge` by register-wise max.
+    1-bit position of the next ``w`` bits. One partial-agg shuffle (max
+    is algebraic); mergeable with :func:`hll_merge` by register-wise max
+    (merge only register tables built with the SAME ``w``).
+
+    ``w`` bounds the countable range: registers saturate at rho = w+1,
+    capping estimates near ``alpha * m * 2^(w+1)`` — ~6e9 at the
+    default w=20. The default keeps the harmonic sum EXACTLY
+    representable in a double (denominators <= 2^21 over <= 4096 terms
+    needs 33 mantissa bits), which is what makes the estimate
+    engine-reproducible bit-for-bit for the oracle. Counting beyond
+    ~1e9 distincts (URL/shingle spaces at 100 TB), pass w=40: range
+    grows to ~9e15 and accuracy is unchanged, but the sum may round in
+    the last bit (needs 53 > 52 mantissa bits), so cross-engine
+    equality downgrades from guaranteed to observed.
 
     No ``pre_aggregate`` knob on purpose: the partial aggregate already
     collapses each task to <= 4096 register rows map-side, so a key
     dedup first only ADDS a vocab-wide shuffle (measured 26s vs 17.8s
     at 2M docs) — unlike ``cms_build``, whose win comes from shrinking
     its x-depth explode, which HLL doesn't have."""
+    if not 1 <= w <= 60:
+        raise ValueError(f"w must be in [1, 60], got {w}")
     keys = [by] if by else []
     h = F.md5(F.col(key_col).cast("string"))
     bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
-    v = F.conv(F.substring(h, 4, 5), 16, 10).cast("long")
+    n_hex = -(-w // 4)
+    v = F.conv(F.substring(h, 4, n_hex), 16, 10).cast("long")
+    if 4 * n_hex != w:  # top w bits of the sliced hex chars
+        v = F.shiftright(v, 4 * n_hex - w)
     return (
-        items.select(*keys, bucket.alias("bucket"), _rho_case(v).alias("_r"))
+        items.select(
+            *keys, bucket.alias("bucket"), _rho_case(v, w).alias("_r"))
         .groupBy(*keys, "bucket")
         .agg(F.max("_r").cast("long").alias("rho"))
     )

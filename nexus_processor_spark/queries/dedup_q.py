@@ -324,7 +324,8 @@ def _simhash_sql(bits: int = SIMHASH_BITS) -> str:
     ]
     return f"""
         SELECT doc_id, CAST({' + '.join(votes)} AS BIGINT) AS simhash
-        FROM (SELECT doc_id, {ds} AS ds FROM documents)
+        FROM (SELECT doc_id, {ds} AS ds FROM documents
+              WHERE text IS NOT NULL)
     """
 
 
@@ -441,16 +442,20 @@ ORACLE = {
               / CAST(len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))
                      AS DOUBLE) >= 0.2
     """,
+    # null-text rows carry no content: no group membership, and they
+    # all survive dedup (matching the Spark operators' semantics)
     "dedup_exact_groups": """
         SELECT md5(text) AS content_hash,
                min(doc_id) AS keep_id,
                CAST(count(*) AS BIGINT) AS n_dups
-        FROM documents GROUP BY 1
+        FROM documents WHERE text IS NOT NULL GROUP BY 1
     """,
     "dedup_exact_survivors": """
-        WITH keep AS (SELECT min(doc_id) AS k FROM documents GROUP BY md5(text))
+        WITH keep AS (SELECT min(doc_id) AS k FROM documents
+                      WHERE text IS NOT NULL GROUP BY md5(text))
         SELECT d.doc_id, d.lang, d.n_chars
-        FROM documents d JOIN keep ON d.doc_id = keep.k
+        FROM documents d
+        WHERE d.doc_id IN (SELECT k FROM keep) OR d.text IS NULL
     """,
     "dedup_minhash_signatures": f"SELECT doc_id, band, sig FROM ({_SIGS})",
     "dedup_minhash_pairs": f"""

@@ -419,3 +419,69 @@ def test_kmeans_fit_rejects_unknown_init(spark):
     vecs = _clustered_vecs(spark, per_cluster=3)
     with pytest.raises(ValueError, match="init"):
         similarity.kmeans_fit(vecs, k=2, init="random")
+
+
+def test_null_text_semantics_across_dedup_family(spark):
+    """Null text carries no content: exact dedup keeps every null-text
+    row (they are not duplicates of each other), groups exclude them,
+    and neither simhash path emits a colliding all-zero signature."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, None), (4, None), (5, None)],
+        "doc_id long, text string",
+    )
+    survivors = {r.doc_id for r in dedup.exact_dedup(docs).collect()}
+    assert survivors == {1, 3, 4, 5}
+    groups = dedup.exact_dedup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0].n_dups == 2
+    a = dedup.simhash_signatures(docs, bits=16).collect()
+    b = dedup.simhash_signatures_agg(docs, bits=16).collect()
+    assert {r.doc_id for r in a} == {r.doc_id for r in b} == {1, 2}
+
+
+def test_simhash_band_width_validated(spark):
+    docs = spark.createDataFrame([(1, 7)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="zero-width band"):
+        dedup.simhash_band_candidates(docs, bits=4, hamming_max=4).collect()
+
+
+def test_incremental_near_dup_rejects_scheme_mismatch(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    index_r1 = dedup.build_minhash_index(docs, num_bands=8, rows_per_band=1)
+    with pytest.raises(ValueError, match="banding scheme"):
+        dedup.incremental_near_dup(
+            docs, index_r1, num_bands=8, rows_per_band=2)
+    # matching scheme still runs
+    from pyspark.sql import functions as F
+
+    index_r2 = dedup.build_minhash_index(docs, num_bands=8, rows_per_band=2)
+    dedup.incremental_near_dup(
+        docs.withColumn("doc_id", F.col("doc_id") + 10), index_r2,
+        num_bands=8, rows_per_band=2,
+    ).collect()
+
+
+def test_dup_clusters_require_convergence_raises_on_cap(spark):
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="max_iterations"):
+        dedup.dup_clusters(chain, max_iterations=2,
+                           require_convergence=True)
+    out = dedup.dup_clusters(chain, max_iterations=50,
+                             require_convergence=True)
+    assert out.select("cluster_id").distinct().count() == 1
+
+
+def test_prefix_filter_pairs_unpersisted_matches(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, dedup.prefix_filter_pairs(
+        docs, threshold=0.3).collect()))
+    b = sorted(map(tuple, dedup.prefix_filter_pairs(
+        docs, threshold=0.3, persist_shingles=False).collect()))
+    assert a == b and len(a) >= 1

@@ -231,3 +231,25 @@ def test_hll_duplicates_do_not_move_estimate(spark):
     [e1] = hll_estimate(hll_registers(once, "key")).collect()
     [e3] = hll_estimate(hll_registers(thrice, "key")).collect()
     assert e1.est_distinct == e3.est_distinct
+
+
+def test_hll_wide_rho_extends_range(spark):
+    """w=40 registers: same bucket layout, rho from a wider window —
+    estimates stay accurate at test scale while the countable ceiling
+    moves from ~6e9 to ~9e15; invalid widths are rejected."""
+    from nexus_processor_spark.operators import sketch as sk
+
+    keys = spark.range(120_000).selectExpr("CAST(id AS STRING) AS k")
+    est20 = sk.hll_estimate(sk.hll_registers(keys, "k")).first()[0]
+    est40 = sk.hll_estimate(sk.hll_registers(keys, "k", w=40)).first()[0]
+    for est in (est20, est40):
+        assert abs(est - 120_000) / 120_000 < 0.05
+    # wide registers merge like narrow ones (same w on both sides)
+    a = sk.hll_registers(keys.limit(60_000), "k", w=40)
+    b = sk.hll_registers(keys, "k", w=40)
+    merged = sk.hll_estimate(sk.hll_merge(a, b)).first()[0]
+    assert abs(merged - est40) / est40 < 1e-9
+    import pytest
+
+    with pytest.raises(ValueError, match="w must be"):
+        sk.hll_registers(keys, "k", w=0)

@@ -311,15 +311,24 @@ def duplicate_ngram_stats(
         F.sum(F.when(has_gram & (F.col("c") >= 2), 1).otherwise(0))
         .cast("long").alias("n_dup_grams"),
         dup_chars.alias("dup_gram_chars"),
-        (dup_chars.cast("double") / F.first("_chars").cast("double"))
-        .alias("dup_char_fraction"),
+        # zero-length text: fraction 0.0, never 0/0 (Spark 4's default
+        # ANSI mode turns the division into a job-killing exception).
+        # NOTE the fraction counts OVERLAPPING gram windows, so heavy
+        # repetition can exceed 1.0 — it is a repetition-mass ratio,
+        # not a coverage share; threshold accordingly
+        F.when(
+            F.first("_chars") > 0,
+            dup_chars.cast("double") / F.first("_chars").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("dup_char_fraction"),
     )
 
 
 # Conservative, RE2-compatible (no backreferences/lookaround) so the same
 # pattern runs identically under Java regex (Spark) and RE2 (DuckDB).
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-URL_RE = "https?://[^ ]+"
+# \S, not [^ ]: a line-final URL must stop at the newline instead of
+# swallowing it plus the next line's first word
+URL_RE = "https?://\\S+"
 PHONE_RE = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
 
 
@@ -331,16 +340,18 @@ def scrub_pii(
     URL first so mailto-ish URLs don't leave half-scrubbed emails behind.
     Map-only, single projection."""
     t = F.col(text_col)
+    # each count runs against the PREVIOUS stage's output so the audit
+    # trail reports exactly what its own replacement redacted — counting
+    # everything on the raw text over-reported (an email inside an
+    # already-scrubbed URL was counted but never individually replaced)
+    t_url = F.regexp_replace(t, URL_RE, "<URL>")
+    t_mail = F.regexp_replace(t_url, EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(t_mail, PHONE_RE, "<PHONE>")
     n_urls = F.size(F.regexp_extract_all(t, F.lit(URL_RE), 0)).cast("long")
-    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).cast("long")
-    n_phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).cast("long")
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>"
-        ),
-        PHONE_RE,
-        "<PHONE>",
-    )
+    n_emails = F.size(
+        F.regexp_extract_all(t_url, F.lit(EMAIL_RE), 0)).cast("long")
+    n_phones = F.size(
+        F.regexp_extract_all(t_mail, F.lit(PHONE_RE), 0)).cast("long")
     return df.select(
         F.col(id_col),
         scrubbed.alias("scrubbed_text"),
@@ -994,13 +1005,17 @@ def curate_corpus(
     s1 = docs.join(q_pass, id_col, "left_semi")
     stages = [("low_quality", q_pass)]
     if max_dup_char_fraction is not None:
-        rep_pass = (
+        # anti-join on FAILURES: a doc without a stats row (null text,
+        # no grams) has no repetition evidence and must PASS this gate
+        # (a <=-filter silently tagged every such doc 'repetitive')
+        rep_fail = (
             duplicate_ngram_stats(
                 s1, text_col=text_col, id_col=id_col, hash_grams=True
             )
-            .filter(F.col("dup_char_fraction") <= max_dup_char_fraction)
+            .filter(F.col("dup_char_fraction") > max_dup_char_fraction)
             .select(id_col)
         )
+        rep_pass = s1.join(rep_fail, id_col, "left_anti").select(id_col)
         stages.append(("repetitive", rep_pass))
         s1 = s1.join(rep_pass, id_col, "left_semi")
     exact_pass = _dedup.exact_dedup(s1, text_col=text_col, id_col=id_col).select(id_col)

@@ -110,6 +110,19 @@ def ivf_topk(
     return _ranked_topk(scored, k)
 
 
+def _probe_dim(df: DataFrame, vec_col: str, what: str) -> int | None:
+    """Length of the first non-null vector (None on an empty frame) —
+    one tiny job, used to fail loudly where a wrong assumed dimension
+    would otherwise degrade SILENTLY (null-padded projections, truncated
+    subvectors) into plausible-looking garbage."""
+    row = (
+        df.select(F.size(F.col(vec_col)).alias("_d"))
+        .where(F.col("_d").isNotNull())
+        .first()
+    )
+    return None if row is None else int(row["_d"])
+
+
 def lsh_hyperplane_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -130,9 +143,19 @@ def lsh_hyperplane_topk(
     probed buckets. Recall is tunable via ``n_planes`` (fewer planes =
     bigger buckets = higher recall, more compute). Deterministic: planes
     come from a seeded RNG, so results are reproducible run to run.
+
+    ``dim`` must equal the actual vector length — validated against the
+    corpus (a mismatch null-pads every plane projection, collapsing ALL
+    vectors into bucket 0: the join silently degenerates to the full
+    n-squared cross product while still returning plausible results).
     """
     import numpy as np
 
+    actual = _probe_dim(corpus, vec_col, "lsh_hyperplane_topk")
+    if actual is not None and actual != dim:
+        raise ValueError(
+            f"dim={dim} but corpus vectors have {actual} dimensions"
+        )
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
 
@@ -401,7 +424,17 @@ def pq_codebooks(
     subvectors; seeding keeps the operator reproducible cross-engine.
 
     Output: (sub, code_id, centroid array<double>), m rows per seed.
+
+    The vector dimension must be divisible by ``m`` (validated): with a
+    remainder the integer subvector length silently excludes the
+    trailing dimensions from every distance, and dim < m makes all
+    subvectors empty — every distance 0, results pure tiebreak noise.
     """
+    d = _probe_dim(seeds, vec_col, "pq_codebooks")
+    if d is not None and (d < m or d % m != 0):
+        raise ValueError(
+            f"vector dim {d} must be a positive multiple of m={m}"
+        )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     sublen = (F.size(v) / F.lit(m)).cast("int")
     subs = F.array(*[
@@ -441,7 +474,15 @@ def pq_encode(
     is the per-(row, sub) argmin groupBy, carrying m rows per vector.
 
     Output: (id, codes array<int> ordered by subspace).
+
+    Dimension must be a multiple of ``m`` (validated, same rule as
+    :func:`pq_codebooks`).
     """
+    d = _probe_dim(corpus, vec_col, "pq_encode")
+    if d is not None and (d < m or d % m != 0):
+        raise ValueError(
+            f"vector dim {d} must be a positive multiple of m={m}"
+        )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     sublen = (F.size(v) / F.lit(m)).cast("int")
     cb = F.broadcast(codebooks)
@@ -765,10 +806,17 @@ def kmeans_parallel_init(
         first = vecs.orderBy(id_col).limit(1).collect()[0]
         cand: dict[int, list[float]] = {first[id_col]: list(first["v"])}
         ell = max(1.0, oversample * k)
+        from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+        cand_schema = StructType([
+            # honor the corpus' id type — string/int ids crash a
+            # hardcoded 'long' schema
+            StructField(id_col, corpus.schema[id_col].dataType, True),
+            StructField("v", ArrayType(DoubleType()), True),
+        ])
         for r in range(rounds):
             cand_df = vecs.sparkSession.createDataFrame(
-                [(i, v) for i, v in cand.items()],
-                f"{id_col} long, v array<double>",
+                [(i, v) for i, v in cand.items()], cand_schema,
             )
             assigned = kmeans_assign(
                 vecs, cand_df, id_col=id_col, vec_col="v"
@@ -792,8 +840,7 @@ def kmeans_parallel_init(
                 cand[row[id_col]] = list(row["v"])
         # weight candidates by basin size, then recluster driver-side
         cand_df = vecs.sparkSession.createDataFrame(
-            [(i, v) for i, v in cand.items()],
-            f"{id_col} long, v array<double>",
+            [(i, v) for i, v in cand.items()], cand_schema,
         )
         weights = {
             r["centroid_id"]: r["n"]

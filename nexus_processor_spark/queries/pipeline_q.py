@@ -496,9 +496,11 @@ ORACLE = {
                        AS n_dup_grams,
                    CAST(sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)
                         AS BIGINT) AS dup_gram_chars,
-                   CAST(sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)
-                        AS DOUBLE) / CAST(any_value(chars) AS DOUBLE)
-                       AS dup_char_fraction
+                   CASE WHEN any_value(chars) > 0 THEN
+                        CAST(sum(CASE WHEN c >= 2 THEN c * length(gram)
+                                      ELSE 0 END) AS DOUBLE)
+                        / CAST(any_value(chars) AS DOUBLE)
+                   ELSE 0.0 END AS dup_char_fraction
             FROM occ GROUP BY doc_id
         )
         SELECT d.doc_id,
@@ -597,20 +599,30 @@ ORACLE = {
                    AS top_token_fraction
         FROM c GROUP BY doc_id
     """,
+    # staged counts: each stage counts on the PREVIOUS stage's output,
+    # matching scrub_pii's audit-equals-replacements contract
     "text_scrub": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   text,
+                   regexp_replace(text, '{URL_RE}', '<URL>', 'g') AS t_url
+            FROM documents
+        ),
+        s2 AS (
+            SELECT *, regexp_replace(t_url, '{EMAIL_RE}', '<EMAIL>', 'g')
+                          AS t_mail
+            FROM s
+        )
         SELECT doc_id,
-               regexp_replace(
-                   regexp_replace(
-                       regexp_replace(text, '{URL_RE}', '<URL>', 'g'),
-                       '{EMAIL_RE}', '<EMAIL>', 'g'),
-                   '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed_text,
+               regexp_replace(t_mail, '{PHONE_RE}', '<PHONE>', 'g')
+                   AS scrubbed_text,
                CAST(len(regexp_extract_all(text, '{URL_RE}')) AS BIGINT)
                    AS n_urls,
-               CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+               CAST(len(regexp_extract_all(t_url, '{EMAIL_RE}')) AS BIGINT)
                    AS n_emails,
-               CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT)
+               CAST(len(regexp_extract_all(t_mail, '{PHONE_RE}')) AS BIGINT)
                    AS n_phones
-        FROM documents
+        FROM s2
     """,
     "tfidf_top_terms": f"""
         WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -82,3 +82,37 @@ def test_recall_at_k_counts_overlap_and_keeps_empty_queries(spark):
     got = {r["query_id"]: r["recall"]
            for r in recall_at_k(approx, exact, 2).collect()}
     assert got == {1: 1.0, 2: 0.5, 3: 0.0}
+
+
+def test_dim_and_subspace_validation(spark):
+    """Wrong assumed dimensions fail loudly instead of silently
+    degrading: LSH bucket collapse (dim mismatch) and PQ subvector
+    truncation (dim not a multiple of m) both raise."""
+    import pytest
+
+    from nexus_processor_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, -1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dimensions"):
+        similarity.lsh_hyperplane_topk(vecs, vecs, dim=64)
+    with pytest.raises(ValueError, match="multiple of m"):
+        similarity.pq_codebooks(vecs, m=3)
+    with pytest.raises(ValueError, match="multiple of m"):
+        similarity.pq_encode(vecs, similarity.pq_codebooks(vecs, m=4), m=8)
+    # matching dims still run
+    out = similarity.lsh_hyperplane_topk(vecs, vecs, k=2, dim=4, n_planes=2)
+    assert out.count() > 0
+
+
+def test_kmeans_parallel_init_string_ids(spark):
+    from nexus_processor_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(f"d{i:03d}", [float(i % 5), float(i % 3)]) for i in range(60)],
+        "vec_id string, embedding array<double>",
+    )
+    cents = similarity.kmeans_parallel_init(vecs, 4)
+    assert cents.count() == 4

@@ -35,40 +35,47 @@ def asof_join(
     """Backward as-of: each left row gets the latest right row with
     ``right.on <= left.on`` (``<`` when ``strict``) within its ``by`` group.
 
-    Implementation: tag and union both sides, then ``last(value,
-    ignorenulls=True)`` over a window ordered by ``(on, tag)`` — right
+    Implementation: tag and union both sides, then ``last(values,
+    ignorenulls=True)`` over a window ordered by ``(on, tag)``, where
+    ``values`` is ONE STRUCT of the right row's value columns — right
     rows sort before left rows at equal timestamps, so equality is
     visible unless ``strict``. Left rows with no prior right row keep
     nulls. One shuffle total.
+
+    Null semantics match ``asof_join_pandas`` / SQL ``r.on <= l.on``
+    (test-pinned): right rows with a null ``on`` key are never matches
+    (they would otherwise sort first and leak values to left rows with
+    no real predecessor), and the LATEST matching row wins even when
+    one of its value columns is null — the struct carry means a null
+    reading is returned as null, never silently replaced by a stale
+    older row, and multi-column outputs always come from one row.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, by)
     ]
     tag_right = 0 if not strict else 1
     tag_left = 1 if not strict else 0
+    rhs = right.filter(F.col(on).isNotNull()).select(
+        F.col(by), F.col(on), F.lit(tag_right).alias("_tag"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_vals"),
+    )
     lhs = left.select(
         F.col(by), F.col(on), F.lit(tag_left).alias("_tag"),
+        F.lit(None).cast(rhs.schema["_vals"].dataType).alias("_vals"),
         F.struct(*left.columns).alias("_row"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}")
-          for c in value_cols],
     )
-    rhs = right.select(
-        F.col(by), F.col(on), F.lit(tag_right).alias("_tag"),
-        F.lit(None).cast(lhs.schema["_row"].dataType).alias("_row"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    rhs = rhs.select(
+        "*", F.lit(None).cast(lhs.schema["_row"].dataType).alias("_row")
     )
     w = (Window.partitionBy(by).orderBy(on, "_tag")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     merged = lhs.unionByName(rhs).select(
-        "*",
-        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-          for c in value_cols],
+        "_row", F.last("_vals", ignorenulls=True).over(w).alias("_asof")
     )
-    out = merged.filter(F.col("_row").isNotNull()).select(
+    return merged.filter(F.col("_row").isNotNull()).select(
         F.col("_row.*"),
-        *[F.col(f"_asof_{c}").alias(c) for c in value_cols],
+        *[F.col(f"_asof.{c}").alias(c) for c in value_cols],
     )
-    return out
 
 
 def asof_join_pandas(

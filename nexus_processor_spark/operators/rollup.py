@@ -287,6 +287,7 @@ def backfill_range(
     time_col: str = "absolute_time",
     bank_col: str = "bank",
     pulse_col: str = "pulse_index",
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Rebuild the continuous aggregate for ONE half-open time range
     ``[start, end)`` — the late-data / bad-ingest repair path: drop the
@@ -308,6 +309,7 @@ def backfill_range(
         ),
         interval_seconds,
         time_col=time_col, bank_col=bank_col, pulse_col=pulse_col,
+        key_cols=key_cols,
     )
     kept = rollup.filter(
         (F.col("interval") < F.lit(lo)) | (F.col("interval") >= F.lit(hi))

@@ -48,6 +48,7 @@ def pulse_times(
     run_col: str = "run_id",
     log_name_col: str = "log_name",
     time_col: str = "time",
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Pulse ordinal sequence per run: ``(run_id, pulse_index, pulse_time)``.
 
@@ -56,12 +57,17 @@ def pulse_times(
     logs, rank them by priority *per run*, keep each run's best, then
     ``row_number() - 1`` over time order = 0-based ``pulse_index``
     (W1, SURVEY.md §2.5).
+
+    Pulses sharing a timestamp get an arbitrary-but-run-stable order;
+    pass ``tiebreak_cols`` (any unique column) when ordinals must be
+    deterministic across engines/re-runs — the alignment contract
+    ``with_absolute_time``'s join to stored pulse_index relies on.
     """
     priority = F.array_position(
         F.array(*[F.lit(c) for c in candidates]), F.col(log_name_col)
     )
     best = Window.partitionBy(run_col)
-    order = Window.partitionBy(run_col).orderBy(time_col)
+    order = Window.partitionBy(run_col).orderBy(time_col, *tiebreak_cols)
     return (
         daslogs
         .filter(F.col(log_name_col).isin(list(candidates)))
@@ -105,6 +111,26 @@ def with_absolute_time(
         "absolute_time",
         F.col(pulse_time_col) + F.col(time_offset_col) / F.lit(MICROSECONDS),
     )
+
+
+def _ns_bucket(ts_col: str, interval_ns: int) -> F.Column:
+    """Exact integer FLOOR-division bucket for a long-ns column: all
+    integer ops (sub/pmod/div), so it never routes through a double
+    (ns magnitudes exceed 2^53), handles pre-epoch (negative) stamps
+    with floor semantics matching ``interval_floor`` (SQL ``div`` alone
+    truncates toward zero and would shift them one bucket up), and
+    backtick-quotes the column name."""
+    q = f"`{ts_col}`"
+    return F.expr(
+        f"({q} - pmod({q}, {interval_ns})) div {interval_ns}"
+    )
+
+
+def _validate_interval_ns(interval_seconds: float) -> int:
+    interval_ns = round(float(interval_seconds) * 1e9)
+    if interval_ns / 1e9 != float(interval_seconds) or interval_ns <= 0:
+        raise ValueError("interval must be a positive whole-nanosecond width")
+    return interval_ns
 
 
 def bitmap_distinct(
@@ -242,11 +268,9 @@ def count_by_interval_ns(
     """
     from nexus_processor_spark.functions.core import event_seconds
 
-    interval_ns = round(float(interval_seconds) * 1e9)
-    if interval_ns / 1e9 != float(interval_seconds) or interval_ns <= 0:
-        raise ValueError("interval must be a positive whole-nanosecond width")
+    interval_ns = _validate_interval_ns(interval_seconds)
     base = events.filter(F.col(ts_col).isNotNull()).select(
-        F.expr(f"{ts_col} div {interval_ns}").alias("interval"),
+        _ns_bucket(ts_col, interval_ns).alias("interval"),
         F.col(ts_col).alias("_ts"),
         F.col(bank_col).alias("_bank"),
         F.col(pulse_col).alias("_pulse"),
@@ -288,11 +312,9 @@ def count_by_bank_and_interval_ns(
     the same ``assume_clustered`` layout dial for time-ordered stores."""
     from nexus_processor_spark.functions.core import event_seconds
 
-    interval_ns = round(float(interval_seconds) * 1e9)
-    if interval_ns / 1e9 != float(interval_seconds) or interval_ns <= 0:
-        raise ValueError("interval must be a positive whole-nanosecond width")
+    interval_ns = _validate_interval_ns(interval_seconds)
     base = events.filter(F.col(ts_col).isNotNull()).select(
-        F.expr(f"{ts_col} div {interval_ns}").alias("interval"),
+        _ns_bucket(ts_col, interval_ns).alias("interval"),
         F.col(ts_col).alias("_ts"),
         F.col(bank_col).alias(bank_col),
         F.col(pulse_col).alias("_pulse"),
@@ -587,12 +609,16 @@ def time_weighted_avg(
         )
         .filter(F.col("_dt").isNotNull())
     )
-    num = F.round(F.sum(F.col("_v") * F.col("_dt")), 2)
-    den = F.round(F.sum("_dt"), 2)
+    # round at 1e-6, not 1e-2: the rounding exists only to absorb
+    # cross-engine accumulation ulps, and 2 absolute decimals nulled
+    # the average for any series whose total span is under ~5 ms
+    # (den rounds to 0.0 -> null division) or zeroed micro-scale sums
+    num = F.round(F.sum(F.col("_v") * F.col("_dt")), 6)
+    den = F.round(F.sum("_dt"), 6)
     return held.groupBy(series_col).agg(
         (num / den).alias("time_weighted_avg"),
         F.count(F.lit(1)).alias("n_intervals"),
-        F.round(F.sum("_dt"), 2).alias("span_seconds"),
+        F.round(F.sum("_dt"), 6).alias("span_seconds"),
     )
 
 
@@ -625,8 +651,12 @@ def counter_rate(
     prev_t = F.lag(t).over(w)
     inc = F.when(v >= prev_v, v - prev_v).otherwise(v)
     dt = t - prev_t
+    # null-VALUED samples are excluded before the lag, so the next valid
+    # sample's increase computes against the last valid reading —
+    # keeping them would null two rows per bad sample (the null row and
+    # its successor's lag) and silently drop that span's increase
     return (
-        events.filter(t.isNotNull())
+        events.filter(t.isNotNull() & v.isNotNull())
         .select(
             series_col,
             t.alias("t"),
@@ -662,6 +692,13 @@ def anomaly_zscore(
     null z but DOES flag any deviating count (a spike over a perfectly
     flat history is the clearest anomaly there is — requiring sd > 0
     would silence exactly that case).
+
+    OBSERVED buckets only: an interval with ZERO events produces no row
+    — a total outage is invisible here, and the ROWS-based trailing
+    window spans across gaps. To flag dropouts, gap-fill first
+    (``gapfill_intervals``) so empty buckets exist as count-0 rows, or
+    alert on bucket absence separately; the same caveat applies to
+    :func:`seasonal_anomaly`.
     """
     t = F.col(time_col)
     counts = (
@@ -732,7 +769,11 @@ def seasonal_anomaly(
     stats = counts.groupBy(series_col, "slot").agg(
         F.count(F.lit(1)).cast("long").alias("_m"),
         F.sum("n").cast("long").alias("_s"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("_s2"),
+        # decimal accumulator: long n*n sums wrap past ~10 cycles of
+        # 1e9-event buckets, and greatest(var, 0) would silently turn
+        # the wrapped negative variance into sd=0 (flagging everything);
+        # exact in decimal at any scale, value-identical at test scale
+        F.sum(F.col("n").cast("decimal(19,0)") * F.col("n")).alias("_s2"),
     )
     j = counts.join(F.broadcast(stats), [series_col, "slot"])
     n = F.col("n").cast("double")

@@ -556,7 +556,7 @@ ORACLE = {
         x AS (
             SELECT bank, t, value, event_id,
                    lag(value) OVER w AS pv, lag(t) OVER w AS pt
-            FROM e WHERE t IS NOT NULL
+            FROM e WHERE t IS NOT NULL AND value IS NOT NULL
             WINDOW w AS (PARTITION BY bank ORDER BY t, event_id)
         )
         SELECT bank, t, value,
@@ -653,10 +653,10 @@ ORACLE = {
             FROM e WHERE t IS NOT NULL
         )
         SELECT bank,
-               round(sum(v * dt), 2) / round(sum(dt), 2)
+               round(sum(v * dt), 6) / round(sum(dt), 6)
                  AS time_weighted_avg,
                CAST(count(*) AS BIGINT) AS n_intervals,
-               round(sum(dt), 2) AS span_seconds
+               round(sum(dt), 6) AS span_seconds
         FROM h WHERE dt IS NOT NULL GROUP BY 1
     """,
     "timeslice_gapfill": f"""

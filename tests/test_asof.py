@@ -64,3 +64,34 @@ def test_sessionize_gap(spark):
         (1, 100.0): 1, (1, 105.0): 1,    # new session after 90s gap
         (2, 0.0): 0,
     }
+
+
+def test_asof_null_semantics_match_pandas(spark):
+    """Null right keys are never matches, and the LATEST matching row
+    wins even when its value is null (no stale-row resurrection) —
+    native and pandas forms agree on both."""
+    from nexus_processor_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [("k", 3.0, 1), ("k", 0.5, 2)], "by string, t double, lid long")
+    right = spark.createDataFrame(
+        [("k", None, 9.0), ("k", 1.0, 5.0), ("k", 2.0, None)],
+        "by string, t double, v double",
+    )
+    native = {r.lid: r.v for r in asof.asof_join(
+        left, right, on="t", by="by").collect()}
+    pandas = {r.lid: r.v for r in asof.asof_join_pandas(
+        left, right, on="t", by="by").collect()}
+    # lid=1 (t=3): latest match is t=2 whose v is genuinely NULL;
+    # lid=2 (t=0.5): no right row at or before it (null-t row ignored)
+    assert native == pandas == {1: None, 2: None}
+
+    right2 = spark.createDataFrame(
+        [("k", 1.0, 5.0, "a"), ("k", 2.0, None, "b")],
+        "by string, t double, v double, s string",
+    )
+    got = {r.lid: (r.v, r.s) for r in asof.asof_join(
+        left, right2, on="t", by="by",
+        value_cols=["v", "s"]).collect()}
+    # both outputs come from the SAME (latest) right row — never a mix
+    assert got[1] == (None, "b")

@@ -33,10 +33,12 @@ from nexus_processor_spark.queries import (
     similarity_q,
     text_q,
     timeslice_q,
+    tokenizer_q,
 )
 
 _MODULES = (timeslice_q, relational_q, dedup_q, similarity_q, text_q,
-            pipeline_q, profile_q, behavior_q, graph_q, analytic_q)
+            pipeline_q, profile_q, behavior_q, graph_q, analytic_q,
+            tokenizer_q)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

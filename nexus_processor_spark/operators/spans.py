@@ -1,0 +1,257 @@
+"""Exact-substring duplicate spans: find and excise text regions that
+are repeated verbatim elsewhere in the corpus.
+
+The substring-granularity member of the dedup family (document-level
+exact/near dedup live in operators/dedup.py): following the
+"Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+2022) ExactSubstr semantics re-expressed Spark-first — instead of a
+global suffix array (a monolithic sorted structure), any repeated word
+sequence of length >= L contains a repeated L-gram, so one positional
+L-gram pass + one vocabulary-keyed aggregate finds every duplicated
+region, and a per-document gaps-and-islands merge assembles maximal
+spans.
+
+Scale design (the 100 TB shape):
+
+* Positional grams come from ONE regex pass per document (the same
+  single-pass extractor as ``word_shingles_text`` — the HOF
+  slice-and-join form measured 14x slower) and are hashed to fixed
+  width in the same projection: the only corpus-scale shuffle carries
+  ``(gram_key, doc_id, pos)`` — never text.
+* Duplicate detection is a map-side-combinable ``groupBy(gram_key)``
+  aggregate (count + min occurrence), NOT a per-gram window: a
+  boilerplate gram repeated 10^8 times is a single combined row here,
+  where a window partition would be a hot task.
+* Span assembly windows are per-document (bounded by document length),
+  ordered by position — no global or skewed partitions.
+* Keep-first semantics: for every duplicated gram, the globally first
+  occurrence (min ``(doc_id, pos)``) survives; every other occurrence
+  is redundant and contributes to excise spans. Deterministic, and the
+  same rule the suffix-array pipelines apply per duplicate cluster.
+  (As in the original, a surviving first occurrence can still overlap
+  a span excised on behalf of a *different* gram — occurrence-level
+  decisions are independent.)
+* ``hash_fn="md5"`` (default) is the cross-engine-checkable scheme;
+  ``"xxhash64"`` is the scale path (native long codegen) — the same
+  documented dual as operators/dedup.py (ARCHITECTURE.md §hash-scheme).
+* ``winnow=w`` is the optional sub-sampling dial: per document, keep a
+  gram position only where its key is the minimum of the ``w`` keys
+  starting there (content-defined, so it picks the SAME positions
+  inside every copy of a repeated region — alignment-robust where
+  fixed-stride sampling is not). Detection is guaranteed for repeats
+  of >= L + 2(w-1) words at ~1/w the shuffle volume (a kept position's
+  forward window can poke past the repeat, so the bound is one window
+  wider than classic winnowing's union-of-windows rule — that rule
+  needs leftmost-min-per-window selection, which has no single-pass
+  native form); reported spans are minimum extents, not exact.
+  Default 1 = exact.
+
+Reference parity: the reference engine has no substring dedup; this
+extends the curation surface (SURVEY.md "beyond the reference" §dedup)
+alongside MinHash/SimHash/PassJoin.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def positional_grams(
+    text: Column | str, n: int, sep: str = " "
+) -> Column:
+    """ALL word n-grams of ``text`` in token order (no distinct): element
+    ``i`` of the result is the gram starting at 0-based token position
+    ``i``. One zero-width-lookahead regex pass anchored at every token
+    start — matches are attempted left-to-right at string start and after
+    each separator, succeeding exactly at positions ``0 .. n_tokens-n``,
+    so the match index IS the token position. Empty array for null text
+    or fewer than ``n`` tokens."""
+    if len(sep) != 1:
+        raise ValueError("positional_grams requires a single-char separator")
+    c = F.col(text) if isinstance(text, str) else text
+    s = re.escape(sep)
+    pat = f"(?:^|(?<={s}))(?=([^{s}]*(?:{s}[^{s}]*){{{n - 1}}}))"
+    return F.when(
+        c.isNotNull(), F.regexp_extract_all(c, F.lit(pat), 1)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_key(gram: Column, hash_fn: str) -> Column:
+    if hash_fn == "md5":
+        return F.md5(gram)
+    if hash_fn == "xxhash64":
+        return F.xxhash64(gram).cast("string")
+    raise ValueError(f"hash_fn must be md5 or xxhash64, got {hash_fn!r}")
+
+
+def redundant_occurrences(
+    df: DataFrame,
+    l: int = 5,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+    winnow: int = 1,
+) -> DataFrame:
+    """Occurrences of duplicated ``l``-word grams that are NOT the
+    globally-first occurrence of their gram: ``(id_col, pos)`` rows,
+    0-based token positions, each covering words ``[pos, pos+l)``.
+
+    Plan: positional-gram projection (map-only), skinny
+    ``(key, doc, pos)`` shuffle into one combinable aggregate
+    (count + min occurrence), join back on the key. ``winnow > 1``
+    keeps only per-document local-minimum keys (see module docstring).
+    """
+    if winnow < 1:
+        raise ValueError(f"winnow must be >= 1, got {winnow}")
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode(positional_grams(F.col(text_col), l)).alias("pos", "_g"),
+    ).select(
+        id_col, F.col("pos").cast("long").alias("pos"),
+        _gram_key(F.col("_g"), hash_fn).alias("_k"),
+    )
+    if winnow > 1:
+        # content-defined selection: keep pos iff its key is the min of
+        # the winnow keys starting at pos (per doc; window bounded by w)
+        wmin = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+            0, winnow - 1
+        )
+        occ = (
+            occ.withColumn("_m", F.min("_k").over(wmin))
+            .filter(F.col("_k") == F.col("_m"))
+            .drop("_m")
+        )
+    stats = occ.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("_first"),
+    )
+    return (
+        occ.join(stats, "_k")
+        .filter(
+            (F.col("_c") >= 2)
+            & ~(
+                (F.col(id_col) == F.col("_first.d"))
+                & (F.col("pos") == F.col("_first.p"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+
+
+def dup_spans(
+    df: DataFrame,
+    l: int = 5,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+    winnow: int = 1,
+) -> DataFrame:
+    """Maximal duplicated spans per document: redundant gram extents
+    ``[pos, pos+l)`` merged when overlapping OR touching (gaps-and-
+    islands over a per-document window). Returns
+    ``(id_col, span_start, span_end, span_words)`` with half-open
+    0-based word spans ``[span_start, span_end)``."""
+    red = redundant_occurrences(
+        df, l, text_col=text_col, id_col=id_col, hash_fn=hash_fn,
+        winnow=winnow,
+    )
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    islands = red.select(
+        F.col(id_col), "pos",
+        F.when(
+            F.col("pos") > F.coalesce(
+                F.max(F.col("pos") + F.lit(l)).over(w), F.lit(-1)
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("_new"),
+    ).select(
+        id_col, "pos",
+        F.sum("_new").over(
+            Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ).alias("_island"),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(l)).alias("span_end"),
+        )
+        .select(
+            id_col, "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_words"),
+        )
+    )
+
+
+def excise_dup_spans(
+    df: DataFrame,
+    l: int = 5,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+    winnow: int = 1,
+) -> DataFrame:
+    """Rewrite each document with its duplicated spans removed (words at
+    positions covered by any redundant span are dropped; surviving words
+    rejoin with the separator in original order). Documents with no
+    redundant span pass through unchanged.
+
+    Output: ``(id_col, clean_text, n_words, dup_words, n_spans)``.
+    The per-doc span list is collected to an array (bounded by document
+    length) and applied as one native filter over token positions — the
+    document text never enters Python and never shuffles: spans shuffle
+    to the documents, not the reverse.
+    """
+    spans = (
+        dup_spans(
+            df, l, text_col=text_col, id_col=id_col, hash_fn=hash_fn,
+            winnow=winnow,
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            ).alias("_spans"),
+            F.sum("span_words").alias("dup_words"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+    )
+    toks = F.split(F.col(text_col), " ")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 1),
+            lambda i: F.struct(i.alias("i"), F.get(toks, i).alias("w")),
+        ),
+        lambda x: ~covered(x["i"]),
+    )
+    clean = F.concat_ws(
+        " ", F.transform(kept, lambda x: x["w"])
+    )
+    return (
+        df.join(spans, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_spans").isNull(), F.col(text_col))
+            .otherwise(clean)
+            .alias("clean_text"),
+            F.when(F.col(text_col).isNotNull(), F.size(toks))
+            .otherwise(F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce(F.col("dup_words"), F.lit(0)).cast("long").alias("dup_words"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        )
+    )

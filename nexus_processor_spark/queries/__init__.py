@@ -31,6 +31,7 @@ from nexus_processor_spark.queries import (
     profile_q,
     relational_q,
     similarity_q,
+    spans_q,
     text_q,
     timeslice_q,
     tokenizer_q,
@@ -38,7 +39,7 @@ from nexus_processor_spark.queries import (
 
 _MODULES = (timeslice_q, relational_q, dedup_q, similarity_q, text_q,
             pipeline_q, profile_q, behavior_q, graph_q, analytic_q,
-            tokenizer_q)
+            tokenizer_q, spans_q)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

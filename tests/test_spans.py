@@ -1,0 +1,126 @@
+"""Duplicate-span detection/excision (operators/spans.py): keep-first
+semantics, island merging of overlapping and touching extents, hash-
+scheme parity, winnowed sub-sampling guarantees, and null/short-doc
+edges — everything the SQL oracle replay can't isolate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nexus_processor_spark.operators import spans
+
+CORPUS = [
+    (1, "a b c d e f g h"),
+    (2, "x y a b c d e z"),      # interior copy of doc 1's 'a b c d e'
+    (3, "p q r s t u v w"),
+    (4, None),
+    (5, "a b c d e f g h"),      # verbatim copy of doc 1
+    (6, "m n"),                  # shorter than one gram
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def _spans(spark, l=4, **kw):
+    return {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spans.dup_spans(_df(spark), l, **kw).collect()
+    }
+
+
+def test_keep_first_and_merge(spark):
+    got = _spans(spark, 4)
+    # doc 1 holds every first occurrence -> reports nothing; doc 2's
+    # two overlapping redundant grams (pos 2, 3) merge to one span;
+    # doc 5's five grams merge to the whole document.
+    assert got == {(2, 2, 7), (5, 0, 8)}
+
+
+def test_positional_grams_positions(spark):
+    df = spark.createDataFrame([("w0 w1 w2 w3",)], "text string")
+    got = df.select(
+        F.posexplode(spans.positional_grams(F.col("text"), 2))
+    ).collect()
+    assert [(r.pos, r.col) for r in got] == [
+        (0, "w0 w1"), (1, "w1 w2"), (2, "w2 w3")
+    ]
+
+
+def test_touching_spans_merge(spark):
+    # doc 2: 'a b' at pos 0 and 'c d' at pos 2 are redundant but
+    # 'b c' between them is unique -> extents [0,2) and [2,4) touch
+    # and must merge to one span [0,4)
+    df = spark.createDataFrame(
+        [(1, "a b x c d"), (2, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spans.dup_spans(df, 2).collect()
+    }
+    assert got == {(2, 0, 4)}
+
+
+def test_excise_rebuild(spark):
+    got = {
+        r.doc_id: (r.clean_text, r.n_words, r.dup_words, r.n_spans)
+        for r in spans.excise_dup_spans(_df(spark), 4).collect()
+    }
+    assert got[1] == ("a b c d e f g h", 8, 0, 0)
+    assert got[2] == ("x y z", 8, 5, 1)
+    assert got[4] == (None, 0, 0, 0)
+    assert got[5] == ("", 8, 8, 1)
+    assert got[6] == ("m n", 2, 0, 0)
+
+
+def test_hash_scheme_parity(spark):
+    assert _spans(spark, 4, hash_fn="xxhash64") == _spans(spark, 4)
+
+
+def test_within_doc_repetition(spark):
+    # internal repetition alone (one doc) still yields redundant spans
+    df = spark.createDataFrame(
+        [(1, "u v w z u v w")], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spans.dup_spans(df, 3).collect()
+    }
+    assert got == {(1, 4, 7)}
+
+
+def test_winnow_detects_long_repeats(spark):
+    # winnow=w guarantees detection of repeats >= l + 2(w-1) words: the
+    # 8-word verbatim run (>= 3 + 2*2 = 7) must surface, and every
+    # winnowed span must lie inside an exact span.
+    df = spark.createDataFrame(
+        [
+            (1, "c1 c2 a b c d e f g h x1 x2"),
+            (2, "z1 a b c d e f g h z2"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spans.dup_spans(df, 3).collect()
+    }
+    win = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spans.dup_spans(df, 3, winnow=3).collect()
+    }
+    assert any(d == 2 for d, _, _ in win), win
+    for d, s, e in win:
+        assert any(
+            d == de and s >= se and e <= ee for de, se, ee in exact
+        ), (d, s, e, exact)
+
+
+def test_winnow_validation(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        spans.redundant_occurrences(_df(spark), 3, winnow=0)
+    with pytest.raises(ValueError):
+        spans.redundant_occurrences(_df(spark), 3, hash_fn="sha1")

@@ -127,8 +127,17 @@ def run_docs(spark) -> dict[str, object]:
     """
     from pyspark.sql import functions as F
 
-    from nexus_processor_spark.operators import dedup, fuzzy, pipeline, sketch, textstats
+    from nexus_processor_spark.operators import (
+        dedup, fuzzy, pipeline, sketch, spans, textstats,
+    )
     from nexus_processor_spark.streaming import curate
+
+    def _dup_seeded(docs, fraction):
+        base = docs.sample(fraction=fraction, seed=5).select("doc_id", "text")
+        rep = base.sample(fraction=0.05, seed=3).select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+        )
+        return base.unionByName(rep)
 
     ensure_big_docs(spark)
     docs = spark.read.parquet(f"{DOCS_DIR}/documents.parquet")
@@ -188,6 +197,16 @@ def run_docs(spark) -> dict[str, object]:
         ),
         "hll_registers_tokens": lambda: sketch.hll_registers(
             docs.select(F.explode(F.split("text", " ")).alias("tok")), "tok"
+        ),
+        # exact-substring duplicate spans on a 500k-doc slice with 5%
+        # seeded verbatim repeats (the clean corpus has no natural
+        # 5-gram dups, which would leave the probe join unexercised):
+        # exact detection vs the 0-mod-4 sampled scale dial
+        "dup_spans_500k": lambda: spans.dup_spans(
+            _dup_seeded(docs, 0.25), 5, hash_fn="xxhash64"
+        ),
+        "dup_spans_500k_mod4": lambda: spans.dup_spans(
+            _dup_seeded(docs, 0.25), 5, hash_fn="xxhash64", sample_mod=4
         ),
         # PassJoin exact edit-distance join on a 100k-doc prefix sample:
         # candidate machinery cost (constant per-row key fanout), k=2

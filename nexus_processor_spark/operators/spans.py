@@ -34,16 +34,17 @@ Scale design (the 100 TB shape):
 * ``hash_fn="md5"`` (default) is the cross-engine-checkable scheme;
   ``"xxhash64"`` is the scale path (native long codegen) — the same
   documented dual as operators/dedup.py (ARCHITECTURE.md §hash-scheme).
-* ``winnow=w`` is the optional sub-sampling dial: per document, keep a
-  gram position only where its key is the minimum of the ``w`` keys
-  starting there (content-defined, so it picks the SAME positions
-  inside every copy of a repeated region — alignment-robust where
-  fixed-stride sampling is not). Detection is guaranteed for repeats
-  of >= L + 2(w-1) words at ~1/w the shuffle volume (a kept position's
-  forward window can poke past the repeat, so the bound is one window
-  wider than classic winnowing's union-of-windows rule — that rule
-  needs leftmost-min-per-window selection, which has no single-pass
-  native form); reported spans are minimum extents, not exact.
+* ``sample_mod=w`` is the optional sub-sampling dial: keep a gram
+  occurrence only when its hash is 0 mod ``w`` (Manber-style "0 mod p"
+  fingerprint selection). Content-defined — every copy of a repeated
+  region keeps the SAME positions, where fixed-stride sampling breaks
+  on alignment — and costs one codegen ``pmod`` filter right after the
+  explode, so shuffle volume drops ~1/w with no per-element lambda
+  work (a min-of-window winnowing variant was measured SLOWER than
+  exact at 2M docs: interpreted HOF loops cost more than the shuffle
+  they save). Detection is probabilistic: a repeat spanning ``g``
+  grams is missed with probability (1-1/w)^g — under 1% at w=4 for
+  repeats of ~16+ grams — and reported spans are minimum extents.
   Default 1 = exact.
 
 Reference parity: the reference engine has no substring dedup; this
@@ -80,10 +81,12 @@ def positional_grams(
 
 
 def _gram_key(gram: Column, hash_fn: str) -> Column:
+    # xxhash64 keys stay NATIVE LONGS (8-byte shuffle keys, codegen
+    # comparisons); md5 keys are the cross-engine hex-string domain
     if hash_fn == "md5":
         return F.md5(gram)
     if hash_fn == "xxhash64":
-        return F.xxhash64(gram).cast("string")
+        return F.xxhash64(gram)
     raise ValueError(f"hash_fn must be md5 or xxhash64, got {hash_fn!r}")
 
 
@@ -94,7 +97,7 @@ def redundant_occurrences(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
-    winnow: int = 1,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """Occurrences of duplicated ``l``-word grams that are NOT the
     globally-first occurrence of their gram: ``(id_col, pos)`` rows,
@@ -102,38 +105,51 @@ def redundant_occurrences(
 
     Plan: positional-gram projection (map-only), skinny
     ``(key, doc, pos)`` shuffle into one combinable aggregate
-    (count + min occurrence), join back on the key. ``winnow > 1``
-    keeps only per-document local-minimum keys (see module docstring).
+    (count + min occurrence), join back on the key. ``sample_mod > 1``
+    keeps only 0-mod-p gram keys (see module docstring).
     """
-    if winnow < 1:
-        raise ValueError(f"winnow must be >= 1, got {winnow}")
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    keys = F.transform(
+        positional_grams(F.col(text_col), l),
+        lambda g: _gram_key(g, hash_fn),
+    )
     occ = df.select(
         F.col(id_col),
-        F.posexplode(positional_grams(F.col(text_col), l)).alias("pos", "_g"),
-    ).select(
-        id_col, F.col("pos").cast("long").alias("pos"),
-        _gram_key(F.col("_g"), hash_fn).alias("_k"),
-    )
-    if winnow > 1:
-        # content-defined selection: keep pos iff its key is the min of
-        # the winnow keys starting at pos (per doc; window bounded by w)
-        wmin = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
-            0, winnow - 1
+        F.posexplode(keys).alias("pos", "_k"),
+    ).select(id_col, F.col("pos").cast("long").alias("pos"), "_k")
+    if sample_mod > 1:
+        # 0-mod-p selection on the key itself (xxhash64 longs directly;
+        # md5 via the first 15 hex chars) — one codegen filter straight
+        # after the explode, BEFORE any shuffle
+        num = (
+            F.col("_k")
+            if hash_fn == "xxhash64"
+            else F.conv(F.substring(F.col("_k"), 1, 15), 16, 10).cast("long")
         )
-        occ = (
-            occ.withColumn("_m", F.min("_k").over(wmin))
-            .filter(F.col("_k") == F.col("_m"))
-            .drop("_m")
+        occ = occ.filter(F.pmod(num, F.lit(sample_mod)) == 0)
+    # duplicated grams only BEFORE the probe join: unique grams (the
+    # overwhelming majority of a clean corpus) never rejoin the
+    # occurrence stream, and AQE broadcasts the surviving side when the
+    # duplicate vocabulary is small
+    dup = (
+        occ.groupBy("_k")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).alias("_first"),
         )
-    stats = occ.groupBy("_k").agg(
-        F.count(F.lit(1)).alias("_c"),
-        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("_first"),
+        .filter(F.col("_c") >= 2)
+        .select("_k", "_first")
     )
+    # shuffle-hash probe: sorting the full occurrence stream (SMJ) costs
+    # more than hashing the duplicate-vocabulary side; AQE still demotes
+    # to broadcast when the duplicate side turns out tiny
     return (
-        occ.join(stats, "_k")
+        occ.join(dup.hint("shuffle_hash"), "_k")
         .filter(
-            (F.col("_c") >= 2)
-            & ~(
+            ~(
                 (F.col(id_col) == F.col("_first.d"))
                 & (F.col("pos") == F.col("_first.p"))
             )
@@ -149,7 +165,7 @@ def dup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
-    winnow: int = 1,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """Maximal duplicated spans per document: redundant gram extents
     ``[pos, pos+l)`` merged when overlapping OR touching (gaps-and-
@@ -158,7 +174,7 @@ def dup_spans(
     0-based word spans ``[span_start, span_end)``."""
     red = redundant_occurrences(
         df, l, text_col=text_col, id_col=id_col, hash_fn=hash_fn,
-        winnow=winnow,
+        sample_mod=sample_mod,
     )
     w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
         Window.unboundedPreceding, -1
@@ -199,7 +215,7 @@ def excise_dup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
-    winnow: int = 1,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """Rewrite each document with its duplicated spans removed (words at
     positions covered by any redundant span are dropped; surviving words
@@ -215,7 +231,7 @@ def excise_dup_spans(
     spans = (
         dup_spans(
             df, l, text_col=text_col, id_col=id_col, hash_fn=hash_fn,
-            winnow=winnow,
+            sample_mod=sample_mod,
         )
         .groupBy(id_col)
         .agg(

@@ -1,6 +1,6 @@
 """Duplicate-span detection/excision (operators/spans.py): keep-first
 semantics, island merging of overlapping and touching extents, hash-
-scheme parity, winnowed sub-sampling guarantees, and null/short-doc
+scheme parity, 0-mod-p sub-sampling containment, and null/short-doc
 edges — everything the SQL oracle replay can't isolate."""
 
 from __future__ import annotations
@@ -91,15 +91,15 @@ def test_within_doc_repetition(spark):
     assert got == {(1, 4, 7)}
 
 
-def test_winnow_detects_long_repeats(spark):
-    # winnow=w guarantees detection of repeats >= l + 2(w-1) words: the
-    # 8-word verbatim run (>= 3 + 2*2 = 7) must surface, and every
-    # winnowed span must lie inside an exact span.
+def test_sample_mod_subsets_exact(spark):
+    # 0-mod-p sampling: a long verbatim repeat (28 words, 26 grams at
+    # l=3 — miss odds (1/2)^26 with w=2, and deterministic given the
+    # hash) must surface, and every sampled span must lie inside an
+    # exact span — under both selection rules (xxhash64 longs; md5 hex
+    # prefix).
+    run = " ".join(f"t{i}" for i in range(28))
     df = spark.createDataFrame(
-        [
-            (1, "c1 c2 a b c d e f g h x1 x2"),
-            (2, "z1 a b c d e f g h z2"),
-        ],
+        [(1, f"c1 c2 {run} x1 x2"), (2, f"z1 {run} z2")],
         "doc_id long, text string",
     )
     exact = {
@@ -108,19 +108,27 @@ def test_winnow_detects_long_repeats(spark):
     }
     win = {
         (r.doc_id, r.span_start, r.span_end)
-        for r in spans.dup_spans(df, 3, winnow=3).collect()
+        for r in spans.dup_spans(df, 3, hash_fn="xxhash64", sample_mod=2).collect()
     }
     assert any(d == 2 for d, _, _ in win), win
     for d, s, e in win:
         assert any(
             d == de and s >= se and e <= ee for de, se, ee in exact
         ), (d, s, e, exact)
+    win_md5 = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spans.dup_spans(df, 3, sample_mod=2).collect()
+    }
+    for d, s, e in win_md5:
+        assert any(
+            d == de and s >= se and e <= ee for de, se, ee in exact
+        ), (d, s, e, exact)
 
 
-def test_winnow_validation(spark):
+def test_param_validation(spark):
     import pytest
 
     with pytest.raises(ValueError):
-        spans.redundant_occurrences(_df(spark), 3, winnow=0)
+        spans.redundant_occurrences(_df(spark), 3, sample_mod=0)
     with pytest.raises(ValueError):
         spans.redundant_occurrences(_df(spark), 3, hash_fn="sha1")

@@ -39,9 +39,30 @@ def q_bpe_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.encode_native(docs, pairs)
 
 
+PACK_BUDGET = 1024
+
+
+def q_bpe_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data endgame chain: learn merges, segment every
+    document, pack the per-doc piece counts into fixed-budget training
+    sequences (textstats.pack_sequences' distributed id-order cumsum —
+    no single-task window)."""
+    from nexus_processor_spark.operators.textstats import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe.bpe_train(docs, N_MERGES, max_words=None)
+    pairs = [
+        (r.left_sym, r.right_sym)
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    enc = bpe.encode_native(docs, pairs).select("doc_id", "n_pieces")
+    return pack_sequences(enc, PACK_BUDGET, tokens_col="n_pieces")
+
+
 QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_encoded": q_bpe_encoded,
+    "bpe_packed": q_bpe_packed,
 }
 
 
@@ -125,7 +146,26 @@ _BPE_ENCODED_SQL = _BPE_CHAIN + f"""
 """
 
 
+_BPE_PACKED_SQL = _BPE_CHAIN + f""",
+    enc AS (
+        SELECT e.doc_id, CAST(sum(len(wk.s)) AS BIGINT) AS n_pieces
+        FROM (SELECT doc_id, unnest(ws) AS word FROM d) e
+        JOIN w{N_MERGES} wk USING (word)
+        WHERE e.word <> ''
+        GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_pieces,
+           CAST(floor((sum(n_pieces) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+                       - n_pieces) / {float(PACK_BUDGET)}) AS BIGINT)
+               AS pack_id
+    FROM enc
+"""
+
+
 ORACLE = {
     "bpe_merges": _BPE_MERGES_SQL,
     "bpe_encoded": _BPE_ENCODED_SQL,
+    "bpe_packed": _BPE_PACKED_SQL,
 }

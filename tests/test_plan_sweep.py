@@ -51,6 +51,7 @@ WINDOW_ALLOWED = {
     "pulse_index_window": "prefix bucket offsets (hour grid)",
     "session_concurrency": "prefix bucket offsets (sweep-line grid)",
     "pack_sequences": "prefix bucket offsets (doc-id grid)",
+    "bpe_packed": "prefix bucket offsets (doc-id grid, via pack_sequences)",
     # final k-selection over per-partition-prefiltered candidates
     # (<= numPartitions * k rows, sketch.py _k_smallest)
     "kmv_distinct_tokens": "KMV final k-smallest over bounded candidates",

@@ -158,24 +158,12 @@ def redundant_occurrences(
     )
 
 
-def dup_spans(
-    df: DataFrame,
-    l: int = 5,
-    *,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    hash_fn: str = "md5",
-    sample_mod: int = 1,
-) -> DataFrame:
-    """Maximal duplicated spans per document: redundant gram extents
-    ``[pos, pos+l)`` merged when overlapping OR touching (gaps-and-
-    islands over a per-document window). Returns
-    ``(id_col, span_start, span_end, span_words)`` with half-open
-    0-based word spans ``[span_start, span_end)``."""
-    red = redundant_occurrences(
-        df, l, text_col=text_col, id_col=id_col, hash_fn=hash_fn,
-        sample_mod=sample_mod,
-    )
+def _merge_islands(red: DataFrame, l: int, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of gram extents ``[pos, pos+l)`` —
+    overlapping OR touching extents fuse. Input: ``(id_col, pos)``
+    occurrence rows; output: ``(id_col, span_start, span_end,
+    span_words)`` half-open 0-based word spans. Windows are
+    per-document (bounded by document length)."""
     w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -208,7 +196,7 @@ def dup_spans(
     )
 
 
-def excise_dup_spans(
+def dup_spans(
     df: DataFrame,
     l: int = 5,
     *,
@@ -217,23 +205,77 @@ def excise_dup_spans(
     hash_fn: str = "md5",
     sample_mod: int = 1,
 ) -> DataFrame:
-    """Rewrite each document with its duplicated spans removed (words at
-    positions covered by any redundant span are dropped; surviving words
-    rejoin with the separator in original order). Documents with no
-    redundant span pass through unchanged.
+    """Maximal duplicated spans per document (see :func:`_merge_islands`
+    for the span convention)."""
+    red = redundant_occurrences(
+        df, l, text_col=text_col, id_col=id_col, hash_fn=hash_fn,
+        sample_mod=sample_mod,
+    )
+    return _merge_islands(red, l, id_col)
 
-    Output: ``(id_col, clean_text, n_words, dup_words, n_spans)``.
+
+def contamination_spans(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    l: int = 5,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Spans of ``corpus`` documents whose ``l``-grams appear anywhere in
+    the eval/benchmark set — the span-granular sibling of
+    ``pipeline.decontaminate``: instead of flagging whole documents for
+    overlap, it locates WHERE the contamination sits (and
+    :func:`excise_contamination` removes exactly that, keeping the rest
+    of the document).
+
+    The eval side reduces to its distinct gram-key set (benchmark-sized,
+    bounded) and the probe is a semi-join the optimizer broadcasts when
+    the eval set is small — the corpus side never shuffles on gram.
+    Output: ``(id_col, span_start, span_end, span_words)``.
+    """
+    from nexus_processor_spark.functions.text import word_shingles_text
+
+    eval_keys = (
+        eval_df.select(
+            F.explode(word_shingles_text(text_col, l)).alias("_g")
+        )
+        .select(_gram_key(F.col("_g"), hash_fn).alias("_k"))
+        .distinct()
+    )
+    keys = F.transform(
+        positional_grams(F.col(text_col), l),
+        lambda g: _gram_key(g, hash_fn),
+    )
+    occ = corpus.select(
+        F.col(id_col),
+        F.posexplode(keys).alias("pos", "_k"),
+    ).select(id_col, F.col("pos").cast("long").alias("pos"), "_k")
+    hit = occ.join(eval_keys, "_k", "left_semi").select(id_col, "pos")
+    return _merge_islands(hit, l, id_col)
+
+
+def _excise(
+    df: DataFrame,
+    span_df: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    words_alias: str,
+) -> DataFrame:
+    """Rewrite each document with the given spans removed (words at
+    covered positions dropped; survivors rejoin with the separator in
+    original order). Documents with no span pass through unchanged.
+
+    Output: ``(id_col, clean_text, n_words, <words_alias>, n_spans)``.
     The per-doc span list is collected to an array (bounded by document
     length) and applied as one native filter over token positions — the
     document text never enters Python and never shuffles: spans shuffle
     to the documents, not the reverse.
     """
     spans = (
-        dup_spans(
-            df, l, text_col=text_col, id_col=id_col, hash_fn=hash_fn,
-            sample_mod=sample_mod,
-        )
-        .groupBy(id_col)
+        span_df.groupBy(id_col)
         .agg(
             F.collect_list(
                 F.struct(
@@ -267,7 +309,52 @@ def excise_dup_spans(
             .alias("clean_text"),
             F.when(F.col(text_col).isNotNull(), F.size(toks))
             .otherwise(F.lit(0)).cast("long").alias("n_words"),
-            F.coalesce(F.col("dup_words"), F.lit(0)).cast("long").alias("dup_words"),
+            F.coalesce(F.col("dup_words"), F.lit(0)).cast("long")
+            .alias(words_alias),
             F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
         )
+    )
+
+
+def excise_dup_spans(
+    df: DataFrame,
+    l: int = 5,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+    sample_mod: int = 1,
+) -> DataFrame:
+    """:func:`dup_spans` excision — output ``(id_col, clean_text,
+    n_words, dup_words, n_spans)``; see :func:`_excise`."""
+    return _excise(
+        df,
+        dup_spans(
+            df, l, text_col=text_col, id_col=id_col, hash_fn=hash_fn,
+            sample_mod=sample_mod,
+        ),
+        text_col=text_col, id_col=id_col, words_alias="dup_words",
+    )
+
+
+def excise_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    l: int = 5,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Surgical decontamination: :func:`contamination_spans` excision —
+    contaminated regions are removed, the rest of each document is kept
+    (``pipeline.decontaminate`` flags whole documents instead). Output
+    ``(id_col, clean_text, n_words, contam_words, n_spans)``."""
+    return _excise(
+        corpus,
+        contamination_spans(
+            corpus, eval_df, l, text_col=text_col, id_col=id_col,
+            hash_fn=hash_fn,
+        ),
+        text_col=text_col, id_col=id_col, words_alias="contam_words",
     )

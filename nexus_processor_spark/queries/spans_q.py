@@ -30,20 +30,42 @@ def q_dup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.excise_dup_spans(_docs(spark, sf_dir), L)
 
 
+def q_contam_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical decontamination: hash-carve an eval set out of documents
+    (same carve as the ``decontaminate`` query), then excise exactly the
+    contaminated spans from the rest of the corpus instead of flagging
+    whole documents."""
+    from pyspark.sql import functions as F
+
+    from nexus_processor_spark.operators.pipeline import hash_hex, hex_threshold
+    from nexus_processor_spark.queries.pipeline_q import EVAL_FRACTION, EVAL_SALT
+
+    docs = _docs(spark, sf_dir)
+    h = hash_hex(F.col("doc_id"), salt=EVAL_SALT)
+    thr = hex_threshold(EVAL_FRACTION)
+    eval_df = docs.filter(h < F.lit(thr))
+    corpus = docs.filter(h >= F.lit(thr))
+    return spans.excise_contamination(corpus, eval_df, L)
+
+
 QUERIES = {
     "dup_spans": q_dup_spans,
     "dup_span_excise": q_dup_span_excise,
+    "contam_span_excise": q_contam_span_excise,
 }
 
 
-# Shared replay: positional 5-grams (1-based DuckDB positions shifted to
-# the operator's 0-based convention), redundant = any occurrence of a
-# gram other than the (doc_id, pos)-first, islands merged when extents
-# [pos, pos+L) overlap or touch.
-_SPANS_CTE = f"""
-    WITH t AS MATERIALIZED (
+# Shared replay pieces: positional 5-grams (1-based DuckDB positions
+# shifted to the operator's 0-based convention), islands merged when
+# extents [pos, pos+L) overlap or touch, excision rebuilds the text.
+# Parameterized by the corpus source so the duplicate replay (over
+# `documents`) and the decontamination replay (over the carved corpus)
+# share every decision.
+
+def _grams_cte(src: str) -> str:
+    return f"""t AS MATERIALIZED (
         SELECT doc_id, string_split(text, ' ') AS ws
-        FROM documents WHERE text IS NOT NULL
+        FROM {src} WHERE text IS NOT NULL
     ),
     occ AS MATERIALIZED (
         SELECT doc_id, i - 1 AS pos,
@@ -51,16 +73,11 @@ _SPANS_CTE = f"""
         FROM (SELECT doc_id, ws,
                      unnest(generate_series(1, len(ws) - {L - 1})) AS i
               FROM t)
-    ),
-    red AS MATERIALIZED (
-        SELECT doc_id, pos FROM (
-            SELECT doc_id, pos,
-                   row_number() OVER (PARTITION BY k
-                                      ORDER BY doc_id, pos) AS rn
-            FROM occ)
-        WHERE rn >= 2
-    ),
-    isl0 AS (
+    )"""
+
+
+def _islands_cte(hits: str) -> str:
+    return f"""isl0 AS (
         SELECT doc_id, pos,
                CASE WHEN pos > coalesce(
                         max(pos + {L}) OVER (
@@ -69,7 +86,7 @@ _SPANS_CTE = f"""
                                      AND 1 PRECEDING),
                         -1)
                     THEN 1 ELSE 0 END AS nw
-        FROM red
+        FROM {hits}
     ),
     isl AS (
         SELECT doc_id, pos,
@@ -82,17 +99,10 @@ _SPANS_CTE = f"""
     )"""
 
 
-_DUP_SPANS_SQL = _SPANS_CTE + """
-    SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
-           CAST(span_end AS BIGINT) AS span_end,
-           CAST(span_end - span_start AS BIGINT) AS span_words
-    FROM sp
-"""
-
-
-_DUP_SPAN_EXCISE_SQL = _SPANS_CTE + """,
+def _excise_sql(base: str, words_alias: str) -> str:
+    return f""",
     stats AS (
-        SELECT doc_id, sum(span_end - span_start) AS dup_words,
+        SELECT doc_id, sum(span_end - span_start) AS dw,
                count(*) AS n_spans
         FROM sp GROUP BY doc_id
     ),
@@ -115,15 +125,72 @@ _DUP_SPAN_EXCISE_SQL = _SPANS_CTE + """,
            CAST(CASE WHEN d.text IS NULL THEN 0
                      ELSE len(string_split(d.text, ' ')) END AS BIGINT)
                AS n_words,
-           CAST(coalesce(st.dup_words, 0) AS BIGINT) AS dup_words,
+           CAST(coalesce(st.dw, 0) AS BIGINT) AS {words_alias},
            CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans
-    FROM documents d
+    FROM {base} d
     LEFT JOIN stats st USING (doc_id)
     LEFT JOIN cleaned c USING (doc_id)
 """
 
 
+# redundant = any occurrence of a gram other than the (doc_id, pos)-first
+_RED_CTE = """red AS MATERIALIZED (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY k
+                                      ORDER BY doc_id, pos) AS rn
+            FROM occ)
+        WHERE rn >= 2
+    )"""
+
+_SPANS_CTE = (
+    "\n    WITH " + _grams_cte("documents") + ",\n    " + _RED_CTE
+    + ",\n    " + _islands_cte("red")
+)
+
+
+_DUP_SPANS_SQL = _SPANS_CTE + """
+    SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+           CAST(span_end AS BIGINT) AS span_end,
+           CAST(span_end - span_start AS BIGINT) AS span_words
+    FROM sp
+"""
+
+
+_DUP_SPAN_EXCISE_SQL = _SPANS_CTE + _excise_sql("documents", "dup_words")
+
+
+def _contam_cte() -> str:
+    from nexus_processor_spark.operators.pipeline import hex_threshold
+    from nexus_processor_spark.queries.pipeline_q import EVAL_FRACTION, EVAL_SALT
+
+    thr = hex_threshold(EVAL_FRACTION)
+    return f"""
+    WITH carve AS MATERIALIZED (
+        SELECT doc_id, text,
+               substr(md5('{EVAL_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+        FROM documents
+    ),
+    ev AS MATERIALIZED (SELECT doc_id, text FROM carve WHERE h < '{thr}'),
+    corp AS MATERIALIZED (SELECT doc_id, text FROM carve WHERE h >= '{thr}'),
+    ek AS MATERIALIZED (
+        SELECT DISTINCT md5(array_to_string(ws[i:i + {L - 1}], ' ')) AS k
+        FROM (SELECT ws, unnest(generate_series(1, len(ws) - {L - 1})) AS i
+              FROM (SELECT string_split(text, ' ') AS ws
+                    FROM ev WHERE text IS NOT NULL))
+    ),
+    """ + _grams_cte("corp") + """,
+    hit AS MATERIALIZED (
+        SELECT doc_id, pos FROM occ WHERE k IN (SELECT k FROM ek)
+    ),
+    """ + _islands_cte("hit")
+
+
+_CONTAM_EXCISE_SQL = _contam_cte() + _excise_sql("corp", "contam_words")
+
+
 ORACLE = {
     "dup_spans": _DUP_SPANS_SQL,
     "dup_span_excise": _DUP_SPAN_EXCISE_SQL,
+    "contam_span_excise": _CONTAM_EXCISE_SQL,
 }

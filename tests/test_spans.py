@@ -125,6 +125,34 @@ def test_sample_mod_subsets_exact(spark):
         ), (d, s, e, exact)
 
 
+def test_contamination_spans_and_excise(spark):
+    eval_df = spark.createDataFrame(
+        [(100, "a b c d"), (101, None)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x a b c d y"),        # one contaminated span [1,5)
+            (2, "a b x c d"),          # grams split by x: no 2-gram? (l=2: 'a b','c d' hit)
+            (3, "p q r s"),            # clean
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spans.contamination_spans(corpus, eval_df, 2).collect()
+    }
+    # doc 1: grams 'a b'(1),'b c'(2),'c d'(3) all in eval -> [1,5)
+    # doc 2: 'a b'(0) and 'c d'(3) hit, 'b x'/'x c' don't -> two spans
+    assert got == {(1, 1, 5), (2, 0, 2), (2, 3, 5)}
+    ex = {
+        r.doc_id: (r.clean_text, r.contam_words, r.n_spans)
+        for r in spans.excise_contamination(corpus, eval_df, 2).collect()
+    }
+    assert ex[1] == ("x y", 4, 1)
+    assert ex[2] == ("x", 4, 2)
+    assert ex[3] == ("p q r s", 0, 0)
+
+
 def test_param_validation(spark):
     import pytest
 

@@ -827,6 +827,62 @@ def bm25_scores(
     )
 
 
+def rrf_fuse(
+    legs: list[tuple[str, DataFrame]],
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    top_m: int = 50,
+    k: int = 60,
+    n: int = 20,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Reciprocal-rank fusion of scored retrieval legs (Cormack et al.
+    2009, the hybrid-search default): each leg contributes
+    ``1/(k + rank)`` for its top-``top_m`` results, missing legs
+    contribute 0, and the fused top-``n`` is returned.
+
+    Scale shape: each leg is cut to ``top_m`` by a distributed
+    TakeOrdered FIRST (``orderBy().limit()`` — no global sort
+    materializes), so the rank window runs over an m-row pre-limited
+    head, never the corpus — fusing leg-local top-m lists is the
+    standard RRF contract, not an approximation of something bigger.
+    Ties break by id ascending in both the cut and the rank.
+
+    Output: ``(id_col, rank_<leg>..., rrf)``, ranks null where a doc
+    appears in only some legs.
+    """
+    fused: DataFrame | None = None
+    terms = []
+    for name, leg in legs:
+        top = leg.orderBy(F.desc(score_col), id_col).limit(top_m)
+        w = Window.orderBy(F.desc(score_col), id_col)
+        r = top.select(
+            F.col(id_col),
+            F.row_number().over(w).cast("long").alias(f"rank_{name}"),
+        )
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+        terms.append(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(k) + F.col(f"rank_{name}")), F.lit(0.0)
+            )
+        )
+    if fused is None:
+        raise ValueError("rrf_fuse needs at least one leg")
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return (
+        fused.select(
+            F.col(id_col),
+            *[F.col(f"rank_{name}") for name, _ in legs],
+            F.round(total, round_digits).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), id_col)
+        .limit(n)
+    )
+
+
 def boilerplate_phrases(
     df: DataFrame,
     n: int = 4,

@@ -180,6 +180,34 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_TOP_M = 50
+RRF_K = 60
+RRF_N = 20
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 text leg (3-term query over documents) and
+    a cosine vector leg (vec_id 0 as the probe over embeddings, the two
+    tables sharing the id space) fused by reciprocal rank —
+    ``pipeline.rrf_fuse`` cuts each leg to its top-m by distributed
+    TakeOrdered before any window ranks it."""
+    from nexus_processor_spark.operators import pipeline
+    from nexus_processor_spark.queries.pipeline_q import BM25_QUERY
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = _emb(spark, sf_dir)
+    text_leg = pipeline.bm25_scores(docs, BM25_QUERY).select(
+        "doc_id", F.col("bm25").alias("score")
+    )
+    vec_leg = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") == 0), emb, RRF_TOP_M
+    ).select(F.col("vec_id").alias("doc_id"), F.col("cos").alias("score"))
+    return pipeline.rrf_fuse(
+        [("bm25", text_leg), ("cos", vec_leg)],
+        top_m=RRF_TOP_M, k=RRF_K, n=RRF_N,
+    )
+
+
 QUERIES = {
     "pq_encode": q_pq_encode,
     "pq_topk": q_pq_topk,
@@ -193,6 +221,7 @@ QUERIES = {
     "kmeans_fit": q_kmeans_fit,
     "knn_graph": q_knn_graph,
     "semantic_dedup": q_semantic_dedup,
+    "hybrid_rrf": q_hybrid_rrf,
 }
 
 
@@ -514,3 +543,39 @@ ORACLE = {
         ) WHERE rn = 1
     """,
 }
+
+# Hybrid RRF oracle: the BM25 leg replays pipeline_q's bm25_search SQL
+# verbatim as a nested CTE; the vector leg scores vec 0 with the shared
+# index-order cosine; both legs cut to top-m, ranked, full-outer fused.
+from nexus_processor_spark.queries import pipeline_q as _pq  # noqa: E402
+
+ORACLE["hybrid_rrf"] = f"""
+    WITH bmt AS MATERIALIZED ({_pq.ORACLE["bm25_search"]}),
+    tl AS (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+                   AS rank_bm25
+        FROM (SELECT doc_id, bm25 AS score FROM bmt
+              ORDER BY score DESC, doc_id LIMIT {RRF_TOP_M})
+    ),
+    vs AS (
+        SELECT c.vec_id AS doc_id, {_cos('q.qv', 'c.cv')} AS score
+        FROM (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q,
+             (SELECT vec_id, embedding AS cv FROM embeddings
+              WHERE vec_id <> 0) c
+    ),
+    vl AS (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+                   AS rank_cos
+        FROM (SELECT * FROM vs ORDER BY score DESC, doc_id LIMIT {RRF_TOP_M})
+    ),
+    f AS (
+        SELECT coalesce(tl.doc_id, vl.doc_id) AS doc_id,
+               tl.rank_bm25, vl.rank_cos
+        FROM tl FULL OUTER JOIN vl ON tl.doc_id = vl.doc_id
+    )
+    SELECT doc_id, CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+           CAST(rank_cos AS BIGINT) AS rank_cos,
+           round(coalesce(1.0 / ({RRF_K} + rank_bm25), 0)
+                 + coalesce(1.0 / ({RRF_K} + rank_cos), 0), 9) AS rrf
+    FROM f ORDER BY rrf DESC, doc_id LIMIT {RRF_N}
+"""

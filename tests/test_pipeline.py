@@ -314,3 +314,39 @@ def test_encode_tokens_order_preserved_under_shuffle(spark):
     (row,) = pipeline.encode_tokens(docs, vocab).collect()
     v = {r["token"]: r["token_id"] for r in vocab.collect()}
     assert row["input_ids"] == [v[str(i % 7)] for i in range(200)]
+
+
+def test_rrf_fuse_semantics(spark):
+    # leg A ranks: d1=1, d2=2, d3=3; leg B ranks: d2=1, d4=2
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.9), (4, 0.7)], "doc_id long, score double"
+    )
+    got = {
+        r.doc_id: (r.rank_a, r.rank_b, r.rrf)
+        for r in pipeline.rrf_fuse(
+            [("a", a), ("b", b)], top_m=10, k=60, n=10
+        ).collect()
+    }
+    assert got[1] == (1, None, round(1 / 61, 9))
+    assert got[2] == (2, 1, round(1 / 62 + 1 / 61, 9))
+    assert got[3] == (3, None, round(1 / 63, 9))
+    assert got[4] == (None, 2, round(1 / 62, 9))
+    # top_m cuts a leg before ranking; ties break by id ascending
+    t = spark.createDataFrame(
+        [(7, 1.0), (5, 1.0), (6, 1.0)], "doc_id long, score double"
+    )
+    cut = {
+        r.doc_id: r.rank_t
+        for r in pipeline.rrf_fuse([("t", t)], top_m=2, n=10).collect()
+    }
+    assert cut == {5: 1, 6: 2}
+
+
+def test_rrf_fuse_validation(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        pipeline.rrf_fuse([])

@@ -32,6 +32,9 @@ BNLJ_ALLOWED = {
     # quality_quantile / quantile_filter): build side is a 1-row agg
     "curate_quality_audit",
     "edit_dist_pairs",
+    # hybrid_rrf inherits both legs' bounded broadcasts: bm25's 1-row
+    # corpus stats and the single-probe query vector (sim_brute_topk)
+    "hybrid_rrf",
     "bm25_search", "global_sales", "important_parts", "ivf_pq_topk",
     "kmeans_assign", "kmeans_fit", "kmv_set_ops", "mix_temperature", "pq_encode",
     "pq_topk", "price_quantile_histogram", "quality_orders",
@@ -52,6 +55,9 @@ WINDOW_ALLOWED = {
     "session_concurrency": "prefix bucket offsets (sweep-line grid)",
     "pack_sequences": "prefix bucket offsets (doc-id grid)",
     "bpe_packed": "prefix bucket offsets (doc-id grid, via pack_sequences)",
+    # rank over an m-row pre-limited head (TakeOrdered cuts each leg
+    # to top_m before the window; rrf_fuse docstring)
+    "hybrid_rrf": "leg ranks over pre-limited top-m heads",
     # final k-selection over per-partition-prefiltered candidates
     # (<= numPartitions * k rows, sketch.py _k_smallest)
     "kmv_distinct_tokens": "KMV final k-smallest over bounded candidates",

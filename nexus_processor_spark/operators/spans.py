@@ -196,6 +196,74 @@ def _merge_islands(red: DataFrame, l: int, id_col: str) -> DataFrame:
     )
 
 
+def cross_source_leakage(
+    df: DataFrame,
+    l: int = 5,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Where does each source's duplicated text COME from: for every
+    redundant ``l``-gram occurrence (not the corpus-wide first copy of
+    its gram), attribute it to the source of that first copy, and count
+    by ``(source, first_source)`` — the provenance matrix of substring
+    leakage (``source == first_source`` on the diagonal is internal
+    boilerplate; off-diagonal is cross-source copying, e.g. syndicated
+    or mirrored text).
+
+    Counts are redundant gram OCCURRENCES (span merging would
+    double-attribute overlaps to multiple sources). Same plan skeleton
+    as :func:`redundant_occurrences` with the source riding inside the
+    min-struct: ``(doc, pos)`` is unique, so ordering is unchanged and
+    the first copy's source comes along for free — no join back to the
+    corpus for provenance.
+
+    Output: ``(source, first_source, n_grams)`` ordered by count desc.
+    """
+    keys = F.transform(
+        positional_grams(F.col(text_col), l),
+        lambda g: _gram_key(g, hash_fn),
+    )
+    occ = df.select(
+        F.col(id_col), F.col(source_col),
+        F.posexplode(keys).alias("pos", "_k"),
+    ).select(
+        id_col, source_col,
+        F.col("pos").cast("long").alias("pos"), "_k",
+    )
+    dup = (
+        occ.groupBy("_k")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("d"), F.col("pos").alias("p"),
+                    F.col(source_col).alias("src"),
+                )
+            ).alias("_first"),
+        )
+        .filter(F.col("_c") >= 2)
+        .select("_k", "_first")
+    )
+    return (
+        occ.join(dup.hint("shuffle_hash"), "_k")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("_first.d"))
+                & (F.col("pos") == F.col("_first.p"))
+            )
+        )
+        .groupBy(
+            F.col(source_col).alias("source"),
+            F.col("_first.src").alias("first_source"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .orderBy(F.desc("n_grams"), "source", "first_source")
+    )
+
+
 def dup_spans(
     df: DataFrame,
     l: int = 5,

@@ -48,10 +48,20 @@ def q_contam_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.excise_contamination(corpus, eval_df, L)
 
 
+LEAK_L = 4
+
+
+def q_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-leakage provenance matrix: redundant 4-gram occurrences
+    attributed to the source of their corpus-wide first copy."""
+    return spans.cross_source_leakage(_docs(spark, sf_dir), LEAK_L)
+
+
 QUERIES = {
     "dup_spans": q_dup_spans,
     "dup_span_excise": q_dup_span_excise,
     "contam_span_excise": q_contam_span_excise,
+    "source_leakage": q_source_leakage,
 }
 
 
@@ -189,8 +199,35 @@ def _contam_cte() -> str:
 _CONTAM_EXCISE_SQL = _contam_cte() + _excise_sql("corp", "contam_words")
 
 
+_SOURCE_LEAKAGE_SQL = f"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, source, string_split(text, ' ') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    occ AS MATERIALIZED (
+        SELECT doc_id, source, i - 1 AS pos,
+               md5(array_to_string(ws[i:i + {LEAK_L - 1}], ' ')) AS k
+        FROM (SELECT doc_id, source, ws,
+                     unnest(generate_series(1, len(ws) - {LEAK_L - 1})) AS i
+              FROM t)
+    ),
+    r AS (
+        SELECT source,
+               row_number() OVER w AS rn,
+               first_value(source) OVER w AS first_source
+        FROM occ
+        WINDOW w AS (PARTITION BY k ORDER BY doc_id, pos)
+    )
+    SELECT source, first_source, CAST(count(*) AS BIGINT) AS n_grams
+    FROM r WHERE rn >= 2
+    GROUP BY source, first_source
+    ORDER BY n_grams DESC, source, first_source
+"""
+
+
 ORACLE = {
     "dup_spans": _DUP_SPANS_SQL,
     "dup_span_excise": _DUP_SPAN_EXCISE_SQL,
     "contam_span_excise": _CONTAM_EXCISE_SQL,
+    "source_leakage": _SOURCE_LEAKAGE_SQL,
 }

@@ -153,6 +153,26 @@ def test_contamination_spans_and_excise(spark):
     assert ex[3] == ("p q r s", 0, 0)
 
 
+def test_cross_source_leakage(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c z1", "wiki"),    # first copy of 'a b c'
+            (2, "z2 a b c", "web"),     # leaked from wiki
+            (3, "a b c z3", "web"),     # leaked from wiki
+            (4, "q r s t", "web"),      # clean
+            (5, "q r s z4", "wiki"),    # no 3-gram overlap with doc 4? 'q r s' IS shared
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.source, r.first_source): r.n_grams
+        for r in spans.cross_source_leakage(df, 3).collect()
+    }
+    # 'a b c' first copy doc1(wiki): redundant at doc2(web), doc3(web)
+    # 'q r s' first copy doc4(web): redundant at doc5(wiki)
+    assert got == {("web", "wiki"): 2, ("wiki", "web"): 1}
+
+
 def test_param_validation(spark):
     import pytest
 

@@ -180,3 +180,101 @@ def test_param_validation(spark):
         spans.redundant_occurrences(_df(spark), 3, sample_mod=0)
     with pytest.raises(ValueError):
         spans.redundant_occurrences(_df(spark), 3, hash_fn="sha1")
+
+
+def _ref_spans(corpus, l, sample_mod=1):
+    """Pure-Python reference of the whole span family: positional grams,
+    optional 0-mod-p selection on the md5 hex prefix, keep-first
+    redundancy, touching-merge islands, excision, leakage matrix."""
+    import hashlib
+    from collections import defaultdict
+
+    def sel(gram):
+        if sample_mod == 1:
+            return True
+        h = hashlib.md5(gram.encode()).hexdigest()[:15]
+        return int(h, 16) % sample_mod == 0
+
+    src_of, words = {}, {}
+    occ = defaultdict(list)
+    for d, text, src in corpus:
+        src_of[d] = src
+        ws = text.split(" ") if text is not None else None
+        words[d] = ws
+        if ws is None:
+            continue
+        for p in range(len(ws) - l + 1):
+            g = " ".join(ws[p : p + l])
+            if sel(g):
+                occ[g].append((d, p))
+    red, leak = set(), defaultdict(int)
+    for g, lst in occ.items():
+        lst.sort()
+        if len(lst) >= 2:
+            d0 = lst[0][0]
+            for d, p in lst[1:]:
+                red.add((d, p))
+                leak[(src_of[d], src_of[d0])] += 1
+    spans_by_doc = defaultdict(list)
+    for d in sorted(words):
+        ps = sorted(p for dd, p in red if dd == d)
+        merged = []
+        for p in ps:
+            if merged and p <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], p + l)
+            else:
+                merged.append([p, p + l])
+        spans_by_doc[d] = merged
+    excise = {}
+    for d, ws in words.items():
+        sp = spans_by_doc[d]
+        if ws is None:
+            excise[d] = (None, 0, 0, 0)
+            continue
+        kept = [
+            w for i, w in enumerate(ws)
+            if not any(s <= i < e for s, e in sp)
+        ]
+        excise[d] = (
+            " ".join(kept) if sp else " ".join(ws),
+            len(ws), sum(e - s for s, e in sp), len(sp),
+        )
+    span_rows = {
+        (d, s, e) for d, sp in spans_by_doc.items() for s, e in sp
+    }
+    return span_rows, excise, dict(leak)
+
+
+def test_bulk_random_corpus_matches_reference(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    corpus = []
+    for d in range(120):
+        if d % 37 == 5:
+            corpus.append((d, None, "s0"))
+            continue
+        n = int(rng.integers(0, 13))
+        text = " ".join(vocab[int(i)] for i in rng.integers(0, 6, size=n))
+        corpus.append((d, text, f"s{int(rng.integers(0, 2))}"))
+    df = spark.createDataFrame(corpus, "doc_id long, text string, source string")
+
+    for mod in (1, 2):
+        ref_spans, ref_ex, ref_leak = _ref_spans(corpus, 3, sample_mod=mod)
+        got_spans = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in spans.dup_spans(df, 3, sample_mod=mod).collect()
+        }
+        assert got_spans == ref_spans, f"mod={mod}"
+        got_ex = {
+            r.doc_id: (r.clean_text, r.n_words, r.dup_words, r.n_spans)
+            for r in spans.excise_dup_spans(df, 3, sample_mod=mod).collect()
+        }
+        assert got_ex == ref_ex, f"mod={mod}"
+    _, _, ref_leak = _ref_spans(corpus, 3)  # leakage is exact (no sampling)
+    got_leak = {
+        (r.source, r.first_source): r.n_grams
+        for r in spans.cross_source_leakage(df, 3).collect()
+    }
+    assert got_leak == ref_leak

@@ -200,6 +200,77 @@ def lsh_hyperplane_topk(
     return _ranked_topk(scored, k)
 
 
+def hard_negative_triplets(
+    queries: DataFrame,
+    corpus: DataFrame,
+    neg_k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training triplet mining: for each anchor, the single
+    nearest SAME-label vector (the positive) paired with the ``neg_k``
+    nearest DIFFERENT-label vectors (the hard negatives — the
+    highest-similarity wrong answers, which carry most of the gradient
+    signal in contrastive/embedding training).
+
+    One scored pass: anchors broadcast against the streamed corpus,
+    then a single window ranked within ``(query_id, same_label)`` so
+    the positive and the negatives come out of the same shuffle.
+    Anchors missing either side (no same-label peer, or no other
+    label) drop via the inner join. Null labels compare null-safely:
+    two null-label vectors count as same-label.
+
+    At corpus scale the exact pass is the eval/ground-truth path; swap
+    the scored stream for :func:`ivf_topk`'s cell-pruned join (probing
+    the anchor's own cell for positives and neighboring cells for
+    negatives) to mine from an approximate index instead.
+
+    Output: query_id, pos_id, pos_cos, neg_id, neg_cos, neg_rank —
+    one row per (anchor, negative), the positive repeated across its
+    anchor's rows.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_vq"),
+        norm(F.col(vec_col)).alias("_nq"),
+        F.col(label_col).alias("_lq"),
+    )
+    c = spread(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_vc"),
+        norm(F.col(vec_col)).alias("_nc"),
+        F.col(label_col).alias("_lc"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _cos().alias("cos"),
+            F.col("_lc").eqNullSafe(F.col("_lq")).alias("_same"),
+        )
+    )
+    w = Window.partitionBy("query_id", "_same").orderBy(
+        F.desc("cos"), "vec_id"
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    pos = ranked.filter(F.col("_same") & (F.col("rn") == 1)).select(
+        "query_id",
+        F.col("vec_id").alias("pos_id"),
+        F.col("cos").alias("pos_cos"),
+    )
+    neg = ranked.filter(~F.col("_same") & (F.col("rn") <= neg_k)).select(
+        "query_id",
+        F.col("vec_id").alias("neg_id"),
+        F.col("cos").alias("neg_cos"),
+        F.col("rn").cast("long").alias("neg_rank"),
+    )
+    return pos.join(neg, "query_id")
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -208,8 +208,20 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining: each anchor paired with its nearest
+    same-label positive and its top-k nearest different-label hard
+    negatives (one scored pass, one window shuffle — see
+    operators.similarity.hard_negative_triplets)."""
+    emb = _emb(spark, sf_dir)
+    return similarity.hard_negative_triplets(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb, TOP_K
+    )
+
+
 QUERIES = {
     "pq_encode": q_pq_encode,
+    "hard_negatives": q_hard_negatives,
     "pq_topk": q_pq_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
     "sim_brute_topk": q_sim_brute_topk,
@@ -473,6 +485,28 @@ _SEMANTIC_DEDUP_SQL = f"""
 
 ORACLE = {
     "pq_encode": _PQ_ENCODE_SQL,
+    # same scored relation as sim_brute_topk, split by a null-safe
+    # same-label flag and ranked within (query_id, same) — positives
+    # are rn=1 of the same side, negatives the top-k of the other
+    "hard_negatives": f"""
+        WITH scored AS (
+            SELECT q.query_id, c.vec_id, {_cos('q.qv', 'c.cv')} AS cos,
+                   (c.label IS NOT DISTINCT FROM q.label) AS same
+            FROM (SELECT vec_id AS query_id, embedding AS qv, label
+                  FROM embeddings WHERE vec_id < {N_QUERIES}) q,
+                 (SELECT vec_id, embedding AS cv, label FROM embeddings) c
+            WHERE c.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id, same
+                                         ORDER BY cos DESC, vec_id) AS rn
+            FROM scored
+        )
+        SELECT p.query_id, p.vec_id AS pos_id, p.cos AS pos_cos,
+               n.vec_id AS neg_id, n.cos AS neg_cos, n.rn AS neg_rank
+        FROM (SELECT * FROM ranked WHERE same AND rn = 1) p
+        JOIN (SELECT * FROM ranked WHERE NOT same AND rn <= {TOP_K}) n
+        USING (query_id)
+    """,
     "pq_topk": _PQ_TOPK_SQL,
     "ivf_pq_topk": _IVF_PQ_TOPK_SQL,
     "kmeans_fit": _KMEANS_FIT_SQL,

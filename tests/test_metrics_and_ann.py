@@ -116,3 +116,37 @@ def test_kmeans_parallel_init_string_ids(spark):
     )
     cents = similarity.kmeans_parallel_init(vecs, 4)
     assert cents.count() == 4
+
+
+def test_hard_negative_triplets_semantics(spark):
+    # 2-dim toy corpus: anchor 0 (label A) has one same-label peer (1),
+    # two different-label vectors (2 closer than 3); anchor 10 (label C)
+    # has NO same-label peer and must drop; 4/5 share a NULL label and
+    # pair null-safely.
+    rows = [
+        (0, [1.0, 0.0], "A"),
+        (1, [0.9, 0.1], "A"),
+        (2, [1.0, 0.05], "B"),   # hard negative: nearly parallel to 0
+        (3, [0.0, 1.0], "B"),    # easy negative
+        (10, [0.5, 0.5], "C"),   # anchor with no positive available
+        (4, [0.0, 1.0], None),
+        (5, [0.1, 1.0], None),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = similarity.hard_negative_triplets(
+        emb.filter(F.col("vec_id").isin(0, 10, 4)), emb, neg_k=2
+    )
+    got = {
+        (r.query_id, r.neg_rank): (r.pos_id, r.neg_id)
+        for r in out.collect()
+    }
+    # anchor 0: positive is 1; negatives ranked 2 (cos~0.999) then 10
+    # (cos~0.707) — vector 3 is orthogonal and out of the top-2? No:
+    # candidates with labels B/C/null are all "different"; order by cos:
+    # 2 (0.9988), 10 (0.7071), then 5/3/4. Top-2 = [2, 10].
+    assert got[(0, 1)] == (1, 2)
+    assert got[(0, 2)] == (1, 10)
+    # anchor 10 has no same-label peer: inner join drops it entirely
+    assert not any(q == 10 for q, _ in got)
+    # anchor 4 (null label): positive is 5 via null-safe equality
+    assert got[(4, 1)][0] == 5

@@ -35,6 +35,9 @@ BNLJ_ALLOWED = {
     # hybrid_rrf inherits both legs' bounded broadcasts: bm25's 1-row
     # corpus stats and the single-probe query vector (sim_brute_topk)
     "hybrid_rrf",
+    # anchor-side broadcast (vec_id < N_QUERIES, 5 rows) — same shape
+    # as sim_brute_topk
+    "hard_negatives",
     "bm25_search", "global_sales", "important_parts", "ivf_pq_topk",
     "kmeans_assign", "kmeans_fit", "kmv_set_ops", "mix_temperature", "pq_encode",
     "pq_topk", "price_quantile_histogram", "quality_orders",

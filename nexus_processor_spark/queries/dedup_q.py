@@ -242,8 +242,41 @@ def q_dedup_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dedup(docs, pairs).select("doc_id", "lang", "n_chars")
 
 
+def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health histogram of duplicate-cluster sizes: LSH pairs ->
+    connected components -> per-cluster size -> (cluster_size,
+    n_clusters, n_docs), with a singleton row (size 1) for every doc
+    that joined no cluster. The metric a curation run publishes to show
+    HOW duplicated a crawl is, not just how many rows dedup removed.
+
+    The singleton count is total docs minus clustered docs, computed as
+    one +1/-1 union aggregate — no driver collect, no 1-row crossJoin."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(
+        docs, num_bands=NUM_BANDS, shingle_words=SHINGLE_WORDS, threshold=0.5
+    )
+    labels = dedup.dup_clusters(pairs)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+    n_single = (
+        docs.select(F.lit(1).alias("_w"))
+        .unionByName(labels.select(F.lit(-1).alias("_w")))
+        .agg(F.sum("_w").cast("long").alias("_n"))
+    )
+    singles = n_single.select(
+        F.lit(1).cast("long").alias("cluster_size"),
+        F.col("_n").alias("n_clusters"),
+        F.col("_n").alias("n_docs"),
+    )
+    return hist.unionByName(singles)
+
+
 QUERIES = {
     "dedup_incremental_near": q_dedup_incremental_near,
+    "dup_cluster_stats": q_dup_cluster_stats,
     "dedup_prefix_pairs": q_dedup_prefix_pairs,
     "dedup_near_corpus": q_dedup_near_corpus,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -386,6 +419,57 @@ ORACLE = {
     # is exactly the fixpoint dup_clusters' min-label propagation reaches.
     # O(n*m) closure rows — fine at oracle scale, which is the point of
     # keeping the scalable iterative form on the Spark side only.
+    # same transitive closure as dedup_near_corpus, reduced to the
+    # cluster-size histogram plus the singleton (size-1) remainder row
+    "dup_cluster_stats": f"""
+        WITH RECURSIVE
+        sh AS ({_SHINGLES}),
+        sig AS ({_SIGS_R2}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+            WHERE a.doc_id < b.doc_id
+        ),
+        pairs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN sh x ON c.id_a = x.doc_id
+            JOIN sh y ON c.id_b = y.doc_id
+            WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                  / CAST(len(x.sh) + len(y.sh)
+                         - len(list_intersect(x.sh, y.sh)) AS DOUBLE) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        labels AS (
+            SELECT a AS id, least(min(b), a) AS cluster_id
+            FROM reach GROUP BY a
+        ),
+        sizes AS (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM labels GROUP BY 1
+        ),
+        hist AS (
+            SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(sum(cluster_size) AS BIGINT) AS n_docs
+            FROM sizes GROUP BY 1
+        )
+        SELECT * FROM hist
+        UNION ALL
+        SELECT CAST(1 AS BIGINT),
+               CAST((SELECT count(*) FROM documents)
+                    - (SELECT count(*) FROM labels) AS BIGINT),
+               CAST((SELECT count(*) FROM documents)
+                    - (SELECT count(*) FROM labels) AS BIGINT)
+    """,
     "dedup_near_corpus": f"""
         WITH RECURSIVE
         sh AS ({_SHINGLES}),

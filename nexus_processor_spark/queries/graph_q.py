@@ -45,9 +45,27 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(_pairs(spark, sf_dir))
 
 
+PR_ITERATIONS = 10
+PR_DAMPING = 0.85
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup graph — centrality of each document
+    inside its duplication neighborhood (the canonical-survivor pick a
+    crawl dedup can use instead of min-id). Power iteration, one
+    join+agg shuffle per round; per-iteration round-9 keeps the ranks
+    engine- and order-deterministic."""
+    return graph.pagerank(
+        _pairs(spark, sf_dir),
+        iterations=PR_ITERATIONS,
+        damping=PR_DAMPING,
+    )
+
+
 QUERIES = {
     "graph_degrees": q_graph_degrees,
     "graph_triangles": q_graph_triangles,
+    "graph_pagerank": q_graph_pagerank,
 }
 
 # Verified pair relation (id_a < id_b), the shared edge CTE.
@@ -71,7 +89,38 @@ _PAIRS = f"""
     )
 """
 
+def _pagerank_sql(iterations: int, damping: float) -> str:
+    """Unrolled power iteration mirroring operators.graph.pagerank
+    exactly: same symmetrized edge set, same uniform init, same
+    per-iteration round-9 (which also absorbs cross-engine double-sum
+    ordering, the kmeans_fit oracle trick)."""
+    ctes = [
+        _PAIRS + ",",
+        """e AS (SELECT id_a AS s, id_b AS d FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),""",
+        "deg AS (SELECT s AS id, count(*) AS deg FROM e GROUP BY 1),",
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),",
+        "r0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM deg),",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""r{i} AS (
+            SELECT deg.id,
+                   round((1.0 - {damping}) / (SELECT n FROM nv)
+                         + {damping} * COALESCE(c.in_sum, 0.0), 9) AS rank
+            FROM deg LEFT JOIN (
+                SELECT e.d AS id, sum(p.rank / sd.deg) AS in_sum
+                FROM e
+                JOIN r{i - 1} p ON e.s = p.id
+                JOIN deg sd ON sd.id = e.s
+                GROUP BY 1
+            ) c ON deg.id = c.id
+        ),""")
+    body = "\n".join(ctes).rstrip().rstrip(",")
+    return f"{body}\nSELECT id, rank FROM r{iterations}"
+
+
 ORACLE = {
+    "graph_pagerank": _pagerank_sql(PR_ITERATIONS, PR_DAMPING),
     "graph_degrees": f"""
         {_PAIRS}
         SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (

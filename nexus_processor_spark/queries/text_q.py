@@ -99,8 +99,46 @@ def q_text_semantic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LOGREG_ITERATIONS = 5
+LOGREG_LR = 0.1
+# seed labels: half the sources are "high quality" — what matters for
+# the oracle is that the label is a pure function of the row
+_POS_SOURCES = tuple(f"src{i}" for i in range(10))
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality filter, end to end: hashed features -> dense
+    vectors -> full-batch-GD logistic regression (one skinny aggregate
+    per iteration, weights broadcast as literals) -> map-only corpus
+    scoring. The learned replacement for the heuristic text_quality
+    gate; the DuckDB oracle re-derives the exact GD trajectory
+    (round-6 probs / round-9 updates) and must match every score."""
+    from pyspark.sql import functions as F
+
+    from nexus_processor_spark.operators import classifier
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    dense = textstats.hashed_dense(
+        textstats.hashed_features(docs, HASH_DIM), HASH_DIM
+    )
+    labeled = dense.join(
+        docs.select(
+            "doc_id",
+            F.col("source").isin(*_POS_SOURCES).cast("long").alias("label"),
+        ),
+        "doc_id",
+    )
+    w, b = classifier.logreg_fit(
+        labeled, HASH_DIM, iterations=LOGREG_ITERATIONS, lr=LOGREG_LR
+    )
+    return classifier.logreg_score(labeled, w, b).join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+
+
 QUERIES = {
     "text_semantic_topk": q_text_semantic_topk,
+    "quality_classifier": q_quality_classifier,
     "text_hashed_features": q_text_hashed_features,
     "text_normalize": q_text_normalize,
     "doc_chunks": q_doc_chunks,
@@ -155,7 +193,84 @@ _HASHED_F = f"""
           FROM documents)
 """
 
+def _logreg_sql(dim: int, iterations: int, lr: float) -> str:
+    """Unrolled GD trajectory mirroring operators.classifier exactly:
+    same md5 feature hashing, index-ordered dot, round-6 sigmoid,
+    round-9 ``w - (lr*g)/n`` updates (engine half-away rounding on both
+    sides)."""
+    pos = ", ".join(f"'{s}'" for s in _POS_SOURCES)
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> w.w[i] * s.v[i]))"
+    )
+    ctes = [f"""WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ),
+        f AS (
+            SELECT doc_id,
+                   CAST((('0x' || substr(md5(tok), 1, 8))::BIGINT
+                        % {dim}) AS INT) AS bucket,
+                   CASE WHEN ('0x' || substr(md5(tok), 9, 1))::INT % 2 = 0
+                        THEN 1 ELSE -1 END AS sg
+            FROM tok
+        ),
+        x AS MATERIALIZED (
+            SELECT d.doc_id,
+                   CASE WHEN d.source IN ({pos}) THEN 1 ELSE 0 END AS label,
+                   list(CAST(COALESCE(fw.weight, 0) AS DOUBLE)
+                        ORDER BY t.j) AS v
+            FROM documents d
+            CROSS JOIN generate_series(0, {dim - 1}) AS t(j)
+            LEFT JOIN (SELECT doc_id, bucket, sum(sg) AS weight
+                       FROM f GROUP BY 1, 2) fw
+                   ON fw.doc_id = d.doc_id AND fw.bucket = t.j
+            WHERE d.text IS NOT NULL
+            GROUP BY d.doc_id, d.source
+        ),
+        nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM x),
+        w0 AS (SELECT list_transform(generate_series(1, {dim}),
+                                     i -> CAST(0.0 AS DOUBLE)) AS w,
+                      CAST(0.0 AS DOUBLE) AS b),"""]
+    for k in range(1, iterations + 1):
+        # MATERIALIZED: each CTE is referenced more than once down the
+        # chain; without the hint DuckDB may inline and re-evaluate the
+        # whole prefix per reference (exponential in iterations)
+        ctes.append(f"""s{k} AS MATERIALIZED (
+            SELECT s.doc_id, s.label, s.v,
+                   round(1.0 / (1.0 + exp(-({dot} + w.b))), 6) AS p
+            FROM x s, w{k - 1} w
+        ),
+        w{k} AS MATERIALIZED (
+            SELECT
+              (SELECT list(round(pw.w[g.j + 1] - ({lr} * g.g) / nv.n, 9)
+                           ORDER BY g.j)
+               FROM (SELECT t.j, sum((s.p - s.label) * s.v[t.j + 1]) AS g
+                     FROM s{k} s
+                     CROSS JOIN generate_series(0, {dim - 1}) AS t(j)
+                     GROUP BY t.j) g, w{k - 1} pw, nv) AS w,
+              (SELECT round(pw.b
+                            - ({lr} * (SELECT sum(p - label) FROM s{k}))
+                              / nv.n, 9)
+               FROM w{k - 1} pw, nv) AS b
+        ),""")
+    ctes.append(f"""sc AS (
+            SELECT s.doc_id, s.label,
+                   round(1.0 / (1.0 + exp(-({dot} + w.b))), 6) AS p
+            FROM x s, w{iterations} w
+        )""")
+    body = "\n".join(ctes)
+    return f"""{body}
+        SELECT doc_id, p AS prob,
+               CAST(p >= 0.5 AS BIGINT) AS predicted,
+               CAST(label AS BIGINT) AS label
+        FROM sc"""
+
+
 ORACLE = {
+    "quality_classifier": _logreg_sql(
+        HASH_DIM, LOGREG_ITERATIONS, LOGREG_LR
+    ),
     "text_semantic_topk": f"""
         WITH f AS (
             SELECT doc_id, bucket, sum(s) AS weight

@@ -128,7 +128,7 @@ def run_docs(spark) -> dict[str, object]:
     from pyspark.sql import functions as F
 
     from nexus_processor_spark.operators import (
-        dedup, fuzzy, pipeline, sketch, spans, textstats,
+        classifier, dedup, fuzzy, pipeline, sketch, spans, textstats,
     )
     from nexus_processor_spark.streaming import curate
 
@@ -138,6 +138,22 @@ def run_docs(spark) -> dict[str, object]:
             (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
         )
         return base.unionByName(rep)
+
+    def _quality_train(docs):
+        sample = docs.sample(fraction=0.1, seed=13)
+        dense = textstats.hashed_dense(
+            textstats.hashed_features(sample, 64, hash_fn="xxhash64"), 64
+        )
+        lab = dense.join(
+            sample.select(
+                "doc_id",
+                (F.pmod(F.xxhash64("source"), F.lit(2)) == 0)
+                .cast("long").alias("label"),
+            ),
+            "doc_id",
+        ).localCheckpoint(eager=True)  # fit AND score read it; one pass
+        w, b = classifier.logreg_fit(lab, 64, iterations=3)
+        return classifier.logreg_score(lab, w, b)
 
     ensure_big_docs(spark)
     docs = spark.read.parquet(f"{DOCS_DIR}/documents.parquet")
@@ -208,6 +224,11 @@ def run_docs(spark) -> dict[str, object]:
         "dup_spans_500k_mod4": lambda: spans.dup_spans(
             _dup_seeded(docs, 0.25), 5, hash_fn="xxhash64", sample_mod=4
         ),
+        # distributed classifier training on a ~200k-doc sample:
+        # xxhash64 feature hashing -> dense vectors -> 3 GD iterations
+        # (one skinny aggregate each, weights broadcast as literals)
+        # -> map-only scoring; fit cost lands inside the timed build
+        "quality_train_200k": lambda: _quality_train(docs),
         # PassJoin exact edit-distance join on a 100k-doc prefix sample:
         # candidate machinery cost (constant per-row key fanout), k=2
         "edit_distance_100k": lambda: fuzzy.edit_distance_pairs(

@@ -127,7 +127,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("source").isin(*_POS_SOURCES).cast("long").alias("label"),
         ),
         "doc_id",
-    )
+    ).localCheckpoint(eager=True)  # fit AND score read it; one pass
     w, b = classifier.logreg_fit(
         labeled, HASH_DIM, iterations=LOGREG_ITERATIONS, lr=LOGREG_LR
     )

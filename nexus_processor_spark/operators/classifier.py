@@ -31,7 +31,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logreg_fit", "logreg_score"]
+__all__ = ["classification_report", "logreg_fit", "logreg_score"]
 
 
 def _dot_lit(weights: list[float], vec_col: str) -> Column:
@@ -122,4 +122,51 @@ def logreg_score(
         F.col(id_col),
         p.alias("prob"),
         (p >= F.lit(threshold)).cast("long").alias("predicted"),
+    )
+
+
+def classification_report(
+    scored: DataFrame,
+    *,
+    label_col: str = "label",
+    prob_col: str = "prob",
+    pred_col: str = "predicted",
+) -> DataFrame:
+    """One-row evaluation of a scored corpus in a SINGLE aggregate pass:
+    confusion counts, accuracy / precision / recall / F1, and log-loss
+    (probabilities clamped to [1e-15, 1-1e-15] so saturated round-6
+    scores of exactly 0/1 stay finite). Ratio denominators guard zero
+    (no positives predicted -> null precision, not a division error).
+    """
+    y = F.col(label_col).cast("double")
+    p = F.least(
+        F.greatest(F.col(prob_col), F.lit(1e-15)), F.lit(1.0 - 1e-15)
+    )
+    yhat = F.col(pred_col).cast("double")
+    tp = F.sum(F.when((y == 1) & (yhat == 1), 1).otherwise(0)).cast("long")
+    fp = F.sum(F.when((y == 0) & (yhat == 1), 1).otherwise(0)).cast("long")
+    tn = F.sum(F.when((y == 0) & (yhat == 0), 1).otherwise(0)).cast("long")
+    fn = F.sum(F.when((y == 1) & (yhat == 0), 1).otherwise(0)).cast("long")
+    n = F.count(F.lit(1))
+    agg = scored.agg(
+        tp.alias("tp"), fp.alias("fp"), tn.alias("tn"), fn.alias("fn"),
+        n.alias("n"),
+        (-F.avg(y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p)))
+        .alias("log_loss"),
+    )
+    prec_den = (F.col("tp") + F.col("fp")).cast("double")
+    rec_den = (F.col("tp") + F.col("fn")).cast("double")
+    prec = F.when(prec_den > 0, F.col("tp") / prec_den)
+    rec = F.when(rec_den > 0, F.col("tp") / rec_den)
+    return agg.select(
+        "tp", "fp", "tn", "fn", "n",
+        ((F.col("tp") + F.col("tn")) / F.col("n").cast("double"))
+        .alias("accuracy"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.when(
+            prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+            2 * prec * rec / (prec + rec),
+        ).alias("f1"),
+        "log_loss",
     )

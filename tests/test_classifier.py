@@ -48,3 +48,32 @@ def test_logreg_fit_empty_raises(spark):
     df = _toy(spark).filter(F.lit(False))
     with pytest.raises(ValueError, match="empty"):
         classifier.logreg_fit(df, 2)
+
+
+def test_classification_report_counts_and_metrics(spark):
+    rows = [
+        # (label, prob, predicted): 2 TP, 1 FP, 2 TN, 1 FN
+        (1, 0.9, 1), (1, 0.8, 1), (0, 0.7, 1),
+        (0, 0.2, 0), (0, 0.1, 0), (1, 0.4, 0),
+    ]
+    df = spark.createDataFrame(rows, "label long, prob double, predicted long")
+    r = classifier.classification_report(df).first()
+    assert (r.tp, r.fp, r.tn, r.fn, r.n) == (2, 1, 2, 1, 6)
+    assert abs(r.accuracy - 4 / 6) < 1e-12
+    assert abs(r.precision - 2 / 3) < 1e-12
+    assert abs(r.recall - 2 / 3) < 1e-12
+    assert abs(r.f1 - 2 / 3) < 1e-12
+    assert r.log_loss > 0
+
+
+def test_classification_report_degenerate_no_positives(spark):
+    # all predicted negative: precision undefined (null), recall 0;
+    # saturated prob 0.0/1.0 must not produce inf log-loss
+    rows = [(0, 0.0, 0), (1, 1.0, 0)]
+    df = spark.createDataFrame(rows, "label long, prob double, predicted long")
+    r = classifier.classification_report(df).first()
+    assert r.precision is None
+    assert r.recall == 0.0
+    assert r.f1 is None
+    import math
+    assert math.isfinite(r.log_loss)

@@ -274,9 +274,35 @@ def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.unionByName(singles)
 
 
+_LEAK_SPLIT_WEIGHTS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/valid/test split: hash-split on the dup
+    CLUSTER representative, not the doc id, so near-duplicate documents
+    can never straddle a split boundary (the classic eval-leakage bug —
+    a test doc whose near-twin sits in train). Singletons split on
+    their own id; the per-key hash rule is identical to split_assign."""
+    from nexus_processor_spark.operators import pipeline
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(
+        docs, num_bands=NUM_BANDS, shingle_words=SHINGLE_WORDS, threshold=0.5
+    )
+    labels = dedup.dup_clusters(pairs).withColumnRenamed("id", "doc_id")
+    rep = docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_key"),
+    )
+    return pipeline.hash_split(
+        rep, _LEAK_SPLIT_WEIGHTS, key_col="cluster_key"
+    )
+
+
 QUERIES = {
     "dedup_incremental_near": q_dedup_incremental_near,
     "dup_cluster_stats": q_dup_cluster_stats,
+    "leakage_safe_split": q_leakage_safe_split,
     "dedup_prefix_pairs": q_dedup_prefix_pairs,
     "dedup_near_corpus": q_dedup_near_corpus,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -419,6 +445,47 @@ ORACLE = {
     # is exactly the fixpoint dup_clusters' min-label propagation reaches.
     # O(n*m) closure rows — fine at oracle scale, which is the point of
     # keeping the scalable iterative form on the Spark side only.
+    # transitive closure -> cluster representative -> the SAME md5
+    # hash-range rule as split_assign, applied to the cluster key
+    "leakage_safe_split": f"""
+        WITH RECURSIVE
+        sh AS ({_SHINGLES}),
+        sig AS ({_SIGS_R2}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+            WHERE a.doc_id < b.doc_id
+        ),
+        pairs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN sh x ON c.id_a = x.doc_id
+            JOIN sh y ON c.id_b = y.doc_id
+            WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                  / CAST(len(x.sh) + len(y.sh)
+                         - len(list_intersect(x.sh, y.sh)) AS DOUBLE) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        labels AS (
+            SELECT a AS id, least(min(b), a) AS cluster_id
+            FROM reach GROUP BY a
+        ),
+        keyed AS (
+            SELECT d.doc_id,
+                   COALESCE(l.cluster_id, d.doc_id) AS cluster_key
+            FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+        )
+        SELECT doc_id, cluster_key, {{split_case}} AS split FROM keyed
+    """,
     # same transitive closure as dedup_near_corpus, reduced to the
     # cluster-size histogram plus the singleton (size-1) remainder row
     "dup_cluster_stats": f"""
@@ -575,6 +642,29 @@ ORACLE = {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
     """,
 }
+
+
+def _leak_split_case() -> str:
+    """The hash_split CASE over cluster_key — cumulative md5-prefix
+    thresholds, identical arithmetic to pipeline_q's _split_case."""
+    from nexus_processor_spark.operators.pipeline import hex_threshold
+
+    labels = list(_LEAK_SPLIT_WEIGHTS)
+    cum = 0.0
+    whens = []
+    for label in labels[:-1]:
+        cum += _LEAK_SPLIT_WEIGHTS[label]
+        whens.append(
+            f"WHEN substr(md5(CAST(cluster_key AS VARCHAR)), 1, 8)"
+            f" < '{hex_threshold(cum)}' THEN '{label}'"
+        )
+    return "CASE " + " ".join(whens) + f" ELSE '{labels[-1]}' END"
+
+
+ORACLE["leakage_safe_split"] = ORACLE["leakage_safe_split"].replace(
+    "{split_case}", _leak_split_case()
+)
+
 
 def _curate_cold_sql(q_cte: str) -> str:
     """Cold-batch curation replay (quality CTE pluggable): exact dedup

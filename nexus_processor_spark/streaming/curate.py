@@ -349,10 +349,25 @@ def curate_batch(
         "_exact_first", F.col("_rn") == 1
     ).drop("_rn")
     if state is not None:
+        # State-probe discipline (applies to all three probes below):
+        # the accumulated state grows without bound, so it must only
+        # ever be SCANNED with a broadcast hash probe of batch-derived
+        # keys — never shuffled. A plain batch-LEFT-state join would
+        # sort-merge (O(state) shuffle per micro-batch); instead the
+        # state streams through one map stage that keeps only the
+        # batch-intersecting rows (a batch-sized "hits" set), and the
+        # batch joins THAT. Per-batch broadcast is O(batch keys) —
+        # micro-batch sizing bounds it.
         seen = state.filter(F.col("kind") == "md5").select(
-            F.col("key").alias("_seen_md5")).distinct()
+            F.col("key").alias("_seen_md5"))
+        batch_md5s = exact_batch.select(
+            F.md5(t).alias("_seen_md5")
+        ).where(F.col("_seen_md5").isNotNull()).distinct()
+        hits = seen.join(
+            F.broadcast(batch_md5s), "_seen_md5", "left_semi"
+        ).distinct()
         exact = exact_batch.join(
-            seen, F.md5(t) == F.col("_seen_md5"), "left",
+            F.broadcast(hits), F.md5(t) == F.col("_seen_md5"), "left",
         ).withColumn(
             "_exact_ok", F.col("_exact_first") & F.col("_seen_md5").isNull()
         ).drop("_seen_md5")
@@ -392,8 +407,9 @@ def curate_batch(
     # (agreeing minhashes / 16, over the stored 'mins' state rows) at or
     # above the threshold. A kept doc without stored minhash values
     # (legacy state) keeps the old unconditional drop. The candidate set
-    # is collision-sized (tiny vs the state), so AQE turns the mins
-    # lookup into a broadcast-side join at any corpus scale.
+    # is collision-sized (tiny vs the state); the mins rows for it are
+    # pulled out of the state by a broadcast semi-scan, so the state is
+    # never shuffled here either.
     sigs = sigs_tbl.select(
         id_col,
         F.concat_ws(":", F.col("band").cast("string"), "sig").alias("_bkey"),
@@ -401,12 +417,19 @@ def curate_batch(
     if state is not None:
         kept_bands = state.filter(F.col("kind") == "band").select(
             F.col("key").alias("_bkey"), F.col("ref").alias("_ref"))
+        # state streams, batch band keys broadcast (see exact probe)
         cand_state = (
-            sigs.join(kept_bands, "_bkey")
+            kept_bands.join(F.broadcast(sigs), "_bkey")
             .select(id_col, "_ref").distinct()
         )
         kept_mins = state.filter(F.col("kind") == "mins").select(
             F.col("key").alias("_ref"), F.col("vals").alias("_kvals"))
+        # mins rows are fetched for the collision-sized ref set only:
+        # semi-filter the state scan, then broadcast the tiny result
+        kept_mins = kept_mins.join(
+            F.broadcast(cand_state.select("_ref").distinct()),
+            "_ref", "left_semi",
+        )
         # aggregate minhashes only for docs that actually collided — the
         # candidate set is collision-sized, so the verify costs O(cand),
         # not an extra O(batch) shuffle per micro-batch
@@ -415,7 +438,7 @@ def curate_batch(
         )
         est = (
             cand_state.join(_doc_minhashes(cand_sigs, id_col), id_col)
-            .join(kept_mins, "_ref", "left")
+            .join(F.broadcast(kept_mins), "_ref", "left")
             .withColumn(
                 "_est",
                 F.when(F.col("_kvals").isNull(), F.lit(1.0)).otherwise(

@@ -433,11 +433,17 @@ def curate_batch(
         # aggregate minhashes only for docs that actually collided — the
         # candidate set is collision-sized, so the verify costs O(cand),
         # not an extra O(batch) shuffle per micro-batch
+        # every frame below is collision-sized; hint broadcasts so the
+        # planner (which has no stats for state-derived frames) never
+        # falls back to a sort-merge on them
         cand_sigs = sigs_tbl.join(
-            cand_state.select(id_col).distinct(), id_col, "left_semi"
+            F.broadcast(cand_state.select(id_col).distinct()),
+            id_col, "left_semi",
         )
         est = (
-            cand_state.join(_doc_minhashes(cand_sigs, id_col), id_col)
+            cand_state.join(
+                F.broadcast(_doc_minhashes(cand_sigs, id_col)), id_col
+            )
             .join(F.broadcast(kept_mins), "_ref", "left")
             .withColumn(
                 "_est",
@@ -473,10 +479,13 @@ def curate_batch(
         contaminated = batch.select(id_col).limit(0).withColumn(
             "_contam", F.lit(True))
 
+    # the three drop sets are candidate-sized (duplicate pairs /
+    # state collisions / contamination hits), orders of magnitude
+    # smaller than the batch: broadcast them onto it
     audit = (
-        exact.join(dropped_in_batch, id_col, "left")
-        .join(dropped_vs_state, id_col, "left")
-        .join(contaminated, id_col, "left")
+        exact.join(F.broadcast(dropped_in_batch), id_col, "left")
+        .join(F.broadcast(dropped_vs_state), id_col, "left")
+        .join(F.broadcast(contaminated), id_col, "left")
     )
     near_dropped = (
         F.coalesce(F.col("_near_batch"), F.lit(False))

@@ -443,3 +443,34 @@ def test_stream_exposes_repetition_and_decontamination_gates(spark, tmp_path):
            .parquet(f"{sink}/batch=*").collect()}
     assert got == {1: (True, None), 2: (False, "repetitive"),
                    3: (False, "contaminated")}
+
+
+def test_state_probes_add_no_shuffle_joins(spark, tmp_path):
+    """The accumulated state is unbounded; every probe against it must
+    be a broadcast of batch-derived keys (state scanned, never
+    shuffled). Invariant: planning a batch WITH state introduces zero
+    additional SortMergeJoin/ShuffledHashJoin nodes over the cold
+    plan — any new shuffle join would be O(state) per micro-batch."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sd = str(tmp_path / "state")
+    a1 = curate.curate_batch(docs.filter("doc_id % 2 = 0"), None)
+    d1 = curate._survivor_state(
+        a1.filter("keep"), text_col="text", id_col="doc_id"
+    )
+    curate._advance_state(spark, sd, 0, d1)
+    state = curate.read_state(spark, sd)
+
+    def shuffle_joins(df):
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        return plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+
+    batch = docs.filter("doc_id % 2 = 1")
+    cold = shuffle_joins(curate.curate_batch(batch, None))
+    warm = shuffle_joins(curate.curate_batch(batch, state))
+    assert warm == cold, (
+        f"stateful plan has {warm - cold} extra shuffle joins — "
+        "a state probe regressed from broadcast to shuffle"
+    )

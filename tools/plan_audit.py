@@ -65,7 +65,11 @@ def main() -> int:
 
     spark = get_spark("plan-audit")
     qs = registry.queries()
-    names = args.names or [n for n in HEADLINE if n in qs]
+    # headline set PLUS any CLI extras (the docstring's contract; a
+    # bare CLI list used to REPLACE the headline set, silently dropping
+    # the headline sections from the regenerated PLANS.md)
+    names = [n for n in HEADLINE if n in qs]
+    names += [n for n in args.names if n in qs and n not in names]
 
     lines = [
         "# Physical-plan audit",

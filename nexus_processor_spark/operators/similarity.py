@@ -948,3 +948,264 @@ def kmeans_parallel_init(
         )
     finally:
         vecs.unpersist()
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: flag every corpus vector whose
+    best cosine against ANY benchmark/eval vector reaches ``threshold``.
+
+    Completes the decontamination family (n-gram ``pipeline.decontaminate``,
+    Bloom, and span excision catch verbatim overlap; this catches
+    PARAPHRASED eval leakage that no lexical gate sees — the reason
+    modern training pipelines run both). Reference scope: the gate runs
+    where the reference's ETL applies its row-exclusion predicates
+    (src/nexus_processor/parquet.py event filtering); the semantics here
+    are the embedding analog for training corpora.
+
+    100 TB shape: the benchmark is an eval suite — thousands of rows, not
+    data-scale — so it BROADCASTS; scoring is a map-side nested loop over
+    the corpus scan and the only exchange is the skinny per-id partial-max
+    (map-side combine collapses the |bench| scored rows per corpus vector
+    before the shuffle). Nothing corpus-sized is ever joined or windowed.
+
+    Deterministic output per corpus vector: the max rounded cosine with a
+    lowest-bench-id tiebreak (``max(struct(cos, -bench_id))``), plus the
+    boolean gate. Zero-norm corpus vectors (undefined cosine) are dropped,
+    documented and mirrored by the oracle's ``cos IS NOT NULL``.
+
+    Output: ``id_col``, bench_id, max_cos, contaminated.
+    """
+    q, c = _sides(benchmark, corpus, id_col, vec_col)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias(id_col),
+            F.col("query_id").alias("bench_id"),
+            _cos().alias("cos"),
+        )
+        .filter(F.col("cos").isNotNull())
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos").alias("c"),
+                    (-F.col("bench_id")).alias("nb"),
+                )
+            ).alias("_m")
+        )
+        .select(
+            id_col,
+            (-F.col("_m.nb")).alias("bench_id"),
+            F.col("_m.c").alias("max_cos"),
+            (F.col("_m.c") >= F.lit(threshold)).alias("contaminated"),
+        )
+    )
+
+
+def mmr_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    fetch_m: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Maximal-marginal-relevance top-k: retrieve diverse results, not k
+    near-copies of the best hit (Carbonell & Goldstein 1998) — the
+    re-ranker RAG retrieval and dedup-aware sampling run after ANN.
+
+    Greedy: pick the most relevant candidate first, then repeatedly the
+    candidate maximizing ``lam * cos(q, d) - (1 - lam) * max_{s in
+    selected} cos(d, s)`` (no penalty term for the first pick; the max
+    is the TRUE max — negative pair cosines earn a diversity bonus;
+    ties break on ascending id). Selection is inherently sequential in
+    k —
+    the distributed phase is the corpus-scale part:
+
+    * Phase 1 (scale): exact top-``fetch_m`` candidate fetch per query
+      via :func:`brute_force_topk` — corpus-scan bound, broadcast query
+      side, the same 100 TB shape as every other retrieval here.
+    * Phase 2 (bounded): one ``applyInPandas`` group per query over its
+      ``fetch_m`` candidate rows — a constant-size kernel (m x m gram),
+      never corpus-sized, numerically identical to the unrolled-SQL
+      oracle: relevance and pair cosines round at ``round_digits``
+      before scoring and the score arithmetic is the same IEEE ops both
+      engines run (``1 - lam`` is COMPUTED, not a literal, so both sides
+      use the identical double).
+
+    Output: query_id, rank (pick order 1..k), ``id_col``, relevance
+    (rounded query cosine), mmr_score_e7 (selection score scaled by 1e7
+    to an exact integer: the score is a 0.7/0.3 combination of two
+    6-decimal values — a 7-decimal decimal — so rounding it at 6 digits
+    sits ON the half-up boundary for ~10% of rows, where two engines'
+    renderings of the same double legitimately disagree; the scaled
+    integer is within 1e-9 of the double both engines compute, so the
+    cast is boundary-free and hash-stable).
+    """
+    cand = brute_force_topk(
+        queries, corpus, fetch_m, id_col=id_col, vec_col=vec_col
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")
+    )
+    grouped = cand.join(cvec, "vec_id").select(
+        "query_id", "vec_id", "cos", "_cv"
+    )
+    schema = (
+        f"query_id long, rank long, {id_col} long, "
+        "relevance double, mmr_score_e7 long"
+    )
+
+    def kernel(g):
+        import numpy as np
+        import pandas as pd
+
+        from nexus_processor_spark.operators.vector_arrow import (
+            _mat, _round_half_up,
+        )
+
+        g = g.sort_values("vec_id", ignore_index=True)
+        rel = g["cos"].to_numpy(dtype=np.float64)
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        v = _mat(g["_cv"])
+        n = np.sqrt((v * v).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = v / n[:, None]
+        u[n == 0] = 0.0
+        pc = _round_half_up(u @ u.T, round_digits)
+        m = len(ids)
+        kk = min(k, m)
+        picked = np.zeros(m, dtype=bool)
+        # true running max pair-cosine vs the selected set — starts at
+        # -inf, NOT 0: cosines go negative, and clamping the max at 0
+        # would silently drop the diversity BONUS an anti-correlated
+        # candidate earns (the first pick has no penalty term at all)
+        pen = np.full(m, -np.inf)
+        out_rank, out_id, out_rel, out_score = [], [], [], []
+        for r in range(1, kk + 1):
+            if r == 1:
+                score = lam * rel
+            else:
+                score = lam * rel - (1.0 - lam) * pen
+            score[picked] = -np.inf
+            # argmax with ascending-id tiebreak: ids are sorted, so the
+            # first index attaining the max IS the smallest id
+            best = int(np.argmax(score))
+            picked[best] = True
+            np.maximum(pen, pc[:, best], out=pen)
+            out_rank.append(r)
+            out_id.append(ids[best])
+            out_rel.append(rel[best])
+            out_score.append(score[best])
+        qid = g["query_id"].iloc[0]
+        return pd.DataFrame(
+            {
+                "query_id": np.full(kk, qid, dtype=np.int64),
+                "rank": np.array(out_rank, dtype=np.int64),
+                id_col: np.array(out_id, dtype=np.int64),
+                "relevance": np.array(out_rel),
+                "mmr_score_e7": _round_half_up(
+                    np.array(out_score) * 1e7
+                ).astype(np.int64),
+            }
+        )
+
+    return (
+        grouped.groupBy("query_id")
+        .applyInPandas(lambda _, g: kernel(g), schema)
+    )
+
+
+def ivf_multiprobe_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    *,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF top-k probing each query's ``nprobe`` nearest coarse cells —
+    the recall dial of a production IVF index (single-probe misses
+    neighbors that fell just across a cell boundary; probing 2-4 cells
+    recovers most of them for a proportional, still-tiny scan cost).
+
+    The corpus is assigned to trained centroid cells with
+    :func:`kmeans_assign` (at ingest time in production — partition the
+    store by cell and the probe equi-join prunes to nprobe partitions
+    per query). Queries rank the SAME rounded squared-L2 with the same
+    centroid-id tiebreak, take their ``nprobe`` best cells, and the
+    broadcast (query x probe) relation equi-joins the corpus on cell:
+    never a corpus shuffle, never a pair space beyond the probed lists.
+
+    Output: query_id, ``id_col``, cos, rank — same shape as
+    :func:`ivf_topk`, directly comparable via :func:`recall_at_k`.
+    """
+    cells = kmeans_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    ).select(id_col, F.col("centroid_id").alias("cell"))
+    c = (
+        spread(corpus)
+        .join(cells, id_col)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("_vc"),
+            norm(F.col(vec_col)).alias("_nc"),
+            "cell",
+        )
+    )
+    qdist = (
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_vq"))
+        .crossJoin(
+            F.broadcast(
+                centroids.select(
+                    F.col(id_col).alias("cell"),
+                    F.col(vec_col).alias("_cv"),
+                )
+            )
+        )
+        .select(
+            "query_id", "cell", "_vq",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_vq"), F.col("_cv"),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ),
+                round_digits,
+            ).alias("dist"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy("dist", "cell")
+    probes = (
+        qdist.withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "cell", F.col("_vq"),
+                norm(F.col("_vq")).alias("_nq"))
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", _cos().alias("cos"))
+    )
+    return _ranked_topk(scored, k)

@@ -219,7 +219,57 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BENCH_N = 20  # vec_id < BENCH_N form the eval-benchmark set
+DECON_THRESHOLD = 0.3  # same within-label p99 basis as near-dup
+MMR_FETCH_M = 20
+MMR_LAM = 0.7
+NPROBE = 2
+
+
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: every corpus vector scored by
+    its best cosine against the benchmark set (vec_id < BENCH_N), with
+    the >= threshold gate — the paraphrase-leakage companion to the
+    lexical n-gram/Bloom/span decontamination queries. Broadcast bench,
+    map-side scoring, one skinny per-id max shuffle."""
+    emb = _emb(spark, sf_dir)
+    return similarity.semantic_decontaminate(
+        emb.filter(F.col("vec_id") >= BENCH_N),
+        emb.filter(F.col("vec_id") < BENCH_N),
+        DECON_THRESHOLD,
+    )
+
+
+def q_sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k: exact top-m candidate fetch (distributed,
+    corpus-scan bound), then greedy maximal-marginal-relevance selection
+    over each query's bounded candidate set — relevance traded against
+    similarity to already-picked results. The oracle unrolls the greedy
+    loop into k chained SQL steps (same pattern as kmeans_fit)."""
+    emb = _emb(spark, sf_dir)
+    return similarity.mmr_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb, TOP_K,
+        fetch_m=MMR_FETCH_M, lam=MMR_LAM,
+    )
+
+
+def q_sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF top-k: corpus assigned to trained coarse cells
+    (kmeans_assign on the seed centroids), each query scanning its
+    nprobe=2 nearest cells — the recall dial between single-probe IVF
+    and brute force. Broadcast (query x probe) relation, cell equi-join,
+    no corpus shuffle beyond the one-time cell assignment."""
+    emb = _emb(spark, sf_dir)
+    return similarity.ivf_multiprobe_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb,
+        emb.filter(F.col("vec_id") < N_CENTROIDS), TOP_K, nprobe=NPROBE,
+    )
+
+
 QUERIES = {
+    "decontaminate_semantic": q_decontaminate_semantic,
+    "sim_mmr_topk": q_sim_mmr_topk,
+    "sim_ivf_multiprobe": q_sim_ivf_multiprobe,
     "pq_encode": q_pq_encode,
     "hard_negatives": q_hard_negatives,
     "pq_topk": q_pq_topk,
@@ -612,4 +662,142 @@ ORACLE["hybrid_rrf"] = f"""
            round(coalesce(1.0 / ({RRF_K} + rank_bm25), 0)
                  + coalesce(1.0 / ({RRF_K} + rank_cos), 0), 9) AS rrf
     FROM f ORDER BY rrf DESC, doc_id LIMIT {RRF_N}
+"""
+
+
+# --- decontaminate_semantic: broadcast-bench max-cos gate -------------------
+
+ORACLE["decontaminate_semantic"] = f"""
+    WITH scored AS (
+        SELECT c.vec_id, q.bench_id, {_cos('q.qv', 'c.cv')} AS cos
+        FROM (SELECT vec_id AS bench_id, embedding AS qv FROM embeddings
+              WHERE vec_id < {BENCH_N}) q,
+             (SELECT vec_id, embedding AS cv FROM embeddings
+              WHERE vec_id >= {BENCH_N}) c
+    )
+    SELECT vec_id, bench_id, cos AS max_cos,
+           cos >= {DECON_THRESHOLD} AS contaminated
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, bench_id) AS rn
+        FROM scored WHERE cos IS NOT NULL
+    ) WHERE rn = 1
+"""
+
+
+# --- sim_mmr_topk: the greedy loop unrolled into k chained steps ------------
+
+def _mmr_sql(k: int, m: int, lam: float) -> str:
+    """Unrolled greedy MMR (same pattern as the kmeans_fit oracle): step
+    r ranks the not-yet-selected candidates by ``lam*cos - (1-lam)*pen``
+    where pen is the max pair-cosine against the selected set so far.
+    ``(1 - lam)`` is computed IN SQL so both engines subtract the same
+    double instead of parsing different literals."""
+    score = f"{lam} * c.cos - (1 - {lam}) * p.pen"
+    parts = [f"""
+    cand AS (
+        SELECT query_id, vec_id, cos FROM (
+            {_TOPK.format(scored=_SCORED, k=m)}
+        )
+    ),
+    pr AS (
+        SELECT a.query_id, a.vec_id AS i, b.vec_id AS j,
+               {_cos('ea.embedding', 'eb.embedding')} AS pc
+        FROM cand a
+        JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    s1 AS (
+        SELECT query_id, vec_id, cos, CAST(1 AS BIGINT) AS rank,
+               {lam} * cos AS score
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, vec_id) AS rn
+              FROM cand)
+        WHERE rn = 1
+    ),
+    sel1 AS (SELECT query_id, vec_id FROM s1)"""]
+    for r in range(2, k + 1):
+        parts.append(f"""
+    s{r} AS (
+        SELECT query_id, vec_id, cos, CAST({r} AS BIGINT) AS rank, score
+        FROM (
+            SELECT c.query_id, c.vec_id, c.cos, {score} AS score,
+                   row_number() OVER (PARTITION BY c.query_id
+                                      ORDER BY ({score}) DESC,
+                                               c.vec_id) AS rn
+            FROM cand c
+            JOIN (SELECT pr.query_id, pr.i AS vec_id, max(pr.pc) AS pen
+                  FROM pr JOIN sel{r - 1} s
+                    ON pr.query_id = s.query_id AND pr.j = s.vec_id
+                  GROUP BY 1, 2) p
+              ON p.query_id = c.query_id AND p.vec_id = c.vec_id
+            WHERE NOT EXISTS (SELECT 1 FROM sel{r - 1} s
+                              WHERE s.query_id = c.query_id
+                                AND s.vec_id = c.vec_id)
+        ) WHERE rn = 1
+    ),
+    sel{r} AS (SELECT * FROM sel{r - 1}
+               UNION ALL SELECT query_id, vec_id FROM s{r})""")
+    union = "\n        UNION ALL ".join(
+        f"SELECT * FROM s{r}" for r in range(1, k + 1)
+    )
+    return f"""
+    WITH {','.join(parts)}
+    SELECT query_id, rank, vec_id, cos AS relevance,
+           CAST(round(score * 10000000) AS BIGINT) AS mmr_score_e7
+    FROM ({union})
+    """
+
+
+ORACLE["sim_mmr_topk"] = _mmr_sql(TOP_K, MMR_FETCH_M, MMR_LAM)
+
+
+# --- sim_ivf_multiprobe: cell assignment + nprobe nearest cells -------------
+
+_MP_DIST = (
+    "round(list_sum(list_transform(generate_series(1, len(e.v)), "
+    "i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6)"
+)
+
+ORACLE["sim_ivf_multiprobe"] = f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+           WHERE vec_id < {N_CENTROIDS}),
+    cells AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_MP_DIST}, c.centroid_id)
+                       AS rn
+            FROM e, c0 c
+        ) WHERE rn = 1
+    ),
+    qp AS (
+        SELECT vec_id AS query_id, centroid_id AS cell FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_MP_DIST}, c.centroid_id)
+                       AS rn
+            FROM e, c0 c
+            WHERE e.vec_id < {N_QUERIES}
+        ) WHERE rn <= {NPROBE}
+    ),
+    scored AS (
+        SELECT qp.query_id, cl.vec_id,
+               {_cos('qv.embedding', 'cv.embedding')} AS cos
+        FROM qp
+        JOIN cells cl ON cl.centroid_id = qp.cell
+        JOIN embeddings qv ON qv.vec_id = qp.query_id
+        JOIN embeddings cv ON cv.vec_id = cl.vec_id
+        WHERE cl.vec_id <> qp.query_id
+    )
+    SELECT query_id, vec_id, cos, rn AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= {TOP_K}
 """

@@ -150,3 +150,65 @@ def test_hard_negative_triplets_semantics(spark):
     assert not any(q == 10 for q, _ in got)
     # anchor 4 (null label): positive is 5 via null-safe equality
     assert got[(4, 1)][0] == 5
+
+
+def test_semantic_decontaminate_gate_tiebreak_and_zero_norm(spark):
+    """Gate at threshold, max-cos with lowest-bench-id tiebreak, and the
+    documented zero-norm drop (undefined cosine -> row excluded)."""
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(10, [2.0, 0.0]),   # cos 1.0 vs bench 0 AND 1 -> tiebreak id 0
+         (11, [1.0, 1.0]),   # cos ~0.7071 vs all three
+         (12, [-1.0, -1.0]), # best cos is negative -> clean
+         (13, [0.0, 0.0])],  # zero norm -> dropped
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in similarity.semantic_decontaminate(
+            corpus, bench, 0.9
+        ).collect()
+    }
+    assert set(out) == {10, 11, 12}  # 13 dropped
+    assert out[10].bench_id == 0 and out[10].max_cos == 1.0
+    assert out[10].contaminated
+    assert abs(out[11].max_cos - 0.707107) < 1e-6
+    assert not out[11].contaminated
+    assert out[12].max_cos < 0 and not out[12].contaminated
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Plain top-2 returns the two near-duplicate high-relevance hits;
+    MMR swaps the redundant second hit for the diverse candidate."""
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(1, [0.8, 0.6, 0.0]),    # A1: rel 0.8
+         (2, [0.81, 0.59, 0.0]),  # A2: rel ~0.808, pair(A1,A2) ~1.0
+         (3, [0.8, -0.6, 0.0])],  # B:  rel 0.8,   pair(A1,B) = 0.28
+        "vec_id long, embedding array<double>",
+    )
+    plain = similarity.brute_force_topk(q, corpus, 2).orderBy("rank")
+    assert [r.vec_id for r in plain.collect()] == [2, 1]  # rel order
+    mmr = similarity.mmr_topk(q, corpus, 2, fetch_m=3).orderBy("rank")
+    rows = mmr.collect()
+    assert [r.vec_id for r in rows] == [2, 3]  # diverse B replaces A1
+    # rank-1 score is lam*rel with NO penalty term
+    assert rows[0].mmr_score_e7 == round(0.7 * rows[0].relevance * 1e7)
+
+
+def test_ivf_multiprobe_all_cells_equals_brute_force(spark):
+    """Probing every coarse cell IS exact search: with nprobe = k the
+    multiprobe result must equal brute_force_topk row for row (the
+    recall dial's upper endpoint)."""
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    cents = emb.filter(F.col("vec_id") < 4)
+    exact = similarity.brute_force_topk(q, emb, 5)
+    allprobe = similarity.ivf_multiprobe_topk(q, emb, cents, 5, nprobe=4)
+    assert sorted(map(tuple, allprobe.collect()), key=lambda t: (t[0], t[3])) \
+        == sorted(map(tuple, exact.collect()), key=lambda t: (t[0], t[3]))

@@ -38,6 +38,15 @@ BNLJ_ALLOWED = {
     # anchor-side broadcast (vec_id < N_QUERIES, 5 rows) — same shape
     # as sim_brute_topk
     "hard_negatives",
+    # benchmark-side broadcast (vec_id < BENCH_N, 20 rows — an eval
+    # suite is never data-scale); corpus side streams map-side
+    "decontaminate_semantic",
+    # candidate fetch is brute_force_topk (query-side broadcast, same
+    # shape as sim_brute_topk); the MMR kernel itself is applyInPandas
+    "sim_mmr_topk",
+    # broadcast centroid relation (k rows) for the query-side probe
+    # distance — the corpus side joins on cell with a hash join
+    "sim_ivf_multiprobe",
     "bm25_search", "global_sales", "important_parts", "ivf_pq_topk",
     "kmeans_assign", "kmeans_fit", "kmv_set_ops", "mix_temperature", "pq_encode",
     "pq_topk", "price_quantile_histogram", "quality_orders",

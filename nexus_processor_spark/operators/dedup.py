@@ -917,3 +917,57 @@ def simhash_dedup_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    labels: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    order_col: str = "n_chars",
+) -> DataFrame:
+    """Best-copy selection per duplicate cluster: one representative row
+    per connected component, chosen by highest ``order_col`` with a
+    lowest-id tiebreak — "keep the longest/highest-quality copy", the
+    survivor rule production curation uses instead of near_dedup's
+    keep-lowest-id (a crawl's best version of a page is rarely the one
+    with the smallest id).
+
+    ``labels`` is :func:`dup_clusters` output (``id``, ``cluster_id``)
+    covering only docs that joined a cluster; every other doc is its own
+    singleton cluster (``cluster_key = id``). The argmax is a
+    ``max(struct(order, -id))`` groupBy — map-side partial max, ONE
+    shuffle of (cluster_key, order, id) triples; nothing document-sized
+    moves after the left join that attaches labels.
+
+    Output: cluster_key, rep_id, n_members, rep_<order_col>.
+    """
+    keyed = (
+        docs.select(id_col, order_col)
+        .join(
+            labels.withColumnRenamed("id", id_col), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            F.col(order_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_key"),
+        )
+    )
+    return (
+        keyed.groupBy("cluster_key")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    (-F.col(id_col)).alias("ni"),
+                )
+            ).alias("_m"),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            "cluster_key",
+            (-F.col("_m.ni")).alias("rep_id"),
+            "n_members",
+            F.col("_m.o").alias(f"rep_{order_col}"),
+        )
+    )

@@ -274,6 +274,18 @@ def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.unionByName(singles)
 
 
+def q_dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-copy survivor per duplicate cluster: LSH pairs -> connected
+    components -> per-cluster argmax on n_chars (longest copy wins, id
+    tiebreak), singletons representing themselves — the production
+    survivor rule, vs near_dedup's keep-lowest-id."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(
+        docs, num_bands=NUM_BANDS, shingle_words=SHINGLE_WORDS, threshold=0.5
+    )
+    return dedup.cluster_representatives(docs, dedup.dup_clusters(pairs))
+
+
 _LEAK_SPLIT_WEIGHTS = {"train": 0.8, "valid": 0.1, "test": 0.1}
 
 
@@ -302,6 +314,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_incremental_near": q_dedup_incremental_near,
     "dup_cluster_stats": q_dup_cluster_stats,
+    "dedup_cluster_reps": q_dedup_cluster_reps,
     "leakage_safe_split": q_leakage_safe_split,
     "dedup_prefix_pairs": q_dedup_prefix_pairs,
     "dedup_near_corpus": q_dedup_near_corpus,
@@ -904,4 +917,55 @@ ORACLE["curate_state_audit"] = f"""
     FROM q2
     LEFT JOIN ex2 ON q2.doc_id = ex2.doc_id
     LEFT JOIN dropn dn ON q2.doc_id = dn.doc_id
+"""
+
+
+# same transitive closure as dup_cluster_stats, reduced to the per-cluster
+# argmax representative (n_chars DESC, doc_id tiebreak) with singletons
+# representing themselves
+ORACLE["dedup_cluster_reps"] = f"""
+    WITH RECURSIVE
+    sh AS ({_SHINGLES}),
+    sig AS ({_SIGS_R2}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN sh x ON c.id_a = x.doc_id
+        JOIN sh y ON c.id_b = y.doc_id
+        WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              / CAST(len(x.sh) + len(y.sh)
+                     - len(list_intersect(x.sh, y.sh)) AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+        SELECT a AS id, least(min(b), a) AS cluster_id
+        FROM reach GROUP BY a
+    ),
+    keyed AS (
+        SELECT d.doc_id, d.n_chars,
+               COALESCE(l.cluster_id, d.doc_id) AS cluster_key
+        FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+    )
+    SELECT cluster_key, doc_id AS rep_id,
+           CAST(n AS BIGINT) AS n_members, n_chars AS rep_n_chars
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY cluster_key
+                                     ORDER BY n_chars DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY cluster_key) AS n
+        FROM keyed
+    ) WHERE rn = 1
 """

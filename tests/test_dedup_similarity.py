@@ -485,3 +485,22 @@ def test_prefix_filter_pairs_unpersisted_matches(spark):
     b = sorted(map(tuple, dedup.prefix_filter_pairs(
         docs, threshold=0.3, persist_shingles=False).collect()))
     assert a == b and len(a) >= 1
+
+
+def test_cluster_representatives_argmax_tiebreak_singletons(spark):
+    """Longest copy wins per cluster (id tiebreak on equal length);
+    docs outside every cluster represent themselves."""
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5)],
+        "doc_id long, n_chars long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "id long, cluster_id long"
+    )
+    out = {r.cluster_key: r for r in
+           dedup.cluster_representatives(docs, labels).collect()}
+    assert set(out) == {1, 7}
+    # 2 and 3 tie at 30 chars -> lower id wins; 1 (10 chars) loses
+    assert out[1].rep_id == 2 and out[1].rep_n_chars == 30
+    assert out[1].n_members == 3
+    assert out[7].rep_id == 7 and out[7].n_members == 1

@@ -126,6 +126,54 @@ def q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshots.read_snapshot(spark, t)
 
 
+def q_orders_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate view (streaming/cdc.py
+    maintain_agg_batch): orders snapshotted cold, then one CDC batch —
+    %89 keys triple their price AND migrate to status 'U', %97 keys
+    tombstone (delete outranks the update by seq) — refreshing ONLY the
+    touched status groups of the per-status count/sum view. The oracle
+    recomputes the view from the merged final state, so a stale
+    untouched group, a missed pre-image group, or a lingering
+    vanished group all hash-mismatch."""
+    from nexus_processor_spark.sources import snapshots
+    from nexus_processor_spark.sources.tables import scratch_dir
+    from nexus_processor_spark.streaming import cdc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = scratch_dir("orders_ivm_base")
+    a = scratch_dir("orders_ivm_agg")
+    measures = [
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    ]
+
+    def _chg(df, status, price, seq, deleted):
+        return df.select(
+            "o_orderkey", status.alias("o_orderstatus"),
+            price.alias("o_totalprice"),
+            F.lit(seq).alias("seq"), F.lit(deleted).alias("deleted"),
+        )
+
+    cold = _chg(orders, F.col("o_orderstatus"), F.col("o_totalprice"),
+                0, False)
+    cdc.maintain_agg_batch(
+        spark, t, a, cold, "o_orderkey", "o_orderstatus", measures,
+        seq_col="seq", delete_col="deleted", version=0,
+    )
+    upd = orders.filter(F.pmod("o_orderkey", F.lit(89)) == 0)
+    dele = orders.filter(F.pmod("o_orderkey", F.lit(97)) == 0)
+    changes = _chg(upd, F.lit("U"), F.col("o_totalprice") * 3, 1, False) \
+        .unionByName(_chg(dele, F.lit(None).cast("string"),
+                          F.lit(None).cast("double"), 2, True))
+    cdc.maintain_agg_batch(
+        spark, t, a, changes, "o_orderkey", "o_orderstatus", measures,
+        seq_col="seq", delete_col="deleted", version=1,
+    )
+    return snapshots.read_snapshot(spark, a)
+
+
 def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-width histogram of l_extendedprice (width_bucket + one
     groupBy — identical bucketing function in DuckDB)."""
@@ -177,6 +225,7 @@ QUERIES = {
     "orders_snapshot_diff": q_orders_snapshot_diff,
     "orders_upsert": q_orders_upsert,
     "orders_cdc_apply": q_orders_cdc_apply,
+    "orders_ivm_agg": q_orders_ivm_agg,
     "price_histogram": q_price_histogram,
 }
 
@@ -309,3 +358,21 @@ ORACLE = {
         ORDER BY bucket
     """,
 }
+
+
+# the IVM view recomputed directly from the merged final state: the
+# update (seq 1) loses to the tombstone (seq 2) on keys divisible by
+# both 89 and 97, exactly as last-write-wins sequences them
+ORACLE["orders_ivm_agg"] = """
+    WITH final AS (
+        SELECT CASE WHEN o_orderkey % 89 = 0 THEN 'U'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice * 3
+                    ELSE o_totalprice END AS p
+        FROM orders
+        WHERE o_orderkey % 97 <> 0
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(p), 2) AS total_price
+    FROM final GROUP BY 1
+"""

@@ -142,3 +142,152 @@ def apply_cdc_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _agg_settled(agg_path: str, version: int | None) -> bool:
+    import os
+
+    return version is not None and os.path.exists(
+        os.path.join(agg_path, f"manifest.{version}.json")
+    )
+
+
+def maintain_agg_batch(
+    spark: SparkSession,
+    table_path: str,
+    agg_path: str,
+    changes: DataFrame,
+    key_col: str,
+    group_col: str,
+    measures: list,
+    *,
+    seq_col: str | None = None,
+    delete_col: str | None = None,
+    stats_cols: tuple[str, ...] = (),
+    version: int | None = None,
+    compact: bool = False,
+) -> int | None:
+    """Incremental view maintenance: keep a grouped-aggregate snapshot
+    table in lockstep with the CDC-maintained base table, recomputing
+    ONLY the groups a batch touches (the affected-group strategy —
+    exact for every aggregate, including the MIN/MAX/DISTINCT family
+    that delta-rule IVM cannot maintain under deletes).
+
+    Per batch: (1) the batch's group values plus the PRE-image groups of
+    every changed key (an update can migrate a row between groups, a
+    tombstone names no group — both sides must refresh) form the touched
+    set, a batch-bounded relation that BROADCASTS; (2) the base batch
+    applies through :func:`apply_cdc_batch`; (3) the post-image rows of
+    the touched groups — a semi-join the snapshot layout prunes, never a
+    full-table aggregate — recompute through ``measures``, MERGE into
+    the aggregate table keyed by ``group_col``, and groups left with
+    zero rows delete, all in one pinned commit. At 100 TB a trickle of
+    changes refreshes a handful of groups; the view never rebuilds.
+
+    Exactly-once across the TWO commits: both pin ``version``. A replay
+    that finds both manifests skips; a crash between the commits leaves
+    base-committed/agg-missing, and the recovery path rebuilds the agg
+    with a FULL recompute at the pinned version (the pre-image needed to
+    re-derive the touched set may already be expired — full recompute is
+    always correct, and the window is one batch wide).
+
+    ``measures`` are aggregate Columns evaluated under
+    ``groupBy(group_col)``; every alias must be stable (they become the
+    agg table's schema). NULL group values are not maintained (the
+    merge key cannot be null) — map them to a sentinel upstream if the
+    domain has them. Returns the committed agg version (None =
+    fully-replayed batch).
+    """
+    cold_base = snapshots.current_version(table_path) is None
+    changed_keys = changes.select(key_col).distinct()
+    if not cold_base:
+        pre_groups = (
+            snapshots.read_snapshot(spark, table_path)
+            .join(F.broadcast(changed_keys), key_col)
+            .select(group_col)
+            .distinct()
+            .localCheckpoint(eager=True)  # pin the pre-image NOW
+        )
+    else:
+        pre_groups = None
+
+    base_v = apply_cdc_batch(
+        spark, table_path, changes, key_col,
+        seq_col=seq_col, delete_col=delete_col,
+        stats_cols=stats_cols, version=version, compact=compact,
+    )
+    if base_v is None and _agg_settled(agg_path, version):
+        return None  # fully replayed batch
+    post = snapshots.read_snapshot(spark, table_path)
+
+    agg_cold = snapshots.current_version(agg_path) is None
+    if agg_cold or base_v is None:
+        # cold start, or crash-recovery (base landed, agg didn't):
+        # full recompute is the always-correct form of "touched"
+        full = post.groupBy(group_col).agg(*measures)
+        return snapshots.write_snapshot(
+            full, agg_path, mode="overwrite",
+            stats_cols=(group_col,), version=version,
+        )
+
+    new_groups = changes.select(group_col).distinct()
+    touched = (
+        new_groups.unionByName(pre_groups).distinct()
+        .filter(F.col(group_col).isNotNull())
+    )
+    recomputed = (
+        post.join(F.broadcast(touched), group_col, "semi")
+        .groupBy(group_col)
+        .agg(*measures)
+    )
+    vanished = touched.join(recomputed, group_col, "left_anti")
+    return snapshots.upsert_snapshot(
+        spark, agg_path, recomputed, group_col,
+        version=version, delete_keys=vanished,
+    )
+
+
+def maintain_agg_stream(
+    stream: DataFrame,
+    table_path: str,
+    agg_path: str,
+    key_col: str,
+    group_col: str,
+    measures: list,
+    *,
+    checkpoint_dir: str,
+    seq_col: str | None = None,
+    delete_col: str | None = None,
+    stats_cols: tuple[str, ...] = (),
+    compact_every: int = COMPACT_EVERY,
+    trigger_available_now: bool = True,
+):
+    """Streaming IVM: every micro-batch of changes flows through
+    :func:`maintain_agg_batch` (base apply + touched-group refresh, both
+    commits pinned to the batch id). Read the live aggregate any time
+    with ``snapshots.read_snapshot(spark, agg_path)``."""
+    spark = stream.sparkSession
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        cur = snapshots.current_version(table_path)
+        due = cur is not None and len(
+            snapshots._read_manifest(table_path, cur)["data_dirs"]
+        ) + 1 >= compact_every
+        v = maintain_agg_batch(
+            spark, table_path, agg_path, batch, key_col, group_col,
+            measures, seq_col=seq_col, delete_col=delete_col,
+            stats_cols=stats_cols, version=batch_id, compact=due,
+        )
+        if v is None:
+            return
+        snapshots.expire_snapshots(table_path, keep_last=2)
+        snapshots.expire_snapshots(agg_path, keep_last=2)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_step)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -125,3 +125,129 @@ def test_cdc_stream_compaction_folds_within_the_batch_commit(spark, tmp_path):
     m = snapshots._read_manifest(t, 3)
     assert len(m["data_dirs"]) <= 2
     assert snapshots.read_snapshot(spark, t).count() == 20
+
+
+IVM_SCHEMA = "id long, grp string, x double, seq long, deleted boolean"
+
+
+def _ivm_measures():
+    return [
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("x"), 6).alias("sx"),
+        F.max("x").alias("mx"),  # MAX: delta-rule-unmaintainable family
+    ]
+
+
+def _full_agg(spark, t):
+    return {
+        r.grp: (r.n, r.sx, r.mx)
+        for r in snapshots.read_snapshot(spark, t)
+        .groupBy("grp")
+        .agg(*_ivm_measures())
+        .collect()
+    }
+
+
+def _agg_table(spark, a):
+    return {
+        r.grp: (r.n, r.sx, r.mx)
+        for r in snapshots.read_snapshot(spark, a).collect()
+    }
+
+
+def test_maintain_agg_batch_migration_delete_and_group_vanish(spark, tmp_path):
+    """Touched-group IVM stays equal to a full recompute through group
+    migration, deletes, inserts — including a group whose last row
+    leaves (its agg row must vanish, not linger at stale values)."""
+    t, a = str(tmp_path / "base"), str(tmp_path / "agg")
+    b0 = spark.createDataFrame(
+        [(1, "g1", 1.0, 0, False), (2, "g1", 2.0, 0, False),
+         (3, "g2", 4.0, 0, False), (4, "g3", 8.0, 0, False)],
+        IVM_SCHEMA,
+    )
+    cdc.maintain_agg_batch(
+        spark, t, a, b0, "id", "grp", _ivm_measures(),
+        seq_col="seq", delete_col="deleted", version=0,
+    )
+    assert _agg_table(spark, a) == _full_agg(spark, t)
+    b1 = spark.createDataFrame(
+        [(1, "g2", 1.5, 1, False),   # migrate g1 -> g2 (both refresh)
+         (4, None, 0.0, 2, True),    # delete the only g3 row -> g3 gone
+         (5, "g4", 16.0, 1, False)], # brand-new group
+        IVM_SCHEMA,
+    )
+    cdc.maintain_agg_batch(
+        spark, t, a, b1, "id", "grp", _ivm_measures(),
+        seq_col="seq", delete_col="deleted", version=1,
+    )
+    got = _agg_table(spark, a)
+    assert got == _full_agg(spark, t)
+    assert got == {"g1": (1, 2.0, 2.0), "g2": (2, 5.5, 4.0),
+                   "g4": (1, 16.0, 16.0)}
+    # replayed pinned batch: both commits already present -> no-op
+    assert cdc.maintain_agg_batch(
+        spark, t, a, b1, "id", "grp", _ivm_measures(),
+        seq_col="seq", delete_col="deleted", version=1,
+    ) is None
+    assert _agg_table(spark, a) == got
+
+
+def test_maintain_agg_recovers_when_agg_commit_is_missing(spark, tmp_path):
+    """Crash window: base committed, agg commit lost. The replay must
+    rebuild the agg at the pinned version (full recompute) instead of
+    skipping or double-applying."""
+    import os
+
+    t, a = str(tmp_path / "base"), str(tmp_path / "agg")
+    b0 = spark.createDataFrame(
+        [(1, "g1", 1.0, 0, False), (2, "g2", 2.0, 0, False)], IVM_SCHEMA)
+    cdc.maintain_agg_batch(
+        spark, t, a, b0, "id", "grp", _ivm_measures(),
+        seq_col="seq", delete_col="deleted", version=0,
+    )
+    b1 = spark.createDataFrame([(2, "g1", 5.0, 1, False)], IVM_SCHEMA)
+    cdc.maintain_agg_batch(
+        spark, t, a, b1, "id", "grp", _ivm_measures(),
+        seq_col="seq", delete_col="deleted", version=1,
+    )
+    os.remove(os.path.join(a, "manifest.1.json"))  # simulate the crash
+    v = cdc.maintain_agg_batch(
+        spark, t, a, b1, "id", "grp", _ivm_measures(),
+        seq_col="seq", delete_col="deleted", version=1,
+    )
+    assert v == 1
+    assert _agg_table(spark, a) == _full_agg(spark, t) == {
+        "g1": (2, 6.0, 5.0)}
+
+
+def test_maintain_agg_stream_end_to_end(spark, tmp_path):
+    """Two micro-batches through the streaming IVM wrapper: the live
+    aggregate equals a full groupBy of the final base table."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    t, a = str(tmp_path / "base"), str(tmp_path / "agg")
+    ck = str(tmp_path / "ck")
+    b0 = spark.createDataFrame(
+        [(1, "g1", 1.0, 0, False), (2, "g2", 2.0, 0, False),
+         (3, "g2", 3.0, 0, False)], IVM_SCHEMA)
+    b0.coalesce(1).write.parquet(str(src / "b0"))
+    stream = (
+        spark.readStream.schema(IVM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = cdc.maintain_agg_stream(
+        stream, t, a, "id", "grp", _ivm_measures(),
+        checkpoint_dir=ck, seq_col="seq", delete_col="deleted",
+    )
+    q.awaitTermination(120)
+    b1 = spark.createDataFrame(
+        [(3, None, 0.0, 1, True), (4, "g1", 4.0, 1, False)], IVM_SCHEMA)
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    q2 = cdc.maintain_agg_stream(
+        stream, t, a, "id", "grp", _ivm_measures(),
+        checkpoint_dir=ck, seq_col="seq", delete_col="deleted",
+    )
+    q2.awaitTermination(120)
+    assert _agg_table(spark, a) == _full_agg(spark, t) == {
+        "g1": (2, 5.0, 4.0), "g2": (1, 2.0, 2.0)}

@@ -174,6 +174,53 @@ def q_orders_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshots.read_snapshot(spark, a)
 
 
+def q_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension built from a deterministic 3-seq change
+    log over orders (operators/scd.py): seq 1 migrates %89 keys to
+    status 'U'; seq 2 re-emits 'U' for %89∩%97 keys (collapses as a
+    consecutive duplicate UNLESS the price also changed) and doubles
+    %97 prices. Versions chain valid_from/valid_to per key; one
+    key-partitioned window, no unpartitioned ops."""
+    from nexus_processor_spark.operators import scd
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def _v(df, status, price, seq):
+        return df.select(
+            "o_orderkey", status.alias("status"), price.alias("price"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+
+    log = (
+        _v(orders, F.col("o_orderstatus"), F.col("o_totalprice"), 0)
+        .unionByName(_v(
+            orders.filter(F.pmod("o_orderkey", F.lit(89)) == 0),
+            F.lit("U"), F.col("o_totalprice"), 1,
+        ))
+        .unionByName(_v(
+            orders.filter(F.pmod("o_orderkey", F.lit(97)) == 0),
+            F.when(F.pmod("o_orderkey", F.lit(89)) == 0, F.lit("U"))
+            .otherwise(F.col("o_orderstatus")),
+            F.col("o_totalprice") * 2, 2,
+        ))
+    )
+    return scd.scd2_history(log, "o_orderkey", "seq")
+
+
+def q_orders_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC extraction (streaming/cdc.py extract_changes): the minimal
+    change batch that transforms the old orders snapshot into the new
+    one — upserts carry new values, removed keys tombstone, identical
+    keys emit nothing. Round-trip vs apply_cdc_batch is test-pinned;
+    the oracle recomputes the same diff with null-safe comparisons."""
+    from nexus_processor_spark.streaming import cdc
+
+    old, new = _snapshots(spark, sf_dir)
+    return cdc.extract_changes(old, new, "o_orderkey")
+
+
 def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-width histogram of l_extendedprice (width_bucket + one
     groupBy — identical bucketing function in DuckDB)."""
@@ -226,6 +273,8 @@ QUERIES = {
     "orders_upsert": q_orders_upsert,
     "orders_cdc_apply": q_orders_cdc_apply,
     "orders_ivm_agg": q_orders_ivm_agg,
+    "orders_scd2": q_orders_scd2,
+    "orders_cdc_extract": q_orders_cdc_extract,
     "price_histogram": q_price_histogram,
 }
 
@@ -375,4 +424,67 @@ ORACLE["orders_ivm_agg"] = """
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
            round(sum(p), 2) AS total_price
     FROM final GROUP BY 1
+"""
+
+
+# the same 3-seq change log replayed with lag/lead windows: consecutive
+# null-safe-equal versions drop, survivors chain valid_from -> valid_to
+ORACLE["orders_scd2"] = """
+    WITH log AS (
+        SELECT o_orderkey, o_orderstatus AS status,
+               o_totalprice AS price, 0 AS seq
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'U', o_totalprice, 1
+        FROM orders WHERE o_orderkey % 89 = 0
+        UNION ALL
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 89 = 0 THEN 'U'
+                    ELSE o_orderstatus END,
+               o_totalprice * 2, 2
+        FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    kept AS (
+        SELECT o_orderkey, status, price, seq FROM (
+            SELECT *, lag(status) OVER w AS ps, lag(price) OVER w AS pp,
+                   lag(seq) OVER w AS pq
+            FROM log
+            WINDOW w AS (PARTITION BY o_orderkey ORDER BY seq)
+        )
+        WHERE pq IS NULL OR status IS DISTINCT FROM ps
+           OR price IS DISTINCT FROM pp
+    )
+    SELECT o_orderkey, status, price,
+           CAST(seq AS BIGINT) AS valid_from,
+           CAST(lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq)
+                AS BIGINT) AS valid_to,
+           lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) IS NULL
+               AS is_current
+    FROM kept
+"""
+
+# the diff recomputed with null-safe comparisons: upserts carry new
+# values, removed keys tombstone with null values, identical keys absent
+ORACLE["orders_cdc_extract"] = """
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 10 <> 1
+    )
+    SELECT n.o_orderkey, n.o_orderstatus, n.o_totalprice,
+           FALSE AS deleted
+    FROM new n LEFT JOIN old o ON n.o_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+       OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+       OR n.o_totalprice IS DISTINCT FROM o.o_totalprice
+    UNION ALL
+    SELECT o.o_orderkey, NULL, NULL, TRUE
+    FROM old o LEFT JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE n.o_orderkey IS NULL
 """

@@ -291,3 +291,53 @@ def maintain_agg_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def extract_changes(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    *,
+    compare_cols: list[str] | None = None,
+    delete_col: str = "deleted",
+) -> DataFrame:
+    """CDC extraction — the inverse of :func:`apply_cdc_batch`: the
+    minimal change batch that transforms snapshot ``old`` into ``new``
+    (``apply_cdc_batch(table_at_old, extract_changes(old, new, k)) ==
+    new``, round-trip test-pinned). How a backfill replays a table that
+    never had a change feed, or two divergent replicas reconcile.
+
+    One full-outer join on the key: keys only in ``new`` or with any
+    null-safe-unequal compared column emit an upsert row carrying the
+    new values; keys only in ``old`` emit a tombstone (values null,
+    ``delete_col`` true); identical keys emit NOTHING — the batch is
+    proportional to the drift, not the table.
+    """
+    cols = compare_cols if compare_cols is not None else [
+        c for c in old.columns if c in new.columns and c != key_col
+    ]
+    o = old.select(
+        key_col,
+        F.struct(*[F.col(c) for c in cols]).alias("_ov"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        key_col,
+        F.struct(*[F.col(c) for c in cols]).alias("_nv"),
+        F.lit(True).alias("_in_new"),
+    )
+    j = o.join(n, key_col, "full_outer")
+    upserts = j.filter(
+        F.col("_in_new").isNotNull()
+        & (F.col("_in_old").isNull() | ~F.col("_ov").eqNullSafe(F.col("_nv")))
+    ).select(
+        key_col,
+        *[F.col(f"_nv.{c}").alias(c) for c in cols],
+        F.lit(False).alias(delete_col),
+    )
+    deletes = j.filter(F.col("_in_new").isNull()).select(
+        key_col,
+        *[F.lit(None).cast(dict(new.dtypes)[c]).alias(c) for c in cols],
+        F.lit(True).alias(delete_col),
+    )
+    return upserts.unionByName(deletes)

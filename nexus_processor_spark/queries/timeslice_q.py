@@ -323,6 +323,33 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeslice.anomaly_zscore(_events(spark, sf_dir), INTERVAL)
 
 
+EMA_ALPHA = 0.25  # binary-exact, so the recurrence is bit-identical
+                  # cross-engine and the output needs NO rounding
+
+
+def q_timeslice_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bank hourly mean value smoothed by the exact EWMA recurrence
+    (operators/smoothing.ewma, adjust=False, s0 = x0). Inputs round at
+    1e-6 so both engines seed identical doubles; with alpha = 0.25 the
+    per-step arithmetic (0.25*x + 0.75*s) is the same IEEE ops in both
+    engines, so the UNROUNDED smoothed doubles hash-match exactly — the
+    oracle replays the recurrence with a recursive CTE."""
+    from nexus_processor_spark.operators import smoothing
+
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.filter(F.col("absolute_time").isNotNull()
+                  & F.col("value").isNotNull())
+        .groupBy(
+            "bank",
+            F.floor(F.col("absolute_time") / F.lit(INTERVAL))
+            .cast("long").alias("interval"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    return smoothing.ewma(hourly, ["bank"], "interval", "v", EMA_ALPHA)
+
+
 SEASONAL_PERIODS = 24  # hour-of-day seasonality at hourly buckets
 
 
@@ -384,6 +411,7 @@ QUERIES = {
     "counter_rate": q_counter_rate,
     "anomaly_zscore": q_anomaly_zscore,
     "seasonal_anomaly": q_seasonal_anomaly,
+    "timeslice_ema": q_timeslice_ema,
     "rollup_percentile": q_rollup_percentile,
     "timeslice_gapfill": q_timeslice_gapfill,
     "interval_totals": q_interval_totals,
@@ -812,3 +840,32 @@ ORACLE = {
         FROM e GROUP BY 1
     """,
 }
+
+
+# the EWMA recurrence replayed row-by-row with a recursive CTE: each
+# iteration advances every bank's series one ordinal; 0.25/0.75 are
+# binary-exact so the unrounded doubles match the kernel bit for bit
+ORACLE["timeslice_ema"] = f"""
+    WITH RECURSIVE e AS (
+        SELECT event_type AS bank, {{_TS}} AS t, value FROM events
+    ),
+    h AS (
+        SELECT bank, CAST(floor(t / {{IV}}) AS BIGINT) AS interval,
+               round(avg(value), 6) AS v
+        FROM e WHERE t IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT bank, interval, v, row_number() OVER (
+            PARTITION BY bank ORDER BY interval) AS rn
+        FROM h
+    ),
+    rec AS (
+        SELECT bank, interval, v, rn, v AS ewma FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.bank, r.interval, r.v, r.rn,
+               {EMA_ALPHA} * r.v + (1 - {EMA_ALPHA}) * rec.ewma
+        FROM r JOIN rec ON r.bank = rec.bank AND r.rn = rec.rn + 1
+    )
+    SELECT bank, interval, v, ewma FROM rec
+""".replace("{_TS}", _TS).replace("{IV}", str(INTERVAL))

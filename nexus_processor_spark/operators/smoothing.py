@@ -130,15 +130,11 @@ def ewma_scan(
         "_bk long, _A double, _B double, _first double, _n long",
     )
 
-    # phase 2: exclusive prefix over the BUCKET table (bounded by the
-    # grid). The chain is s_b = A_b * s_{b-1} + B_b with the twist that
-    # the very first value SEEDS the state (s_0 = x_0): the first
-    # bucket's state is recomputed with its first element seeded, which
-    # the in-bucket replay below handles — here we only need each
-    # bucket's INCOMING state, folded left on the driver-free window?
-    # An affine chain is not expressible as sum/product windows alone,
-    # and the bucket table is grid-bounded — collect it (same driver-
-    # bounded contract as kmeans centroids) and fold.
+    # phase 2: exclusive prefix over the BUCKET table. The chain
+    # s_b = A_b * s_{b-1} + B_b is an affine composition — not
+    # expressible as sum/product windows alone — and the bucket table
+    # is grid-bounded, so collect it and fold on the driver (the same
+    # driver-bounded contract as kmeans centroids).
     coeff_rows = bk.orderBy("_bk").collect()
     incoming: dict[int, float | None] = {}
     state: float | None = None
@@ -178,4 +174,78 @@ def ewma_scan(
         rows.join(F.broadcast(inc_df), "_b")
         .groupBy("_b")
         .applyInPandas(lambda _, g: replay(g), f"{fields}, {out_col} double")
+    )
+
+
+def holt(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    *,
+    horizon: int = 1,
+    out_prefix: str = "holt",
+) -> DataFrame:
+    """Per-group Holt linear-trend double smoothing — the one-line
+    forecaster monitoring dashboards run per series:
+
+    ``level_t = alpha*x_t + (1-alpha)*(level_{t-1} + trend_{t-1})``;
+    ``trend_t = beta*(level_t - level_{t-1}) + (1-beta)*trend_{t-1}``;
+    seeded ``level_0 = x_0``, ``trend_0 = x_1 - x_0`` (trend undefined —
+    null — until two points exist). The ``horizon``-step-ahead forecast
+    is ``level + horizon * trend``.
+
+    Same distribution contract and cross-engine story as :func:`ewma`:
+    one bounded ``applyInPandas`` group per series; with binary-exact
+    ``alpha``/``beta`` the float64 recurrence is bit-identical to a
+    recursive-CTE replay, so outputs need no rounding. Nulls hold both
+    states (and emit the held values), mirroring :func:`ewma`.
+
+    Output: inputs + ``{prefix}_level``, ``{prefix}_trend``,
+    ``{prefix}_forecast``.
+    """
+    import pandas as pd
+
+    cols = [*group_cols, order_col, value_col]
+    src = df.select(*cols)
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema.fields
+    )
+    schema = (
+        f"{fields}, {out_prefix}_level double, {out_prefix}_trend double,"
+        f" {out_prefix}_forecast double"
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, ignore_index=True)
+        level = trend = None
+        lv, tr, fc = [], [], []
+        for x in g[value_col].astype("float64"):
+            if pd.notna(x):
+                if level is None:
+                    level = float(x)
+                elif trend is None:
+                    trend = float(x) - level
+                    level = float(x)
+                else:
+                    prev = level
+                    level = alpha * float(x) + (1.0 - alpha) * (
+                        level + trend
+                    )
+                    trend = beta * (level - prev) + (1.0 - beta) * trend
+            lv.append(level)
+            tr.append(trend)
+            fc.append(
+                None if level is None or trend is None
+                else level + horizon * trend
+            )
+        g[f"{out_prefix}_level"] = pd.array(lv, dtype="float64")
+        g[f"{out_prefix}_trend"] = pd.array(tr, dtype="float64")
+        g[f"{out_prefix}_forecast"] = pd.array(fc, dtype="float64")
+        return g
+
+    return src.groupBy(*group_cols).applyInPandas(
+        lambda _, g: kernel(g), schema
     )

@@ -350,6 +350,33 @@ def q_timeslice_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smoothing.ewma(hourly, ["bank"], "interval", "v", EMA_ALPHA)
 
 
+HOLT_ALPHA, HOLT_BETA = 0.25, 0.5  # both binary-exact
+
+
+def q_timeslice_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast of the per-bank hourly mean value
+    (operators/smoothing.holt): level/trend double recurrence seeded
+    level=x0, trend=x1-x0, one-step-ahead forecast = level + trend.
+    Binary-exact alpha/beta keep the float64 recurrence bit-identical
+    to the oracle's recursive-CTE replay — unrounded doubles match."""
+    from nexus_processor_spark.operators import smoothing
+
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.filter(F.col("absolute_time").isNotNull()
+                  & F.col("value").isNotNull())
+        .groupBy(
+            "bank",
+            F.floor(F.col("absolute_time") / F.lit(INTERVAL))
+            .cast("long").alias("interval"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    return smoothing.holt(
+        hourly, ["bank"], "interval", "v", HOLT_ALPHA, HOLT_BETA
+    )
+
+
 SEASONAL_PERIODS = 24  # hour-of-day seasonality at hourly buckets
 
 
@@ -412,6 +439,7 @@ QUERIES = {
     "anomaly_zscore": q_anomaly_zscore,
     "seasonal_anomaly": q_seasonal_anomaly,
     "timeslice_ema": q_timeslice_ema,
+    "timeslice_holt": q_timeslice_holt,
     "rollup_percentile": q_rollup_percentile,
     "timeslice_gapfill": q_timeslice_gapfill,
     "interval_totals": q_interval_totals,
@@ -868,4 +896,45 @@ ORACLE["timeslice_ema"] = f"""
         FROM r JOIN rec ON r.bank = rec.bank AND r.rn = rec.rn + 1
     )
     SELECT bank, interval, v, ewma FROM rec
+""".replace("{_TS}", _TS).replace("{IV}", str(INTERVAL))
+
+
+# Holt replayed with a recursive CTE; the new level expression repeats
+# inside the trend update (same double both times), binary-exact
+# alpha/beta, unrounded doubles
+_HOLT_NL = (f"CASE WHEN rec.holt_trend IS NULL THEN r.v "
+            f"ELSE {HOLT_ALPHA} * r.v + (1 - {HOLT_ALPHA}) "
+            f"* (rec.holt_level + rec.holt_trend) END")
+ORACLE["timeslice_holt"] = f"""
+    WITH RECURSIVE e AS (
+        SELECT event_type AS bank, {{_TS}} AS t, value FROM events
+    ),
+    h AS (
+        SELECT bank, CAST(floor(t / {{IV}}) AS BIGINT) AS interval,
+               round(avg(value), 6) AS v
+        FROM e WHERE t IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT bank, interval, v, row_number() OVER (
+            PARTITION BY bank ORDER BY interval) AS rn
+        FROM h
+    ),
+    rec AS (
+        SELECT bank, interval, v, rn, v AS holt_level,
+               CAST(NULL AS DOUBLE) AS holt_trend
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.bank, r.interval, r.v, r.rn,
+               {_HOLT_NL},
+               CASE WHEN rec.holt_trend IS NULL
+                    THEN r.v - rec.holt_level
+                    ELSE {HOLT_BETA} * (({_HOLT_NL}) - rec.holt_level)
+                         + (1 - {HOLT_BETA}) * rec.holt_trend END
+        FROM r JOIN rec ON r.bank = rec.bank AND r.rn = rec.rn + 1
+    )
+    SELECT bank, interval, v, holt_level, holt_trend,
+           CASE WHEN holt_trend IS NULL THEN NULL
+                ELSE holt_level + 1 * holt_trend END AS holt_forecast
+    FROM rec
 """.replace("{_TS}", _TS).replace("{IV}", str(INTERVAL))

@@ -69,3 +69,23 @@ def test_ewma_scan_single_bucket_bit_exact(spark):
                                                 grid=1000.0)
             .orderBy("t").collect()]
     assert scan == exact
+
+
+def test_holt_level_trend_seed_and_forecast(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 1, 12.0), ("a", 2, 20.0), ("a", 3, None)],
+        SCHEMA,
+    )
+    rows = {r.t: r for r in smoothing.holt(
+        df, ["g"], "t", "x", 0.5, 0.5).collect()}
+    assert rows[0].holt_level == 10.0 and rows[0].holt_trend is None
+    assert rows[0].holt_forecast is None
+    # seed step 2: level = x1, trend = x1 - x0
+    assert rows[1].holt_level == 12.0 and rows[1].holt_trend == 2.0
+    assert rows[1].holt_forecast == 14.0
+    # step 3: level = .5*20 + .5*(12+2) = 17; trend = .5*(17-12)+.5*2 = 3.5
+    assert rows[2].holt_level == 17.0 and rows[2].holt_trend == 3.5
+    assert rows[2].holt_forecast == 20.5
+    # null holds both states and the forecast
+    assert (rows[3].holt_level, rows[3].holt_trend,
+            rows[3].holt_forecast) == (17.0, 3.5, 20.5)

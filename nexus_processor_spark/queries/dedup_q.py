@@ -196,6 +196,51 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.4
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup: C(A->B) = |A∩B| / |A| over the
+    same blocked char-5-gram sets as dedup_ngram_jaccard — catches a
+    short document embedded verbatim inside a longer one, which
+    symmetric Jaccard scores near zero (|union| is dominated by the
+    container). Directed pairs, both directions scored; empty gram sets
+    (docs shorter than the gram) emit nothing. Same bounded-block
+    guard, so the within-block pair space never explodes at scale."""
+    from pyspark.sql import Window
+
+    from nexus_processor_spark.functions.text import char_shingles
+    from nexus_processor_spark.plans.layout import spread
+
+    docs = spread(
+        _docs(spark, sf_dir).select("doc_id", "lang", "source", "text")
+    )
+    w = Window.partitionBy("lang", "source")
+    docs = (
+        docs.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") <= NGRAM_MAX_BLOCK)
+        .drop("_n")
+    )
+    grams = docs.select(
+        "doc_id", "lang", "source", char_shingles(F.col("text"), 5).alias("g")
+    )
+    a = grams.select(F.col("doc_id").alias("id_a"), "lang", "source",
+                     F.col("g").alias("g_a")).filter(F.size("g_a") > 0)
+    b = grams.select(F.col("doc_id").alias("id_b"), "lang", "source",
+                     F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (inter.cast("double") / F.size("g_a").cast("double"))
+            .alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+
+
 PREFIX_THRESHOLD = 0.5
 
 
@@ -315,6 +360,7 @@ QUERIES = {
     "dedup_incremental_near": q_dedup_incremental_near,
     "dup_cluster_stats": q_dup_cluster_stats,
     "dedup_cluster_reps": q_dedup_cluster_reps,
+    "dedup_containment": q_dedup_containment,
     "leakage_safe_split": q_leakage_safe_split,
     "dedup_prefix_pairs": q_dedup_prefix_pairs,
     "dedup_near_corpus": q_dedup_near_corpus,
@@ -968,4 +1014,25 @@ ORACLE["dedup_cluster_reps"] = f"""
                count(*) OVER (PARTITION BY cluster_key) AS n
         FROM keyed
     ) WHERE rn = 1
+"""
+
+
+# directed containment over the same distinct char-5-gram sets; empty
+# gram sets (len 0) excluded on the contained side exactly as Spark does
+ORACLE["dedup_containment"] = f"""
+    WITH g AS (
+        SELECT doc_id, lang, source,
+               list_distinct(
+                 list_transform(generate_series(1, greatest(length(text) - 4, 0)),
+                                i -> substr(text, i, 5))
+               ) AS gr
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+           / CAST(len(a.gr) AS DOUBLE) AS containment
+    FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source
+    WHERE a.doc_id <> b.doc_id AND len(a.gr) > 0
+      AND CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+          / CAST(len(a.gr) AS DOUBLE) >= {CONTAINMENT_THRESHOLD}
 """

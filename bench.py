@@ -735,6 +735,100 @@ def run_vecs(spark) -> dict[str, object]:
     return out
 
 
+def run_tables(spark) -> dict[str, object]:
+    """Snapshot-table maintenance at data scale: (1) a 10M-row base
+    committed as 8 key-ranged directories, then 3 trickle batches of
+    ~10k changes each through the IVM path (cdc.maintain_agg_batch) —
+    batch 1 pays the aggregate view's cold full build, batches 2-3 are
+    the steady trickle cost (CoW rewrites only key-containing dirs;
+    the view refreshes only touched groups); (2) SCD2 history build
+    over a 5M-row change log; (3) the single-series EWMA affine scan
+    over 20M points (the series-too-big-for-one-task path)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nexus_processor_spark.operators import scd, smoothing
+    from nexus_processor_spark.sources import snapshots
+    from nexus_processor_spark.streaming import cdc
+
+    out: dict[str, object] = {}
+    base_dir = tempfile.mkdtemp(prefix="bench_ivm_base_")
+    agg_dir = tempfile.mkdtemp(prefix="bench_ivm_agg_")
+    try:
+        n = 10_000_000
+        rows = spark.range(n).select(
+            "id",
+            F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("grp"),
+            (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100_000)) / 100.0)
+            .alias("x"),
+        )
+        s = time.perf_counter()
+        step = n // 8
+        for i in range(8):
+            snapshots.write_snapshot(
+                rows.filter((F.col("id") >= i * step)
+                            & (F.col("id") < (i + 1) * step)),
+                base_dir, mode="overwrite" if i == 0 else "append",
+                stats_cols=("id",),
+            )
+        out["snapshot_write_10m"] = {
+            "sec": round(time.perf_counter() - s, 3)}
+        measures = [
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("x"), 4).alias("sx"),
+        ]
+        batch_secs = []
+        for b in range(1, 4):
+            ch = (
+                rows.filter(F.pmod("id", F.lit(997)) == b)  # ~10k keys
+                .withColumn("x", F.col("x") * 2)
+                .withColumn("deleted", F.lit(False))
+            )
+            s = time.perf_counter()
+            cdc.maintain_agg_batch(
+                spark, base_dir, agg_dir, ch, "id", "grp", measures,
+                delete_col="deleted", version=b,
+            )
+            batch_secs.append(round(time.perf_counter() - s, 3))
+        # batch 1 includes the agg view's cold full build
+        out["ivm_trickle_10k_changes"] = {
+            "cold_sec": batch_secs[0], "batch_secs": batch_secs[1:]}
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+        shutil.rmtree(agg_dir, ignore_errors=True)
+
+    log_n = 5_000_000
+    log = spark.range(log_n).select(
+        F.pmod("id", F.lit(log_n // 2)).alias("key"),
+        F.concat(F.lit("s"), F.pmod(F.xxhash64("id"), F.lit(5)))
+        .alias("status"),
+        (F.col("id") >= log_n // 2).cast("long").alias("seq"),
+    )
+    s = time.perf_counter()
+    cnt = scd.scd2_history(log, "key", "seq",
+                           attr_cols=["status"]).count()
+    el = time.perf_counter() - s
+    out["scd2_history_5m"] = {
+        "sec": round(el, 3), "rows": cnt,
+        "log_rows_per_sec": round(log_n / el),
+    }
+
+    series_n = 20_000_000
+    series = spark.range(series_n).select(
+        F.col("id").alias("t"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 100.0).alias("x"),
+    )
+    s = time.perf_counter()
+    smoothing.ewma_scan(series, "t", "x", 0.25, grid=100_000.0) \
+        .write.format("noop").mode("overwrite").save()
+    el = time.perf_counter() - s
+    out["ewma_scan_20m"] = {
+        "sec": round(el, 3), "points_per_sec": round(series_n / el)}
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -797,6 +891,7 @@ def main() -> None:
             ("replaybench", lambda: run_replay(spark, sf_dir), 120.0),
             ("vecbench", lambda: run_vecs(spark), 240.0),
             ("curatebench", lambda: run_curate(spark), 240.0),
+            ("tablebench", lambda: run_tables(spark), 240.0),
         )
         results: dict[str, object] = {}
         for name, fn, est in sections:

@@ -221,6 +221,45 @@ def q_orders_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc.extract_changes(old, new, "o_orderkey")
 
 
+def q_customer_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (operators/linkage.py): customers matched
+    against a deterministically-drifted copy of themselves (name
+    appended/edited within Levenshtein 2 for 2/3 of keys, small balance
+    drift for 1/5) via (nation, segment) blocking + Fellegi-Sunter-style
+    integer field scores + best-match argmax. The oracle replays the
+    block join, the Levenshtein tiers, and the tiebreak in SQL —
+    ambiguous near-name neighbors resolve identically by construction."""
+    from nexus_processor_spark.operators import linkage
+
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("a_id"), "c_name", "c_nationkey",
+        "c_acctbal", "c_mktsegment",
+    )
+    m3 = F.pmod("c_custkey", F.lit(3))
+    b = cust.select(
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("b_id"),
+        F.when(m3 == 0, F.concat(F.col("c_name"), F.lit("X")))
+        .when(m3 == 1, F.translate(F.col("c_name"), "#", "-"))
+        .otherwise(F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.when(F.pmod("c_custkey", F.lit(5)) == 0,
+               F.col("c_acctbal") + F.lit(0.5))
+        .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    rules = [
+        linkage.field_rule("c_name", "levenshtein",
+                           w_match=4, w_near=2, w_miss=-3, max_edit=2),
+        linkage.field_rule("c_acctbal", "numeric",
+                           w_match=1, w_miss=-1, tol=0.75),
+    ]
+    scored = linkage.block_and_score(
+        a, b, "a_id", "b_id", ["c_nationkey", "c_mktsegment"], rules
+    )
+    return linkage.best_matches(scored, 3)
+
+
 def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-width histogram of l_extendedprice (width_bucket + one
     groupBy — identical bucketing function in DuckDB)."""
@@ -275,6 +314,7 @@ QUERIES = {
     "orders_ivm_agg": q_orders_ivm_agg,
     "orders_scd2": q_orders_scd2,
     "orders_cdc_extract": q_orders_cdc_extract,
+    "customer_linkage": q_customer_linkage,
     "price_histogram": q_price_histogram,
 }
 
@@ -487,4 +527,40 @@ ORACLE["orders_cdc_extract"] = """
     SELECT o.o_orderkey, NULL, NULL, TRUE
     FROM old o LEFT JOIN new n ON o.o_orderkey = n.o_orderkey
     WHERE n.o_orderkey IS NULL
+"""
+
+
+# the linkage pipeline replayed in SQL: same drift, same Levenshtein
+# tiers, same integer weights, same (score DESC, b_key) tiebreak
+ORACLE["customer_linkage"] = """
+    WITH a AS (
+        SELECT c_custkey AS a_key, c_name, c_nationkey, c_acctbal,
+               c_mktsegment
+        FROM customer
+    ),
+    b AS (
+        SELECT c_custkey + 1000000 AS b_key,
+               CASE WHEN c_custkey % 3 = 0 THEN c_name || 'X'
+                    WHEN c_custkey % 3 = 1 THEN replace(c_name, '#', '-')
+                    ELSE c_name END AS c_name,
+               c_nationkey,
+               CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 0.5
+                    ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment
+        FROM customer
+    ),
+    p AS (
+        SELECT a.a_key, b.b_key,
+               CAST(CASE WHEN a.c_name = b.c_name THEN 4
+                         WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 2
+                         ELSE -3 END
+                    + CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 0.75
+                           THEN 1 ELSE -1 END AS BIGINT) AS score
+        FROM a JOIN b USING (c_nationkey, c_mktsegment)
+    )
+    SELECT a_key, b_key, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY a_key
+                                     ORDER BY score DESC, b_key) AS rn
+        FROM p WHERE score >= 3
+    ) WHERE rn = 1
 """

@@ -94,3 +94,52 @@ def test_extract_changes_round_trip(spark, tmp_path):
     cdc.apply_cdc_batch(spark, t, changes, "id", delete_col="deleted")
     assert sorted(map(tuple, snapshots.read_snapshot(spark, t).collect())) \
         == sorted(map(tuple, new.collect()))
+
+
+def test_scd2_apply_batch_snapshot_table_and_replay(spark, tmp_path):
+    """Snapshot-backed SCD2: two pinned batches equal the full-log
+    build; replaying a pinned batch is a no-op."""
+    from nexus_processor_spark.operators import scd
+
+    h = str(tmp_path / "hist")
+    full = spark.createDataFrame(
+        [(1, "a", 1.0, 0), (2, "x", 2.0, 1),
+         (1, "b", 1.0, 5), (2, "x", 2.0, 6), (3, "n", 3.0, 7)],
+        LOG_SCHEMA,
+    )
+    b1, b2 = full.filter(F.col("seq") < 5), full.filter(F.col("seq") >= 5)
+    scd.scd2_apply_batch(spark, h, b1, "id", "seq", version=0)
+    scd.scd2_apply_batch(spark, h, b2, "id", "seq", version=1)
+    assert _hist_rows(snapshots.read_snapshot(spark, h)) == _hist_rows(
+        scd.scd2_history(full, "id", "seq")
+    )
+    assert scd.scd2_apply_batch(spark, h, b2, "id", "seq",
+                                version=1) is None
+
+
+def test_scd2_stream_two_drains_match_full_build(spark, tmp_path):
+    from nexus_processor_spark.operators import scd
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    h, ck = str(tmp_path / "hist"), str(tmp_path / "ck")
+    full = spark.createDataFrame(
+        [(1, "a", 1.0, 0), (2, "x", 2.0, 1),
+         (1, "b", 1.0, 5), (4, "q", 4.0, 6)],
+        LOG_SCHEMA,
+    )
+    full.filter(F.col("seq") < 5).coalesce(1) \
+        .write.parquet(str(src / "b0"))
+    stream = (
+        spark.readStream.schema(LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1).parquet(str(src / "*"))
+    )
+    scd.scd2_stream(stream, h, "id", "seq",
+                    checkpoint_dir=ck).awaitTermination(120)
+    full.filter(F.col("seq") >= 5).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    scd.scd2_stream(stream, h, "id", "seq",
+                    checkpoint_dir=ck).awaitTermination(120)
+    assert _hist_rows(snapshots.read_snapshot(spark, h)) == _hist_rows(
+        scd.scd2_history(full, "id", "seq")
+    )

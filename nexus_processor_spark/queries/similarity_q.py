@@ -266,8 +266,21 @@ def q_sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-scan search: both sides symmetric-int8-quantized, the
+    score is the raw INTEGER dot of the code vectors — the 4x-shrunk
+    storage scan, with zero float tolerance anywhere (the one rounding
+    is the quantization itself, identical cross-engine). Order quality
+    vs float cosine is measurable via recall_at_k."""
+    emb = _emb(spark, sf_dir)
+    return similarity.int8_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb, TOP_K
+    )
+
+
 QUERIES = {
     "decontaminate_semantic": q_decontaminate_semantic,
+    "sim_int8_topk": q_sim_int8_topk,
     "sim_mmr_topk": q_sim_mmr_topk,
     "sim_ivf_multiprobe": q_sim_ivf_multiprobe,
     "pq_encode": q_pq_encode,
@@ -798,6 +811,40 @@ ORACLE["sim_ivf_multiprobe"] = f"""
     SELECT query_id, vec_id, cos, rn AS rank FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
                                      ORDER BY cos DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= {TOP_K}
+"""
+
+
+# int8 quantization + pure-integer dot scoring: the single rounding
+# (round(x/s*127)) is the same double in both engines, everything after
+# is exact integer arithmetic
+ORACLE["sim_int8_topk"] = f"""
+    WITH z AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS s,
+               embedding
+        FROM embeddings
+    ),
+    qz AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) / s * 127)
+                             AS BIGINT)) AS q
+        FROM z WHERE s > 0
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id,
+               CAST(list_sum(list_transform(
+                   generate_series(1, len(a.q)),
+                   i -> a.q[i] * b.q[i])) AS BIGINT) AS score_q
+        FROM qz a, qz b
+        WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+    )
+    SELECT query_id, vec_id, score_q, rn AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score_q DESC, vec_id) AS rn
         FROM scored
     ) WHERE rn <= {TOP_K}
 """

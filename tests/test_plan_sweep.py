@@ -47,6 +47,9 @@ BNLJ_ALLOWED = {
     # broadcast centroid relation (k rows) for the query-side probe
     # distance — the corpus side joins on cell with a hash join
     "sim_ivf_multiprobe",
+    # quantized query side broadcast (vec_id < N_QUERIES, 5 rows) —
+    # same shape as sim_brute_topk
+    "sim_int8_topk",
     "bm25_search", "global_sales", "important_parts", "ivf_pq_topk",
     "kmeans_assign", "kmeans_fit", "kmv_set_ops", "mix_temperature", "pq_encode",
     "pq_topk", "price_quantile_histogram", "quality_orders",

@@ -940,3 +940,78 @@ def cusum_changepoints(
         .filter(F.col("cusum") > F.lit(h_threshold))
         .select(series_col, "interval", F.col("n").cast("long").alias("n"), "cusum")
     )
+
+
+def lagged_correlation(
+    events: DataFrame,
+    interval_seconds: float,
+    bank_a: str,
+    bank_b: str,
+    *,
+    max_lag: int = 6,
+    bank_col: str = "bank",
+    time_col: str = "absolute_time",
+) -> DataFrame:
+    """Pearson cross-correlation of two banks' interval-count series at
+    every lag in [-max_lag, +max_lag] — "do errors follow clicks two
+    hours later?", the lead/lag diagnostic run after an anomaly fires.
+
+    Shape: one bucketed count aggregate per side, the a-side exploded
+    across the (2·max_lag+1)-element lag literal array (bounded
+    constant fanout), one equi-join on the SHIFTED interval, and one
+    per-lag aggregate of exact integer sums (n, Σx, Σy, Σxy, Σx², Σy²
+    — all BIGINT, so both engines hold identical values) folded into
+    the Pearson formula as a single double expression at the very end.
+    Only intervals where BOTH series have counts participate (inner
+    join); lags with fewer than 3 shared intervals or zero variance
+    emit a null correlation.
+
+    Output: lag, n_points, corr (rounded 1e-6).
+    """
+    _validate_interval_ns(interval_seconds)  # whole-ns width guard
+    base = events.filter(F.col(time_col).isNotNull()).select(
+        F.col(bank_col).alias("_bank"),
+        F.floor(F.col(time_col) / F.lit(float(interval_seconds)))
+        .cast("long").alias("_iv"),
+    )
+
+    def counts(bank: str, out: str) -> DataFrame:
+        return (
+            base.filter(F.col("_bank") == bank)
+            .groupBy("_iv")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    a = counts(bank_a, "x")
+    b = counts(bank_b, "y")
+    lags = F.array(*[
+        F.lit(l).cast("long") for l in range(-max_lag, max_lag + 1)
+    ])
+    shifted = (
+        a.withColumn("lag", F.explode(lags))
+        .withColumn("_jv", F.col("_iv") + F.col("lag"))
+        .select("lag", "_jv", "x")
+    )
+    joined = shifted.join(
+        b.withColumnRenamed("_iv", "_jv"), "_jv"
+    )
+    sums = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("x").cast("long").alias("_sx"),
+        F.sum("y").cast("long").alias("_sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("_sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("_sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("_sy2"),
+    )
+    # every sum enters the formula as DOUBLE: long*long products of two
+    # data-scale sums overflow int64 long before precision matters here
+    n = F.col("n_points").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    cov = n * F.col("_sxy").cast("double") - sx * sy
+    vx = n * F.col("_sx2").cast("double") - sx * sx
+    vy = n * F.col("_sy2").cast("double") - sy * sy
+    corr = F.when(
+        (F.col("n_points") >= 3) & (vx > 0) & (vy > 0),
+        F.round(cov / F.sqrt(vx * vy), 6),
+    )
+    return sums.select("lag", "n_points", corr.alias("corr"))

@@ -350,6 +350,20 @@ def q_timeslice_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smoothing.ewma(hourly, ["bank"], "interval", "v", EMA_ALPHA)
 
 
+XCORR_MAX_LAG = 6
+
+
+def q_lagged_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag cross-correlation between the click and error hourly
+    count series at lags -6..+6 (operators/timeslice.lagged_correlation):
+    exact BIGINT sums folded into one double Pearson expression, so the
+    rounded correlations match the SQL replay exactly."""
+    return timeslice.lagged_correlation(
+        _events(spark, sf_dir), INTERVAL, "click", "error",
+        max_lag=XCORR_MAX_LAG,
+    )
+
+
 HOLT_ALPHA, HOLT_BETA = 0.25, 0.5  # both binary-exact
 
 
@@ -440,6 +454,7 @@ QUERIES = {
     "seasonal_anomaly": q_seasonal_anomaly,
     "timeslice_ema": q_timeslice_ema,
     "timeslice_holt": q_timeslice_holt,
+    "lagged_correlation": q_lagged_correlation,
     "rollup_percentile": q_rollup_percentile,
     "timeslice_gapfill": q_timeslice_gapfill,
     "interval_totals": q_interval_totals,
@@ -937,4 +952,51 @@ ORACLE["timeslice_holt"] = f"""
            CASE WHEN holt_trend IS NULL THEN NULL
                 ELSE holt_level + 1 * holt_trend END AS holt_forecast
     FROM rec
+""".replace("{_TS}", _TS).replace("{IV}", str(INTERVAL))
+
+
+# exact BIGINT sums per lag, one double Pearson expression at the end —
+# identical values cross-engine up to the final rounded division
+ORACLE["lagged_correlation"] = f"""
+    WITH e AS (
+        SELECT event_type AS bank, {{_TS}} AS t FROM events
+    ),
+    c AS (
+        SELECT bank, CAST(floor(t / {{IV}}) AS BIGINT) AS iv,
+               CAST(count(*) AS BIGINT) AS n
+        FROM e WHERE t IS NOT NULL AND bank IN ('click', 'error')
+        GROUP BY 1, 2
+    ),
+    a AS (SELECT iv, n AS x FROM c WHERE bank = 'click'),
+    b AS (SELECT iv, n AS y FROM c WHERE bank = 'error'),
+    lg AS (SELECT CAST(unnest(range(-{XCORR_MAX_LAG},
+                                    {XCORR_MAX_LAG} + 1)) AS BIGINT)
+               AS lag),
+    j AS (
+        SELECT lg.lag, a.x, b.y
+        FROM a, lg
+        JOIN b ON b.iv = a.iv + lg.lag
+    ),
+    s AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sx2,
+               CAST(sum(y * y) AS BIGINT) AS sy2
+        FROM j GROUP BY 1
+    )
+    SELECT lag, n_points,
+           CASE WHEN n_points >= 3
+                 AND CAST(n_points AS DOUBLE) * sx2
+                     - CAST(sx AS DOUBLE) * sx > 0
+                 AND CAST(n_points AS DOUBLE) * sy2
+                     - CAST(sy AS DOUBLE) * sy > 0
+                THEN round((CAST(n_points AS DOUBLE) * sxy
+                            - CAST(sx AS DOUBLE) * sy)
+                           / sqrt((CAST(n_points AS DOUBLE) * sx2
+                                   - CAST(sx AS DOUBLE) * sx)
+                                  * (CAST(n_points AS DOUBLE) * sy2
+                                     - CAST(sy AS DOUBLE) * sy)), 6)
+           END AS corr
+    FROM s
 """.replace("{_TS}", _TS).replace("{IV}", str(INTERVAL))

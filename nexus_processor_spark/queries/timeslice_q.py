@@ -350,6 +350,31 @@ def q_timeslice_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smoothing.ewma(hourly, ["bank"], "interval", "v", EMA_ALPHA)
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-bank outlier gate: median absolute deviation instead
+    of the z-score's mean/stddev (one extreme value inflates a stddev
+    and HIDES its neighbors; the MAD threshold doesn't move). Exact
+    interpolated medians (percentile / quantile_cont parity is pinned
+    elsewhere); deviations and the MAD round at 1e-6 BEFORE the
+    threshold compare so both engines compare identical doubles."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull()) \
+        .select("bank", "value")
+    med = ev.groupBy("bank").agg(
+        F.expr("percentile(value, 0.5)").alias("_med"))
+    dev = ev.join(F.broadcast(med), "bank").withColumn(
+        "_ad", F.round(F.abs(F.col("value") - F.col("_med")), 6))
+    stats = dev.groupBy("bank").agg(
+        F.round(F.expr("percentile(_ad, 0.5)"), 6).alias("_mad"))
+    flagged = dev.join(F.broadcast(stats), "bank").withColumn(
+        "_out", (F.col("_ad") > 3 * F.col("_mad")).cast("long"))
+    return flagged.groupBy("bank").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_out").cast("long").alias("n_outliers"),
+        F.round(F.max("_med"), 4).alias("median_value"),
+        F.max("_mad").alias("mad"),
+    )
+
+
 XCORR_MAX_LAG = 6
 
 
@@ -455,6 +480,7 @@ QUERIES = {
     "timeslice_ema": q_timeslice_ema,
     "timeslice_holt": q_timeslice_holt,
     "lagged_correlation": q_lagged_correlation,
+    "mad_outliers": q_mad_outliers,
     "rollup_percentile": q_rollup_percentile,
     "timeslice_gapfill": q_timeslice_gapfill,
     "interval_totals": q_interval_totals,
@@ -1000,3 +1026,31 @@ ORACLE["lagged_correlation"] = f"""
            END AS corr
     FROM s
 """.replace("{_TS}", _TS).replace("{IV}", str(INTERVAL))
+
+
+# same rounded-before-compare MAD gate; 3 * mad is the identical double
+# in both engines because mad itself is a round-6 value
+ORACLE["mad_outliers"] = """
+    WITH e AS (
+        SELECT event_type AS bank, value FROM events
+        WHERE value IS NOT NULL
+    ),
+    m AS (
+        SELECT bank, quantile_cont(value, 0.5) AS med FROM e GROUP BY 1
+    ),
+    d AS (
+        SELECT e.bank, round(abs(e.value - m.med), 6) AS ad, m.med
+        FROM e JOIN m USING (bank)
+    ),
+    s AS (
+        SELECT bank, round(quantile_cont(ad, 0.5), 6) AS mad
+        FROM d GROUP BY 1
+    )
+    SELECT d.bank, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN d.ad > 3 * s.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           round(max(d.med), 4) AS median_value,
+           max(s.mad) AS mad
+    FROM d JOIN s USING (bank)
+    GROUP BY 1
+"""

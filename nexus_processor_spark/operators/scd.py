@@ -216,3 +216,32 @@ def scd2_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def temporal_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    at_col: str,
+    *,
+    how: str = "inner",
+) -> DataFrame:
+    """Join facts to the dimension version in effect at each fact's
+    time: ``valid_from <= at < valid_to`` (open current rows match
+    everything from their valid_from on) — the query an SCD2 table
+    exists to answer ("price the order at the terms THEN in force").
+
+    Plan shape: an EQUI join on ``key_col`` carries the shuffle; the
+    validity-range predicate rides on top as a post-join filter inside
+    the same hash join (never a cross or theta join). Each fact matches
+    at most ONE version (validity intervals partition the timeline per
+    key by construction), so the join never fans out.
+    """
+    dim = history.withColumnRenamed(key_col, f"_{key_col}_dim")
+    cond = (
+        (facts[at_col] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (facts[at_col] < dim["valid_to"]))
+    )
+    return facts.join(
+        dim, (facts[key_col] == dim[f"_{key_col}_dim"]) & cond, how
+    ).drop(f"_{key_col}_dim", "is_current")

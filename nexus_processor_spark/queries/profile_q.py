@@ -174,15 +174,11 @@ def q_orders_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshots.read_snapshot(spark, a)
 
 
-def q_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD Type-2 dimension built from a deterministic 3-seq change
-    log over orders (operators/scd.py): seq 1 migrates %89 keys to
-    status 'U'; seq 2 re-emits 'U' for %89∩%97 keys (collapses as a
-    consecutive duplicate UNLESS the price also changed) and doubles
-    %97 prices. Versions chain valid_from/valid_to per key; one
-    key-partitioned window, no unpartitioned ops."""
-    from nexus_processor_spark.operators import scd
-
+def _scd2_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic 3-seq change log over orders shared by the
+    SCD2 queries: seq 1 migrates %89 keys to status 'U'; seq 2 re-emits
+    'U' for %89∩%97 keys (collapses as a consecutive duplicate UNLESS
+    the price also changed) and doubles %97 prices."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -193,7 +189,7 @@ def q_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(seq).cast("long").alias("seq"),
         )
 
-    log = (
+    return (
         _v(orders, F.col("o_orderstatus"), F.col("o_totalprice"), 0)
         .unionByName(_v(
             orders.filter(F.pmod("o_orderkey", F.lit(89)) == 0),
@@ -206,7 +202,34 @@ def q_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice") * 2, 2,
         ))
     )
-    return scd.scd2_history(log, "o_orderkey", "seq")
+
+
+def q_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension built from the deterministic 3-seq change
+    log over orders (operators/scd.py). Versions chain
+    valid_from/valid_to per key; one key-partitioned window, no
+    unpartitioned ops."""
+    from nexus_processor_spark.operators import scd
+
+    return scd.scd2_history(_scd2_log(spark, sf_dir), "o_orderkey", "seq")
+
+
+def q_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query an SCD2 table exists for: every lineitem joined to the
+    orders-dimension version in force at its own point in time
+    (at = l_linenumber % 3 against the 3-seq history) —
+    ``valid_from <= at < valid_to`` riding a plain o_orderkey equi hash
+    join; validity intervals partition the timeline so no fact ever
+    fans out to two versions."""
+    from nexus_processor_spark.operators import scd
+
+    hist = scd.scd2_history(_scd2_log(spark, sf_dir), "o_orderkey", "seq")
+    facts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.pmod("l_linenumber", F.lit(3)).cast("long").alias("at"),
+    )
+    return scd.temporal_join(facts, hist, "o_orderkey", "at")
 
 
 def q_orders_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,6 +338,7 @@ QUERIES = {
     "orders_scd2": q_orders_scd2,
     "orders_cdc_extract": q_orders_cdc_extract,
     "customer_linkage": q_customer_linkage,
+    "temporal_dim_join": q_temporal_dim_join,
     "price_histogram": q_price_histogram,
 }
 
@@ -563,4 +587,53 @@ ORACLE["customer_linkage"] = """
                                      ORDER BY score DESC, b_key) AS rn
         FROM p WHERE score >= 3
     ) WHERE rn = 1
+"""
+
+
+# the same history CTE as orders_scd2, then the point-in-time join:
+# each lineitem matches exactly one version of its order's dimension row
+ORACLE["temporal_dim_join"] = """
+    WITH log AS (
+        SELECT o_orderkey, o_orderstatus AS status,
+               o_totalprice AS price, 0 AS seq
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'U', o_totalprice, 1
+        FROM orders WHERE o_orderkey % 89 = 0
+        UNION ALL
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 89 = 0 THEN 'U'
+                    ELSE o_orderstatus END,
+               o_totalprice * 2, 2
+        FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    kept AS (
+        SELECT o_orderkey, status, price, seq FROM (
+            SELECT *, lag(status) OVER w AS ps, lag(price) OVER w AS pp,
+                   lag(seq) OVER w AS pq
+            FROM log
+            WINDOW w AS (PARTITION BY o_orderkey ORDER BY seq)
+        )
+        WHERE pq IS NULL OR status IS DISTINCT FROM ps
+           OR price IS DISTINCT FROM pp
+    ),
+    hist AS (
+        SELECT o_orderkey, status, price,
+               CAST(seq AS BIGINT) AS valid_from,
+               CAST(lead(seq) OVER (PARTITION BY o_orderkey
+                                    ORDER BY seq) AS BIGINT) AS valid_to
+        FROM kept
+    ),
+    f AS (
+        SELECT l_orderkey AS o_orderkey,
+               CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               CAST(l_linenumber % 3 AS BIGINT) AS at
+        FROM lineitem
+    )
+    SELECT f.o_orderkey, f.l_linenumber, f.at,
+           h.status, h.price, h.valid_from, h.valid_to
+    FROM f JOIN hist h
+      ON h.o_orderkey = f.o_orderkey
+     AND h.valid_from <= f.at
+     AND (h.valid_to IS NULL OR f.at < h.valid_to)
 """

@@ -143,3 +143,26 @@ def test_scd2_stream_two_drains_match_full_build(spark, tmp_path):
     assert _hist_rows(snapshots.read_snapshot(spark, h)) == _hist_rows(
         scd.scd2_history(full, "id", "seq")
     )
+
+
+def test_temporal_join_matches_one_version_per_fact(spark):
+    from nexus_processor_spark.operators import scd
+
+    log = spark.createDataFrame(
+        [(1, "a", 1.0, 0), (1, "b", 1.0, 5), (2, "x", 2.0, 3)],
+        LOG_SCHEMA,
+    )
+    hist = scd.scd2_history(log, "id", "seq")
+    facts = spark.createDataFrame(
+        [(100, 1, 0), (101, 1, 4), (102, 1, 5), (103, 1, 99),
+         (104, 2, 0),   # before key 2's first version: no match
+         (105, 9, 1)],  # unknown key
+        "fact_id long, id long, at long",
+    )
+    got = {r.fact_id: r.status
+           for r in scd.temporal_join(facts, hist, "id", "at").collect()}
+    assert got == {100: "a", 101: "a", 102: "b", 103: "b"}
+    left = {r.fact_id: r.status
+            for r in scd.temporal_join(facts, hist, "id", "at",
+                                       how="left").collect()}
+    assert left[104] is None and left[105] is None and left[100] == "a"

@@ -223,8 +223,14 @@ def maintain_agg_batch(
     agg_cold = snapshots.current_version(agg_path) is None
     if agg_cold or base_v is None:
         # cold start, or crash-recovery (base landed, agg didn't):
-        # full recompute is the always-correct form of "touched"
-        full = post.groupBy(group_col).agg(*measures)
+        # full recompute is the always-correct form of "touched".
+        # NULL groups are excluded here too — the incremental path
+        # cannot maintain them (null merge key), so the cold build must
+        # not create a row that would silently go stale.
+        full = (
+            post.filter(F.col(group_col).isNotNull())
+            .groupBy(group_col).agg(*measures)
+        )
         return snapshots.write_snapshot(
             full, agg_path, mode="overwrite",
             stats_cols=(group_col,), version=version,

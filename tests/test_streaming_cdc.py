@@ -251,3 +251,24 @@ def test_maintain_agg_stream_end_to_end(spark, tmp_path):
     q2.awaitTermination(120)
     assert _agg_table(spark, a) == _full_agg(spark, t) == {
         "g1": (2, 5.0, 4.0), "g2": (1, 2.0, 2.0)}
+
+
+def test_maintain_agg_null_groups_excluded_cold_and_incremental(spark, tmp_path):
+    """NULL group values are documented-unmaintainable (null merge key):
+    the cold full build must not create a null-group row that the
+    incremental path would silently leave stale."""
+    t, a = str(tmp_path / "base"), str(tmp_path / "agg")
+    b0 = spark.createDataFrame(
+        [(1, None, 1.0, 0, False), (2, "g1", 2.0, 0, False)], IVM_SCHEMA)
+    cdc.maintain_agg_batch(
+        spark, t, a, b0, "id", "grp", _ivm_measures(),
+        seq_col="seq", delete_col="deleted", version=0,
+    )
+    assert set(_agg_table(spark, a)) == {"g1"}
+    b1 = spark.createDataFrame(
+        [(3, "g2", 3.0, 1, False)], IVM_SCHEMA)
+    cdc.maintain_agg_batch(
+        spark, t, a, b1, "id", "grp", _ivm_measures(),
+        seq_col="seq", delete_col="deleted", version=1,
+    )
+    assert set(_agg_table(spark, a)) == {"g1", "g2"}

@@ -89,3 +89,74 @@ def running_bank_totals(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUT_SCHEMA = StructType([
+    StructField("series", StringType(), True),
+    StructField("batch_rows", LongType(), True),
+    StructField("last_t", DoubleType(), True),
+    StructField("ewma", DoubleType(), True),
+])
+
+_EWMA_STATE_SCHEMA = StructType([
+    StructField("state", DoubleType(), True),
+    StructField("last_t", DoubleType(), True),
+])
+
+
+def _make_ewma_updater(alpha: float):
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cur, last_t = state.get if state.exists else (None, None)
+        if cur is not None and pd.isna(cur):
+            cur = None
+        n = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("t")
+            n += len(pdf)
+            for t, x in zip(pdf["t"], pdf["x"]):
+                if pd.isna(x):
+                    continue
+                # late rows (t <= last seen) are DROPPED, not folded out
+                # of order: the recurrence is order-sensitive and the
+                # state cannot be rewound — the same in-order contract
+                # every streaming recurrence carries
+                if last_t is not None and t <= last_t:
+                    continue
+                x = float(x)
+                cur = x if cur is None else \
+                    alpha * x + (1.0 - alpha) * cur
+                last_t = float(t)
+        state.update((cur, last_t))
+        yield pd.DataFrame([{
+            "series": key[0],
+            "batch_rows": n,
+            "last_t": last_t,
+            "ewma": cur,
+        }])
+
+    return _update
+
+
+def running_ewma(points: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """Streaming EWMA per series through the state store: one
+    fixed-width (state, last_t) tuple per key survives across
+    micro-batches, each batch folds its in-order points through the
+    same ``alpha*x + (1-alpha)*s`` recurrence as the batch operator
+    (``operators/smoothing.ewma`` — cross-drain equality test-pinned),
+    and late (t <= last seen) or null points are skipped, never folded
+    out of order. Input columns: ``series``, ``t``, ``x``. Emits one
+    row per (series, micro-batch) with the post-batch state.
+
+    Scale: state is O(distinct series) fixed-width tuples partitioned
+    by key — never O(points)."""
+    return points.groupBy("series").applyInPandasWithState(
+        _make_ewma_updater(alpha),
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

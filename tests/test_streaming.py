@@ -579,3 +579,52 @@ def test_running_totals_null_pulse_rows_survive(spark, tmp_path):
            for r in spark.sql("SELECT * FROM rt_nulls").collect()}
     assert got["b1"] == (2, -1, 5.0)
     assert got[None] == (1, 5, 1.0)
+
+
+def test_running_ewma_matches_batch_operator_across_drains(spark, tmp_path):
+    """Streaming EWMA folds the same recurrence as smoothing.ewma: two
+    drains over split files end at the batch operator's final state per
+    series, bit-exact; nulls skip; late rows drop."""
+    from nexus_processor_spark.operators import smoothing
+
+    src = tmp_path / "pts"
+    src.mkdir()
+    schema = "series string, t double, x double"
+    f1 = [("s1", 0.0, 4.0), ("s1", 1.0, None), ("s1", 2.0, 8.0),
+          ("s2", 0.0, 10.0)]
+    f2 = [("s1", 3.0, 2.0), ("s1", 1.5, 99.0),  # 1.5 < 2.0: late, drops
+          ("s2", 1.0, 20.0), ("s3", 0.0, 7.0)]
+    spark.createDataFrame(f1, schema).coalesce(1) \
+        .write.parquet(str(src / "f1"))
+    ck = str(tmp_path / "ck")
+
+    emitted: list = []
+
+    def drain():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+        q = (stateful.running_ewma(stream, 0.25)
+             .writeStream.foreachBatch(
+                 lambda df, _e: emitted.extend(df.collect()))
+             .option("checkpointLocation", ck)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(f2, schema).coalesce(1) \
+        .write.parquet(str(src / "f2"))
+    drain()
+    got = {}
+    for r in emitted:  # emission order: later batches overwrite per key
+        got[r.series] = (r.last_t, r.ewma)
+
+    # batch twin over the SAME in-order non-late points
+    batch_rows = [r for r in f1 + f2 if r != ("s1", 1.5, 99.0)]
+    bdf = spark.createDataFrame(batch_rows, schema)
+    want = {}
+    for r in smoothing.ewma(bdf, ["series"], "t", "x", 0.25).collect():
+        cur = want.get(r.series)
+        if cur is None or r.t > cur[0]:
+            want[r.series] = (r.t, r.ewma)
+    assert {k: v[1] for k, v in got.items()} \
+        == {k: v[1] for k, v in want.items()}

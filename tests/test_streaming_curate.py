@@ -6,7 +6,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from nexus_processor_spark.operators import dedup
-from nexus_processor_spark.sources import snapshots
 from nexus_processor_spark.streaming import curate
 
 LONG_A = ("the quick brown fox jumps over the lazy dog while the band "
@@ -172,10 +171,10 @@ def test_curate_stream_replayed_batch_is_skipped(spark, tmp_path):
         .write.mode("overwrite").parquet(str(src / "b1"))
 
     # simulate the post-publish crash: version 0 already committed
-    snapshots.write_snapshot(
+    curate.open_state(spark, state).commit_delta(
         spark.createDataFrame(
             [("md5", "sentinel", None, None, None)], curate.STATE_SCHEMA),
-        state, version=0,
+        version=0,
     )
     stream = spark.readStream.schema(schema).parquet(str(src / "*"))
     q = curate.curate_stream(
@@ -225,6 +224,7 @@ def test_state_advance_is_o_delta_not_o_corpus(spark, tmp_path):
             for r, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
         )
 
+    store = curate.open_state(spark, state)
     sizes = []
     for b in range(4):
         # batch 0 is 4x the size of batches 1-3: if commits were
@@ -234,12 +234,11 @@ def test_state_advance_is_o_delta_not_o_corpus(spark, tmp_path):
             _mk_docs(f"b{b}x", n, 1000 * b), schema
         ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{b}"))
         drain()
-        v = snapshots.current_version(state)
-        new_dir = snapshots._read_manifest(state, v)["data_dirs"][-1]
+        new_dir = store._dirs()[-1]["path"]
         sizes.append(dir_bytes(os.path.join(state, new_dir)))
-    # one data dir per batch, accumulated in the manifest
-    assert len(snapshots._read_manifest(
-        state, snapshots.current_version(state))["data_dirs"]) == 4
+    # one data dir per batch, accumulated in the manifest (the batch
+    # sizes straddle size tiers, so nothing folds in this run)
+    assert len(store._dirs()) == 4
     # batches 1-3 wrote small deltas even though the accumulated state
     # kept growing: each later dir is well under the big batch-0 dir
     assert all(s < sizes[0] for s in sizes[1:]), sizes
@@ -249,9 +248,9 @@ def test_state_advance_is_o_delta_not_o_corpus(spark, tmp_path):
 
 
 def test_state_compaction_folds_the_log(spark, tmp_path):
-    """compact_every=2: every other commit rewrites one merged+distinct
-    directory, so manifest fan-in stays bounded while decisions match
-    the uncompacted stream's."""
+    """fold_factor=2: whenever two directories share a size tier they
+    fold into one, so manifest fan-in stays bounded while decisions
+    match the uncompacted stream's."""
     src = tmp_path / "incoming"
     src.mkdir()
     state = str(tmp_path / "state")
@@ -261,7 +260,7 @@ def test_state_compaction_folds_the_log(spark, tmp_path):
         stream = spark.readStream.schema(schema).parquet(str(src / "*"))
         q = curate.curate_stream(
             stream, state_path=state, sink_path=str(tmp_path / "sink"),
-            checkpoint_dir=str(tmp_path / "ck"), compact_every=2)
+            checkpoint_dir=str(tmp_path / "ck"), fold_factor=2)
         q.awaitTermination(120)
 
     for b in range(3):
@@ -269,8 +268,7 @@ def test_state_compaction_folds_the_log(spark, tmp_path):
             _mk_docs(f"c{b}x", 10, 1000 * b), schema
         ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{b}"))
         drain()
-    v = snapshots.current_version(state)
-    dirs = snapshots._read_manifest(state, v)["data_dirs"]
+    dirs = curate.open_state(spark, state)._dirs()
     assert len(dirs) <= 2  # the log folds instead of growing per batch
     st = curate.read_state(spark, state)
     assert st.filter("kind = 'md5'").count() == 30
@@ -375,7 +373,7 @@ def test_quality_gate_single_batch_matches_curate_corpus(spark):
 def test_quality_gate_accumulates_across_batches(spark, tmp_path):
     """The stream gates each batch on the distribution of EVERY doc seen
     so far (state qhist + batch), not the batch alone — and the counts
-    survive log compaction (compact_every=2 forces two folds)."""
+    survive log folding (fold_factor=2 forces folds)."""
     src = tmp_path / "incoming"
     src.mkdir()
     state = str(tmp_path / "state")
@@ -386,7 +384,7 @@ def test_quality_gate_accumulates_across_batches(spark, tmp_path):
         q = curate.curate_stream(
             stream, state_path=state, sink_path=str(tmp_path / "sink"),
             checkpoint_dir=str(tmp_path / "ck"),
-            quality_q=0.5, compact_every=2)
+            quality_q=0.5, fold_factor=2)
         q.awaitTermination(120)
 
     def add_batch(b, metrics):

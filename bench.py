@@ -260,56 +260,102 @@ def run_docs(spark) -> dict[str, object]:
 
 def run_curate(spark) -> dict[str, object]:
     """Streaming-curation state scaling: 5 consecutive ~200k-doc batches
-    through the full gate pipeline, each curated AGAINST the state the
-    earlier batches accumulated (exact-dedup md5s, verified near-dup
-    band/mins rows). Reports per-batch wall seconds: with the
-    log-structured state (append one delta dir + manifest per commit),
-    batch time tracks the BATCH kernel, not the accumulated corpus —
-    the r4 store rewrote the full merged state every batch, which shows
-    up here as monotone per-batch growth."""
+    through the gate pipeline, each curated AGAINST the state the
+    earlier batches accumulated, through the bucketed + bloom-indexed
+    ``KeyedStateStore`` (VERDICT r5 next #1). Per batch it reports wall
+    seconds AND the store's byte accounting — ``probe_mb`` (bucket
+    parquet actually read by the three state probes) is THE pin: it
+    must track the batch's candidate keys, staying flat while
+    ``state_mb`` grows monotonically; ``commit_mb`` shows the tiered
+    folds (a bounded multiple of the delta, never a full-state
+    rewrite — r5 next #2). The ``gates`` variant re-runs the sweep
+    with every gate on (accumulated quality quantile, Gopher
+    repetition, benchmark decontamination — r5 next #4)."""
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
-    from nexus_processor_spark.streaming import curate
+    from nexus_processor_spark.streaming import curate, state_store
 
     ensure_big_docs(spark)
     docs = spark.read.parquet(f"{DOCS_DIR}/documents.parquet")
-    state_dir = tempfile.mkdtemp(prefix="curate_bench_state_")
-    out: dict[str, object] = {"batches": []}
-    try:
-        for b in range(5):
-            batch = docs.filter(F.col("doc_id") % 10 == b)
-            s = time.perf_counter()
-            state = curate.read_state(spark, state_dir)
-            handles: list = []
-            audit = curate.curate_batch(
-                batch, state, _projection_out=handles
-            ).persist()
-            try:
-                n_kept = audit.filter("keep").count()
-                delta = curate._survivor_state(
-                    audit.filter("keep"), text_col="text", id_col="doc_id",
-                    sigs=handles[0] if handles else None,
+
+    def drive(gates: bool) -> dict[str, object]:
+        state_dir = tempfile.mkdtemp(prefix="curate_bench_state_")
+        out: dict[str, object] = {"batches": []}
+        eval_df = (
+            docs.filter(F.col("doc_id") % 97 == 0).limit(500)
+            .select("doc_id", "text")
+            if gates else None
+        )
+        kw: dict[str, object] = {}
+        if gates:
+            kw = {
+                "quality_q": 0.25, "quality_metric_col": "n_chars",
+                "max_dup_char_fraction": 0.9,
+                "eval_df": eval_df, "max_contamination_hits": 0,
+            }
+        # all-gates batches run at ~100k docs: the repetition +
+        # decontamination plans hold the wide text column in several
+        # concurrent operators and a 200k batch overflows the 8g local
+        # driver+executor heap (measured; a real cluster sizes executor
+        # memory per core instead)
+        mod = 20 if gates else 10
+        try:
+            for b in range(5):
+                batch = docs.filter(F.col("doc_id") % mod == b)
+                s = time.perf_counter()
+                store = curate.open_state(spark, state_dir)
+                state = (
+                    store if store.current_version() is not None else None
                 )
-                curate._advance_state(spark, state_dir, b, delta)
-            finally:
-                audit.unpersist()
-                for h in handles:
-                    h.unpersist()
-            out["batches"].append({
-                "sec": round(time.perf_counter() - s, 3),
-                "kept": n_kept,
-            })
-            spark.catalog.clearCache()
-        st = curate.read_state(spark, state_dir)
-        out["state_rows"] = st.count()
-        secs = [b["sec"] for b in out["batches"]]
-        out["batch_sec_first"] = secs[0]
-        out["batch_sec_last"] = secs[-1]
-    finally:
-        shutil.rmtree(state_dir, ignore_errors=True)
+                handles: list = []
+                audit = curate.curate_batch(
+                    batch, state, _projection_out=handles, **kw
+                ).persist()
+                try:
+                    n_kept = audit.filter("keep").count()
+                    delta = curate._survivor_state(
+                        audit.filter("keep"),
+                        text_col="text", id_col="doc_id",
+                        sigs=handles[0] if handles else None,
+                    )
+                    if gates:
+                        delta = delta.unionByName(curate._qhist_delta(
+                            batch, metric_col="n_chars"))
+                    # same sequence as curate._advance_state, on THIS
+                    # store instance so its byte counters are readable
+                    store.commit_delta(
+                        delta, version=b, fold_fn=curate._compact_state)
+                    store.expire(keep_last=2)
+                finally:
+                    audit.unpersist()
+                    for h in handles:
+                        h.unpersist()
+                out["batches"].append({
+                    "sec": round(time.perf_counter() - s, 3),
+                    "kept": n_kept,
+                    "probe_mb": round(store.probe_bytes_total / 1e6, 2),
+                    "probe_meta_mb": round(
+                        store.last_probe_meta_bytes / 1e6, 2),
+                    "commit_mb": round(store.last_commit_bytes / 1e6, 2),
+                    "fold_mb": round(store.last_fold_bytes / 1e6, 2),
+                    "state_mb": round(
+                        state_store._dir_bytes(state_dir) / 1e6, 2),
+                })
+                spark.catalog.clearCache()
+            st = curate.read_state(spark, state_dir)
+            out["state_rows"] = st.count()
+            secs = [x["sec"] for x in out["batches"]]
+            out["batch_sec_first"] = secs[0]
+            out["batch_sec_last"] = secs[-1]
+        finally:
+            shutil.rmtree(state_dir, ignore_errors=True)
+        return out
+
+    out = drive(gates=False)
+    out["gates"] = drive(gates=True)
     return out
 
 
@@ -735,6 +781,81 @@ def run_vecs(spark) -> dict[str, object]:
     return out
 
 
+def run_ann(spark) -> dict[str, object]:
+    """The ANN quality-cost curve (VERDICT r5 next #3): recall@10 vs
+    latency at 1M x 64-dim, 100 queries, against brute-force ground
+    truth. The nprobe dial (1..16 of 64 coarse cells) is THE 100 TB
+    cost model — single-probe scans ~1/64 of the corpus, brute force
+    scans all of it; this section measures what each step of the dial
+    actually buys. ``int8`` is the 4x-shrunk full scan; ``ivf_pq`` is
+    the composed FAISS shape (own-cell probe + ADC). Recall is computed
+    OUTSIDE the timed window (it's an eval, not part of the search)."""
+    from pyspark.sql import functions as F
+
+    from nexus_processor_spark.operators import similarity
+
+    ensure_big_vecs(spark)
+    emb = spark.read.parquet(f"{VEC_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 100)
+    centroids = emb.filter(F.col("vec_id") < 64)
+    k = 10
+    n_q = 100
+
+    def timed(build):
+        best = float("inf")
+        for _ in range(2):
+            s = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - s)
+            spark.catalog.clearCache()
+        return best
+
+    def mean_recall(approx) -> float:
+        r = similarity.recall_at_k(approx, gt, k).agg(
+            F.avg("recall").alias("r")).first()["r"]
+        return round(float(r), 4)
+
+    out: dict[str, object] = {
+        "rows": VEC_ROWS, "dim": VEC_DIM, "k": k, "n_queries": n_q,
+        "configs": [],
+    }
+    t_brute = timed(lambda: similarity.brute_force_topk(queries, emb, k))
+    gt = spark.createDataFrame(
+        similarity.brute_force_topk(queries, emb, k)
+        .select("query_id", "vec_id").toPandas()
+    )
+    out["configs"].append({
+        "config": "brute_force", "sec": round(t_brute, 3),
+        "recall_at_10": 1.0, "qps": round(n_q / t_brute, 1),
+    })
+    for nprobe in (1, 2, 4, 8, 16):
+        build = lambda: similarity.ivf_multiprobe_topk(  # noqa: E731
+            queries, emb, centroids, k, nprobe=nprobe)
+        t = timed(build)
+        out["configs"].append({
+            "config": f"ivf_nprobe_{nprobe}", "sec": round(t, 3),
+            "recall_at_10": mean_recall(build()),
+            "qps": round(n_q / t, 1),
+        })
+    t = timed(lambda: similarity.int8_topk(queries, emb, k))
+    out["configs"].append({
+        "config": "int8_scan", "sec": round(t, 3),
+        "recall_at_10": mean_recall(similarity.int8_topk(queries, emb, k)),
+        "qps": round(n_q / t, 1),
+    })
+    for m in (4, 8):
+        cb = similarity.pq_codebooks(emb.filter(F.col("vec_id") < 32), m)
+        build = lambda: similarity.ivf_pq_topk(  # noqa: E731
+            queries, emb, cb, k, m)
+        t = timed(build)
+        out["configs"].append({
+            "config": f"ivf_pq_m{m}", "sec": round(t, 3),
+            "recall_at_10": mean_recall(build()),
+            "qps": round(n_q / t, 1),
+        })
+    return out
+
+
 def run_tables(spark) -> dict[str, object]:
     """Snapshot-table maintenance at data scale: (1) a 10M-row base
     committed as 8 key-ranged directories, then 3 trickle batches of
@@ -875,12 +996,7 @@ def main() -> None:
         "sf": sf,
     }), flush=True)
 
-    big = None
-    ops = None
-    docs = None
-    rep = None
-    vecs = None
-    cur = None
+    results: dict[str, object] = {}
     if os.environ.get("SPARK_GRAFT_BIGBENCH", "1") != "0":
         # Ordered by signal value; each checks the remaining budget and
         # records a skip marker instead of risking a hard kill.
@@ -890,10 +1006,10 @@ def main() -> None:
             ("opsbench", lambda: run_ops(spark), 240.0),
             ("replaybench", lambda: run_replay(spark, sf_dir), 120.0),
             ("vecbench", lambda: run_vecs(spark), 240.0),
-            ("curatebench", lambda: run_curate(spark), 240.0),
+            ("curatebench", lambda: run_curate(spark), 480.0),
+            ("annbench", lambda: run_ann(spark), 300.0),
             ("tablebench", lambda: run_tables(spark), 240.0),
         )
-        results: dict[str, object] = {}
         for name, fn, est in sections:
             if _remaining() < est:
                 _note(f"skip {name}: {_remaining():.0f}s left < est {est:.0f}s")
@@ -902,12 +1018,6 @@ def main() -> None:
             s = time.monotonic()
             results[name] = fn()
             _note(f"{name} done in {time.monotonic() - s:.1f}s")
-        big = results.get("bigbench")
-        ops = results.get("opsbench")
-        docs = results.get("docsbench")
-        rep = results.get("replaybench")
-        vecs = results.get("vecbench")
-        cur = results.get("curatebench")
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -917,18 +1027,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    if big is not None:
-        full["bigbench"] = big
-    if ops is not None:
-        full["opsbench"] = ops
-    if docs is not None:
-        full["docsbench"] = docs
-    if rep is not None:
-        full["replaybench"] = rep
-    if vecs is not None:
-        full["vecbench"] = vecs
-    if cur is not None:
-        full["curatebench"] = cur
+    # EVERY section lands in the artifact keyed by its name (r5 shipped
+    # a hand-maintained copy list that silently dropped tablebench)
+    for name, val in results.items():
+        if val is not None:
+            full[name] = val
     # The driver's tail capture parses only the LAST stdout line; the full
     # per-section payload overflows it (BENCH_r03 came back parsed:null).
     # Persist the full result to a sidecar and keep the final line compact.

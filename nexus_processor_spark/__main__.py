@@ -147,6 +147,24 @@ def _build_parser() -> argparse.ArgumentParser:
     sy.add_argument("--rows", type=int, required=True)
     sy.add_argument("--output", required=True, help="parquet output path")
 
+    lh = sub.add_parser(
+        "lakehouse",
+        help="CDC extract -> apply -> incremental view maintenance over "
+             "a snapshot table, end to end, with a built-in equivalence "
+             "check (the composition demo of streaming/cdc.py)")
+    lh.add_argument("--input", required=True, help="OLD snapshot parquet")
+    lh.add_argument("--against", required=True, help="NEW snapshot parquet")
+    lh.add_argument("--key", required=True, help="primary key column")
+    lh.add_argument("--group", required=True,
+                    help="group column of the maintained aggregate view")
+    lh.add_argument("--measure", required=True,
+                    help="numeric column; the view maintains its SUM and "
+                         "a row count per group")
+    lh.add_argument("--table-dir", required=True,
+                    help="snapshot table directory (created)")
+    lh.add_argument("--agg-dir", required=True,
+                    help="maintained aggregate view directory (created)")
+
     qr = sub.add_parser(
         "query", help="run a registry query against a testdata-layout dir"
     )
@@ -416,6 +434,57 @@ def main(argv: list[str] | None = None) -> int:
                .parquet(args.output))
             print(f"wrote {args.rows} {args.table} rows -> {args.output}",
                   file=sys.stderr)
+        elif args.cmd == "lakehouse":
+            from nexus_processor_spark.sources import snapshots
+            from nexus_processor_spark.streaming import cdc
+
+            old = spark.read.parquet(args.input)
+            new = spark.read.parquet(args.against)
+            measures = [
+                F.sum(args.measure).alias(f"sum_{args.measure}"),
+                F.count(F.lit(1)).alias("n_rows"),
+            ]
+            # batch 0: the OLD snapshot arrives as its own cold change
+            # feed (builds the base table + the view's full build)
+            cdc.maintain_agg_batch(
+                spark, args.table_dir, args.agg_dir,
+                old.withColumn("deleted", F.lit(False)), args.key,
+                args.group, measures, delete_col="deleted", version=0,
+            )
+            # batch 1: the minimal drift batch, applied incrementally
+            changes = cdc.extract_changes(old, new, args.key)
+            n_changes = changes.count()
+            cdc.maintain_agg_batch(
+                spark, args.table_dir, args.agg_dir, changes, args.key,
+                args.group, measures, delete_col="deleted", version=1,
+            )
+            print(f"applied {n_changes} extracted change rows",
+                  file=sys.stderr)
+            # equivalence gate: maintained base == NEW snapshot, and the
+            # incrementally-maintained view == a from-scratch recompute
+            # (sums rounded — the two plans may order double adds
+            # differently)
+            base = snapshots.read_snapshot(
+                spark, args.table_dir).select(*new.columns)
+            bad_base = (base.exceptAll(new).count()
+                        + new.exceptAll(base).count())
+            sum_col = f"sum_{args.measure}"
+            view = snapshots.read_snapshot(spark, args.agg_dir).select(
+                args.group, F.round(sum_col, 6).alias(sum_col), "n_rows")
+            recomputed = (
+                new.filter(F.col(args.group).isNotNull())
+                .groupBy(args.group).agg(*measures)
+                .select(args.group, F.round(sum_col, 6).alias(sum_col),
+                        "n_rows")
+            )
+            bad_view = (view.exceptAll(recomputed).count()
+                        + recomputed.exceptAll(view).count())
+            print(("PASS" if bad_base == 0 else "FAIL")
+                  + " maintained base == NEW snapshot")
+            print(("PASS" if bad_view == 0 else "FAIL")
+                  + " maintained view == full recompute")
+            if bad_base or bad_view:
+                return 1
         elif args.cmd == "query":
             from nexus_processor_spark import queries as registry
 

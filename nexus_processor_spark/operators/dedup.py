@@ -971,3 +971,106 @@ def cluster_representatives(
             F.col("_m.o").alias(f"rep_{order_col}"),
         )
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate-aware downweighting ("soft dedup"): every exact copy of
+    a document gets weight ``1/n`` (scaled to an exact ``weight_e6``
+    BIGINT), so a duplicated doc contributes total mass one to training
+    instead of being either dropped or over-represented — the standard
+    alternative to hard dedup when sampling weights feed a data loader
+    (public practice, e.g. the duplication-aware sampling discussed in
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better"; no reference counterpart).
+
+    One windowed count per content-md5 group (null texts form singleton
+    groups); the only shuffle is on the md5 key — identical shape to
+    :func:`exact_dedup_groups`.
+    """
+    key = F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy(key))
+    return df.select(
+        F.col(id_col),
+        F.round(F.lit(1e6) / n, 0).cast("long").alias("weight_e6"),
+    )
+
+
+def neardup_eval(
+    df: DataFrame,
+    *,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    rows_per_band: int = 2,
+    shingle_words: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Precision/recall of the banded-LSH near-dup detector against the
+    EXACT ``Jaccard >= threshold`` pair set — the evaluation every
+    dedup configuration (bands x rows x threshold) needs before it
+    runs over a real corpus, analogous to :func:`similarity.recall_at_k`
+    for ANN.
+
+    Ground truth without a cross join: any pair with ``J >= t > 0``
+    shares at least one shingle, so the truth candidates come from a
+    self-join on exploded distinct shingles (bounded by per-shingle
+    document frequency) and are then exact-Jaccard verified — perfect
+    truth recall by construction. On pathological corpora cap heavy
+    shingles with ``max_shingle_freq`` (dropping shingles that occur in
+    more docs; the truth side becomes a documented under-count). Run on
+    an evaluation SLICE, not the full corpus — the measurement, like
+    any eval, is sample-based.
+
+    Output: ONE row — ``n_pred, n_true, n_hit, precision_e6,
+    recall_e6`` (scaled BIGINTs; null when the denominator is 0).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("neardup_eval requires 0 < threshold <= 1 "
+                         "(exact truth generation relies on J > 0)")
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_shingles_text(text_col, shingle_words)).alias("_g"),
+    )
+    if max_shingle_freq is not None:
+        freq = grams.groupBy("_g").agg(
+            F.count(F.lit(1)).alias("_n")
+        ).filter(F.col("_n") <= max_shingle_freq).select("_g")
+        grams = grams.join(freq, "_g", "left_semi")
+    ga = grams.select(F.col(id_col).alias("id_a"), "_g")
+    gb = grams.select(F.col(id_col).alias("id_b"), "_g")
+    truth_cand = (
+        ga.join(gb, "_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    truth = jaccard_verify(
+        truth_cand, df, text_col=text_col, id_col=id_col,
+        shingle_words=shingle_words, threshold=threshold,
+    ).select("id_a", "id_b")
+    pred = minhash_dedup_pairs(
+        df, text_col=text_col, id_col=id_col, num_bands=num_bands,
+        rows_per_band=rows_per_band, shingle_words=shingle_words,
+        threshold=threshold,
+    ).select("id_a", "id_b")
+    n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_hit = pred.join(truth, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit"))
+    rate = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0,
+        F.round(F.lit(1e6) * F.col(num) / F.col(den), 0).cast("long"),
+    )
+    return (
+        n_pred.crossJoin(F.broadcast(n_true)).crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_pred", "n_true", "n_hit",
+            rate("n_hit", "n_pred").alias("precision_e6"),
+            rate("n_hit", "n_true").alias("recall_e6"),
+        )
+    )

@@ -1190,3 +1190,112 @@ def encode_tokens(
             F.sum((F.col("tid") == oov_id).cast("long")).alias("n_oov"),
         )
     )
+
+
+def dsir_logweights(
+    corpus: DataFrame,
+    target: DataFrame,
+    *,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights — Data Selection via Importance
+    Resampling (Xie et al., NeurIPS 2023; public literature): score each
+    corpus doc by how much more likely its hashed-token bag is under the
+    TARGET domain's bucket distribution than under the corpus's own,
+    ``logw(doc) = sum_tokens log(p_tgt(bucket) / p_raw(bucket))``. The
+    standard cheap proxy for "select raw-web data that looks like the
+    high-quality target domain" ahead of LLM pretraining.
+
+    Buckets are the ``md5(token) % dim`` space of
+    ``textstats.hashed_features`` (engine-reproducible); both
+    distributions are Laplace-smoothed exact integer counts,
+    ``p(b) = (n_b + 1) / (N + dim)``. The per-bucket log-ratio is
+    computed once over a ``dim``-row broadcast table, scaled to 1e-6
+    and rounded to a BIGINT, so every per-doc weight is an exact
+    integer SUM — addition-order-free, hash-matched by the DuckDB
+    oracle. Docs with no tokens score 0.
+
+    Scale shape: the corpus pays ONE token explode and one
+    ``groupBy(id)`` (map-side combinable); the two distribution tables
+    are dim-row aggregates that broadcast. No reference counterpart —
+    the reference engine has no data-selection operators.
+
+    Output: ``(id_col, logw_e6 bigint)``, one row per corpus doc.
+    """
+    spark = corpus.sparkSession
+    bucket = (
+        F.conv(F.substring(F.md5("_tok"), 1, 8), 16, 10).cast("long")
+        % F.lit(dim)
+    ).cast("int")
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_tok"))
+            .select(F.col(id_col), bucket.alias("bucket"))
+        )
+
+    corp_b = bucketed(corpus)
+    tgt_b = bucketed(target)
+    raw_n = corp_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_rn"))
+    tgt_n = tgt_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_tn"))
+    raw_t = corp_b.agg(F.count(F.lit(1)).alias("_rt"))
+    tgt_t = tgt_b.agg(F.count(F.lit(1)).alias("_tt"))
+    dom = spark.range(dim).select(F.col("id").cast("int").alias("bucket"))
+    smoothed = lambda n, t: (  # noqa: E731  (n+1)/(N+dim), both integers
+        (F.coalesce(n, F.lit(0)) + F.lit(1.0)) / (t + F.lit(float(dim)))
+    )
+    lr = (
+        dom.join(F.broadcast(raw_n), "bucket", "left")
+        .join(F.broadcast(tgt_n), "bucket", "left")
+        .crossJoin(F.broadcast(raw_t))
+        .crossJoin(F.broadcast(tgt_t))
+        .select(
+            "bucket",
+            F.round(
+                (F.log(smoothed(F.col("_tn"), F.col("_tt")))
+                 - F.log(smoothed(F.col("_rn"), F.col("_rt")))) * 1e6,
+                0,
+            ).cast("long").alias("_lr"),
+        )
+    )
+    per_doc = (
+        corp_b.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("_lr").alias("_w"))
+    )
+    return (
+        corpus.select(id_col).distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_w"), F.lit(0)).cast("long").alias("logw_e6"),
+        )
+    )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    k: int,
+    *,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` corpus docs by :func:`dsir_logweights` (deterministic
+    id tiebreak) — the selection step of DSIR. A global TakeOrdered-k,
+    never a full sort materialization.
+
+    Output: ``(id_col, logw_e6, rank)``.
+    """
+    w = dsir_logweights(
+        corpus, target, dim=dim, text_col=text_col, id_col=id_col
+    )
+    # cut to k rows with a TakeOrdered FIRST; the rank window then runs
+    # over a k-bounded relation (same discipline as hybrid_rrf's legs —
+    # a bare global row_number would single-partition the corpus)
+    top = w.orderBy(F.desc("logw_e6"), F.col(id_col)).limit(k)
+    win = Window.orderBy(F.desc("logw_e6"), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(win).cast("long"))

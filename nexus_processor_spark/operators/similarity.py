@@ -1258,3 +1258,99 @@ def int8_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def pca_power_scores(
+    vectors: DataFrame,
+    *,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_scale: int = 1024,
+    v_scale: int = 1 << 16,
+) -> DataFrame:
+    """Dominant principal direction of an embedding corpus by
+    distributed POWER ITERATION (uncentered PCA / top right-singular
+    vector; classic numerical linear algebra — public literature), and
+    each vector's projection onto it — the 1-D "spectral score" used to
+    rank/bucket a corpus along its main axis of variation (outlier
+    sniffing, diversity binning) without any eigensolver library.
+
+    Every cross-engine-visible number is EXACT INTEGER arithmetic:
+    vectors quantize once to ``round(x * q_scale)`` longs; the iterate
+    ``v`` is an integer vector at scale ``v_scale`` (a power of two, so
+    the driver-side renormalization ``round(t / ||t|| * v_scale)``
+    multiplies exactly); the two matvecs per iteration are integer
+    SUMS — order-free, so the DuckDB oracle replays the whole
+    trajectory to the last bit (same discipline as
+    ``classifier.logreg_fit``). ``||t||`` is the float sqrt of the
+    EXACT integer sum of squares — one deterministic double op.
+
+    Scale shape: per iteration, one map-side-combinable ``groupBy(id)``
+    (s = Xv, products bounded by dim * q_scale * v_scale) and one
+    64-group ``groupBy(dim)`` (t = X's); the driver sees only the
+    dim-length t vector (O(dim) traffic, kmeans/logreg pattern).
+    Integer-overflow guard is ANSI mode itself: sum(long) past 2^63
+    fails loudly — at default scales that admits ~250k rows per call
+    (|t_j| <= rows * dim * q_scale^2 * v_scale); shrink ``v_scale``
+    proportionally for bigger corpora.
+
+    Output: ``(id_col, score)`` — score = <xq, v_final>, an exact long.
+    """
+    import math
+
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(q_scale), 0).cast("long"),
+    )
+    xq = vectors.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), qv.alias("_xq"))
+    dim = _probe_dim(xq, "_xq", "pca_power_scores")
+    if dim is None:
+        return vectors.select(
+            F.col(id_col), F.lit(None).cast("long").alias("score")
+        ).limit(0)
+    ex = xq.select(
+        F.col(id_col), F.posexplode("_xq").alias("_j", "_x")
+    ).persist()
+    ex.count()  # prime: scanned 2x per iteration + once for the scores
+    try:
+        v = [v_scale] * dim
+
+        def s_frame(vcur: list[int]) -> DataFrame:
+            vlit = F.array(*[F.lit(int(c)).cast("long") for c in vcur])
+            return (
+                ex.select(
+                    F.col(id_col),
+                    (F.col("_x")
+                     * F.element_at(vlit, F.col("_j") + 1)).alias("_p"),
+                )
+                .groupBy(id_col)
+                .agg(F.sum("_p").alias("_s"))
+            )
+
+        for _ in range(iterations):
+            t_rows = (
+                ex.join(s_frame(v), id_col)
+                .select("_j", (F.col("_s") * F.col("_x")).alias("_p"))
+                .groupBy("_j")
+                .agg(F.sum("_p").alias("_t"))
+                .collect()
+            )
+            t = [0] * dim
+            for r in t_rows:
+                t[r["_j"]] = int(r["_t"])
+            norm = math.sqrt(float(sum(ti * ti for ti in t)))
+            if norm == 0.0:
+                break
+            # round half AWAY FROM ZERO — the rule DuckDB's round()
+            # and Spark's round() share (Python round() is banker's)
+            v = [
+                int(math.floor(abs(float(ti) / norm * v_scale) + 0.5))
+                * (-1 if ti < 0 else 1)
+                for ti in t
+            ]
+        return s_frame(v).select(
+            F.col(id_col), F.col("_s").cast("long").alias("score"))
+    finally:
+        ex.unpersist()

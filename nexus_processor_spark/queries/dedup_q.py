@@ -1036,3 +1036,76 @@ ORACLE["dedup_containment"] = f"""
       AND CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
           / CAST(len(a.gr) AS DOUBLE) >= {CONTAINMENT_THRESHOLD}
 """
+
+
+NEARDUP_EVAL_T = 0.5
+
+
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware downweighting: exact copies share mass 1/n."""
+    return dedup.soft_dedup_weights(_docs(spark, sf_dir))
+
+
+def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of banded LSH vs the exact J>=0.5 pair set."""
+    return dedup.neardup_eval(
+        _docs(spark, sf_dir), threshold=NEARDUP_EVAL_T,
+        num_bands=NUM_BANDS, shingle_words=SHINGLE_WORDS,
+    )
+
+
+QUERIES["soft_dedup_weights"] = q_soft_dedup_weights
+QUERIES["neardup_eval"] = q_neardup_eval
+
+ORACLE["soft_dedup_weights"] = """
+    SELECT doc_id, CAST(round(1000000.0 / n, 0) AS BIGINT) AS weight_e6
+    FROM (
+        SELECT doc_id,
+               count(*) OVER (PARTITION BY coalesce(
+                   md5(text), 'null:' || CAST(doc_id AS VARCHAR))) AS n
+        FROM documents
+    )
+"""
+
+_J_SQL = ("CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / "
+          "CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))"
+          " AS DOUBLE)")
+ORACLE["neardup_eval"] = f"""
+    WITH sh AS ({_SHINGLES}),
+    sig AS ({_SIGS_R2}),
+    pred AS (
+        SELECT c.id_a, c.id_b FROM (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+            WHERE a.doc_id < b.doc_id
+        ) c
+        JOIN sh x ON c.id_a = x.doc_id
+        JOIN sh y ON c.id_b = y.doc_id
+        WHERE {_J_SQL} >= {NEARDUP_EVAL_T}
+    ),
+    g AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+    tc AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM g a JOIN g b ON a.gram = b.gram WHERE a.doc_id < b.doc_id
+    ),
+    truth AS (
+        SELECT c.id_a, c.id_b FROM tc c
+        JOIN sh x ON c.id_a = x.doc_id
+        JOIN sh y ON c.id_b = y.doc_id
+        WHERE {_J_SQL} >= {NEARDUP_EVAL_T}
+    ),
+    m AS (SELECT
+        (SELECT count(*) FROM pred) AS n_pred,
+        (SELECT count(*) FROM truth) AS n_true,
+        (SELECT count(*) FROM pred JOIN truth USING (id_a, id_b)) AS n_hit)
+    SELECT CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CASE WHEN n_pred > 0 THEN
+               CAST(round(1000000.0 * n_hit / n_pred, 0) AS BIGINT) END
+               AS precision_e6,
+           CASE WHEN n_true > 0 THEN
+               CAST(round(1000000.0 * n_hit / n_true, 0) AS BIGINT) END
+               AS recall_e6
+    FROM m
+"""

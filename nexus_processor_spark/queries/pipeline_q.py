@@ -948,3 +948,79 @@ ORACLE["kmv_set_ops"] = f"""
            a_est, b_est
     FROM ue, ae, be
 """
+
+
+DSIR_DIM = 64
+DSIR_K = 100
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+
+
+def _dsir_target(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.col("source").isin(*DSIR_TARGET_SOURCES))
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023) of every doc
+    against a 3-source target domain — exact-integer scaled weights, so
+    the oracle replays the whole hashed-bucket log-ratio pipeline."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    return pipeline.dsir_logweights(docs, _dsir_target(docs), dim=DSIR_DIM)
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR selection step: top-100 docs by importance weight."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    return pipeline.dsir_select(
+        docs, _dsir_target(docs), DSIR_K, dim=DSIR_DIM)
+
+
+QUERIES["dsir_weights"] = q_dsir_weights
+QUERIES["dsir_select"] = q_dsir_select
+
+_DSIR_TGT = "('" + "', '".join(DSIR_TARGET_SOURCES) + "')"
+_DSIR_W = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               CAST((('0x' || substr(md5(tok), 1, 8))::BIGINT
+                    % {DSIR_DIM}) AS INT) AS bucket
+        FROM tok
+    ),
+    tb AS (
+        SELECT b.bucket FROM b
+        JOIN documents d ON d.doc_id = b.doc_id
+        WHERE d.source IN {_DSIR_TGT}
+    ),
+    raw_n AS (SELECT bucket, count(*) AS rn FROM b GROUP BY 1),
+    tgt_n AS (SELECT bucket, count(*) AS tn FROM tb GROUP BY 1),
+    tot AS (SELECT (SELECT count(*) FROM b) AS rt,
+                   (SELECT count(*) FROM tb) AS tt),
+    dom AS (SELECT CAST(unnest(range({DSIR_DIM})) AS INT) AS bucket),
+    lr AS (
+        SELECT dom.bucket,
+               CAST(round(
+                   (ln((coalesce(tn, 0) + 1.0) / (tot.tt + {DSIR_DIM}.0))
+                    - ln((coalesce(rn, 0) + 1.0) / (tot.rt + {DSIR_DIM}.0)))
+                   * 1000000, 0) AS BIGINT) AS lr
+        FROM dom
+        CROSS JOIN tot
+        LEFT JOIN raw_n ON raw_n.bucket = dom.bucket
+        LEFT JOIN tgt_n ON tgt_n.bucket = dom.bucket
+    )
+    SELECT d.doc_id,
+           CAST(coalesce((
+               SELECT sum(lr.lr) FROM b JOIN lr ON lr.bucket = b.bucket
+               WHERE b.doc_id = d.doc_id
+           ), 0) AS BIGINT) AS logw_e6
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+"""
+ORACLE["dsir_weights"] = _DSIR_W
+ORACLE["dsir_select"] = f"""
+    SELECT doc_id, logw_e6, rn AS rank FROM (
+        SELECT *, row_number() OVER (ORDER BY logw_e6 DESC, doc_id) AS rn
+        FROM ({_DSIR_W})
+    ) WHERE rn <= {DSIR_K}
+"""

@@ -848,3 +848,73 @@ ORACLE["sim_int8_topk"] = f"""
         FROM scored
     ) WHERE rn <= {TOP_K}
 """
+
+
+PCA_ITERS = 5
+PCA_QS = 1024
+PCA_VS = 1 << 16
+PCA_DIM = 64
+
+
+def q_pca_power_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-direction projection scores via distributed power
+    iteration — the exact integer trajectory is replayed, iteration by
+    iteration, by the DuckDB oracle."""
+    return similarity.pca_power_scores(
+        _emb(spark, sf_dir), iterations=PCA_ITERS,
+        q_scale=PCA_QS, v_scale=PCA_VS,
+    )
+
+
+QUERIES["pca_power_scores"] = q_pca_power_scores
+
+
+def _pca_sql(iters: int, dim: int, qs: int, vs: int) -> str:
+    """Unrolled power-iteration replay: per iteration, s = Xv and
+    t = X's as exact HUGEINT sums cast back to BIGINT, the norm as the
+    double sqrt of the exact integer sum of squares, and the
+    renormalized integer v — identical to the Spark driver loop."""
+    parts = [f"""
+        xq AS (
+            SELECT vec_id, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * {qs}, 0) AS BIGINT)
+            ) AS xq
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        ex AS (
+            SELECT vec_id, j.j, xq[j.j + 1] AS x
+            FROM xq, (SELECT unnest(range({dim})) AS j) j
+        ),
+        v0 AS (SELECT unnest(range({dim})) AS j, CAST({vs} AS BIGINT) AS v)
+    """]
+    for k in range(1, iters + 1):
+        parts.append(f"""
+        s{k} AS (
+            SELECT e.vec_id, CAST(sum(e.x * v.v) AS BIGINT) AS s
+            FROM ex e JOIN v{k - 1} v ON v.j = e.j GROUP BY 1
+        ),
+        t{k} AS (
+            SELECT e.j,
+                   CAST(sum(CAST(s.s AS HUGEINT) * e.x) AS BIGINT) AS t
+            FROM ex e JOIN s{k} s ON s.vec_id = e.vec_id GROUP BY 1
+        ),
+        n{k} AS (
+            SELECT sqrt(CAST(sum(CAST(t AS HUGEINT) * t) AS DOUBLE)) AS nrm
+            FROM t{k}
+        ),
+        v{k} AS (
+            SELECT t.j,
+                   CAST(round(CAST(t.t AS DOUBLE) / n.nrm * {vs}, 0)
+                        AS BIGINT) AS v
+            FROM t{k} t, n{k} n
+        )
+    """)
+    body = ",".join(parts)
+    return f"""
+        WITH {body}
+        SELECT e.vec_id, CAST(sum(e.x * v.v) AS BIGINT) AS score
+        FROM ex e JOIN v{iters} v ON v.j = e.j GROUP BY 1
+    """
+
+
+ORACLE["pca_power_scores"] = _pca_sql(PCA_ITERS, PCA_DIM, PCA_QS, PCA_VS)

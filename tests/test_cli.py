@@ -362,3 +362,35 @@ def test_summary_without_range_and_one_sided_run_range(tmp_path, capsys):
     main(["replay", "--root", str(tmp_path / "lake"),
           "--run-end", "99999", "--dry-run"])
     assert "would replay 4 events" in capsys.readouterr().err
+
+
+def test_lakehouse_cli_extract_apply_ivm(spark, tmp_path, capsys):
+    """VERDICT r5 next #8: the lakehouse composition (CDC extract ->
+    apply -> IVM) as one CLI invocation, with the maintained view
+    checked against a recompute by the command itself (exit 0 only when
+    both equivalences hold)."""
+    old_rows = [(k, k % 3, float(k)) for k in range(30)]
+    # drift: drop 3 keys, change 4 values, add 5 keys (group migration
+    # included: key 7 moves from group 1 to group 2)
+    new_rows = (
+        [(k, k % 3, float(k)) for k in range(30)
+         if k not in (0, 10, 20) and k not in (3, 7, 11, 13)]
+        + [(3, 0, 99.5), (7, 2, 7.0), (11, 2, 1.25), (13, 1, -4.0)]
+        + [(k, k % 3, float(k) / 2) for k in range(100, 105)]
+    )
+    schema = "k long, g long, x double"
+    old_p = str(tmp_path / "old.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    spark.createDataFrame(old_rows, schema).write.parquet(old_p)
+    spark.createDataFrame(new_rows, schema).write.parquet(new_p)
+    assert main([
+        "lakehouse", "--input", old_p, "--against", new_p,
+        "--key", "k", "--group", "g", "--measure", "x",
+        "--table-dir", str(tmp_path / "tbl"),
+        "--agg-dir", str(tmp_path / "agg"),
+    ]) == 0
+    cap = capsys.readouterr()
+    assert "PASS maintained base == NEW snapshot" in cap.out
+    assert "PASS maintained view == full recompute" in cap.out
+    # the change feed was minimal: 3 tombstones + 4 updates + 5 inserts
+    assert "applied 12 extracted change rows" in cap.err

@@ -201,6 +201,25 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     assert rows[0].mmr_score_e7 == round(0.7 * rows[0].relevance * 1e7)
 
 
+def test_ivf_multiprobe_recall_monotone_in_nprobe(spark):
+    """The nprobe recall dial (bench annbench's cost model, VERDICT r5
+    next #3): widening the probe set can only ADD candidate lists, so
+    mean recall@k vs brute force must be non-decreasing in nprobe and
+    reach 1.0 when every cell is probed."""
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    cents = emb.filter(F.col("vec_id") < 6)
+    gt = similarity.brute_force_topk(q, emb, 5).select("query_id", "vec_id")
+    recalls = []
+    for nprobe in (1, 2, 4, 6):
+        ap = similarity.ivf_multiprobe_topk(q, emb, cents, 5, nprobe=nprobe)
+        r = similarity.recall_at_k(ap, gt, 5).agg(
+            F.avg("recall").alias("r")).first()["r"]
+        recalls.append(float(r))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == pytest.approx(1.0)
+
+
 def test_ivf_multiprobe_all_cells_equals_brute_force(spark):
     """Probing every coarse cell IS exact search: with nprobe = k the
     multiprobe result must equal brute_force_topk row for row (the

@@ -56,6 +56,10 @@ BNLJ_ALLOWED = {
     "quality_quantile", "range_join_bands", "semantic_dedup",
     "sim_brute_topk", "sim_ivf_recall", "source_divergence",
     "text_semantic_topk", "tfidf_top_terms", "timeslice_range",
+    # 1-row corpus/target token totals (DSIR smoothing denominators)
+    "dsir_weights", "dsir_select",
+    # three 1-row count aggregates crossJoined into the metrics row
+    "neardup_eval",
 }
 
 # Unpartitioned WindowExec collapses its input onto ONE task — fatal on a
@@ -88,6 +92,7 @@ WINDOW_ALLOWED = {
     "pareto_parts": "skyline flags over distinct (brand,size) groups",
     # window over a pre-limited head
     "tokens_encoded": "vocab rank over .limit(VOCAB_SIZE) head",
+    "dsir_select": "rank over the .limit(k) TakeOrdered head",
 }
 
 

@@ -20,6 +20,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# The bench drives 2M-doc curation batches, 100M-row rollups, and the
+# bucketed state store in ONE local[32] JVM; the 8g default heap OOMs in
+# the parquet reader under 32 concurrent wide-text tasks (measured in
+# the r6 curatebench all-gates run). The box is 128 GiB; on a cluster
+# this is per-executor memory sizing. Must be set before the JVM starts.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+
 from nexus_processor_spark import queries as registry
 from nexus_processor_spark.session import get_spark
 
@@ -185,6 +192,11 @@ def run_docs(spark) -> dict[str, object]:
         # docs): gate + in-batch exact dedup + verified near-dup
         "curate_batch_200k": lambda: curate.curate_batch(
             docs.sample(fraction=0.1, seed=11), None),
+        # same batch on the xxhash64 signature dial (hex-chunked xx
+        # band sigs; see curate._band_signatures) — the md5 gap, kept
+        # visible like minhash_signatures vs _xx
+        "curate_batch_200k_xx": lambda: curate.curate_batch(
+            docs.sample(fraction=0.1, seed=11), None, hash_fn="xxhash64"),
         # snapshot delta at corpus scale: hash-width full-outer join
         # (v2 = 5% dropped, ~14% re-crawled, 7% appended)
         "corpus_diff": lambda: pipeline.corpus_diff(
@@ -356,6 +368,33 @@ def run_curate(spark) -> dict[str, object]:
 
     out = drive(gates=False)
     out["gates"] = drive(gates=True)
+
+    # Per-gate cost attribution (VERDICT r5 next #4): one cold ~100k
+    # batch, gates enabled one at a time — the marginal seconds of each
+    # gate over the base (dedup-only) kernel.
+    base = docs.filter(F.col("doc_id") % 20 == 7)
+    eval_df = (docs.filter(F.col("doc_id") % 97 == 0).limit(500)
+               .select("doc_id", "text"))
+    configs = {
+        "base_dedup_only": {},
+        "plus_quality_quantile": {
+            "quality_q": 0.25, "quality_metric_col": "n_chars"},
+        "plus_repetition": {"max_dup_char_fraction": 0.9},
+        "plus_decontamination": {
+            "eval_df": eval_df, "max_contamination_hits": 0},
+    }
+    gate_sec: dict[str, float] = {}
+    for name, kw in configs.items():
+        s = time.perf_counter()
+        curate.curate_batch(base, None, **kw).write.format(
+            "noop").mode("overwrite").save()
+        gate_sec[name] = round(time.perf_counter() - s, 3)
+        spark.catalog.clearCache()
+    out["gate_marginal_sec"] = {
+        k: (round(v - gate_sec["base_dedup_only"], 3)
+            if k != "base_dedup_only" else v)
+        for k, v in gate_sec.items()
+    }
     return out
 
 

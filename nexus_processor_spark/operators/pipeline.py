@@ -1299,3 +1299,34 @@ def dsir_select(
     top = w.orderBy(F.desc("logw_e6"), F.col(id_col)).limit(k)
     win = Window.orderBy(F.desc("logw_e6"), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(win).cast("long"))
+
+
+def token_coverage(
+    df: DataFrame, k: int = 100, *, text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary coverage curve: for the top-``k`` tokens by occurrence
+    count (deterministic (count desc, token) cut), the CUMULATIVE share
+    of all corpus token occurrences they cover — the Zipf curve a
+    tokenizer-vocab-size or stopword-list decision reads ("the top 100
+    tokens cover 38% of the stream"). One token-count aggregate (partial
+    map-side combine), a 1-row total that broadcasts, and a running sum
+    over the k-bounded head (never the corpus).
+
+    Output: ``(rank, token, n_occurrences, cum_share)``.
+    """
+    tok = df.select(F.explode(tokens(text_col)).alias("token"))
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    total = counts.agg(F.sum("n_occurrences").alias("_total"))
+    head = counts.orderBy(F.desc("n_occurrences"), "token").limit(k)
+    w = Window.orderBy(F.desc("n_occurrences"), F.col("token"))
+    return (
+        head.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "token",
+            "n_occurrences",
+            (F.sum("n_occurrences").over(w).cast("double")
+             / F.col("_total")).alias("cum_share"),
+        )
+    )

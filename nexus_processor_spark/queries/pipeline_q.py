@@ -1024,3 +1024,35 @@ ORACLE["dsir_select"] = f"""
         FROM ({_DSIR_W})
     ) WHERE rn <= {DSIR_K}
 """
+
+
+COVERAGE_K = 100
+
+
+def q_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf coverage curve of the top-100 tokens."""
+    return pipeline.token_coverage(_docs(spark, sf_dir), COVERAGE_K)
+
+
+QUERIES["token_coverage"] = q_token_coverage
+
+ORACLE["token_coverage"] = f"""
+    WITH t AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+          FROM t GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS total FROM c),
+    top AS (
+        SELECT token, n_occurrences,
+               row_number() OVER (ORDER BY n_occurrences DESC, token)
+               AS rank
+        FROM c
+        ORDER BY n_occurrences DESC, token
+        LIMIT {COVERAGE_K}
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, token, n_occurrences,
+           CAST(sum(n_occurrences) OVER (ORDER BY rank) AS DOUBLE)
+           / tot.total AS cum_share
+    FROM top, tot
+"""

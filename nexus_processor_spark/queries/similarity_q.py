@@ -918,3 +918,47 @@ def _pca_sql(iters: int, dim: int, qs: int, vs: int) -> str:
 
 
 ORACLE["pca_power_scores"] = _pca_sql(PCA_ITERS, PCA_DIM, PCA_QS, PCA_VS)
+
+
+MATRYOSHKA_DIM = 16
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation eval (Kusupati et al. 2022,
+    public literature): recall@k of cosine top-k over the FIRST 16 of 64
+    dims vs the full-dim ground truth — the measured quality cost of the
+    4x-cheaper scan a prefix-truncatable embedding buys at corpus
+    scale (cosine is scale-free, so truncation needs no renormalize)."""
+    emb = _emb(spark, sf_dir)
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, MATRYOSHKA_DIM).alias("embedding"))
+    approx = similarity.brute_force_topk(
+        trunc.filter(F.col("vec_id") < N_QUERIES), trunc, TOP_K)
+    exact = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb, TOP_K)
+    return similarity.recall_at_k(approx, exact, TOP_K)
+
+
+QUERIES["matryoshka_recall"] = q_matryoshka_recall
+
+_SCORED_TRUNC = f"""
+    SELECT q.query_id, c.vec_id,
+           {_cos(f'q.qv[1:{MATRYOSHKA_DIM}]', f'c.cv[1:{MATRYOSHKA_DIM}]')}
+           AS cos
+    FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < {N_QUERIES}) q,
+         (SELECT vec_id, embedding AS cv FROM embeddings) c
+    WHERE c.vec_id <> q.query_id
+"""
+ORACLE["matryoshka_recall"] = f"""
+    WITH approx AS ({_TOPK.format(scored=_SCORED_TRUNC, k=TOP_K)}),
+    exact AS ({_TOPK.format(scored=_SCORED, k=TOP_K)})
+    SELECT e.query_id,
+           CAST(coalesce((
+               SELECT count(*) FROM approx a
+               WHERE a.query_id = e.query_id
+                 AND a.vec_id IN (SELECT vec_id FROM exact x
+                                  WHERE x.query_id = e.query_id)
+           ), 0) AS DOUBLE) / {TOP_K} AS recall
+    FROM (SELECT DISTINCT query_id FROM exact) e
+"""

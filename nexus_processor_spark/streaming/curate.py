@@ -169,6 +169,7 @@ def _advance_state(
     *,
     buckets: int = STATE_BUCKETS,
     fold_factor: int = FOLD_FACTOR,
+    hash_fn: str = "md5",
 ) -> int | None:
     """Commit one batch's state delta at store version ``batch_id``
     (idempotent: an existing manifest means a replayed batch — skip).
@@ -187,20 +188,81 @@ def _advance_state(
     store = open_state(
         spark, state_path, buckets=buckets, fold_factor=fold_factor)
     v = store.commit_delta(
-        delta, version=batch_id, fold_fn=_compact_state)
+        delta, version=batch_id, fold_fn=_compact_state,
+        app_meta={"hash_fn": hash_fn},
+    )
     store.expire(keep_last=2)
     return v
 
 
-def _doc_minhashes(sigs: DataFrame, id_col: str) -> DataFrame:
+def _chunk_width(hash_fn: str) -> int:
+    """Hex chars per minhash chunk inside a band signature: md5 chunks
+    are 8 hex chars (``functions.text.chunk_min``); the xxhash64 scale
+    path stores each 64-bit minhash as 16 zero-padded hex chars."""
+    return 8 if hash_fn == "md5" else 16
+
+
+def _band_signatures(
+    docs: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    hash_fn: str,
+) -> DataFrame:
+    """The batch's shared ``(id, band, sig)`` table. md5 (the oracle
+    scheme) delegates to ``dedup.band_signatures`` unchanged. The
+    xxhash64 scale dial (~2.5x cheaper per shingle — docsbench
+    ``minhash_signatures_xx``) builds band sigs as CONCATENATED
+    fixed-width hex minhashes instead of ``dedup``'s combined single
+    key, so ``_doc_minhashes`` can still recover the 16 per-doc values
+    by slicing — the cross-batch estimated-Jaccard verify needs them.
+    Different hash => different (valid) key space: one ``hash_fn`` per
+    state directory, enforced via the store manifest."""
+    if hash_fn == "md5":
+        return dedup.band_signatures(
+            docs, text_col=text_col, id_col=id_col,
+            num_bands=NUM_BANDS, rows_per_band=ROWS_PER_BAND,
+        )
+    sh = dedup._shingle_hash_projection(
+        docs, text_col=text_col, id_col=id_col, num_bands=NUM_BANDS,
+        rows_per_band=ROWS_PER_BAND, shingle_words=3, hash_fn=hash_fn,
+    )
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            # null first minhash = shingle-less doc: null the whole sig
+            # (same guard as dedup._band_sig_col)
+            F.when(
+                F.col(f"_m{b * ROWS_PER_BAND}").isNotNull(),
+                F.concat(*[
+                    F.lpad(F.hex(F.col(f"_m{j}")), 16, "0")
+                    for j in range(
+                        b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+                ]),
+            ).alias("sig"),
+        )
+        for b in range(NUM_BANDS)
+    ])
+    return (
+        sh.select(id_col, F.explode(band_arr).alias("bs"))
+        .select(id_col, F.col("bs.band").alias("band"),
+                F.col("bs.sig").alias("sig"))
+        .filter(F.col("sig").isNotNull())
+    )
+
+
+def _doc_minhashes(
+    sigs: DataFrame, id_col: str, *, hash_fn: str = "md5"
+) -> DataFrame:
     """Per-doc ``(id, _vals)`` — the 16 minhash chunk values in j order,
     recovered by SLICING the already-computed band signatures (band b's
-    sig is chunk 2b || chunk 2b+1, 8 hex chars each — no re-hashing)."""
+    sig is chunk 2b || chunk 2b+1, fixed-width hex — no re-hashing)."""
+    w = _chunk_width(hash_fn)
     halves = [
         sigs.select(
             id_col,
             (F.col("band") * ROWS_PER_BAND + i).alias("_j"),
-            F.substring("sig", 1 + 8 * i, 8).alias("_m"),
+            F.substring("sig", 1 + w * i, w).alias("_m"),
         )
         for i in range(ROWS_PER_BAND)
     ]
@@ -232,6 +294,7 @@ def _survivor_state(
     text_col: str,
     id_col: str,
     sigs: DataFrame | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """State delta rows for kept docs: content md5s, band signatures
     (each carrying its owner's md5 as ``ref``), and the owner's 16
@@ -239,7 +302,8 @@ def _survivor_state(
     estimated-Jaccard verify. ``sigs`` reuses the batch's shared
     (id, band, sig) table — survivors are a subset of the signed docs,
     so everything derives from a semi-join on the id instead of a fresh
-    minhash pass."""
+    minhash pass. ``hash_fn`` must match the scheme the state was built
+    with (the stream enforces this via the store manifest)."""
     ids = survivors.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("_md5")
     ).where(F.col("_md5").isNotNull())
@@ -248,9 +312,8 @@ def _survivor_state(
         .select(*_state_rows("md5", {"key": F.col("key")}))
     )
     if sigs is None:
-        sigs = dedup.band_signatures(
-            survivors, text_col=text_col, id_col=id_col,
-            num_bands=NUM_BANDS, rows_per_band=ROWS_PER_BAND,
+        sigs = _band_signatures(
+            survivors, text_col=text_col, id_col=id_col, hash_fn=hash_fn,
         )
     else:
         sigs = sigs.join(
@@ -268,7 +331,7 @@ def _survivor_state(
             "band", {"key": F.col("key"), "ref": F.col("ref")}))
     )
     mins = (
-        _doc_minhashes(sigs, id_col)
+        _doc_minhashes(sigs, id_col, hash_fn=hash_fn)
         .join(ids, id_col)
         .select(F.col("_md5").alias("key"), F.col("_vals").alias("vals"))
         .dropDuplicates(["key"])
@@ -307,9 +370,13 @@ def curate_batch(
     max_contamination_hits: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
     _projection_out: list | None = None,
 ) -> DataFrame:
     """One batch through the gates against ``state`` (None = cold start).
+    ``hash_fn`` picks the minhash scheme (md5 = oracle-parity default,
+    xxhash64 = the ~2.5x scale dial; see ``_band_signatures``) — it
+    must match the scheme every earlier batch of the same state used.
     Returns the audit table: every input row + ``keep`` boolean + first
     ``drop_reason`` (``low_quality`` / ``repetitive`` / ``exact_dup`` /
     ``near_dup`` / ``contaminated`` / null). Pure DataFrame logic — shared by the stream
@@ -433,9 +500,8 @@ def curate_batch(
     # once; candidate verification re-derives only the cheap regex
     # shingles (measured on a 200k-doc cold batch: 32.5 s unshared ->
     # 40.6 s persisting the raw projection -> 13.9 s this way).
-    sigs_tbl = dedup.band_signatures(
-        edocs, text_col=text_col, id_col=id_col,
-        num_bands=NUM_BANDS, rows_per_band=ROWS_PER_BAND,
+    sigs_tbl = _band_signatures(
+        edocs, text_col=text_col, id_col=id_col, hash_fn=hash_fn,
     ).persist()
     sigs_tbl.count()  # prime eagerly: racing branches re-hash a cold cache
     if _projection_out is not None:
@@ -494,7 +560,9 @@ def curate_batch(
         )
         est = (
             cand_state.join(
-                F.broadcast(_doc_minhashes(cand_sigs, id_col)), id_col
+                F.broadcast(
+                    _doc_minhashes(cand_sigs, id_col, hash_fn=hash_fn)
+                ), id_col
             )
             .join(F.broadcast(kept_mins), "_ref", "left")
             .withColumn(
@@ -586,6 +654,7 @@ def curate_stream(
     max_contamination_hits: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
     state_buckets: int = STATE_BUCKETS,
     fold_factor: int = FOLD_FACTOR,
     trigger_available_now: bool = True,
@@ -610,6 +679,14 @@ def curate_stream(
         if store.has_version(batch_id):
             return  # replayed batch: sink + state already published
         state = store if store.current_version() is not None else None
+        meta = store.app_meta()
+        if meta is not None and meta.get("hash_fn", "md5") != hash_fn:
+            raise ValueError(
+                f"state at {state_path!r} was built with "
+                f"hash_fn={meta.get('hash_fn')!r}; refusing to probe it "
+                f"with {hash_fn!r} (disjoint key spaces would silently "
+                "stop matching earlier batches' duplicates)"
+            )
         handles: list = []
         audit = curate_batch(
             batch, state,
@@ -617,14 +694,15 @@ def curate_stream(
             quality_q=quality_q, quality_metric_col=quality_metric_col,
             max_dup_char_fraction=max_dup_char_fraction,
             eval_df=eval_df, max_contamination_hits=max_contamination_hits,
-            text_col=text_col, id_col=id_col, _projection_out=handles,
+            text_col=text_col, id_col=id_col, hash_fn=hash_fn,
+            _projection_out=handles,
         ).persist()
         try:
             audit.write.mode("overwrite").parquet(
                 f"{sink_path}/batch={batch_id}")
             delta = _survivor_state(
                 audit.filter("keep"), text_col=text_col, id_col=id_col,
-                sigs=handles[0] if handles else None,
+                sigs=handles[0] if handles else None, hash_fn=hash_fn,
             )
             if quality_q is not None:
                 delta = delta.unionByName(
@@ -633,6 +711,7 @@ def curate_stream(
             _advance_state(
                 spark, state_path, batch_id, delta,
                 buckets=state_buckets, fold_factor=fold_factor,
+                hash_fn=hash_fn,
             )
         finally:
             audit.unpersist()

@@ -90,8 +90,13 @@ from nexus_processor_spark.sources.snapshots import (
 DEFAULT_BUCKETS = 256  # per-directory bucket-count CAP
 DEFAULT_TARGET_ROWS_PER_BUCKET = 8192
 DEFAULT_FOLD_FACTOR = 4
-BLOOM_BITS_PER_KEY = 18
-BLOOM_K = 9
+# Probes test MILLIONS of keys per batch (every band key of a micro-
+# batch), so the false-positive rate must be small relative to
+# 1/probe_keys or fp bucket reads dominate probe I/O: 28 bits/key at
+# k=14 gives ~2e-6 (measured at 18/9 the ~2e-4 tail read >100 MB per
+# 1.8M-key batch; the sidecar is still ~3% of delta bytes).
+BLOOM_BITS_PER_KEY = 28
+BLOOM_K = 14
 _H2_SALT = "ks2"  # second bloom hash = xxhash64(key, _H2_SALT)
 
 # process-wide bloom cache: delta dirs are immutable, so a loaded
@@ -228,7 +233,14 @@ class KeyedStateStore:
         per-directory count."""
         rel = f"data/{uuid.uuid4().hex}"
         full = os.path.join(self.root, rel)
-        base = df.persist()
+        from pyspark import StorageLevel
+
+        # scanned ~4x (write, counts, bloom positions per kind) but the
+        # rows carry string keys + array values — DISK_ONLY keeps a
+        # micro-batch's delta out of executor heap (heap is the scarce
+        # resource in the streaming foreachBatch JVM; measured OOM with
+        # the default level under concurrent wide-column scans)
+        base = df.persist(StorageLevel.DISK_ONLY)
         try:
             n_total = base.count()
             nb = max(1, min(
@@ -300,6 +312,9 @@ class KeyedStateStore:
                 ) for i in range(BLOOM_K)
             ])).alias("_p"),
         )
+        # the finished bitmap is ~bits/8 bytes of (bucket, word, value)
+        # rows — Arrow-collect it (row-object collect() measured ~10s
+        # per micro-batch at 1M words) and bulk-assign in numpy
         words = (
             pos.select(
                 "_b",
@@ -309,11 +324,13 @@ class KeyedStateStore:
             )
             .groupBy("_b", "_w")
             .agg(F.bit_or("_v").alias("_v"))
-            .collect()
+            .toPandas()
         )
         bits = np.zeros((buckets, m // 64), dtype=np.int64)
-        for r in words:
-            bits[int(r["_b"]), int(r["_w"])] = r["_v"]
+        bits[
+            words["_b"].to_numpy(dtype=np.int64),
+            words["_w"].to_numpy(dtype=np.int64),
+        ] = words["_v"].to_numpy(dtype=np.int64)
         np.savez_compressed(
             os.path.join(dir_full, f"_bloom_{kind}.npz"),
             bits=bits, m=np.int64(m),
@@ -325,13 +342,16 @@ class KeyedStateStore:
         *,
         version: int | None = None,
         fold_fn=None,
+        app_meta: dict | None = None,
     ) -> int | None:
         """Append one delta directory and publish the next manifest
         (pinned to ``version`` when given — an existing manifest means
         a replayed batch; the commit is skipped whole and None
         returned). After the append, overflowing size tiers fold (see
         module docstring); ``fold_fn(df) -> df`` merges the folded
-        rows (default: ``distinct``)."""
+        rows (default: ``distinct``). ``app_meta`` is an opaque dict
+        recorded in the manifest (e.g. the hash scheme the keys were
+        built with) — read it back via :meth:`app_meta`."""
         if version is not None and self.has_version(version):
             return None
         os.makedirs(self.root, exist_ok=True)
@@ -346,11 +366,17 @@ class KeyedStateStore:
         v = version if version is not None else (
             0 if prev is None else prev + 1
         )
-        ok = _publish_manifest(
-            self.root, v,
-            {"version": v, "dirs": dirs, "buckets": self.buckets},
-        )
+        manifest = {"version": v, "dirs": dirs, "buckets": self.buckets}
+        if app_meta is not None:
+            manifest["app"] = app_meta
+        ok = _publish_manifest(self.root, v, manifest)
         return v if ok else None
+
+    def app_meta(self) -> dict | None:
+        """The ``app_meta`` recorded at the current version (None when
+        no version exists or none was recorded)."""
+        v = self.current_version()
+        return None if v is None else self._manifest(v).get("app")
 
     def _fold_tiers(self, dirs: list[dict], fold_fn) -> list[dict]:
         """Size-tiered folding: while any tier (``floor(log_T(rows))``)

@@ -60,6 +60,11 @@ BNLJ_ALLOWED = {
     "dsir_weights", "dsir_select",
     # three 1-row count aggregates crossJoined into the metrics row
     "neardup_eval",
+    # query-side broadcast on both the truncated and full-dim brute
+    # scans — same shape as sim_brute_topk
+    "matryoshka_recall",
+    # 1-row total-occurrences broadcast onto the k-row head
+    "token_coverage",
 }
 
 # Unpartitioned WindowExec collapses its input onto ONE task — fatal on a
@@ -93,6 +98,7 @@ WINDOW_ALLOWED = {
     # window over a pre-limited head
     "tokens_encoded": "vocab rank over .limit(VOCAB_SIZE) head",
     "dsir_select": "rank over the .limit(k) TakeOrdered head",
+    "token_coverage": "running sum over the .limit(k) vocab head",
 }
 
 

@@ -472,3 +472,66 @@ def test_state_probes_add_no_shuffle_joins(spark, tmp_path):
         f"stateful plan has {warm - cold} extra shuffle joins — "
         "a state probe regressed from broadcast to shuffle"
     )
+
+
+def test_xxhash64_scale_dial_same_decisions(spark):
+    """hash_fn='xxhash64' (the ~2.5x scale dial) must make the same
+    keep/drop decisions as the md5 oracle scheme on clear-cut data —
+    cold batch AND against-state, including the minhash-value verify
+    (xx sigs store each 64-bit minhash as 16 hex chars)."""
+    batch = spark.createDataFrame(
+        [(1, LONG_A), (2, LONG_A), (3, NEAR_A), (4, OTHER), (5, "short")],
+        "doc_id long, text string",
+    )
+    want = {r.doc_id: (r.keep, r.drop_reason)
+            for r in curate.curate_batch(batch, None).collect()}
+    got = {r.doc_id: (r.keep, r.drop_reason)
+           for r in curate.curate_batch(
+               batch, None, hash_fn="xxhash64").collect()}
+    assert got == want
+
+    kept = spark.createDataFrame([(1, LONG_A)], "doc_id long, text string")
+    state = curate._survivor_state(
+        kept, text_col="text", id_col="doc_id", hash_fn="xxhash64")
+    # xx band sigs are 2 x 16 hex chars; mins rows carry 16 chunks
+    assert state.filter("kind = 'band'").count() == 8
+    vals = state.filter("kind = 'mins'").first().vals
+    assert len(vals) == 16 and all(len(v) == 16 for v in vals)
+    b2 = spark.createDataFrame(
+        [(10, LONG_A), (11, NEAR_A), (12, OTHER)],
+        "doc_id long, text string")
+    audit = {r.doc_id: (r.keep, r.drop_reason)
+             for r in curate.curate_batch(
+                 b2, state, hash_fn="xxhash64").collect()}
+    assert audit[10] == (False, "exact_dup")
+    assert audit[11] == (False, "near_dup")
+    assert audit[12] == (True, None)
+
+
+def test_stream_refuses_hash_fn_switch(spark, tmp_path):
+    """A state built with one hash scheme must refuse probes with the
+    other — the key spaces are disjoint, and silently matching nothing
+    would re-admit every duplicate."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(1, LONG_A)], schema).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+
+    def drain(hash_fn):
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = curate.curate_stream(
+            stream, state_path=str(tmp_path / "state"),
+            sink_path=str(tmp_path / "sink"),
+            checkpoint_dir=str(tmp_path / "ck"), hash_fn=hash_fn)
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+
+    drain("xxhash64")
+    assert curate.open_state(
+        spark, str(tmp_path / "state")).app_meta() == {"hash_fn": "xxhash64"}
+    spark.createDataFrame([(2, OTHER)], schema).coalesce(1) \
+        .write.parquet(str(src / "b2"))
+    with pytest.raises(Exception, match="hash_fn"):
+        drain("md5")

@@ -595,6 +595,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: the query keeps its raw vector,
     the corpus is represented by its PQ codes. Per query, the distance to
@@ -604,10 +605,15 @@ def pq_topk(
     join on (sub, code) + a sum — no vector math per pair, no raw vectors
     in any exchange.
 
+    ``encoded`` supplies the pre-computed ``(id, codes)`` index (same
+    contract as :func:`ivf_pq_topk` — encoding is ingest-time work);
+    default re-encodes natively for oracle exactness.
+
     Output: query_id, vec_id, adist, rank (ascending distance).
     """
-    enc = pq_encode(corpus, codebooks, m, id_col=id_col, vec_col=vec_col,
-                    round_digits=round_digits)
+    enc = encoded if encoded is not None else pq_encode(
+        corpus, codebooks, m, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits)
     qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     sublen = (F.size(qv) / F.lit(m)).cast("int")
     lut = (
@@ -1138,11 +1144,17 @@ def ivf_multiprobe_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k probing each query's ``nprobe`` nearest coarse cells —
     the recall dial of a production IVF index (single-probe misses
     neighbors that fell just across a cell boundary; probing 2-4 cells
     recovers most of them for a proportional, still-tiny scan cost).
+
+    ``cells`` supplies a PRE-BUILT ``(id, cell)`` assignment (the
+    persisted index — at ingest time in production, so a search never
+    pays the corpus assignment; bench annbench measures exactly this
+    split). Default re-assigns with :func:`kmeans_assign`.
 
     The corpus is assigned to trained centroid cells with
     :func:`kmeans_assign` (at ingest time in production — partition the
@@ -1155,10 +1167,11 @@ def ivf_multiprobe_topk(
     Output: query_id, ``id_col``, cos, rank — same shape as
     :func:`ivf_topk`, directly comparable via :func:`recall_at_k`.
     """
-    cells = kmeans_assign(
-        corpus, centroids, id_col=id_col, vec_col=vec_col,
-        round_digits=round_digits,
-    ).select(id_col, F.col("centroid_id").alias("cell"))
+    if cells is None:
+        cells = kmeans_assign(
+            corpus, centroids, id_col=id_col, vec_col=vec_col,
+            round_digits=round_digits,
+        ).select(id_col, F.col("centroid_id").alias("cell"))
     c = (
         spread(corpus)
         .join(cells, id_col)

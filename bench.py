@@ -25,7 +25,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # the parquet reader under 32 concurrent wide-text tasks (measured in
 # the r6 curatebench all-gates run). The box is 128 GiB; on a cluster
 # this is per-executor memory sizing. Must be set before the JVM starts.
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+# 24g: 16g survived every section standalone but OOMed when curatebench
+# ran after ~1000s of docs/vec sections' accumulated old-gen churn.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
 from nexus_processor_spark import queries as registry
 from nexus_processor_spark.session import get_spark
@@ -62,7 +64,11 @@ SNAP_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "snapbig")
 # bench tables; if that plus measurement would blow past the budget, the
 # remaining sections are skipped (recorded as {"skipped": ...}) and the
 # headline JSON still prints — a partial bench beats a killed one.
-BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1800"))
+# r6 grew the data-scale sections (multi-batch curation with byte
+# accounting + gate attribution, the ANN recall/latency sweep); the
+# full sweep measures ~45-50 min on a quiet box, so the default budget
+# covers it instead of silently skipping the tail sections.
+BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "3300"))
 _T_START = time.monotonic()
 
 
@@ -1106,14 +1112,18 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BIGBENCH", "1") != "0":
         # Ordered by signal value; each checks the remaining budget and
         # records a skip marker instead of risking a hard kill.
+        # curatebench/annbench run EARLY: they are the round's headline
+        # artifacts, and the wide-text doc sections leave enough old-gen
+        # churn behind to OOM a later multi-batch curation sweep
+        # (measured at 16g)
         sections = (
             ("bigbench", lambda: run_big(spark, qs), 600.0),
-            ("docsbench", lambda: run_docs(spark), 240.0),
+            ("curatebench", lambda: run_curate(spark), 600.0),
+            ("annbench", lambda: run_ann(spark), 300.0),
+            ("docsbench", lambda: run_docs(spark), 600.0),
             ("opsbench", lambda: run_ops(spark), 240.0),
             ("replaybench", lambda: run_replay(spark, sf_dir), 120.0),
-            ("vecbench", lambda: run_vecs(spark), 240.0),
-            ("curatebench", lambda: run_curate(spark), 480.0),
-            ("annbench", lambda: run_ann(spark), 300.0),
+            ("vecbench", lambda: run_vecs(spark), 360.0),
             ("tablebench", lambda: run_tables(spark), 240.0),
         )
         for name, fn, est in sections:

@@ -294,7 +294,13 @@ def run_curate(spark) -> dict[str, object]:
     folds (a bounded multiple of the delta, never a full-state
     rewrite — r5 next #2). The ``gates`` variant re-runs the sweep
     with every gate on (accumulated quality quantile, Gopher
-    repetition, benchmark decontamination — r5 next #4)."""
+    repetition, benchmark decontamination — r5 next #4). The ``folds``
+    variant (VERDICT r6 next #1) runs 8 smaller batches at
+    fold_factor=2 so the state crosses >= 2 fold generations:
+    ``probe_mb`` must stay flat THROUGH the folds now that folded
+    directories re-size their bucket count to their rows (bucket-file
+    size is the invariant — r6 measured 1.1->21.9 MB here under the
+    old 256-bucket cap)."""
     import shutil
     import tempfile
 
@@ -305,7 +311,10 @@ def run_curate(spark) -> dict[str, object]:
     ensure_big_docs(spark)
     docs = spark.read.parquet(f"{DOCS_DIR}/documents.parquet")
 
-    def drive(gates: bool) -> dict[str, object]:
+    def drive(
+        gates: bool, *, n_batches: int = 5, mod: int | None = None,
+        fold_factor: int | None = None,
+    ) -> dict[str, object]:
         state_dir = tempfile.mkdtemp(prefix="curate_bench_state_")
         out: dict[str, object] = {"batches": []}
         eval_df = (
@@ -325,12 +334,16 @@ def run_curate(spark) -> dict[str, object]:
         # concurrent operators and a 200k batch overflows the 8g local
         # driver+executor heap (measured; a real cluster sizes executor
         # memory per core instead)
-        mod = 20 if gates else 10
+        if mod is None:
+            mod = 20 if gates else 10
+        store_kw: dict[str, object] = {}
+        if fold_factor is not None:
+            store_kw["fold_factor"] = fold_factor
         try:
-            for b in range(5):
+            for b in range(n_batches):
                 batch = docs.filter(F.col("doc_id") % mod == b)
                 s = time.perf_counter()
-                store = curate.open_state(spark, state_dir)
+                store = curate.open_state(spark, state_dir, **store_kw)
                 state = (
                     store if store.current_version() is not None else None
                 )
@@ -361,8 +374,12 @@ def run_curate(spark) -> dict[str, object]:
                     "sec": round(time.perf_counter() - s, 3),
                     "kept": n_kept,
                     "probe_mb": round(store.probe_bytes_total / 1e6, 2),
+                    # ALL probes' sidecar loads this batch, not just the
+                    # final probe's (ADVICE r6: scope-consistent with
+                    # probe_mb — both are per-batch totals because the
+                    # store handle is re-opened per batch)
                     "probe_meta_mb": round(
-                        store.last_probe_meta_bytes / 1e6, 2),
+                        store.probe_meta_bytes_total / 1e6, 2),
                     "commit_mb": round(store.last_commit_bytes / 1e6, 2),
                     "fold_mb": round(store.last_fold_bytes / 1e6, 2),
                     "state_mb": round(
@@ -380,6 +397,10 @@ def run_curate(spark) -> dict[str, object]:
 
     out = drive(gates=False)
     out["gates"] = drive(gates=True)
+    # 8 x ~100k batches at T=2: gen-1 folds by commit 2, gen-2 by
+    # commit 4, gen-3 by commit 8 — probe_mb through the fold batches
+    # is the r6 next-#1 pin
+    out["folds"] = drive(gates=False, n_batches=8, mod=20, fold_factor=2)
 
     # Per-gate cost attribution (VERDICT r5 next #4): one cold ~100k
     # batch, gates enabled one at a time — the marginal seconds of each

@@ -297,3 +297,97 @@ def pq_encode_arrow(
             })
 
     return corpus.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+def pack_int8_codes(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric-int8 codes packed into ONE ``binary`` cell per vector —
+    the at-rest form of the 4x/8x-shrunk scan corpus (64 bytes per
+    64-dim vector instead of 512 float64 bytes): what a 100 TB vector
+    store actually persists for its quantized search tier. Quantization
+    math is identical to ``functions.vector.quantize_int8`` /
+    ``quantize_arrow`` (round-HALF-UP of ``x / max|x| * 127``); all-zero
+    vectors have no scale and are dropped, matching the native filter.
+    Map-only: no shuffle, one numpy pass per Arrow batch."""
+    schema = f"{id_col} long, code binary"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            v = _mat(b[vec_col])
+            scale = np.abs(v).max(axis=1)
+            ok = scale > 0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                q8 = _round_half_up(v / scale[:, None] * 127.0)
+            ids = b[id_col].to_numpy(dtype=np.int64)
+            keep = np.flatnonzero(ok)
+            yield pd.DataFrame({
+                id_col: ids[keep],
+                "code": [q8[i].astype(np.int8).tobytes() for i in keep],
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+def int8_candidates_arrow(
+    codes: DataFrame,
+    query_ids: np.ndarray,
+    query_codes: np.ndarray,
+    candidates: int,
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-partition top-``candidates`` by exact INTEGER int8 dot
+    product against every query — the candidate-generation scan of
+    :func:`operators.similarity.int8_rerank_topk`.
+
+    The packed corpus batch unpacks to an (n, d) int8 matrix and scores
+    via ONE float32 BLAS GEMM: every int8 product sum is an integer
+    < 2^24 for d <= 1024, so float32 accumulation is EXACT integer
+    arithmetic at 2x the float64 GEMM rate (dims above 1024 fall back
+    to float64, exact to 2^53). Selection order is the composite key
+    ``score * 2^32 - vec_id`` — deterministic on score ties, so the
+    per-partition top-C provably contains each partition's true
+    (score DESC, vec_id ASC) top-C and the downstream global window
+    reproduces the oracle's candidate set bit-for-bit. Requires
+    0 <= vec_id < 2^31 (asserted) for the composite to order correctly.
+
+    Emits ``candidates`` rows per (partition batch, query): with P
+    Arrow batches the downstream global top-C window sees P*C rows per
+    query — thousands, regardless of corpus size.
+    """
+    n_q, dim = query_codes.shape
+    acc = np.float32 if dim <= 1024 else np.float64
+    q_t = np.ascontiguousarray(query_codes.T.astype(acc))
+    qid = query_ids.astype(np.int64)
+    schema = "query_id long, vec_id long, score_q long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b[id_col].to_numpy(dtype=np.int64)
+            if ids.size and (ids.min() < 0 or ids.max() >= 1 << 31):
+                raise ValueError(
+                    "int8_candidates_arrow needs 0 <= vec_id < 2^31 "
+                    "for the deterministic tiebreak composite")
+            mat = np.frombuffer(
+                b"".join(b["code"].tolist()), dtype=np.int8
+            ).reshape(ids.size, -1)
+            scores = mat.astype(acc) @ q_t  # exact integers (see above)
+            comp = scores.astype(np.int64) * np.int64(1 << 32)
+            comp -= ids[:, None]
+            comp[ids[:, None] == qid[None, :]] = np.iinfo(np.int64).min
+            top = min(candidates, ids.size)
+            idx = np.argpartition(-comp, top - 1, axis=0)[:top]
+            yield pd.DataFrame({
+                "query_id": np.repeat(qid, top),
+                "vec_id": ids[idx].ravel(order="F"),
+                "score_q": np.take_along_axis(
+                    scores.astype(np.int64), idx, axis=0).ravel(order="F"),
+            })
+
+    return codes.select(id_col, "code").mapInPandas(kernel, schema)

@@ -11,29 +11,56 @@ count, not the accumulated state**:
    ``kind=<kind>/_b=<bucket>`` sub-directories with
    ``bucket = pmod(xxhash64(key), B)`` — the read granularity of a
    probe is one bucket of one delta, a bounded-size unit, instead of
-   the whole log.
+   the whole log. The bucket COUNT is sized per directory to a target
+   bucket-file row count (``target_rows_per_bucket``), **uncapped**:
+   bucket-file SIZE is the invariant, so a tier-folded directory of
+   N rows gets ~N/target buckets and its bucket files stay the same
+   size as a fresh delta's. (An earlier design capped the count at
+   256, which made folded dirs' bucket files grow as rows/256 and
+   probe I/O re-couple to state size — measured as a 1.1→21.9 MB
+   probe jump at the first tier fold.) ``MAX_BUCKETS`` is a
+   file-count valve only (2^20 dirs ≈ 8.6 G rows/dir at the default
+   target before granularity degrades).
 2. **Per-bucket Bloom filters.** Min/max zone maps — the pruning
    structure ``snapshots.write_snapshot(stats_cols=...)`` records —
    are USELESS here: the keys are content md5s / LSH band signatures,
    i.e. uniformly distributed hashes, so every file's [min, max] spans
    the whole key space and nothing ever prunes. The structure that
    does prune uniform keys is a membership filter: each delta carries
-   one Bloom filter per (kind, bucket), built DISTRIBUTED at delta
-   write (the bloom's bit words are a ``bit_or`` aggregate in Spark —
-   the driver collects only the finished bitmap, never the keys) and
-   probed driver-side with vectorized numpy over the batch's
-   ``(xxhash64(key), xxhash64(key, salt))`` pairs. Only buckets with
-   at least one candidate hit are read. False positives cost a wasted
-   bucket read (rate ~2e-4 at 18 bits/key); false negatives are
+   one Bloom filter per (kind, bucket), probed driver-side with
+   vectorized numpy over the batch's ``(xxhash64(key),
+   xxhash64(key, salt))`` pairs. Only buckets with at least one
+   candidate hit are read. False positives cost a wasted bucket read
+   (rate ~2e-6 at 28 bits/key, k=14); false negatives are
    impossible, so a probe result is always a SUPERSET of the matching
    rows — callers re-verify with the exact join they already do.
+
+   Sidecars are SHARDED by bucket group (``BLOOM_GROUP`` buckets per
+   ``.npz`` file) once a directory has more than one group's worth of
+   buckets: a probe loads only the groups its candidate buckets fall
+   in, and the process-wide LRU cache (bounded at 512 MB ≈ 128 M keys
+   at ~4 bytes/key) evicts at shard granularity instead of
+   whole-directory granularity — at billions of state keys the hot
+   working set is the shards recent probes touched, not every
+   sidecar.
+
+Bloom builds are fused and sized to the directory: a delta-sized
+directory (≤ ``driver_build_max_rows``) collects its
+``(kind, bucket, h1, h2)`` tuples once via Arrow — the same O(delta)
+driver traffic its probes already pay — and builds every kind's
+bitmap in one vectorized numpy pass (zero extra Spark jobs); a big
+fold directory builds all kinds' bitmaps in ONE distributed
+``bit_or`` aggregate (per-kind ``m`` selected via a CASE column), the
+driver collecting only finished words. Fold-time driver memory is
+O(state bloom bytes) = ~4 bytes/key — document-bounded; at true
+100 TB scale the shard writer is the piece to push executor-side.
 
 Net probe cost per micro-batch: bloom arithmetic over the batch keys
 (numpy, microseconds per thousand keys) + parquet reads proportional
 to the number of TRUE duplicate keys (plus the tiny false-positive
 tail). It does not grow with the accumulated state. Delta directories
-are immutable, so loaded blooms are cached process-wide and only a new
-delta's bloom is ever read cold.
+are immutable, so loaded bloom shards are cached process-wide and
+only a new delta's shards are ever read cold.
 
 ## Size-tiered compaction: no commit pays O(state)
 
@@ -64,6 +91,35 @@ replayed foreachBatch invocation and the commit is skipped whole.
 ``streaming/curate.py`` for why two suffices under Structured
 Streaming's replay contract.
 
+## Deployment contract (concurrency + filesystem)
+
+* **Single logical writer per store root.** The intended topology is
+  one streaming query (one driver) owning a store — Structured
+  Streaming already serializes its foreachBatch invocations. The
+  manifest protocol additionally makes ACCIDENTAL concurrent writers
+  safe, not fast: two racing ``commit_delta`` calls for the same
+  version both write data directories, but ``os.link`` create-
+  exclusive publication lets exactly one manifest win; the loser
+  returns None and its unreferenced directory is swept by
+  ``expire()``'s age-gated orphan GC. Two writers racing DIFFERENT
+  versions would fork the manifest chain — that is the case the
+  single-writer rule exists for.
+* **Filesystem assumptions.** Correctness needs exactly two
+  primitives: ``os.link`` failing with EEXIST when the target exists
+  (the commit point) and immutable files once a directory is
+  referenced by a manifest. POSIX local filesystems and NFSv4 provide
+  both. Object stores (S3/GCS) lack hard links — porting there means
+  swapping ``_publish_manifest`` for a put-if-absent conditional
+  write (both stores offer one) behind the same boolean contract;
+  nothing else in the store assumes rename atomicity.
+* **``_require_local`` seam.** Paths are currently pinned to local /
+  fuse-mounted filesystems because probes read sidecars and bucket
+  files through ``os`` + ``np.load`` driver-side. The pluggable seam
+  for shared storage is exactly three functions (``_load_bloom_file``,
+  ``_dir_bytes``, ``_kind_paths``) plus ``_publish_manifest``; probe
+  SEMANTICS (superset-of-matches) are filesystem-independent and
+  pinned by tests.
+
 Reference scope: SURVEY.md §2 T3 (checkpointed exactly-once state);
 the probe/pruning design is original, from the public Bloom-filter /
 LSM literature (Bloom CACM 1970; O'Neil 1996), not from the reference
@@ -74,6 +130,8 @@ from __future__ import annotations
 
 import json
 import os
+import threading
+import time
 import uuid
 from collections import OrderedDict
 
@@ -87,9 +145,19 @@ from nexus_processor_spark.sources.snapshots import (
     _require_local,
 )
 
-DEFAULT_BUCKETS = 256  # per-directory bucket-count CAP
+DEFAULT_BUCKETS = 256  # probe-time fallback for legacy manifests only
+MAX_BUCKETS = 1 << 20  # file-count valve, not a sizing knob
 DEFAULT_TARGET_ROWS_PER_BUCKET = 8192
 DEFAULT_FOLD_FACTOR = 4
+# Directories at or below this row count build their blooms driver-side
+# from one Arrow collect of (kind, bucket, h1, h2) — ~24 bytes/row of
+# driver traffic, the same O(delta) bound probe() already pays per
+# batch. Bigger (fold) directories use the fused distributed build.
+DEFAULT_DRIVER_BUILD_MAX_ROWS = 4_000_000
+# Buckets per bloom sidecar file: one shard covers BLOOM_GROUP
+# consecutive buckets so probes load (and the LRU caches) only the
+# groups their candidate buckets fall in.
+BLOOM_GROUP = 256
 # Probes test MILLIONS of keys per batch (every band key of a micro-
 # batch), so the false-positive rate must be small relative to
 # 1/probe_keys or fp bucket reads dominate probe I/O: 28 bits/key at
@@ -99,27 +167,52 @@ BLOOM_BITS_PER_KEY = 28
 BLOOM_K = 14
 _H2_SALT = "ks2"  # second bloom hash = xxhash64(key, _H2_SALT)
 
-# process-wide bloom cache: delta dirs are immutable, so a loaded
-# (dir, kind) bloom never invalidates; bounded LRU by total bytes
+# process-wide bloom-shard cache: delta dirs are immutable, so a loaded
+# shard never changes; bounded LRU by total bytes. Mutations are
+# lock-guarded (multiple streaming queries can share the driver), and
+# expire() drops entries under directories it deletes.
 _BLOOM_CACHE: OrderedDict[str, dict] = OrderedDict()
 _BLOOM_CACHE_BYTES = 0
 _BLOOM_CACHE_LIMIT = 512 << 20
+_BLOOM_CACHE_LOCK = threading.Lock()
 
 
 def _cache_get(path: str):
-    if path in _BLOOM_CACHE:
-        _BLOOM_CACHE.move_to_end(path)
-        return _BLOOM_CACHE[path]
-    return None
+    with _BLOOM_CACHE_LOCK:
+        if path in _BLOOM_CACHE:
+            _BLOOM_CACHE.move_to_end(path)
+            return _BLOOM_CACHE[path]
+        return None
 
 
 def _cache_put(path: str, entry: dict) -> None:
     global _BLOOM_CACHE_BYTES
-    _BLOOM_CACHE[path] = entry
-    _BLOOM_CACHE_BYTES += entry["nbytes"]
-    while _BLOOM_CACHE_BYTES > _BLOOM_CACHE_LIMIT and len(_BLOOM_CACHE) > 1:
-        _, old = _BLOOM_CACHE.popitem(last=False)
-        _BLOOM_CACHE_BYTES -= old["nbytes"]
+    with _BLOOM_CACHE_LOCK:
+        if path in _BLOOM_CACHE:
+            return
+        _BLOOM_CACHE[path] = entry
+        _BLOOM_CACHE_BYTES += entry["nbytes"]
+        while _BLOOM_CACHE_BYTES > _BLOOM_CACHE_LIMIT and len(_BLOOM_CACHE) > 1:
+            _, old = _BLOOM_CACHE.popitem(last=False)
+            _BLOOM_CACHE_BYTES -= old["nbytes"]
+
+
+def _cache_clear() -> None:
+    """Drop every cached shard (test hook; keeps the byte counter
+    consistent)."""
+    global _BLOOM_CACHE_BYTES
+    with _BLOOM_CACHE_LOCK:
+        _BLOOM_CACHE.clear()
+        _BLOOM_CACHE_BYTES = 0
+
+
+def _cache_drop_under(dir_prefix: str) -> None:
+    """Invalidate cached shards for a deleted data directory."""
+    global _BLOOM_CACHE_BYTES
+    pref = dir_prefix.rstrip(os.sep) + os.sep
+    with _BLOOM_CACHE_LOCK:
+        for p in [p for p in _BLOOM_CACHE if p.startswith(pref)]:
+            _BLOOM_CACHE_BYTES -= _BLOOM_CACHE.pop(p)["nbytes"]
 
 
 def _dir_bytes(path: str) -> int:
@@ -131,6 +224,19 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _bloom_m(max_bucket_rows: int) -> int:
+    """Bits per bucket: next power of two >= bits/key * rows. A power
+    of two plus an odd double-hashing step gives gcd(step, m) == 1 so
+    the k probe positions cycle the whole table — with m merely a
+    multiple of 64 and an even step the positions collapse onto a
+    coset and the measured false-positive rate blows up ~100x (caught
+    by the probe-bytes pin in tests/test_state_store.py)."""
+    m = 256
+    while m < BLOOM_BITS_PER_KEY * max_bucket_rows:
+        m <<= 1
+    return m
+
+
 class KeyedStateStore:
     """One store = one root directory holding ``manifest.<v>.json``
     files plus immutable ``data/<uuid>`` delta directories, each
@@ -139,7 +245,9 @@ class KeyedStateStore:
 
     ``row_schema`` is the non-partition column schema (everything but
     the ``kind`` string column, which lives in the directory layout);
-    ``key_col`` is the bucketed/bloomed probe key.
+    ``key_col`` is the bucketed/bloomed probe key. ``buckets`` is only
+    the probe-time fallback for manifests that predate per-directory
+    bucket counts; sizing is governed by ``target_rows_per_bucket``.
     """
 
     def __init__(
@@ -154,6 +262,7 @@ class KeyedStateStore:
         buckets: int = DEFAULT_BUCKETS,
         target_rows_per_bucket: int = DEFAULT_TARGET_ROWS_PER_BUCKET,
         fold_factor: int = DEFAULT_FOLD_FACTOR,
+        driver_build_max_rows: int = DEFAULT_DRIVER_BUILD_MAX_ROWS,
     ) -> None:
         _require_local(root)
         self.spark = spark
@@ -162,25 +271,19 @@ class KeyedStateStore:
         self.key_col = key_col
         self.kind_col = kind_col
         self.bloom_kinds = tuple(bloom_kinds)
-        # Bucket-file size is the probe's read granularity, so the
-        # bucket COUNT scales with each directory's rows (recorded per
-        # dir in the manifest): probe bytes = candidate keys x a
-        # BOUNDED bucket file, independent of accumulated state — a
-        # fixed bucket count would let folded directories grow their
-        # bucket files with the corpus and probe I/O would track state
-        # again. ``buckets`` caps the count (file-count valve: past the
-        # cap, probe granularity degrades gracefully to dir_rows/cap).
         self.buckets = int(buckets)
         self.target_rows_per_bucket = max(1, int(target_rows_per_bucket))
         self.fold_factor = max(2, int(fold_factor))
+        self.driver_build_max_rows = int(driver_build_max_rows)
         # probe/commit accounting for the scale pins in bench + tests:
         # data bytes (bucket parquet actually read) are the pin —
-        # they track candidate keys; meta bytes (bloom sidecar loads)
-        # are one-time per immutable directory and cached process-wide,
+        # they track candidate keys; meta bytes (bloom shard loads)
+        # are one-time per immutable shard and cached process-wide,
         # so steady-state probes pay them only for the newest delta
         self.last_probe_bytes = 0
         self.last_probe_meta_bytes = 0
         self.probe_bytes_total = 0
+        self.probe_meta_bytes_total = 0
         self.last_commit_bytes = 0
         self.last_fold_bytes = 0
 
@@ -227,16 +330,17 @@ class KeyedStateStore:
         """Write one immutable bucketed delta directory + bloom
         sidecars; returns its manifest entry. Everything before the
         caller's manifest publication is invisible to readers, so a
-        crash mid-write leaves only an orphaned directory. The bucket
-        count is sized to THIS directory's rows (target bucket-file
-        size, capped) and recorded in the entry — probes use the
+        crash mid-write leaves only an orphaned directory (swept by
+        expire()'s orphan GC). The bucket count is sized to THIS
+        directory's rows — bucket-file size, not bucket count, is the
+        invariant — and recorded in the entry; probes use the
         per-directory count."""
         rel = f"data/{uuid.uuid4().hex}"
         full = os.path.join(self.root, rel)
         from pyspark import StorageLevel
 
-        # scanned ~4x (write, counts, bloom positions per kind) but the
-        # rows carry string keys + array values — DISK_ONLY keeps a
+        # scanned ~3x (count, write, one fused bloom/counts pass) but
+        # the rows carry string keys + array values — DISK_ONLY keeps a
         # micro-batch's delta out of executor heap (heap is the scarce
         # resource in the streaming foreachBatch JVM; measured OOM with
         # the default level under concurrent wide-column scans)
@@ -244,7 +348,7 @@ class KeyedStateStore:
         try:
             n_total = base.count()
             nb = max(1, min(
-                self.buckets,
+                MAX_BUCKETS,
                 -(-n_total // self.target_rows_per_bucket),
             ))
             d = self._hashed(base, nb)
@@ -254,18 +358,13 @@ class KeyedStateStore:
                 .write.partitionBy(self.kind_col, "_b")
                 .parquet(full)
             )
-            counts = {
-                (r["k"], int(r["b"])): r["n"]
-                for r in d.groupBy(
-                    F.col(self.kind_col).alias("k"), F.col("_b").alias("b")
-                ).count().withColumnRenamed("count", "n").collect()
-            }
+            if n_total <= self.driver_build_max_rows:
+                counts = self._build_blooms_driver(d, full, nb)
+            else:
+                counts = self._build_blooms_distributed(d, full, nb)
             kind_rows: dict[str, int] = {}
             for (k, _), n in counts.items():
                 kind_rows[k] = kind_rows.get(k, 0) + n
-            for kind in self.bloom_kinds:
-                if kind_rows.get(kind, 0) > 0:
-                    self._build_bloom(d, full, kind, counts, nb)
         finally:
             base.unpersist()
         return {
@@ -275,66 +374,139 @@ class KeyedStateStore:
             "buckets": nb,
         }
 
-    def _build_bloom(
-        self, d: DataFrame, dir_full: str, kind: str, counts: dict,
-        buckets: int,
+    def _write_bloom_shards(
+        self, dir_full: str, kind: str, bits: np.ndarray, m: int, nb: int,
     ) -> None:
-        """Distributed bloom build: per (bucket, word) ``bit_or``
-        aggregate in Spark; the driver collects the finished words
-        (O(bloom bits / 64) rows), never the keys."""
-        max_n = max(
-            (n for (k, _), n in counts.items() if k == kind), default=0
-        )
-        # m is a POWER OF TWO and the double-hashing step is forced odd:
-        # gcd(step, m) == 1 then guarantees the k probe positions cycle
-        # the whole table. With m merely a multiple of 64 and an even
-        # step, the positions collapse onto a coset and the measured
-        # false-positive rate blows up ~100x (caught by the probe-bytes
-        # pin in tests/test_state_store.py).
-        m = 256
-        while m < BLOOM_BITS_PER_KEY * max_n:
-            m <<= 1
-        # double hashing, overflow-free (ANSI mode): reduce both hashes
-        # mod m first — (h1 + i*h2) mod m == (h1%m + i*(h2%m)) mod m,
-        # and i*(h2%m) <= BLOOM_K*m never overflows a long. The numpy
-        # probe side mirrors this exactly (int64 floored % == pmod,
-        # same |1 odd-step fix).
-        rows = d.filter(F.col(self.kind_col) == kind).select(
+        """Persist one kind's (nb, m/64) bitmap: a single legacy-named
+        file when the directory fits one bucket group, else one shard
+        per ``BLOOM_GROUP`` buckets. Every group gets a file (even
+        all-zero ones — they compress to ~nothing) so a MISSING shard
+        unambiguously means "no sidecar" and probes fall back to the
+        safe full read."""
+        bits = np.ascontiguousarray(bits.view(np.int64))
+        if nb <= BLOOM_GROUP:
+            np.savez_compressed(
+                os.path.join(dir_full, f"_bloom_{kind}.npz"),
+                bits=bits, m=np.int64(m),
+            )
+            return
+        for gi in range(-(-nb // BLOOM_GROUP)):
+            np.savez_compressed(
+                os.path.join(dir_full, f"_bloom_{kind}.g{gi}.npz"),
+                bits=bits[gi * BLOOM_GROUP:(gi + 1) * BLOOM_GROUP],
+                m=np.int64(m),
+            )
+
+    def _build_blooms_driver(
+        self, d: DataFrame, dir_full: str, nb: int,
+    ) -> dict:
+        """Delta-sized path: ONE Arrow collect of (kind, bucket, h1,
+        h2) — O(delta) driver bytes, matching the probe-side bound —
+        then bucket counts AND every bloom kind's bitmap in vectorized
+        numpy. Replaces one counts job + one Spark aggregation per
+        bloom kind (the r6 write-side constant: 3 extra jobs per
+        micro-batch, ~2x the per-batch cost at small state)."""
+        pdf = d.select(self.kind_col, "_b", "_h1", "_h2").toPandas()
+        grp = pdf.groupby([self.kind_col, "_b"], sort=False).size()
+        counts = {
+            (str(k), int(b)): int(n) for (k, b), n in grp.items()
+        }
+        for kind in self.bloom_kinds:
+            sub = pdf[pdf[self.kind_col] == kind]
+            if not len(sub):
+                continue
+            max_n = max(
+                n for (k, _), n in counts.items() if k == kind)
+            m = _bloom_m(max_n)
+            h1 = sub["_h1"].to_numpy(dtype=np.int64)
+            h2 = sub["_h2"].to_numpy(dtype=np.int64)
+            b = sub["_b"].to_numpy(dtype=np.int64)
+            # same double-hashing arithmetic as the probe side: reduce
+            # both hashes mod m first (overflow-free), force the step
+            # odd (see _bloom_m)
+            m1 = h1 % np.int64(m)
+            m2 = (h2 % np.int64(m)) | np.int64(1)
+            bits = np.zeros((nb, m // 64), dtype=np.uint64)
+            one = np.uint64(1)
+            for i in range(BLOOM_K):
+                p = (m1 + np.int64(i) * m2) % np.int64(m)
+                np.bitwise_or.at(
+                    bits, (b, p >> 6),
+                    one << (p.astype(np.uint64) & np.uint64(63)),
+                )
+            self._write_bloom_shards(dir_full, kind, bits, m, nb)
+        return counts
+
+    def _build_blooms_distributed(
+        self, d: DataFrame, dir_full: str, nb: int,
+    ) -> dict:
+        """Fold-sized path: bucket counts in one job, then ALL bloom
+        kinds' word bitmaps in ONE fused ``bit_or`` aggregate (per-kind
+        ``m`` selected via a CASE column); the driver collects only
+        finished (kind, bucket, word) rows — ~bloom-bytes, never keys.
+        Driver peak is O(state bloom bytes) ≈ 4 bytes/key at fold time;
+        the executor-side shard writer is the documented next seam for
+        beyond-RAM corpora."""
+        counts = {
+            (r["k"], int(r["b"])): r["n"]
+            for r in d.groupBy(
+                F.col(self.kind_col).alias("k"), F.col("_b").alias("b")
+            ).count().withColumnRenamed("count", "n").collect()
+        }
+        kinds_m: dict[str, int] = {}
+        for kind in self.bloom_kinds:
+            max_n = max(
+                (n for (k, _), n in counts.items() if k == kind),
+                default=0,
+            )
+            if max_n > 0:
+                kinds_m[kind] = _bloom_m(max_n)
+        if not kinds_m:
+            return counts
+        mexpr = None
+        for kind, m in kinds_m.items():
+            mexpr = (F.when if mexpr is None else mexpr.when)(
+                F.col(self.kind_col) == kind, F.lit(m))
+        rows = d.filter(
+            F.col(self.kind_col).isin(list(kinds_m))
+        ).select(
+            self.kind_col,
             "_b",
-            F.pmod("_h1", F.lit(m)).alias("_m1"),
-            F.expr(f"pmod(_h2, {m}) | 1").alias("_m2"),
+            mexpr.alias("_m"),
+            F.pmod("_h1", mexpr).alias("_m1"),
+            F.pmod("_h2", mexpr).bitwiseOR(F.lit(1)).alias("_m2"),
         )
         pos = rows.select(
+            self.kind_col,
             "_b",
+            "_m",
             F.explode(F.array(*[
                 F.pmod(
-                    F.col("_m1") + F.lit(i) * F.col("_m2"), F.lit(m)
+                    F.col("_m1") + F.lit(i) * F.col("_m2"), F.col("_m")
                 ) for i in range(BLOOM_K)
             ])).alias("_p"),
         )
-        # the finished bitmap is ~bits/8 bytes of (bucket, word, value)
-        # rows — Arrow-collect it (row-object collect() measured ~10s
-        # per micro-batch at 1M words) and bulk-assign in numpy
         words = (
             pos.select(
+                self.kind_col,
                 "_b",
                 F.shiftright("_p", 6).alias("_w"),
                 F.expr(
                     "shiftleft(1L, cast(pmod(_p, 64) as int))").alias("_v"),
             )
-            .groupBy("_b", "_w")
+            .groupBy(self.kind_col, "_b", "_w")
             .agg(F.bit_or("_v").alias("_v"))
             .toPandas()
         )
-        bits = np.zeros((buckets, m // 64), dtype=np.int64)
-        bits[
-            words["_b"].to_numpy(dtype=np.int64),
-            words["_w"].to_numpy(dtype=np.int64),
-        ] = words["_v"].to_numpy(dtype=np.int64)
-        np.savez_compressed(
-            os.path.join(dir_full, f"_bloom_{kind}.npz"),
-            bits=bits, m=np.int64(m),
-        )
+        for kind, m in kinds_m.items():
+            sub = words[words[self.kind_col] == kind]
+            bits = np.zeros((nb, m // 64), dtype=np.int64)
+            bits[
+                sub["_b"].to_numpy(dtype=np.int64),
+                sub["_w"].to_numpy(dtype=np.int64),
+            ] = sub["_v"].to_numpy(dtype=np.int64)
+            self._write_bloom_shards(dir_full, kind, bits, m, nb)
+        return counts
 
     def commit_delta(
         self,
@@ -382,7 +554,10 @@ class KeyedStateStore:
         """Size-tiered folding: while any tier (``floor(log_T(rows))``)
         holds >= T directories, merge the oldest T of that tier into
         one directory of the merged size. Cascades are geometric; a
-        single commit never rewrites more than the overflowing tiers."""
+        single commit never rewrites more than the overflowing tiers.
+        The merged directory re-sizes its bucket count to its own rows
+        (uncapped), so bucket-file size — the probe's read granularity
+        — survives every fold generation."""
         T = self.fold_factor
 
         def tier(rows: int) -> int:
@@ -464,9 +639,9 @@ class KeyedStateStore:
 
     # ----------------------------------------------------------- probe
 
-    def _load_bloom(self, entry: dict, kind: str):
-        full = os.path.join(
-            self.root, entry["path"], f"_bloom_{kind}.npz")
+    def _load_bloom_file(self, full: str):
+        """Load (or cache-hit) one sidecar file; returns
+        (entry | None, cold_bytes)."""
         cached = _cache_get(full)
         if cached is not None:
             return cached, 0
@@ -482,6 +657,27 @@ class KeyedStateStore:
         _cache_put(full, ent)
         return ent, loaded_bytes
 
+    @staticmethod
+    def _bloom_member(
+        bits: np.ndarray, m: int, rows: np.ndarray,
+        h1: np.ndarray, h2: np.ndarray,
+    ) -> np.ndarray:
+        """Vectorized membership test of (h1, h2) key hashes against
+        per-bucket bitmaps; ``rows`` indexes each key's bucket row in
+        ``bits``. Mirrors the build arithmetic exactly (int64 floored
+        ``%`` == Spark pmod, same odd-step fix)."""
+        m1 = h1 % np.int64(m)
+        m2 = (h2 % np.int64(m)) | np.int64(1)
+        member = np.ones(h1.shape, dtype=bool)
+        for i in range(BLOOM_K):
+            p = (m1 + np.int64(i) * m2) % np.int64(m)
+            w = bits[rows, p >> 6]
+            member &= (
+                (w >> (p.astype(np.uint64) & np.uint64(63)))
+                & np.uint64(1)
+            ).astype(bool)
+        return member
+
     def probe(self, kind: str, keys_df: DataFrame, key_expr=None) -> DataFrame:
         """Rows of ``kind`` whose key MAY be in ``keys_df`` — a pruned
         SUPERSET of the exact matches (bloom false positives only; no
@@ -492,8 +688,9 @@ class KeyedStateStore:
         O(batch keys) the probe's broadcast side already costs — and
         tested against each delta's per-bucket blooms in vectorized
         numpy; only (delta, bucket) directories with a candidate hit
-        are read. ``key_expr`` selects the key column from ``keys_df``
-        (default: its only column)."""
+        are read, and only the bloom SHARDS covering candidate buckets
+        are loaded. ``key_expr`` selects the key column from
+        ``keys_df`` (default: its only column)."""
         self.last_probe_bytes = 0
         self.last_probe_meta_bytes = 0
         entries = [
@@ -508,48 +705,80 @@ class KeyedStateStore:
         ).distinct().toPandas()
         h1 = hk["_h1"].to_numpy(dtype=np.int64)
         h2 = hk["_h2"].to_numpy(dtype=np.int64)
+        if h1.size == 0:
+            # zero batch keys: the exact match set is empty, and empty
+            # is a valid superset — skip every directory (including
+            # sidecar-less ones, which would otherwise full-scan)
+            return self._read_paths([], kind)
         paths: list[str] = []
         for e in entries:
-            bloom, loaded = self._load_bloom(e, kind)
-            self.last_probe_meta_bytes += loaded
             nb = int(e.get("buckets", self.buckets))
-            if bloom is None:  # no sidecar: read the whole kind (safe)
+            dir_full = os.path.join(self.root, e["path"])
+            b = (h1 % np.int64(nb)).astype(np.int64)
+            hit_buckets: list[np.ndarray] = []
+            pruned = True
+            if nb <= BLOOM_GROUP:
+                bloom, loaded = self._load_bloom_file(
+                    os.path.join(dir_full, f"_bloom_{kind}.npz"))
+                self.last_probe_meta_bytes += loaded
+                if bloom is None:
+                    pruned = False  # no sidecar: read the whole kind
+                else:
+                    member = self._bloom_member(
+                        bloom["bits"], bloom["m"], b, h1, h2)
+                    if member.any():
+                        hit_buckets.append(np.unique(b[member]))
+            else:
+                # sharded sidecar: load only the bucket groups the
+                # batch's candidate buckets fall in
+                g = b // BLOOM_GROUP
+                for gi in np.unique(g):
+                    bloom, loaded = self._load_bloom_file(os.path.join(
+                        dir_full, f"_bloom_{kind}.g{int(gi)}.npz"))
+                    self.last_probe_meta_bytes += loaded
+                    if bloom is None:
+                        pruned = False  # missing shard: fail safe
+                        break
+                    sel = g == gi
+                    member = self._bloom_member(
+                        bloom["bits"], bloom["m"],
+                        b[sel] - gi * BLOOM_GROUP, h1[sel], h2[sel])
+                    if member.any():
+                        hit_buckets.append(np.unique(b[sel][member]))
+            if not pruned:
                 paths.extend(self._kind_paths([e], kind))
                 continue
-            if h1.size == 0:
-                continue
-            bits, m = bloom["bits"], bloom["m"]
-            b = (h1 % nb).astype(np.int64)  # pmod: numpy int64 % matches
-            m1 = h1 % np.int64(m)
-            m2 = (h2 % np.int64(m)) | np.int64(1)
-            member = np.ones(h1.shape, dtype=bool)
-            for i in range(BLOOM_K):
-                p = (m1 + np.int64(i) * m2) % np.int64(m)
-                w = bits[b, p >> 6]
-                member &= (
-                    (w >> (p.astype(np.uint64) & np.uint64(63)))
-                    & np.uint64(1)
-                ).astype(bool)
-            if not member.any():
-                continue
-            for bucket in np.unique(b[member]):
+            for bucket in (
+                np.concatenate(hit_buckets) if hit_buckets else ()
+            ):
                 p = os.path.join(
-                    self.root, e["path"],
+                    dir_full,
                     f"{self.kind_col}={kind}", f"_b={int(bucket)}")
                 if os.path.isdir(p):
                     paths.append(p)
         for p in paths:
             self.last_probe_bytes += _dir_bytes(p)
         self.probe_bytes_total += self.last_probe_bytes
+        self.probe_meta_bytes_total += self.last_probe_meta_bytes
         return self._read_paths(paths, kind)
 
     # ---------------------------------------------------------- expiry
 
-    def expire(self, *, keep_last: int = 2) -> list[int]:
+    def expire(
+        self, *, keep_last: int = 2,
+        orphan_ttl_seconds: float | None = 6 * 3600.0,
+    ) -> list[int]:
         """Same contract as ``snapshots.expire_snapshots``: drop all but
         the last ``keep_last`` manifests, delete data directories
-        referenced ONLY by expired manifests (never unreferenced ones —
-        they may be a concurrent commit in flight)."""
+        referenced ONLY by expired manifests.
+
+        Additionally sweeps ORPHANS — ``data/`` directories referenced
+        by NO manifest at all (a crashed commit, or the loser of a
+        manifest race) — once they are older than ``orphan_ttl_seconds``
+        (mtime-gated so an in-flight commit's not-yet-published
+        directory is never swept; the default window of hours is
+        several thousand commit intervals). Pass ``None`` to skip the
+        orphan sweep."""
         import shutil
 
         vs = self.versions()
@@ -565,6 +794,22 @@ class KeyedStateStore:
             full = os.path.join(self.root, d)
             if os.path.isdir(full):
                 shutil.rmtree(full)
+                _cache_drop_under(full)
         for v in expired:
             os.remove(os.path.join(self.root, f"manifest.{v}.json"))
+        if orphan_ttl_seconds is not None:
+            data_root = os.path.join(self.root, "data")
+            ever_referenced = referenced | removable
+            if os.path.isdir(data_root):
+                cutoff = time.time() - orphan_ttl_seconds
+                for name in os.listdir(data_root):
+                    rel = f"data/{name}"
+                    full = os.path.join(data_root, name)
+                    if (
+                        rel not in ever_referenced
+                        and os.path.isdir(full)
+                        and os.path.getmtime(full) <= cutoff
+                    ):
+                        shutil.rmtree(full)
+                        _cache_drop_under(full)
         return expired

@@ -236,6 +236,146 @@ def test_store_probes_add_no_shuffle_joins(spark, tmp_path):
     assert warm == cold
 
 
+def test_probe_bytes_flat_across_fold_generations(spark, tmp_path):
+    """VERDICT r6 next #1: bucket-file SIZE, not bucket count, is the
+    invariant. Under the old 256-bucket cap a tier-folded directory's
+    bucket files grew as dir_rows/256 and probe bytes jumped ~20x the
+    batch after a fold (curatebench, r6). Here the state crosses TWO
+    fold generations (T=2: gen-1 merges appear by commit 2, gen-2 by
+    commit 4) into directories with MORE buckets than one bloom group
+    — probe bytes must stay within a small factor of the cold-state
+    probe."""
+    store = _store(
+        spark, tmp_path / "s", target_rows_per_bucket=8, fold_factor=2)
+    hits = [f"hit{i:028d}" for i in range(5)]
+    store.commit_delta(
+        _delta(spark, "md5", hits), version=0,
+        fold_fn=curate._compact_state)
+    probe_keys = spark.createDataFrame(
+        [(k,) for k in hits]
+        + [(f"miss{i:026d}",) for i in range(200)], "key string")
+
+    def probe_bytes():
+        got = store.probe("md5", probe_keys)
+        assert got.join(probe_keys, "key", "left_semi").count() == len(hits)
+        return store.last_probe_bytes
+
+    small = probe_bytes()
+    for b in range(1, 9):
+        filler = [f"fill{b:04d}x{i:023d}" for i in range(512)]
+        store.commit_delta(
+            _delta(spark, "md5", filler), version=b,
+            fold_fn=curate._compact_state)
+    # the tiered log now holds fold-generation >= 2 directories big
+    # enough that their bucket count exceeds one bloom group
+    nbs = [e["buckets"] for e in store._dirs()]
+    assert max(nbs) > state_store.BLOOM_GROUP, nbs
+    big = probe_bytes()
+    # bucket files hold ~target_rows_per_bucket rows regardless of the
+    # fold generation, so the probe reads hit-sized bytes: within ~2x
+    # of the pre-fold probe (+ a fixed parquet-footer allowance for
+    # the extra log directories the 5 hits now appear in)
+    assert big <= small * 2 + 32768, (small, big)
+    # sharded sidecars engaged and are cached: steady-state probes load
+    # zero metadata bytes
+    probe_bytes()
+    assert store.last_probe_meta_bytes == 0
+
+
+def test_sharded_bloom_sidecars_layout_and_pruning(spark, tmp_path):
+    """A directory with more buckets than one bloom group writes one
+    sidecar PER GROUP (never the legacy single file), and a probe
+    loads only the groups its candidate buckets fall in."""
+    import glob
+    import os
+
+    store = _store(spark, tmp_path / "s", target_rows_per_bucket=4)
+    keys = [f"k{i:030d}" for i in range(4096)]  # -> 1024 buckets
+    store.commit_delta(_delta(spark, "md5", keys), version=0)
+    (entry,) = store._dirs()
+    assert entry["buckets"] == 1024
+    d = str(tmp_path / "s" / entry["path"])
+    shards = glob.glob(os.path.join(d, "_bloom_md5.g*.npz"))
+    assert len(shards) == 1024 // state_store.BLOOM_GROUP
+    assert not os.path.exists(os.path.join(d, "_bloom_md5.npz"))
+    # one probe key -> exactly one group's shard loaded cold
+    state_store._cache_clear()
+    got = store.probe(
+        "md5", spark.createDataFrame([(keys[7],)], "key string"))
+    assert keys[7] in {r.key for r in got.collect()}
+    total_shard_bytes = sum(os.path.getsize(s) for s in shards)
+    assert 0 < store.last_probe_meta_bytes < total_shard_bytes / 2
+
+
+def test_concurrent_commit_race_single_winner(spark, tmp_path):
+    """Deployment-contract pin (VERDICT r6 next #6): two writers racing
+    the SAME version corrupt nothing — os.link publication lets exactly
+    one manifest win, the loser returns None, and its unreferenced data
+    directory is an orphan the age-gated GC sweeps."""
+    import threading
+
+    sd = str(tmp_path / "s")
+    results: dict[str, int | None] = {}
+
+    def commit(tag: str, keys: list[str]) -> None:
+        st = _store(spark, sd)
+        results[tag] = st.commit_delta(
+            _delta(spark, "md5", keys), version=0)
+
+    t1 = threading.Thread(target=commit, args=("a", ["a1", "a2"]))
+    t2 = threading.Thread(target=commit, args=("b", ["b1", "b2"]))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert sorted(results.values(), key=str) in ([None, 0], [0, None])
+    store = _store(spark, sd)
+    assert store.versions() == [0]
+    winner = "a" if results["a"] == 0 else "b"
+    rows = {r.key for r in store.read_kind("md5").collect()}
+    assert rows == {f"{winner}1", f"{winner}2"}
+    # the loser's dir (if it got as far as writing one before seeing
+    # the published manifest) is an orphan; age-gated sweep removes it
+    import os
+    data = os.path.join(sd, "data")
+    assert len(os.listdir(data)) in (1, 2)
+    store.expire(keep_last=2, orphan_ttl_seconds=0.0)
+    assert len(os.listdir(data)) == 1
+    assert {r.key for r in store.read_kind("md5").collect()} == rows
+
+
+def test_orphan_gc_age_gate(spark, tmp_path):
+    """Orphan sweep is TTL-gated: a young unreferenced directory (an
+    in-flight commit) survives; None skips the sweep entirely."""
+    import os
+
+    sd = str(tmp_path / "s")
+    store = _store(spark, sd)
+    store.commit_delta(_delta(spark, "md5", ["k1"]), version=0)
+    orphan = os.path.join(sd, "data", "deadbeef")
+    os.makedirs(orphan)
+    store.expire(keep_last=2, orphan_ttl_seconds=None)
+    assert os.path.isdir(orphan)
+    store.expire(keep_last=2, orphan_ttl_seconds=3600.0)
+    assert os.path.isdir(orphan)  # younger than the window
+    store.expire(keep_last=2, orphan_ttl_seconds=0.0)
+    assert not os.path.isdir(orphan)
+    assert store.read_kind("md5").count() == 1
+
+
+def test_probe_with_zero_keys_skips_sidecarless_dirs(spark, tmp_path):
+    """ADVICE r6: zero batch keys must short-circuit to the empty frame
+    even when a directory has NO bloom sidecar (a kind outside
+    bloom_kinds would otherwise full-scan)."""
+    store = KeyedStateStore(
+        spark, str(tmp_path / "s"), row_schema=ROW_SCHEMA,
+        key_col="key", kind_col="kind", bloom_kinds=(),  # no sidecars
+    )
+    store.commit_delta(
+        _delta(spark, "md5", [f"k{i}" for i in range(50)]), version=0)
+    empty = store.probe(
+        "md5", spark.createDataFrame([], "key string"))
+    assert empty.count() == 0
+    assert store.last_probe_bytes == 0
+
+
 def test_empty_delta_and_empty_probe(spark, tmp_path):
     store = _store(spark, tmp_path / "s")
     store.commit_delta(_delta(spark, "md5", []), version=0)

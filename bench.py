@@ -248,6 +248,14 @@ def run_docs(spark) -> dict[str, object]:
             docs.select("doc_id", "text"),
             docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text"),
         ),
+        # the REALISTIC bucket dimension (paper-scale hashed space,
+        # VERDICT r6 next #7): the log-ratio table is 8192 rows — still
+        # a broadcast — so the corpus-side cost should match dim=64
+        "dsir_weights_2m_dim8k": lambda: pipeline.dsir_logweights(
+            docs.select("doc_id", "text"),
+            docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text"),
+            dim=8192,
+        ),
         # distributed classifier training on a ~200k-doc sample:
         # xxhash64 feature hashing -> dense vectors -> 3 GD iterations
         # (one skinny aggregate each, weights broadcast as literals)
@@ -935,6 +943,23 @@ def run_ann(spark) -> dict[str, object]:
         "recall_at_10": mean_recall(similarity.int8_topk(nq, nemb, k)),
         "qps": round(n_q / t, 1),
     })
+    # the PRODUCTION int8 shape (VERDICT r6 next #3): binary-packed
+    # codes built at ingest (64 B/vector — the 8x-shrunk scan tier),
+    # float32-GEMM integer candidate scan, exact float re-rank of the
+    # top-C only. int8_scan above is the oracle-exactness form; this is
+    # the one that must beat brute-force qps at >= nprobe_16 recall.
+    from nexus_processor_spark.operators import vector_arrow
+
+    codes = vector_arrow.pack_int8_codes(nemb).localCheckpoint(eager=True)
+    for cand in (50, 100):
+        build = lambda: similarity.int8_rerank_topk(  # noqa: E731
+            nq, nemb, k, candidates=cand, codes=codes)
+        t = timed(build)
+        out["configs"].append({
+            "config": f"int8_rerank_cand{cand}", "sec": round(t, 3),
+            "recall_at_10": mean_recall(build()),
+            "qps": round(n_q / t, 1),
+        })
     # composed IVF-PQ, the FAISS recipe end to end: per-subspace
     # codebooks TRAINED on a 5k sample (seed-based codebooks measured
     # recall ~0.1 — quantization error on random seeds is as big as the

@@ -850,6 +850,74 @@ ORACLE["sim_int8_topk"] = f"""
 """
 
 
+INT8_CAND = 20
+
+
+def q_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized candidate generation + exact float re-rank: the packed
+    int8 scan keeps each query's top-C by exact integer dot (float32
+    GEMM over the binary-packed codes — exact integers at dim <= 1024),
+    then only those C rows are re-scored with the full-precision cosine
+    brute force uses. The oracle replays BOTH stages: the integer top-C
+    (zero tolerance) and the rounded cosine re-rank."""
+    emb = _emb(spark, sf_dir)
+    return similarity.int8_rerank_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb, TOP_K,
+        candidates=INT8_CAND,
+    )
+
+
+QUERIES["int8_rerank_topk"] = q_int8_rerank_topk
+
+# both stages replayed: integer-dot candidate top-C (exact — same
+# single quantization rounding as sim_int8_topk), then the cosine
+# re-rank over ONLY the candidate rows with brute force's expression
+ORACLE["int8_rerank_topk"] = f"""
+    WITH z AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS s,
+               embedding
+        FROM embeddings
+    ),
+    qz AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) / s * 127)
+                             AS BIGINT)) AS q
+        FROM z WHERE s > 0
+    ),
+    iscored AS (
+        SELECT a.vec_id AS query_id, b.vec_id,
+               CAST(list_sum(list_transform(
+                   generate_series(1, len(a.q)),
+                   i -> a.q[i] * b.q[i])) AS BIGINT) AS score_q
+        FROM qz a, qz b
+        WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+    ),
+    cand AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score_q DESC, vec_id) AS rn
+            FROM iscored
+        ) WHERE rn <= {INT8_CAND}
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.vec_id, {_cos('q.qv', 'c.cv')} AS cos
+        FROM cand
+        JOIN (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              WHERE vec_id < {N_QUERIES}) q USING (query_id)
+        JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c
+             USING (vec_id)
+    )
+    SELECT query_id, vec_id, cos, rn AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= {TOP_K}
+"""
+
+
 PCA_ITERS = 5
 PCA_QS = 1024
 PCA_VS = 1 << 16

@@ -108,3 +108,74 @@ def test_ivf_pq_topk_accepts_preencoded(spark):
     b = sorted(map(tuple, similarity.ivf_pq_topk(
         q, emb, cb, 5, 4, encoded=enc).collect()))
     assert a == b
+
+
+def test_pack_int8_codes_matches_quantize_int8(emb):
+    """The packed binary codes must decode to EXACTLY quantize_int8's
+    longs (same HALF_UP rounding), with zero vectors dropped like the
+    native isNotNull filter."""
+    import numpy as np
+
+    native = {
+        r["vec_id"]: r["q8"]
+        for r in emb.select(
+            "vec_id", vector.quantize_int8(F.col("embedding")).alias("q8")
+        ).collect()
+        if r["q8"] is not None
+    }
+    packed = {
+        r["vec_id"]: np.frombuffer(r["code"], dtype=np.int8).tolist()
+        for r in vector_arrow.pack_int8_codes(emb).collect()
+    }
+    assert set(packed) == set(native)  # zero vector (id 200) dropped
+    for vid, q in native.items():
+        assert packed[vid] == list(q), vid
+
+
+def test_int8_rerank_equals_brute_when_candidates_cover_corpus(emb):
+    """With candidates >= corpus size the re-rank scores every pair with
+    brute force's exact cosine — the outputs must be IDENTICAL frames
+    (same rounding, same tiebreaks)."""
+    clean = emb.filter("vec_id < 200")  # drop the zero vector
+    q = clean.filter("vec_id < 4")
+    got = _collect_sorted(
+        similarity.int8_rerank_topk(q, clean, 5, candidates=500),
+        "query_id", "rank")
+    want = _collect_sorted(
+        similarity.brute_force_topk(q, clean, 5), "query_id", "rank")
+    assert got == want
+
+
+def test_int8_rerank_recall_beats_raw_int8_topk(emb):
+    """The reason the operator exists: candidate-C + exact re-rank must
+    recover (near-)full recall where the raw int8 ordering loses it."""
+    clean = emb.filter("vec_id < 200")
+    q = clean.filter("vec_id < 8")
+    gt = similarity.brute_force_topk(q, clean, 5).select(
+        "query_id", "vec_id")
+    r_rerank = (
+        similarity.recall_at_k(
+            similarity.int8_rerank_topk(q, clean, 5, candidates=25),
+            gt, 5)
+        .agg(F.avg("recall").alias("r")).first()["r"]
+    )
+    r_raw = (
+        similarity.recall_at_k(
+            similarity.int8_topk(q, clean, 5), gt, 5)
+        .agg(F.avg("recall").alias("r")).first()["r"]
+    )
+    assert r_rerank >= r_raw
+    assert r_rerank >= 0.9
+
+
+def test_int8_candidates_rejects_oversized_ids(spark):
+    """The deterministic tiebreak composite needs 0 <= id < 2^31; out-of-
+    range ids must fail loudly, never misorder silently."""
+    import numpy as np
+
+    big = spark.createDataFrame(
+        [(1 << 40, bytes([1] * 8))], "vec_id long, code binary")
+    cand = vector_arrow.int8_candidates_arrow(
+        big, np.array([0]), np.ones((1, 8)), 5)
+    with pytest.raises(Exception, match="2\\^31"):
+        cand.collect()

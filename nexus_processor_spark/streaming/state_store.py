@@ -326,7 +326,15 @@ class KeyedStateStore:
             "_h2", F.xxhash64(k, F.lit(_H2_SALT))
         ).withColumn("_b", F.pmod(F.col("_h1"), F.lit(buckets)))
 
-    def _write_delta_dir(self, df: DataFrame) -> dict:
+    def _sized_buckets(self, n_total: int) -> int:
+        return max(1, min(
+            MAX_BUCKETS,
+            -(-n_total // self.target_rows_per_bucket),
+        ))
+
+    def _write_delta_dir(
+        self, df: DataFrame, expected_rows: int | None = None,
+    ) -> dict:
         """Write one immutable bucketed delta directory + bloom
         sidecars; returns its manifest entry. Everything before the
         caller's manifest publication is invisible to readers, so a
@@ -334,33 +342,57 @@ class KeyedStateStore:
         expire()'s orphan GC). The bucket count is sized to THIS
         directory's rows — bucket-file size, not bucket count, is the
         invariant — and recorded in the entry; probes use the
-        per-directory count."""
+        per-directory count.
+
+        A delta-sized directory (``expected_rows`` absent or small —
+        the per-micro-batch path) pays exactly TWO scans of the
+        persisted delta: one Arrow collect of (kind, h1, h2) that
+        yields the row count, bucket sizing, per-bucket counts AND all
+        bloom bitmaps driver-side, then the bucketed parquet write.
+        Fold-sized directories (``expected_rows`` from the tier sums)
+        keep the distributed build: count, write, counts, one fused
+        bloom aggregate."""
         rel = f"data/{uuid.uuid4().hex}"
         full = os.path.join(self.root, rel)
         from pyspark import StorageLevel
 
-        # scanned ~3x (count, write, one fused bloom/counts pass) but
         # the rows carry string keys + array values — DISK_ONLY keeps a
         # micro-batch's delta out of executor heap (heap is the scarce
         # resource in the streaming foreachBatch JVM; measured OOM with
         # the default level under concurrent wide-column scans)
         base = df.persist(StorageLevel.DISK_ONLY)
         try:
-            n_total = base.count()
-            nb = max(1, min(
-                MAX_BUCKETS,
-                -(-n_total // self.target_rows_per_bucket),
-            ))
-            d = self._hashed(base, nb)
-            (
-                d.repartition(self.kind_col, "_b")
-                .drop("_h1", "_h2")
-                .write.partitionBy(self.kind_col, "_b")
-                .parquet(full)
+            driver_side = (
+                expected_rows is None
+                or expected_rows <= self.driver_build_max_rows
             )
-            if n_total <= self.driver_build_max_rows:
-                counts = self._build_blooms_driver(d, full, nb)
+            if driver_side:
+                k = F.col(self.key_col)
+                pdf = base.select(
+                    self.kind_col,
+                    F.xxhash64(k).alias("_h1"),
+                    F.xxhash64(k, F.lit(_H2_SALT)).alias("_h2"),
+                ).toPandas()
+                n_total = len(pdf)
+                nb = self._sized_buckets(n_total)
+                (
+                    self._hashed(base, nb)
+                    .repartition(self.kind_col, "_b")
+                    .drop("_h1", "_h2")
+                    .write.partitionBy(self.kind_col, "_b")
+                    .parquet(full)
+                )
+                counts = self._build_blooms_driver(pdf, full, nb)
             else:
+                n_total = base.count()
+                nb = self._sized_buckets(n_total)
+                d = self._hashed(base, nb)
+                (
+                    d.repartition(self.kind_col, "_b")
+                    .drop("_h1", "_h2")
+                    .write.partitionBy(self.kind_col, "_b")
+                    .parquet(full)
+                )
                 counts = self._build_blooms_distributed(d, full, nb)
             kind_rows: dict[str, int] = {}
             for (k, _), n in counts.items():
@@ -383,30 +415,33 @@ class KeyedStateStore:
         all-zero ones — they compress to ~nothing) so a MISSING shard
         unambiguously means "no sidecar" and probes fall back to the
         safe full read."""
+        # plain savez, not savez_compressed: a properly-sized bloom sits
+        # near 35% fill — zlib buys ~5% bytes for real CPU on every
+        # write AND probe-side load
         bits = np.ascontiguousarray(bits.view(np.int64))
         if nb <= BLOOM_GROUP:
-            np.savez_compressed(
+            np.savez(
                 os.path.join(dir_full, f"_bloom_{kind}.npz"),
                 bits=bits, m=np.int64(m),
             )
             return
         for gi in range(-(-nb // BLOOM_GROUP)):
-            np.savez_compressed(
+            np.savez(
                 os.path.join(dir_full, f"_bloom_{kind}.g{gi}.npz"),
                 bits=bits[gi * BLOOM_GROUP:(gi + 1) * BLOOM_GROUP],
                 m=np.int64(m),
             )
 
-    def _build_blooms_driver(
-        self, d: DataFrame, dir_full: str, nb: int,
-    ) -> dict:
-        """Delta-sized path: ONE Arrow collect of (kind, bucket, h1,
-        h2) — O(delta) driver bytes, matching the probe-side bound —
-        then bucket counts AND every bloom kind's bitmap in vectorized
-        numpy. Replaces one counts job + one Spark aggregation per
-        bloom kind (the r6 write-side constant: 3 extra jobs per
-        micro-batch, ~2x the per-batch cost at small state)."""
-        pdf = d.select(self.kind_col, "_b", "_h1", "_h2").toPandas()
+    def _build_blooms_driver(self, pdf, dir_full: str, nb: int) -> dict:
+        """Delta-sized path: from ONE Arrow collect of (kind, h1, h2)
+        — O(delta) driver bytes, matching the probe-side bound — derive
+        bucket assignment, per-bucket counts AND every bloom kind's
+        bitmap in vectorized numpy. Replaces one count job, one counts
+        aggregation and one Spark aggregation per bloom kind (the r6
+        write-side constant: 4 extra jobs per micro-batch, ~2x the
+        per-batch cost at small state)."""
+        pdf = pdf.assign(
+            _b=pdf["_h1"].to_numpy(dtype=np.int64) % np.int64(nb))
         grp = pdf.groupby([self.kind_col, "_b"], sort=False).size()
         counts = {
             (str(k), int(b)): int(n) for (k, b), n in grp.items()
@@ -576,7 +611,11 @@ class KeyedStateStore:
                 return dirs
             idx = by_tier[min(over)][:T]
             merged_df = fold_fn(self._read_dirs([dirs[i] for i in idx]))
-            entry = self._write_delta_dir(merged_df)
+            # the pre-merge row sum is an upper bound on the folded
+            # size — routes big folds to the distributed bloom build
+            entry = self._write_delta_dir(
+                merged_df,
+                expected_rows=sum(dirs[i]["rows"] for i in idx))
             folded = _dir_bytes(os.path.join(self.root, entry["path"]))
             self.last_fold_bytes += folded
             self.last_commit_bytes += folded

@@ -57,3 +57,23 @@ def test_readme_query_count_matches_registry():
         assert int(a) == n and int(b) == n, (
             f"README says {a}/{b} queries; registry has {n}"
         )
+
+
+def test_annbench_coverage_claims_match_bench_config():
+    """VERDICT r6 next #4: claims and artifacts must agree EXACTLY —
+    the r6 COVERAGE line said "1M x 64" and "m in {4,8}" while the
+    bench ran 250k x 64 / m=8 only. Pin the doc's scale/config tokens
+    to the literals in bench.run_ann so neither can drift alone."""
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    bench_src = (root / "bench.py").read_text()
+    cov = (root / "COVERAGE.md").read_text()
+    # the bench's annbench corpus size...
+    assert "ann_rows = 250_000" in bench_src
+    # ...and the doc's claim for it
+    assert "250k x 64" in cov
+    assert "1M x 64 for brute" not in cov
+    # PQ sweep: one m (8), candidate-generation framing
+    assert 'm, dim = 8, VEC_DIM' in bench_src
+    assert "m=8" in cov

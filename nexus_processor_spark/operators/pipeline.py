@@ -408,6 +408,83 @@ def decontaminate(
     return _contamination_audit(corpus, matched, id_col)
 
 
+def contamination_scores(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str | None = None,
+    max_gram_eval_df: int | None = None,
+) -> DataFrame:
+    """Graded, ATTRIBUTED eval-overlap: for every (corpus doc, eval doc)
+    pair sharing at least one distinct word ``n``-gram, the shared-gram
+    count and the CONTAINMENT fraction
+    ``shared / |eval doc's distinct n-grams|`` — the graded dial behind
+    binary :func:`decontaminate` (which only says "some eval gram
+    matched somewhere in the benchmark"): containment 0.9 against a
+    specific benchmark item is a leak to excise; 0.02 is a
+    stopword-phrase collision to ignore. This is the per-item evidence
+    table an eval-integrity report is built from.
+
+    Scale shape: the eval side explodes to (eval_id, gram) — benchmark-
+    sized, broadcast; the corpus pays ONE distinct-shingle explode and
+    a broadcast gram join, then per-pair counts shuffle on the
+    (corpus, eval) key — bounded by TRUE overlapping pairs, not the
+    pair space. The quadratic risk is grams common across MANY eval
+    docs (each corpus hit fans out to all of them); ``max_gram_eval_df``
+    drops grams whose eval-side document frequency exceeds the cap —
+    they carry no per-item attribution signal (same dial as
+    ``dedup.neardup_eval``'s heavy-shingle cap). Deterministic and
+    SQL-replayable.
+
+    Output: ``(id_col, eval_id, shared_grams, eval_grams,
+    containment)``.
+    """
+    from nexus_processor_spark.functions.text import word_shingles_text
+
+    eval_id = eval_id_col or id_col
+    eg = eval_df.select(
+        F.col(eval_id).alias("eval_id"),
+        F.explode(word_shingles_text(text_col, n)).alias("gram"),
+    )
+    # denominator = the eval doc's FULL distinct gram count (computed
+    # before the df cap, so capping can only lower a containment score,
+    # never inflate one)
+    totals = eg.groupBy("eval_id").agg(
+        F.count(F.lit(1)).alias("eval_grams"))
+    if max_gram_eval_df is not None:
+        gram_df = eg.groupBy("gram").agg(
+            F.count(F.lit(1)).alias("_df"))
+        eg = eg.join(
+            F.broadcast(gram_df.filter(
+                F.col("_df") <= max_gram_eval_df).select("gram")),
+            "gram", "left_semi",
+        )
+    cg = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles_text(text_col, n)).alias("gram"),
+    )
+    pairs = (
+        cg.join(F.broadcast(eg), "gram")
+        .groupBy(id_col, "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    return (
+        pairs.join(F.broadcast(totals), "eval_id")
+        .select(
+            id_col,
+            "eval_id",
+            F.col("shared_grams").cast("long").alias("shared_grams"),
+            F.col("eval_grams").cast("long").alias("eval_grams"),
+            F.round(
+                F.col("shared_grams") / F.col("eval_grams"), 6
+            ).alias("containment"),
+        )
+    )
+
+
 def decontaminate_bloom(
     corpus: DataFrame,
     eval_df: DataFrame,

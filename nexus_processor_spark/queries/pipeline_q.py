@@ -977,6 +977,70 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dsir_weights"] = q_dsir_weights
 QUERIES["dsir_select"] = q_dsir_select
 
+CONTAM_N = 3
+CONTAM_CAP = 20
+
+
+def q_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded, per-eval-item contamination evidence: the containment
+    fraction of each eval doc's distinct 3-grams inside each
+    overlapping corpus doc (binary decontaminate's graded dial), with
+    the heavy-gram cap (eval-side df <= 20) dropping attribution-free
+    boilerplate grams. Same hash-carved eval split as decontaminate."""
+    docs = _docs(spark, sf_dir)
+    h = pipeline.hash_hex(F.col("doc_id"), salt=EVAL_SALT)
+    thr = hex_threshold(EVAL_FRACTION)
+    eval_df = docs.filter(h < F.lit(thr))
+    corpus = docs.filter(h >= F.lit(thr))
+    return pipeline.contamination_scores(
+        corpus, eval_df, n=CONTAM_N, max_gram_eval_df=CONTAM_CAP)
+
+
+QUERIES["contamination_scores"] = q_contamination_scores
+
+ORACLE["contamination_scores"] = f"""
+    WITH sh AS (
+        SELECT doc_id,
+               substr(md5('{EVAL_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS h,
+               list_distinct(list_transform(
+                   generate_series(1,
+                       greatest(len(string_split(text, ' '))
+                                - {CONTAM_N - 1}, 0)),
+                   i -> array_to_string(
+                       (string_split(text, ' '))[i:i+{CONTAM_N - 1}],
+                       ' '))) AS grams
+        FROM documents
+    ),
+    eg0 AS (
+        SELECT doc_id AS eval_id, unnest(grams) AS gram FROM sh
+        WHERE h < '{hex_threshold(EVAL_FRACTION)}'
+    ),
+    totals AS (
+        SELECT eval_id, CAST(count(*) AS BIGINT) AS eval_grams
+        FROM eg0 GROUP BY 1
+    ),
+    capped AS (
+        SELECT gram FROM eg0 GROUP BY gram
+        HAVING count(*) <= {CONTAM_CAP}
+    ),
+    eg AS (SELECT eg0.* FROM eg0 JOIN capped USING (gram)),
+    cg AS (
+        SELECT doc_id, unnest(grams) AS gram FROM sh
+        WHERE h >= '{hex_threshold(EVAL_FRACTION)}'
+    ),
+    pairs AS (
+        SELECT cg.doc_id, eg.eval_id,
+               CAST(count(*) AS BIGINT) AS shared_grams
+        FROM cg JOIN eg USING (gram) GROUP BY 1, 2
+    )
+    SELECT p.doc_id, p.eval_id, p.shared_grams, t.eval_grams,
+           round(CAST(p.shared_grams AS DOUBLE) / t.eval_grams, 6)
+               AS containment
+    FROM pairs p JOIN totals t USING (eval_id)
+"""
+
+
 DSIR_HIDIM = 4096
 
 

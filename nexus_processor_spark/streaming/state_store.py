@@ -114,11 +114,17 @@ Streaming's replay contract.
   nothing else in the store assumes rename atomicity.
 * **``_require_local`` seam.** Paths are currently pinned to local /
   fuse-mounted filesystems because probes read sidecars and bucket
-  files through ``os`` + ``np.load`` driver-side. The pluggable seam
-  for shared storage is exactly three functions (``_load_bloom_file``,
+  files through ``os`` + ``np.load``. The pluggable seam for shared
+  storage is exactly three functions (``_load_bloom_file``,
   ``_dir_bytes``, ``_kind_paths``) plus ``_publish_manifest``; probe
   SEMANTICS (superset-of-matches) are filesystem-independent and
-  pinned by tests.
+  pinned by tests. For the probe COMPUTE side, :meth:`probe` collects
+  the batch's key hashes driver-side (O(batch keys));
+  :meth:`probe_distributed` is the executed 100 TB twin — the bloom
+  test runs in ``mapInPandas`` over the batch's own partitions with
+  per-worker shard caches, and only the distinct candidate
+  (directory, bucket) pairs reach the driver. Both are pinned
+  row-identical.
 
 Reference scope: SURVEY.md §2 T3 (checkpointed exactly-once state);
 the probe/pruning design is original, from the public Bloom-filter /
@@ -800,6 +806,126 @@ class KeyedStateStore:
         self.probe_bytes_total += self.last_probe_bytes
         self.probe_meta_bytes_total += self.last_probe_meta_bytes
         return self._read_paths(paths, kind)
+
+    def probe_distributed(
+        self, kind: str, keys_df: DataFrame, key_expr=None,
+    ) -> DataFrame:
+        """Executor-side twin of :meth:`probe` — same superset
+        contract, same blooms, but the membership test runs as a
+        ``mapInPandas`` over the batch's OWN key partitions: key hashes
+        never collect to the driver; only the DISTINCT candidate
+        (directory, bucket) pairs do (bounded by the buckets actually
+        hit — thousands — regardless of batch key count). This is the
+        100 TB deployment shape the driver-side probe's O(batch-key)
+        collect is documented against: executors read bloom shards
+        from the shared store path (process-cached per worker, so a
+        long-lived streaming job pays each shard's load once per
+        worker, not once per batch).
+
+        Results are IDENTICAL to :meth:`probe` (pinned by tests): both
+        sides evaluate the same bitmaps with the same arithmetic, so
+        the candidate sets match exactly. ``last_probe_meta_bytes``
+        aggregates the executors' cold shard loads (summed across
+        workers — each worker warms its own cache)."""
+        self.last_probe_bytes = 0
+        self.last_probe_meta_bytes = 0
+        entries = [
+            e for e in self._dirs() if e.get("kind_rows", {}).get(kind, 0) > 0
+        ]
+        if not entries:
+            return self._read_paths([], kind)
+        k = key_expr if key_expr is not None else F.col(keys_df.columns[0])
+        hk = keys_df.select(
+            F.xxhash64(k).alias("_h1"),
+            F.xxhash64(k, F.lit(_H2_SALT)).alias("_h2"),
+        )
+        root = self.root
+        kind_col = self.kind_col
+        default_nb = self.buckets
+        meta = [
+            (e["path"], int(e.get("buckets", default_nb)))
+            for e in entries
+        ]
+        member_fn = KeyedStateStore._bloom_member
+
+        def kernel(batches):
+            import pandas as pd
+
+            for b in batches:
+                h1 = b["_h1"].to_numpy(dtype=np.int64)
+                h2 = b["_h2"].to_numpy(dtype=np.int64)
+                loaded = 0
+                out_dir: list[int] = []
+                out_bucket: list[int] = []
+                if h1.size:
+                    for di, (rel, nb) in enumerate(meta):
+                        dir_full = os.path.join(root, rel)
+                        bb = (h1 % np.int64(nb)).astype(np.int64)
+                        if nb <= BLOOM_GROUP:
+                            shards = [(os.path.join(
+                                dir_full, f"_bloom_{kind}.npz"),
+                                np.arange(h1.size), 0)]
+                        else:
+                            g = bb // BLOOM_GROUP
+                            shards = [
+                                (os.path.join(
+                                    dir_full,
+                                    f"_bloom_{kind}.g{int(gi)}.npz"),
+                                 np.flatnonzero(g == gi),
+                                 int(gi) * BLOOM_GROUP)
+                                for gi in np.unique(g)
+                            ]
+                        for path, sel, base_b in shards:
+                            ent = _cache_get(path)
+                            if ent is None and os.path.exists(path):
+                                loaded += os.path.getsize(path)
+                                with np.load(path) as z:
+                                    ent = {
+                                        "bits": z["bits"].view(np.uint64),
+                                        "m": int(z["m"]),
+                                    }
+                                ent["nbytes"] = ent["bits"].nbytes
+                                _cache_put(path, ent)
+                            if ent is None:
+                                # no sidecar: every bucket this batch's
+                                # keys map to is a candidate (fail safe)
+                                for bucket in np.unique(bb[sel]):
+                                    out_dir.append(di)
+                                    out_bucket.append(int(bucket))
+                                continue
+                            member = member_fn(
+                                ent["bits"], ent["m"],
+                                bb[sel] - base_b, h1[sel], h2[sel])
+                            if member.any():
+                                for bucket in np.unique(bb[sel][member]):
+                                    out_dir.append(di)
+                                    out_bucket.append(int(bucket))
+                yield pd.DataFrame({
+                    "_d": out_dir + [-1],
+                    "_bk": out_bucket + [-1],
+                    "_meta": [0] * len(out_dir) + [loaded],
+                })
+
+        rows = (
+            hk.mapInPandas(kernel, "_d int, _bk long, _meta long")
+            .groupBy("_d", "_bk").agg(F.sum("_meta").alias("_meta"))
+            .collect()
+        )
+        paths: list[str] = []
+        for r in rows:
+            if r["_d"] < 0:
+                self.last_probe_meta_bytes += int(r["_meta"])
+                continue
+            rel, _ = meta[r["_d"]]
+            p = os.path.join(
+                root, rel, f"{kind_col}={kind}", f"_b={int(r['_bk'])}")
+            if os.path.isdir(p):
+                paths.append(p)
+        for p in paths:
+            self.last_probe_bytes += _dir_bytes(p)
+        self.probe_bytes_total += self.last_probe_bytes
+        self.probe_meta_bytes_total += self.last_probe_meta_bytes
+        return self._read_paths(sorted(set(paths)), kind)
 
     # ---------------------------------------------------------- expiry
 

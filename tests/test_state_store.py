@@ -390,3 +390,37 @@ def test_empty_delta_and_empty_probe(spark, tmp_path):
     none = store.probe(
         "mins", spark.createDataFrame([("k1",)], "key string"))
     assert none.count() == 0 and "key" in none.columns
+
+
+def test_probe_distributed_matches_driver_probe(spark, tmp_path):
+    """The executor-side probe twin must return EXACTLY the driver
+    probe's rows (same blooms, same arithmetic -> same candidate set),
+    with no false negatives, across sharded and single-file sidecars."""
+    store = _store(
+        spark, tmp_path / "s", target_rows_per_bucket=8, fold_factor=2)
+    all_keys = []
+    for b in range(5):
+        keys = [f"b{b:02d}k{i:04d}" for i in range(600)]
+        all_keys.extend(keys)
+        store.commit_delta(
+            _delta(spark, "md5", keys), version=b,
+            fold_fn=curate._compact_state)
+    assert max(e["buckets"] for e in store._dirs()) > state_store.BLOOM_GROUP
+    present = all_keys[::71]
+    probe_keys = spark.createDataFrame(
+        [(k,) for k in present]
+        + [(f"nope{i:05d}",) for i in range(300)], "key string")
+    via_driver = {r.key for r in store.probe("md5", probe_keys).collect()}
+    got = store.probe_distributed("md5", probe_keys)
+    # the first executor-side pass is cold in every python worker: the
+    # summed shard-load accounting must be non-zero (a later pass may
+    # read 0 — worker processes keep their own warm caches, which is
+    # the point of the per-worker LRU)
+    assert store.last_probe_meta_bytes > 0
+    via_exec = {r.key for r in got.collect()}
+    assert via_exec == via_driver
+    assert set(present) <= via_exec
+    # zero batch keys short-circuits identically
+    empty = store.probe_distributed(
+        "md5", spark.createDataFrame([], "key string"))
+    assert empty.count() == 0

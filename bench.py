@@ -68,7 +68,7 @@ SNAP_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "snapbig")
 # accounting + gate attribution, the ANN recall/latency sweep); the
 # full sweep measures ~45-50 min on a quiet box, so the default budget
 # covers it instead of silently skipping the tail sections.
-BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "3300"))
+BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "3600"))
 _T_START = time.monotonic()
 
 
@@ -399,6 +399,33 @@ def run_curate(spark) -> dict[str, object]:
             secs = [x["sec"] for x in out["batches"]]
             out["batch_sec_first"] = secs[0]
             out["batch_sec_last"] = secs[-1]
+            if fold_factor is not None:
+                # probe-twin comparison against the final multi-
+                # generation state: driver-side collect vs executor-
+                # side mapInPandas (probe_distributed), same keys, same
+                # superset contract — the number that says what the
+                # 100 TB probe shape costs TODAY
+                probe_keys = (
+                    docs.filter(F.col("doc_id") % mod == 0)
+                    .limit(20000)
+                    .select(F.md5(F.col("text")).alias("key"))
+                )
+                store = curate.open_state(spark, state_dir, **store_kw)
+                twins = {}
+                for label, fn in (
+                    ("driver", store.probe),
+                    ("distributed", store.probe_distributed),
+                ):
+                    s = time.perf_counter()
+                    n = fn("md5", probe_keys).count()
+                    twins[label] = {
+                        "sec": round(time.perf_counter() - s, 3),
+                        "rows": n,
+                        "probe_mb": round(store.last_probe_bytes / 1e6, 2),
+                        "meta_mb": round(
+                            store.last_probe_meta_bytes / 1e6, 2),
+                    }
+                out["probe_twins"] = twins
         finally:
             shutil.rmtree(state_dir, ignore_errors=True)
         return out

@@ -57,7 +57,7 @@ BNLJ_ALLOWED = {
     "sim_brute_topk", "sim_ivf_recall", "source_divergence",
     "text_semantic_topk", "tfidf_top_terms", "timeslice_range",
     # 1-row corpus/target token totals (DSIR smoothing denominators)
-    "dsir_weights", "dsir_select",
+    "dsir_weights", "dsir_select", "dsir_weights_hidim",
     # three 1-row count aggregates crossJoined into the metrics row
     "neardup_eval",
     # query-side broadcast on both the truncated and full-dim brute

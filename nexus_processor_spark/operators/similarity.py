@@ -1273,6 +1273,53 @@ def int8_topk(
     )
 
 
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    per_cell: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "cbal",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Diversity-stratified selection: assign every vector to its
+    nearest coarse cell, then keep at most ``per_cell`` rows per cell
+    in a deterministic salted-hash order — the topic-balanced
+    subsample that stops a pretraining mix from collapsing onto its
+    dominant embedding clusters (the cluster-then-balance recipe of
+    diversity-aware data selection, e.g. D4 / SemDeDup-style pipelines;
+    public literature). Hash order (``md5(salt || id)``), not score
+    order, makes the within-cell pick unbiased and engine-reproducible
+    — the same deterministic-sampling discipline as
+    ``pipeline.hash_sample``.
+
+    ``assigned`` optionally supplies a pre-built ``(id, centroid_id)``
+    assignment (the persisted IVF cell map — at ingest time in
+    production, same contract as ``ivf_multiprobe_topk(cells=...)``).
+
+    Scale shape: one corpus assignment pass (dense centroid matrix in
+    the task closure via the Arrow kernel, or the broadcast-join native
+    form), then one window per cell that a partial WindowGroupLimit
+    cuts to ``cells x per_cell`` rows before the final shuffle — the
+    corpus never sorts globally.
+
+    Output: ``(id_col, centroid_id, pick_rank)``.
+    """
+    if assigned is None:
+        from nexus_processor_spark.operators import vector_arrow
+
+        assigned = vector_arrow.kmeans_assign_arrow(
+            corpus, centroids, id_col=id_col, vec_col=vec_col)
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy("centroid_id").orderBy(h, F.col(id_col))
+    return (
+        assigned.select(id_col, "centroid_id")
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= per_cell)
+    )
+
+
 def int8_rerank_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -850,6 +850,56 @@ ORACLE["sim_int8_topk"] = f"""
 """
 
 
+CBAL_PER_CELL = 25
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced subsample: nearest-cell assignment (same Arrow
+    kernel as kmeans_assign, equality-pinned to the native form) then a
+    deterministic per-cell quota in salted-md5 order — the
+    diversity-stratified selection step of a pretraining mix."""
+    emb = _emb(spark, sf_dir)
+    return similarity.cluster_balanced_sample(
+        emb, emb.filter(F.col("vec_id") < N_CENTROIDS), CBAL_PER_CELL)
+
+
+QUERIES["cluster_balanced_sample"] = q_cluster_balanced_sample
+
+# assignment replayed with the kmeans_assign oracle's CTE (rounded
+# squared-L2, lowest-centroid tiebreak), then the salted-hash quota
+ORACLE["cluster_balanced_sample"] = f"""
+    WITH c AS (
+        SELECT vec_id AS centroid_id, embedding AS cv
+        FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    p AS (
+        SELECT e.vec_id, c.centroid_id,
+               round(list_sum(list_transform(
+                   generate_series(1, len(e.embedding)),
+                   i -> (CAST(e.embedding[i] AS DOUBLE)
+                         - CAST(c.cv[i] AS DOUBLE))
+                      * (CAST(e.embedding[i] AS DOUBLE)
+                         - CAST(c.cv[i] AS DOUBLE)))), 6) AS dist
+        FROM embeddings e, c
+    ),
+    assigned AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+            FROM p
+        ) WHERE rn = 1
+    )
+    SELECT vec_id, centroid_id, pick_rank FROM (
+        SELECT vec_id, centroid_id,
+               CAST(row_number() OVER (
+                   PARTITION BY centroid_id
+                   ORDER BY md5('cbal' || CAST(vec_id AS VARCHAR)),
+                            vec_id) AS BIGINT) AS pick_rank
+        FROM assigned
+    ) WHERE pick_rank <= {CBAL_PER_CELL}
+"""
+
+
 INT8_CAND = 20
 
 

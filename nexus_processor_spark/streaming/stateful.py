@@ -19,6 +19,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -159,4 +160,113 @@ def running_ewma(points: DataFrame, alpha: float = 0.25) -> DataFrame:
         stateStructType=_EWMA_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+CLOSED_SESSION_SCHEMA = StructType([
+    StructField("user", StringType(), True),
+    StructField("session_start", DoubleType(), True),
+    StructField("session_end", DoubleType(), True),
+    StructField("n_events", LongType(), True),
+])
+
+_SESSION_STATE_SCHEMA = StructType([
+    StructField("start", DoubleType(), True),
+    StructField("last", DoubleType(), True),
+    StructField("n", LongType(), True),
+])
+
+
+def _make_session_updater(gap_seconds: float):
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        def row(start, last, n):
+            return {
+                "user": key[0], "session_start": start,
+                "session_end": last, "n_events": n,
+            }
+
+        if state.hasTimedOut:
+            # the watermark passed last+gap with no new event: the
+            # late-data-safe close — no in-watermark straggler can
+            # reopen this session anymore
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([row(start, last, n)])
+            return
+        start, last, n = state.get if state.exists else (None, None, 0)
+        ts: list[float] = []
+        for pdf in pdfs:
+            for t in pdf["event_time"]:
+                if not pd.isna(t):
+                    ts.append(t.timestamp())
+        closed: list[dict] = []
+        for t in sorted(ts):
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_seconds:
+                closed.append(row(start, last, n))
+                start, last, n = t, t, 1
+            else:
+                # cross-batch stragglers inside the watermark fold into
+                # the OPEN session (extending it backward if needed) —
+                # the conservative late policy; anything older is
+                # already behind the watermark and dropped upstream
+                if t < start:
+                    start = t
+                last = max(last, t)
+                n += 1
+        state.update((start, last, n))
+        # close via event-time timeout once the watermark passes
+        # last+gap; if this batch itself advanced the watermark past
+        # that point, arm the earliest legal timeout instead — the
+        # no-data batch that follows fires it
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max(int((last + gap_seconds) * 1000), wm_ms + 1))
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return _update
+
+
+def closed_sessions(
+    events: DataFrame,
+    gap_seconds: float,
+    *,
+    key_col: str = "user_id",
+    time_col: str = "event_time",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based sessionization as a CUSTOM stateful operator, emitting
+    each session exactly once — when it CLOSES (a later event opens the
+    next session, or the event-time timeout fires once the watermark
+    passes ``last + gap``). This is the state-eviction pattern
+    ``F.session_window`` implements internally, written out on
+    ``applyInPandasWithState`` + ``GroupStateTimeout.EventTimeTimeout``
+    — the template for stateful operators whose close condition the
+    built-in windows can't express (the batch twin is
+    ``operators.asof.sessionize``; drained-stream equality on closed
+    sessions is test-pinned).
+
+    Scale: state is one fixed-width (start, last, n) tuple per ACTIVE
+    key — closed sessions leave the store immediately via emit+remove,
+    so store size tracks concurrently-open sessions, not history.
+
+    Output (append mode): ``user, session_start, session_end,
+    n_events`` with epoch-second doubles, closed sessions only.
+    """
+    keyed = events.select(
+        F.col(key_col).cast("string").alias("user"),
+        F.col(time_col).alias("event_time"),
+    ).withWatermark("event_time", watermark)
+    return keyed.groupBy("user").applyInPandasWithState(
+        _make_session_updater(float(gap_seconds)),
+        outputStructType=CLOSED_SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

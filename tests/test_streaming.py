@@ -628,3 +628,63 @@ def test_running_ewma_matches_batch_operator_across_drains(spark, tmp_path):
             want[r.series] = (r.t, r.ewma)
     assert {k: v[1] for k, v in got.items()} \
         == {k: v[1] for k, v in want.items()}
+
+
+def test_closed_sessions_timeout_eviction_matches_batch(spark, tmp_path):
+    """Custom stateful sessionizer (EventTimeTimeout): sessions close
+    exactly once — by in-batch gap or by watermark timeout — and the
+    closed set equals batch sessionize over the same users; sessions
+    still open at the stream head are NOT emitted."""
+    from datetime import datetime
+
+    from nexus_processor_spark.operators.asof import sessionize
+    from nexus_processor_spark.streaming import stateful
+
+    src = tmp_path / "sess_src"
+    ck = tmp_path / "ck_sess"
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(datetime(2024, 1, 1, h, m), u) for u, h, m in rows],
+            "event_time timestamp, user_id string",
+        )
+
+    # batch 1 — A: one 3-event session; B: two clusters split by an
+    # in-batch gap > 30min (first closes during the batch)
+    b1 = [("A", 0, 0), ("A", 0, 5), ("A", 0, 10),
+          ("B", 0, 0), ("B", 0, 2), ("B", 3, 0), ("B", 3, 1)]
+    frame(b1).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "event_time timestamp, user_id string").parquet(str(src))
+    out = stateful.closed_sessions(
+        stream, 1800.0, watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("sess_out")
+         .option("checkpointLocation", str(ck))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # batch 2 — C far in the future: advances the watermark past
+        # every open session's last+gap; the no-data batch fires their
+        # timeouts
+        frame([("C", 20, 0)]).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    batch = sessionize(
+        frame(b1).select(
+            "user_id",
+            F.col("event_time").cast("double").alias("t")),
+        1800.0, time_col="t", key_col="user_id",
+    )
+    want = {
+        (r.user_id, r.s, r.e, r.n)
+        for r in batch.groupBy("user_id", "session_id")
+        .agg(F.min("t").alias("s"), F.max("t").alias("e"),
+             F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want  # all of A's and B's sessions closed, C absent
+    assert not any(u == "C" for u, *_ in got)

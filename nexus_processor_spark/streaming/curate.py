@@ -100,14 +100,23 @@ def open_state(
     *,
     buckets: int = STATE_BUCKETS,
     fold_factor: int = FOLD_FACTOR,
+    probe_mode: str = "driver",
 ) -> state_store.KeyedStateStore:
     """The curation state's store handle (see state_store docstring for
-    the bucketed + bloom-indexed layout and the tiered fold policy)."""
-    return state_store.KeyedStateStore(
+    the bucketed + bloom-indexed layout and the tiered fold policy).
+    ``probe_mode="distributed"`` routes the three state probes through
+    ``state_store.probe_distributed`` (executor-side bloom test, no
+    O(batch-key) driver collect) — same superset results, pinned by
+    tests; the driver-side default wins at local[*] scale."""
+    if probe_mode not in ("driver", "distributed"):
+        raise ValueError(f"unknown probe_mode: {probe_mode!r}")
+    store = state_store.KeyedStateStore(
         spark, state_path,
         row_schema=STATE_ROW_SCHEMA, key_col="key", kind_col="kind",
         bloom_kinds=BLOOM_KINDS, buckets=buckets, fold_factor=fold_factor,
     )
+    store.probe_mode = probe_mode
+    return store
 
 
 def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
@@ -139,7 +148,15 @@ def _state_kind(state, kind: str, keys_df: DataFrame | None = None):
         if keys_df is None:
             return state.read_kind(kind).select(
                 "kind", "key", "ref", "vals", "cnt")
-        return state.probe(kind, keys_df).select(
+        # probe_mode "distributed" (open_state dial) runs the bloom
+        # test executor-side (state_store.probe_distributed) — same
+        # superset, no O(batch-key) driver collect
+        probe = (
+            state.probe_distributed
+            if getattr(state, "probe_mode", "driver") == "distributed"
+            else state.probe
+        )
+        return probe(kind, keys_df).select(
             "kind", "key", "ref", "vals", "cnt")
     return state.filter(F.col("kind") == kind)
 
@@ -657,6 +674,7 @@ def curate_stream(
     hash_fn: str = "md5",
     state_buckets: int = STATE_BUCKETS,
     fold_factor: int = FOLD_FACTOR,
+    probe_mode: str = "driver",
     trigger_available_now: bool = True,
 ):
     """Start the curation stream over a document source. Audit rows land
@@ -675,6 +693,7 @@ def curate_stream(
         store = open_state(
             spark, state_path,
             buckets=state_buckets, fold_factor=fold_factor,
+            probe_mode=probe_mode,
         )
         if store.has_version(batch_id):
             return  # replayed batch: sink + state already published

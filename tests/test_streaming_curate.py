@@ -535,3 +535,31 @@ def test_stream_refuses_hash_fn_switch(spark, tmp_path):
         .write.parquet(str(src / "b2"))
     with pytest.raises(Exception, match="hash_fn"):
         drain("md5")
+
+
+def test_curate_batch_distributed_probe_mode_equal(spark, tmp_path):
+    """open_state(probe_mode="distributed") routes the state probes
+    through the executor-side bloom test — curation decisions must be
+    IDENTICAL to the driver-probe store path."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    sd = str(tmp_path / "state")
+    a1 = curate.curate_batch(docs.filter("doc_id % 2 = 0"), None)
+    curate._advance_state(
+        spark, sd, 0,
+        curate._survivor_state(
+            a1.filter("keep"), text_col="text", id_col="doc_id"))
+    batch = docs.filter("doc_id % 2 = 1")
+
+    def decisions(mode):
+        st = curate.open_state(spark, sd, probe_mode=mode)
+        return {
+            r.doc_id: (r.keep, r.drop_reason)
+            for r in curate.curate_batch(batch, st).collect()
+        }
+
+    assert decisions("distributed") == decisions("driver")
+    import pytest
+
+    with pytest.raises(ValueError, match="probe_mode"):
+        curate.open_state(spark, sd, probe_mode="bogus")

@@ -822,11 +822,16 @@ class KeyedStateStore:
         long-lived streaming job pays each shard's load once per
         worker, not once per batch).
 
-        Results are IDENTICAL to :meth:`probe` (pinned by tests): both
+        With sidecars present (every ``bloom_kinds`` directory),
+        results are IDENTICAL to :meth:`probe` (pinned by tests): both
         sides evaluate the same bitmaps with the same arithmetic, so
-        the candidate sets match exactly. ``last_probe_meta_bytes``
-        aggregates the executors' cold shard loads (summed across
-        workers — each worker warms its own cache)."""
+        the candidate sets match exactly. A sidecar-LESS directory
+        fails safe on both paths but prunes differently (driver reads
+        the whole kind; this reads every bucket the batch's keys map
+        to) — both are supersets of the matches, which is the contract
+        callers rely on. ``last_probe_meta_bytes`` aggregates the
+        executors' cold shard loads (summed across workers — each
+        worker warms its own cache)."""
         self.last_probe_bytes = 0
         self.last_probe_meta_bytes = 0
         entries = [

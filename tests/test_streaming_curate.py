@@ -563,3 +563,38 @@ def test_curate_batch_distributed_probe_mode_equal(spark, tmp_path):
 
     with pytest.raises(ValueError, match="probe_mode"):
         curate.open_state(spark, sd, probe_mode="bogus")
+
+
+def test_curate_stream_distributed_probe_mode_end_to_end(spark, tmp_path):
+    """The probe_mode dial threads through curate_stream: a two-drain
+    run with executor-side probes makes the same decisions as the
+    driver-probe stream run pinned above (exact dup + near dup caught
+    against batch-1 state)."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+
+    def add_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / name))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = curate.curate_stream(
+            stream, state_path=state, sink_path=sink, checkpoint_dir=ck,
+            probe_mode="distributed")
+        q.awaitTermination(120)
+
+    add_file("b1", [(1, LONG_A), (2, OTHER)])
+    drain()
+    add_file("b2", [(10, LONG_A), (11, NEAR_A)])
+    drain()
+    got = {(r.doc_id, r.keep, r.drop_reason)
+           for r in spark.read.option("basePath", sink)
+           .parquet(f"{sink}/batch=*").collect()}
+    assert (10, False, "exact_dup") in got
+    assert (11, False, "near_dup") in got
+    assert (1, True, None) in got and (2, True, None) in got

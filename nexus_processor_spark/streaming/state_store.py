@@ -556,6 +556,7 @@ class KeyedStateStore:
         version: int | None = None,
         fold_fn=None,
         app_meta: dict | None = None,
+        expected_rows: int | None = None,
     ) -> int | None:
         """Append one delta directory and publish the next manifest
         (pinned to ``version`` when given — an existing manifest means
@@ -564,13 +565,21 @@ class KeyedStateStore:
         module docstring); ``fold_fn(df) -> df`` merges the folded
         rows (default: ``distinct``). ``app_meta`` is an opaque dict
         recorded in the manifest (e.g. the hash scheme the keys were
-        built with) — read it back via :meth:`app_meta`."""
+        built with) — read it back via :meth:`app_meta`.
+
+        Deltas are assumed MICRO-BATCH-SIZED: their counts and bloom
+        bitmaps build from one O(delta) Arrow collect (the same bound
+        probe() pays per batch). A caller committing an unusually
+        large delta (a backfill, a bulk import) should pass
+        ``expected_rows`` so anything above ``driver_build_max_rows``
+        routes to the fused distributed build instead — fold-generated
+        directories already do this via their tier row sums."""
         if version is not None and self.has_version(version):
             return None
         os.makedirs(self.root, exist_ok=True)
         self.last_commit_bytes = 0
         self.last_fold_bytes = 0
-        entry = self._write_delta_dir(delta)
+        entry = self._write_delta_dir(delta, expected_rows=expected_rows)
         self.last_commit_bytes = _dir_bytes(
             os.path.join(self.root, entry["path"]))
         dirs = self._dirs() + [entry]

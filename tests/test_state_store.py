@@ -424,3 +424,27 @@ def test_probe_distributed_matches_driver_probe(spark, tmp_path):
     empty = store.probe_distributed(
         "md5", spark.createDataFrame([], "key string"))
     assert empty.count() == 0
+
+
+def test_bulk_delta_expected_rows_routes_to_distributed_build(
+        spark, tmp_path):
+    """A caller-supplied expected_rows above driver_build_max_rows must
+    route the bloom build to the fused distributed path (no O(delta)
+    driver collect) and still produce probe-correct sidecars."""
+    store = KeyedStateStore(
+        spark, str(tmp_path / "s"), row_schema=ROW_SCHEMA,
+        key_col="key", kind_col="kind", bloom_kinds=("md5",),
+        driver_build_max_rows=5,  # force the threshold far down
+        target_rows_per_bucket=16,  # ~13 buckets: pruning observable
+    )
+    keys = [f"bulk{i:04d}" for i in range(200)]
+    v = store.commit_delta(
+        _delta(spark, "md5", keys), version=0, expected_rows=len(keys))
+    assert v == 0
+    got = store.probe(
+        "md5", spark.createDataFrame([("bulk0007",), ("absent",)],
+                                     "key string"))
+    assert "bulk0007" in {r.key for r in got.collect()}
+    # and the pruned read skipped most buckets despite the bulk build
+    assert store.last_probe_bytes < state_store._dir_bytes(
+        str(tmp_path / "s"))

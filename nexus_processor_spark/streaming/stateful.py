@@ -14,6 +14,7 @@ fixed-width tuple here, so store size is O(distinct keys), not O(events).
 
 from __future__ import annotations
 
+import bisect
 from collections.abc import Iterable, Iterator
 from typing import Any
 
@@ -22,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -171,10 +173,40 @@ CLOSED_SESSION_SCHEMA = StructType([
 ])
 
 _SESSION_STATE_SCHEMA = StructType([
-    StructField("start", DoubleType(), True),
-    StructField("last", DoubleType(), True),
-    StructField("n", LongType(), True),
+    # ALL not-yet-emittable sessions for the key, sorted by start,
+    # pairwise separated by more than the gap: index i is the session
+    # (starts[i], lasts[i], ns[i]). The newest is the open session; the
+    # older ones are gap-closed but still inside the watermark, so an
+    # in-watermark straggler may yet extend or bridge them — they buffer
+    # here until the watermark passes last+gap (append-mode output can
+    # never be retracted, so nothing is emitted before that point).
+    StructField("starts", ArrayType(DoubleType()), True),
+    StructField("lasts", ArrayType(DoubleType()), True),
+    StructField("ns", ArrayType(LongType()), True),
 ])
+
+
+def _fold_session_event(sessions: list[list], t: float, gap: float) -> None:
+    """Insert event time ``t`` into the sorted, gap-separated session
+    list IN PLACE: extend the session it lands within ``gap`` of, merge
+    the two neighbors it bridges, or open a new session — exactly the
+    split batch sessionize produces over the union of all folded
+    events. Sessions are ``[start, last, n]`` sorted by start."""
+    hits = [i for i, s in enumerate(sessions)
+            if s[0] - gap <= t <= s[1] + gap]
+    if not hits:
+        bisect.insort(sessions, [t, t, 1])
+    elif len(hits) == 1:
+        s = sessions[hits[0]]
+        s[0] = min(s[0], t)
+        s[1] = max(s[1], t)
+        s[2] += 1
+    else:  # t bridges two adjacent sessions into one
+        i, j = hits[0], hits[1]
+        sessions[i] = [min(sessions[i][0], t),
+                       max(sessions[j][1], t),
+                       sessions[i][2] + sessions[j][2] + 1]
+        del sessions[j]
 
 
 def _make_session_updater(gap_seconds: float):
@@ -183,52 +215,50 @@ def _make_session_updater(gap_seconds: float):
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        def row(start, last, n):
+        def row(s):
             return {
-                "user": key[0], "session_start": start,
-                "session_end": last, "n_events": n,
+                "user": key[0], "session_start": s[0],
+                "session_end": s[1], "n_events": s[2],
             }
 
-        if state.hasTimedOut:
-            # the watermark passed last+gap with no new event: the
-            # late-data-safe close — no in-watermark straggler can
-            # reopen this session anymore
-            start, last, n = state.get
-            state.remove()
-            yield pd.DataFrame([row(start, last, n)])
-            return
-        start, last, n = state.get if state.exists else (None, None, 0)
-        ts: list[float] = []
-        for pdf in pdfs:
-            for t in pdf["event_time"]:
-                if not pd.isna(t):
-                    ts.append(t.timestamp())
-        closed: list[dict] = []
-        for t in sorted(ts):
-            if start is None:
-                start, last, n = t, t, 1
-            elif t - last > gap_seconds:
-                closed.append(row(start, last, n))
-                start, last, n = t, t, 1
-            else:
-                # cross-batch stragglers inside the watermark fold into
-                # the OPEN session (extending it backward if needed) —
-                # the conservative late policy; anything older is
-                # already behind the watermark and dropped upstream
-                if t < start:
-                    start = t
-                last = max(last, t)
-                n += 1
-        state.update((start, last, n))
-        # close via event-time timeout once the watermark passes
-        # last+gap; if this batch itself advanced the watermark past
-        # that point, arm the earliest legal timeout instead — the
-        # no-data batch that follows fires it
+        if state.exists:
+            starts, lasts, ns = state.get
+            sessions = [list(s) for s in zip(starts, lasts, ns)]
+        else:
+            sessions = []
+        if not state.hasTimedOut:
+            # event times arrive pre-cast to epoch-second doubles by
+            # Spark's own cast('double') — tz-exact and identical to
+            # the batch twin regardless of spark.sql.session.timeZone
+            # (pandas .timestamp() on the tz-naive rendering would
+            # shift by the session-tz offset)
+            for pdf in pdfs:
+                for t in sorted(pdf["t_epoch"].dropna()):
+                    _fold_session_event(sessions, float(t), gap_seconds)
+        # a session is emittable only once NO in-watermark event can
+        # still extend it: last + gap strictly before the watermark
+        # (an event at exactly last+gap folds in, and an event at
+        # exactly the watermark is still admitted)
         wm_ms = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(
-            max(int((last + gap_seconds) * 1000), wm_ms + 1))
+        wm_s = wm_ms / 1000.0
+        closed = [s for s in sessions if s[1] + gap_seconds < wm_s]
+        sessions = [s for s in sessions if s[1] + gap_seconds >= wm_s]
+        if sessions:
+            state.update((
+                [s[0] for s in sessions],
+                [s[1] for s in sessions],
+                [s[2] for s in sessions],
+            ))
+            # wake when the earliest-closing buffered session becomes
+            # emittable (lists are gap-separated so lasts are sorted);
+            # Spark requires the timeout strictly beyond the watermark
+            state.setTimeoutTimestamp(
+                max(int((sessions[0][1] + gap_seconds) * 1000) + 1,
+                    wm_ms + 1))
+        else:
+            state.remove()
         if closed:
-            yield pd.DataFrame(closed)
+            yield pd.DataFrame([row(s) for s in closed])
 
     return _update
 
@@ -242,19 +272,32 @@ def closed_sessions(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Gap-based sessionization as a CUSTOM stateful operator, emitting
-    each session exactly once — when it CLOSES (a later event opens the
-    next session, or the event-time timeout fires once the watermark
-    passes ``last + gap``). This is the state-eviction pattern
-    ``F.session_window`` implements internally, written out on
-    ``applyInPandasWithState`` + ``GroupStateTimeout.EventTimeTimeout``
-    — the template for stateful operators whose close condition the
-    built-in windows can't express (the batch twin is
-    ``operators.asof.sessionize``; drained-stream equality on closed
-    sessions is test-pinned).
+    each session exactly once — and only once the WATERMARK has passed
+    ``last + gap``, the point after which no admissible event can still
+    extend or bridge it. Gap-closed-in-batch sessions buffer in state
+    until then (append-mode output can never be retracted; emitting on
+    the in-batch gap alone would split a session a legal in-watermark
+    straggler still belongs to), and a straggler older than the open
+    session merges into whichever buffered session it lands within the
+    gap of — bridging two into one when it falls between them — so the
+    drained closed set equals batch sessionize over the same events
+    even when the watermark delay is close to or above the gap. This is
+    the state-eviction pattern ``F.session_window`` implements
+    internally, written out on ``applyInPandasWithState`` +
+    ``GroupStateTimeout.EventTimeTimeout`` — the template for stateful
+    operators whose close condition the built-in windows can't express
+    (the batch twin is ``operators.asof.sessionize``; drained-stream
+    equality, including the straggler/backfold cases, is test-pinned).
 
-    Scale: state is one fixed-width (start, last, n) tuple per ACTIVE
-    key — closed sessions leave the store immediately via emit+remove,
-    so store size tracks concurrently-open sessions, not history.
+    Epoch math happens in Spark (``cast('double')`` on the timestamp,
+    tz-exact under any ``spark.sql.session.timeZone``) — never via
+    pandas ``.timestamp()`` on the tz-naive rendering, which would
+    shift every boundary by the session-tz offset.
+
+    Scale: state is one (start, last, n) triple per session still
+    inside the watermark horizon for each ACTIVE key — bounded by
+    watermark-delay/gap per key, not history; emittable sessions leave
+    the store at the next batch or event-time timeout.
 
     Output (append mode): ``user, session_start, session_end,
     n_events`` with epoch-second doubles, closed sessions only.
@@ -262,6 +305,7 @@ def closed_sessions(
     keyed = events.select(
         F.col(key_col).cast("string").alias("user"),
         F.col(time_col).alias("event_time"),
+        F.col(time_col).cast("double").alias("t_epoch"),
     ).withWatermark("event_time", watermark)
     return keyed.groupBy("user").applyInPandasWithState(
         _make_session_updater(float(gap_seconds)),

@@ -8,8 +8,11 @@ by timeout) is the template for any custom operator Spark's built-in
 windowed aggregations can't express.
 
 Scale notes: state is partitioned by the grouping key across the cluster
-(one HDFS/RocksDB-backed store per shuffle partition); a key's state is a
-fixed-width tuple here, so store size is O(distinct keys), not O(events).
+(one HDFS/RocksDB-backed store per shuffle partition). The accumulator and
+EWMA operators keep a fixed-width tuple per key, so their store size is
+O(distinct keys), not O(events); the sessionizer keeps a variable-width
+session buffer per key, bounded by watermark-delay/gap triples per ACTIVE
+key (see ``closed_sessions``), never by history.
 """
 
 from __future__ import annotations
@@ -173,6 +176,12 @@ CLOSED_SESSION_SCHEMA = StructType([
 ])
 
 _SESSION_STATE_SCHEMA = StructType([
+    # CHECKPOINT COMPATIBILITY: this schema changed from a scalar
+    # (start, last, n) triple to three arrays. A closed_sessions query
+    # restarted from a checkpoint written by the old scalar schema fails
+    # Spark's state-schema compatibility check — restart with a FRESH
+    # checkpointLocation after upgrading.
+    #
     # ALL not-yet-emittable sessions for the key, sorted by start,
     # pairwise separated by more than the gap: index i is the session
     # (starts[i], lasts[i], ns[i]). The newest is the open session; the
@@ -201,12 +210,17 @@ def _fold_session_event(sessions: list[list], t: float, gap: float) -> None:
         s[0] = min(s[0], t)
         s[1] = max(s[1], t)
         s[2] += 1
-    else:  # t bridges two adjacent sessions into one
-        i, j = hits[0], hits[1]
+    else:
+        # t bridges adjacent sessions into one. The gap-separation
+        # invariant means a single event can only ever hit two, but
+        # merge EVERY hit (contiguous by construction) so corrupted or
+        # hand-migrated state degrades to a valid merge instead of
+        # silently leaving an overlapping list.
+        i, j = hits[0], hits[-1]
         sessions[i] = [min(sessions[i][0], t),
                        max(sessions[j][1], t),
-                       sessions[i][2] + sessions[j][2] + 1]
-        del sessions[j]
+                       sum(sessions[k][2] for k in hits) + 1]
+        del sessions[i + 1:j + 1]
 
 
 def _make_session_updater(gap_seconds: float):

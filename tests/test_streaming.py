@@ -688,3 +688,139 @@ def test_closed_sessions_timeout_eviction_matches_batch(spark, tmp_path):
     }
     assert got == want  # all of A's and B's sessions closed, C absent
     assert not any(u == "C" for u, *_ in got)
+
+
+def test_closed_sessions_straggler_bridges_buffered_sessions(spark, tmp_path):
+    """The watermark-exact buffering contract (the exact scenario the
+    r7 advisor flagged): gap=30min, watermark delay=10min. Batch 1 has
+    events at t=0 and t=35min — an IN-BATCH gap > 30min, but the first
+    cluster's last+gap (30min) is still beyond the watermark (25min),
+    so NOTHING may be emitted yet. A batch-2 straggler at t=27min
+    (admissible: >= watermark) lands within the gap of BOTH buffered
+    sessions and bridges them into one. The drained closed set equals
+    batch sessionize over all three events: one session, n=3."""
+    from datetime import datetime
+
+    from nexus_processor_spark.operators.asof import sessionize
+    from nexus_processor_spark.streaming import stateful
+
+    src = tmp_path / "sess_straggle"
+    ck = tmp_path / "ck_straggle"
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(datetime(2024, 1, 1, h, m), u) for u, h, m in rows],
+            "event_time timestamp, user_id string",
+        )
+
+    b1 = [("A", 0, 0), ("A", 0, 35)]
+    straggler = [("A", 0, 27)]
+    frame(b1).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "event_time timestamp, user_id string").parquet(str(src))
+    out = stateful.closed_sessions(
+        stream, 1800.0, watermark="10 minutes")
+    emitted: list = []
+    q = (out.writeStream.foreachBatch(
+            lambda df, _e: emitted.extend(df.collect()))
+         .option("checkpointLocation", str(ck))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # premature emission would SPLIT the session the straggler is
+        # about to bridge — append mode could never retract it
+        assert emitted == []
+        frame(straggler).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        assert emitted == []
+        # Z far in the future advances the watermark past A's last+gap;
+        # the no-data batch fires the event-time timeout
+        frame([("Z", 3, 0)]).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.user, r.session_start, r.session_end, r.n_events)
+           for r in emitted}
+    batch = sessionize(
+        frame(b1 + straggler).select(
+            "user_id", F.col("event_time").cast("double").alias("t")),
+        1800.0, time_col="t", key_col="user_id",
+    )
+    want = {
+        (r.user_id, r.s, r.e, r.n)
+        for r in batch.groupBy("user_id", "session_id")
+        .agg(F.min("t").alias("s"), F.max("t").alias("e"),
+             F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+    assert len(got) == 1 and next(iter(got))[3] == 3  # bridged, not split
+
+
+def test_closed_sessions_non_utc_session_timezone(spark, tmp_path):
+    """Epoch math must come from Spark's cast('double'), which is
+    tz-exact — under a non-UTC (and non-whole-hour) session timezone
+    the drained closed set still equals batch sessionize bit-for-bit.
+    (pandas .timestamp() on the tz-naive rendering would shift every
+    boundary by +5:30 here.)"""
+    from datetime import datetime
+
+    from nexus_processor_spark.operators.asof import sessionize
+    from nexus_processor_spark.streaming import stateful
+
+    src = tmp_path / "sess_tz"
+    ck = tmp_path / "ck_tz"
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        def frame(rows):
+            return spark.createDataFrame(
+                [(datetime(2024, 1, 1, h, m), u) for u, h, m in rows],
+                "event_time timestamp, user_id string",
+            )
+
+        b1 = [("A", 0, 0), ("A", 0, 5), ("A", 2, 0), ("A", 2, 10),
+              ("B", 0, 0)]
+        frame(b1).write.parquet(str(src))
+        stream = spark.readStream.schema(
+            "event_time timestamp, user_id string").parquet(str(src))
+        out = stateful.closed_sessions(
+            stream, 1800.0, watermark="10 minutes")
+        q = (out.writeStream.format("memory").queryName("sess_tz")
+             .option("checkpointLocation", str(ck))
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            frame([("Z", 20, 0)]).write.mode("append").parquet(str(src))
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r.user, r.session_start, r.session_end, r.n_events)
+            for r in spark.sql("select * from sess_tz").collect()
+        }
+        batch = sessionize(
+            frame(b1).select(
+                "user_id", F.col("event_time").cast("double").alias("t")),
+            1800.0, time_col="t", key_col="user_id",
+        )
+        want = {
+            (r.user_id, r.s, r.e, r.n)
+            for r in batch.groupBy("user_id", "session_id")
+            .agg(F.min("t").alias("s"), F.max("t").alias("e"),
+                 F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_fold_session_event_merges_all_hits_on_invariant_breach():
+    """Healthy state never lets one event hit >2 sessions (they are
+    gap-separated), but corrupted/hand-migrated state might — the fold
+    must merge EVERY hit into one valid session, not just the first
+    two, so the list comes out non-overlapping."""
+    from nexus_processor_spark.streaming.stateful import _fold_session_event
+
+    sessions = [[0.0, 0.0, 1], [10.0, 10.0, 2], [20.0, 20.0, 4]]
+    _fold_session_event(sessions, 10.0, gap=12.0)
+    assert sessions == [[0.0, 20.0, 8]]

@@ -1375,7 +1375,11 @@ def int8_rerank_topk(
         codes, qids, q8, candidates, id_col=id_col)
     w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), "vec_id")
     cand = (
-        cand.withColumn("_r", F.row_number().over(w))
+        # self rows out BEFORE the top-C window (the kernel also masks
+        # their emitted score to int64 min): a query's own row must not
+        # consume one of its C candidate slots
+        cand.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= candidates)
         .select("query_id", "vec_id")
     )

@@ -378,16 +378,25 @@ def int8_candidates_arrow(
                 b"".join(b["code"].tolist()), dtype=np.int8
             ).reshape(ids.size, -1)
             scores = mat.astype(acc) @ q_t  # exact integers (see above)
-            comp = scores.astype(np.int64) * np.int64(1 << 32)
+            scores_i64 = scores.astype(np.int64)
+            # a query vector living in this batch must NEVER surface as
+            # its own candidate: mask the EMITTED score too, not just
+            # the selection composite — when the batch has <= candidates
+            # rows every row is emitted, and a real (maximal) self score
+            # would win a global top-C slot downstream and silently
+            # shrink the candidate set to C-1
+            self_mask = ids[:, None] == qid[None, :]
+            scores_i64[self_mask] = np.iinfo(np.int64).min
+            comp = scores_i64 * np.int64(1 << 32)
             comp -= ids[:, None]
-            comp[ids[:, None] == qid[None, :]] = np.iinfo(np.int64).min
+            comp[self_mask] = np.iinfo(np.int64).min
             top = min(candidates, ids.size)
             idx = np.argpartition(-comp, top - 1, axis=0)[:top]
             yield pd.DataFrame({
                 "query_id": np.repeat(qid, top),
                 "vec_id": ids[idx].ravel(order="F"),
                 "score_q": np.take_along_axis(
-                    scores.astype(np.int64), idx, axis=0).ravel(order="F"),
+                    scores_i64, idx, axis=0).ravel(order="F"),
             })
 
     return codes.select(id_col, "code").mapInPandas(kernel, schema)

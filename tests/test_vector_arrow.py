@@ -179,3 +179,41 @@ def test_int8_candidates_rejects_oversized_ids(spark):
         big, np.array([0]), np.ones((1, 8)), 5)
     with pytest.raises(Exception, match="2\\^31"):
         cand.collect()
+
+
+def test_int8_candidates_self_row_score_masked_in_small_batch(spark, emb):
+    """An Arrow batch SMALLER than ``candidates`` that contains a query
+    vector emits every row — the self row must carry the int64-min
+    sentinel score, never its real (maximal) dot, or it wins a global
+    top-C slot downstream and silently shrinks the candidate set."""
+    import numpy as np
+
+    clean = emb.filter("vec_id < 10").coalesce(1)  # one 10-row batch
+    codes = vector_arrow.pack_int8_codes(clean)
+    qrow = clean.filter("vec_id = 3").first()
+    q8 = np.array([
+        [round(x / max(abs(v) for v in qrow.embedding) * 127)
+         for x in qrow.embedding]])
+    out = vector_arrow.int8_candidates_arrow(
+        codes, np.array([3]), q8, candidates=50).collect()
+    assert len(out) == 10  # batch < candidates: all rows emitted
+    self_rows = [r for r in out if r.vec_id == 3]
+    assert self_rows and all(
+        r.score_q == np.iinfo(np.int64).min for r in self_rows)
+    assert all(r.score_q > np.iinfo(np.int64).min
+               for r in out if r.vec_id != 3)
+
+
+def test_int8_rerank_self_row_does_not_consume_candidate_slot(emb):
+    """End-to-end regression: with candidates == k and the corpus split
+    into Arrow batches smaller than ``candidates``, a query that lives
+    in the corpus must still get a FULL k-row result — before the fix
+    its self row won a top-C slot (real score emitted from the small
+    batch) and the late vec_id != query_id filter shrank the candidate
+    set to k-1 rows."""
+    clean = emb.filter("vec_id < 200").repartition(20)  # ~10-row batches
+    q = clean.filter("vec_id = 7")
+    got = similarity.int8_rerank_topk(q, clean, 10, candidates=10)
+    rows = got.collect()
+    assert len(rows) == 10
+    assert all(r.vec_id != 7 for r in rows)

@@ -350,14 +350,17 @@ class KeyedStateStore:
         invariant — and recorded in the entry; probes use the
         per-directory count.
 
-        A delta-sized directory (``expected_rows`` absent or small —
-        the per-micro-batch path) pays exactly TWO scans of the
-        persisted delta: one Arrow collect of (kind, h1, h2) that
-        yields the row count, bucket sizing, per-bucket counts AND all
-        bloom bitmaps driver-side, then the bucketed parquet write.
-        Fold-sized directories (``expected_rows`` from the tier sums)
-        keep the distributed build: count, write, counts, one fused
-        bloom aggregate."""
+        A delta-sized directory (the per-micro-batch path) pays exactly
+        TWO scans of the persisted delta: one Arrow collect of
+        (kind, h1, h2) that yields the row count, bucket sizing,
+        per-bucket counts AND all bloom bitmaps driver-side, then the
+        bucketed parquet write. That collect is LIMIT-bounded at
+        ``driver_build_max_rows + 1`` rows: a delta that overflows the
+        bound — whether ``expected_rows`` was absent, or a hint
+        underestimated — discards the probe and routes to the
+        distributed build (count, write, counts, one fused bloom
+        aggregate), the same path fold-sized directories take via
+        their tier row sums."""
         rel = f"data/{uuid.uuid4().hex}"
         full = os.path.join(self.root, rel)
         from pyspark import StorageLevel
@@ -368,17 +371,26 @@ class KeyedStateStore:
         # the default level under concurrent wide-column scans)
         base = df.persist(StorageLevel.DISK_ONLY)
         try:
-            driver_side = (
+            pdf = None
+            if (
                 expected_rows is None
                 or expected_rows <= self.driver_build_max_rows
-            )
-            if driver_side:
+            ):
+                # bounded probe-collect: the LIMIT caps the driver's
+                # exposure at driver_build_max_rows+1 rows even when the
+                # caller omitted (or underestimated) expected_rows — an
+                # overflowing collect is discarded and the delta routes
+                # to the fused distributed build, so the O(delta) driver
+                # bound is enforced by the engine, not by documentation
                 k = F.col(self.key_col)
                 pdf = base.select(
                     self.kind_col,
                     F.xxhash64(k).alias("_h1"),
                     F.xxhash64(k, F.lit(_H2_SALT)).alias("_h2"),
-                ).toPandas()
+                ).limit(self.driver_build_max_rows + 1).toPandas()
+                if len(pdf) > self.driver_build_max_rows:
+                    pdf = None
+            if pdf is not None:
                 n_total = len(pdf)
                 nb = self._sized_buckets(n_total)
                 (
@@ -569,11 +581,12 @@ class KeyedStateStore:
 
         Deltas are assumed MICRO-BATCH-SIZED: their counts and bloom
         bitmaps build from one O(delta) Arrow collect (the same bound
-        probe() pays per batch). A caller committing an unusually
-        large delta (a backfill, a bulk import) should pass
-        ``expected_rows`` so anything above ``driver_build_max_rows``
-        routes to the fused distributed build instead — fold-generated
-        directories already do this via their tier row sums."""
+        probe() pays per batch), LIMIT-capped at
+        ``driver_build_max_rows + 1`` rows — an unusually large delta
+        (a backfill, a bulk import) routes to the fused distributed
+        build even without a hint. Passing ``expected_rows`` skips the
+        capped probe-collect for deltas known to be large up front —
+        fold-generated directories do this via their tier row sums."""
         if version is not None and self.has_version(version):
             return None
         os.makedirs(self.root, exist_ok=True)

@@ -448,3 +448,51 @@ def test_bulk_delta_expected_rows_routes_to_distributed_build(
     # and the pruned read skipped most buckets despite the bulk build
     assert store.last_probe_bytes < state_store._dir_bytes(
         str(tmp_path / "s"))
+
+
+def test_unhinted_bulk_delta_routes_to_distributed_build(spark, tmp_path):
+    """A large delta committed WITHOUT expected_rows must not take the
+    O(delta) driver collect: the limit-bounded probe detects the
+    overflow and routes to the distributed build (the r8 advisor's
+    guard hole — previously expected_rows=None always collected
+    (kind, h1, h2) for every delta row driver-side)."""
+    store = KeyedStateStore(
+        spark, str(tmp_path / "s"), row_schema=ROW_SCHEMA,
+        key_col="key", kind_col="kind", bloom_kinds=("md5",),
+        driver_build_max_rows=5,
+        target_rows_per_bucket=16,
+    )
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side bloom build must not run")
+
+    store._build_blooms_driver = _boom
+    keys = [f"nohint{i:04d}" for i in range(200)]
+    v = store.commit_delta(_delta(spark, "md5", keys), version=0)
+    assert v == 0
+    got = {r.key for r in store.probe(
+        "md5", spark.createDataFrame(
+            [("nohint0007",), ("absent",)], "key string")).collect()}
+    assert "nohint0007" in got and "absent" not in got
+
+
+def test_small_unhinted_delta_keeps_driver_build(spark, tmp_path):
+    """The common micro-batch path must NOT regress to extra jobs: an
+    un-hinted delta under the bound still builds driver-side from the
+    single capped collect."""
+    store = KeyedStateStore(
+        spark, str(tmp_path / "s"), row_schema=ROW_SCHEMA,
+        key_col="key", kind_col="kind", bloom_kinds=("md5",),
+        driver_build_max_rows=1000,
+    )
+
+    def _boom(*a, **k):
+        raise AssertionError("distributed build must not run")
+
+    store._build_blooms_distributed = _boom
+    keys = [f"small{i:02d}" for i in range(20)]
+    assert store.commit_delta(_delta(spark, "md5", keys), version=0) == 0
+    got = {r.key for r in store.probe(
+        "md5", spark.createDataFrame([("small07",)], "key string"))
+        .collect()}
+    assert "small07" in got

@@ -50,10 +50,11 @@ directory (≤ ``driver_build_max_rows``) collects its
 driver traffic its probes already pay — and builds every kind's
 bitmap in one vectorized numpy pass (zero extra Spark jobs); a big
 fold directory builds all kinds' bitmaps in ONE distributed
-``bit_or`` aggregate (per-kind ``m`` selected via a CASE column), the
-driver collecting only finished words. Fold-time driver memory is
-O(state bloom bytes) = ~4 bytes/key — document-bounded; at true
-100 TB scale the shard writer is the piece to push executor-side.
+``bit_or`` aggregate (per-kind ``m`` selected via a CASE column) and
+writes each ``.npz`` shard from the executor partition owning its
+words — the driver sees only bucket counts and the one-row-per-shard
+summary, so fold-time driver memory is O(buckets), never O(state
+bloom bytes), at any state size.
 
 Net probe cost per micro-batch: bloom arithmetic over the batch keys
 (numpy, microseconds per thousand keys) + parquet reads proportional
@@ -241,6 +242,62 @@ def _bloom_m(max_bucket_rows: int) -> int:
     while m < BLOOM_BITS_PER_KEY * max_bucket_rows:
         m <<= 1
     return m
+
+
+def _make_shard_writer(
+    dir_full: str, kind_col: str, kinds_m: dict[str, int], nb: int,
+):
+    """mapInPandas kernel: assemble and write the bloom ``.npz`` shards
+    for every (kind, bucket-group) whose ``bit_or``-finished words land
+    in this partition — the executor-side half of
+    :meth:`KeyedStateStore._build_blooms_distributed`. Each task's
+    memory is its own groups' bitmaps (~one shard after the explicit
+    per-group repartition), the driver only ever sees the one-row-per-
+    file summary. Requires the store root on a shared filesystem — the
+    same contract ``probe_distributed``'s executor-side sidecar reads
+    already carry (module docstring, deployment contract)."""
+    group = BLOOM_GROUP
+
+    def writer(batches):
+        import pandas as pd
+
+        acc: dict[tuple[str, int], np.ndarray] = {}
+        for b in batches:
+            if not len(b):
+                continue
+            for (kind, g), sub in b.groupby([kind_col, "_g"], sort=False):
+                key = (str(kind), int(g))
+                bits = acc.get(key)
+                if bits is None:
+                    rows = min(group, nb - key[1] * group)
+                    bits = np.zeros(
+                        (rows, kinds_m[key[0]] // 64), dtype=np.int64)
+                    acc[key] = bits
+                lb = sub["_b"].to_numpy(dtype=np.int64) \
+                    - np.int64(key[1] * group)
+                np.bitwise_or.at(
+                    bits,
+                    (lb, sub["_w"].to_numpy(dtype=np.int64)),
+                    sub["_v"].to_numpy(dtype=np.int64),
+                )
+        out = []
+        for (kind, g), bits in acc.items():
+            name = (f"_bloom_{kind}.npz" if nb <= group
+                    else f"_bloom_{kind}.g{g}.npz")
+            final = os.path.join(dir_full, name)
+            # write-to-temp + atomic replace: a speculated/retried task
+            # republishes identical bytes without readers ever seeing a
+            # torn file (savez gets a file OBJECT so it can't append a
+            # second .npz suffix to the temp name)
+            tmp = final + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "wb") as f:
+                np.savez(f, bits=bits, m=np.int64(kinds_m[kind]))
+            os.replace(tmp, final)
+            out.append(key)
+        if out:
+            yield pd.DataFrame(out, columns=[kind_col, "_g"])
+
+    return writer
 
 
 class KeyedStateStore:
@@ -495,11 +552,18 @@ class KeyedStateStore:
     ) -> dict:
         """Fold-sized path: bucket counts in one job, then ALL bloom
         kinds' word bitmaps in ONE fused ``bit_or`` aggregate (per-kind
-        ``m`` selected via a CASE column); the driver collects only
-        finished (kind, bucket, word) rows — ~bloom-bytes, never keys.
-        Driver peak is O(state bloom bytes) ≈ 4 bytes/key at fold time;
-        the executor-side shard writer is the documented next seam for
-        beyond-RAM corpora."""
+        ``m`` selected via a CASE column) — and the ``.npz`` shards are
+        assembled and written EXECUTOR-SIDE by the partition owning
+        each (kind, bucket-group)'s words. The driver collects only the
+        per-file summary (one row per shard) and the bucket counts:
+        its peak is O(buckets), never O(state bloom bytes) — at
+        billions of state keys a top-tier fold no longer stages
+        multi-GB bitmaps on the driver. A zero-word skeleton row per
+        (kind, group) guarantees every group writes a file even when
+        no key hashed into its buckets (a MISSING shard must keep
+        meaning "no sidecar", see :meth:`_write_bloom_shards`); files
+        land via write-to-temp + ``os.replace`` so a retried task
+        republishes identical bytes atomically."""
         counts = {
             (r["k"], int(r["b"])): r["n"]
             for r in d.groupBy(
@@ -549,16 +613,30 @@ class KeyedStateStore:
             )
             .groupBy(self.kind_col, "_b", "_w")
             .agg(F.bit_or("_v").alias("_v"))
-            .toPandas()
         )
-        for kind, m in kinds_m.items():
-            sub = words[words[self.kind_col] == kind]
-            bits = np.zeros((nb, m // 64), dtype=np.int64)
-            bits[
-                sub["_b"].to_numpy(dtype=np.int64),
-                sub["_w"].to_numpy(dtype=np.int64),
-            ] = sub["_v"].to_numpy(dtype=np.int64)
-            self._write_bloom_shards(dir_full, kind, bits, m, nb)
+        group = BLOOM_GROUP
+        n_groups = -(-nb // group)
+        kind_col = self.kind_col
+        # one zero row per (kind, group): every group writes a file
+        # even when none of its buckets received a key
+        skeleton = self.spark.createDataFrame(
+            [(k, gi * group, 0, 0)
+             for k in kinds_m for gi in range(n_groups)],
+            f"{kind_col} string, _b long, _w long, _v long",
+        )
+        summaries = (
+            words.unionByName(skeleton)
+            .withColumn("_g", F.floor(F.col("_b") / group))
+            .repartition(
+                n_groups * len(kinds_m), F.col(kind_col), F.col("_g"))
+            .mapInPandas(
+                _make_shard_writer(dir_full, kind_col, kinds_m, nb),
+                f"{kind_col} string, _g long",
+            )
+            .collect()
+        )
+        assert len(summaries) == n_groups * len(kinds_m), (
+            "bloom shard writer must emit one file per (kind, group)")
         return counts
 
     def commit_delta(

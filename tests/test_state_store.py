@@ -496,3 +496,61 @@ def test_small_unhinted_delta_keeps_driver_build(spark, tmp_path):
         "md5", spark.createDataFrame([("small07",)], "key string"))
         .collect()}
     assert "small07" in got
+
+
+def test_fold_bloom_build_stays_o_buckets_on_driver(
+        spark, tmp_path, monkeypatch):
+    """The distributed (fold-sized) bloom build must write its shards
+    EXECUTOR-side: the driver-side shard writer never runs, and no
+    collect/toPandas during the commit returns more than O(buckets)
+    rows — before this change the driver collected EVERY finished
+    bloom word (O(state bloom bytes)) and wrote all shards itself."""
+    # patch the CONCRETE class: pyspark.sql.DataFrame is the abstract
+    # interface in Spark 4 and its methods are overridden by classic
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    store = KeyedStateStore(
+        spark, str(tmp_path / "s"), row_schema=ROW_SCHEMA,
+        key_col="key", kind_col="kind", bloom_kinds=("md5",),
+        driver_build_max_rows=5,      # force the distributed path
+        target_rows_per_bucket=16,    # 20k keys -> ~1250 buckets, 5 groups
+    )
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side shard writer must not run")
+
+    store._write_bloom_shards = _boom
+    keys = [f"fold{i:06d}" for i in range(20_000)]
+    sizes: list[int] = []
+    orig_collect, orig_topandas = DataFrame.collect, DataFrame.toPandas
+
+    def spy_collect(self):
+        r = orig_collect(self)
+        sizes.append(len(r))
+        return r
+
+    def spy_topandas(self):
+        r = orig_topandas(self)
+        sizes.append(len(r))
+        return r
+
+    monkeypatch.setattr(DataFrame, "collect", spy_collect)
+    monkeypatch.setattr(DataFrame, "toPandas", spy_topandas)
+    v = store.commit_delta(
+        _delta(spark, "md5", keys), version=0, expected_rows=len(keys))
+    monkeypatch.undo()
+    assert v == 0
+    nb = store._dirs()[0]["buckets"]
+    assert nb > state_store.BLOOM_GROUP  # sharded: multiple groups
+    # counts collect is O(buckets); shard summary is O(groups); the
+    # old word collect was ~keys-sized and trips this bound
+    assert sizes and max(sizes) <= 2 * nb
+    # every group's shard file exists (zero groups included)
+    import os as _os
+    d = _os.path.join(str(tmp_path / "s"), store._dirs()[0]["path"])
+    shards = [f for f in _os.listdir(d) if f.startswith("_bloom_md5.g")]
+    assert len(shards) == -(-nb // state_store.BLOOM_GROUP)
+    got = {r.key for r in store.probe(
+        "md5", spark.createDataFrame(
+            [("fold000007",), ("nope",)], "key string")).collect()}
+    assert "fold000007" in got and "nope" not in got

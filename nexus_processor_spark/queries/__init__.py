@@ -27,6 +27,7 @@ from nexus_processor_spark.queries import (
     behavior_q,
     dedup_q,
     graph_q,
+    multimodal_q,
     pipeline_q,
     profile_q,
     relational_q,
@@ -39,7 +40,7 @@ from nexus_processor_spark.queries import (
 
 _MODULES = (timeslice_q, relational_q, dedup_q, similarity_q, text_q,
             pipeline_q, profile_q, behavior_q, graph_q, analytic_q,
-            tokenizer_q, spans_q)
+            tokenizer_q, spans_q, multimodal_q)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

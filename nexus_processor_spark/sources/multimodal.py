@@ -84,15 +84,40 @@ def _decode_image_fake(payload: bytes) -> np.ndarray:
     return rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
 
 
+def _decode_image_digest(payload: bytes) -> np.ndarray:
+    """Cross-engine-VERIFIABLE synthesizer: the payload's sha256 digest
+    tiled to an 8x8 luma grid. Unlike the RNG fake, every pixel is an
+    exact arithmetic function of the payload bytes that an ANSI-SQL
+    oracle can recompute (hex-char arithmetic over ``sha256()``), so the
+    full mapInPandas pipeline downstream of the decode boundary is
+    hash-checked against DuckDB (``queries/multimodal_q.py``). Same
+    output contract as the real decode."""
+    d = np.frombuffer(hashlib.sha256(payload).digest(), dtype=np.uint8)
+    return np.tile(d, 2).reshape(8, 8)
+
+
+def _decode_audio_digest(payload: bytes) -> np.ndarray:
+    """Audio twin of :func:`_decode_image_digest`: 32 samples
+    ``(digest_byte - 128) / 128`` — float32-exact (power-of-two divide),
+    so peak/zero-crossing features are integer-recoverable and
+    SQL-checkable."""
+    d = np.frombuffer(hashlib.sha256(payload).digest(), dtype=np.uint8)
+    return ((d.astype(np.float32) - 128.0) / np.float32(128.0))
+
+
 def extract_image_features(
-    media: DataFrame, *, dim: int = 16, fake_decode: bool = False
+    media: DataFrame, *, dim: int = 16, fake_decode: bool = False,
+    decoder=None,
 ) -> DataFrame:
     """Decode -> luma + tiny embedding, Arrow-batched.
 
     Output is deterministic for a given payload (hash-seeded fake), so the
-    operator is testable end to end without codecs.
+    operator is testable end to end without codecs. ``decoder`` overrides
+    the decode boundary entirely (e.g. ``_decode_image_digest`` for the
+    oracle-checked registry queries).
     """
-    decode = _decode_image_fake if fake_decode else _decode_image_real
+    decode = decoder or (
+        _decode_image_fake if fake_decode else _decode_image_real)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -153,11 +178,12 @@ def _decode_audio_fake(payload: bytes) -> np.ndarray:
 
 
 def extract_audio_features(
-    media: DataFrame, *, fake_decode: bool = False
+    media: DataFrame, *, fake_decode: bool = False, decoder=None,
 ) -> DataFrame:
     """Waveform summary features (RMS/peak/zero-crossings), Arrow-batched —
     same plumbing contract as :func:`extract_image_features`."""
-    decode = _decode_audio_fake if fake_decode else _decode_audio_real
+    decode = decoder or (
+        _decode_audio_fake if fake_decode else _decode_audio_real)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -297,13 +323,14 @@ def _dhash(img: "np.ndarray", hash_size: int = 8) -> int:
 
 
 def image_dhash(
-    media: DataFrame, *, fake_decode: bool = False
+    media: DataFrame, *, fake_decode: bool = False, decoder=None,
 ) -> DataFrame:
     """Per-image 64-bit perceptual difference hash (Arrow-batched, same
     decode gate as ``extract_image_features``) — the media analog of the
     text fingerprint: identical and near-identical frames collide or
     land within a small Hamming distance."""
-    decode = _decode_image_fake if fake_decode else _decode_image_real
+    decode = decoder or (
+        _decode_image_fake if fake_decode else _decode_image_real)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -326,6 +353,7 @@ def image_near_dup_pairs(
     *,
     hamming_max: int = 4,
     fake_decode: bool = False,
+    decoder=None,
 ) -> DataFrame:
     """Near-duplicate image pairs within ``hamming_max`` of the 64-bit
     dhash, via the SAME banded candidate scheme as text SimHash
@@ -335,7 +363,7 @@ def image_near_dup_pairs(
     from nexus_processor_spark.functions.text import hamming64
     from nexus_processor_spark.operators.dedup import simhash_band_candidates
 
-    hashes = image_dhash(media, fake_decode=fake_decode).filter(
+    hashes = image_dhash(media, fake_decode=fake_decode, decoder=decoder).filter(
         F.col("dhash").isNotNull()
     ).select(F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash"))
     cands = simhash_band_candidates(hashes, bits=64, hamming_max=hamming_max)

@@ -106,20 +106,18 @@ Streaming's replay contract.
   versions would fork the manifest chain — that is the case the
   single-writer rule exists for.
 * **Filesystem assumptions.** Correctness needs exactly two
-  primitives: ``os.link`` failing with EEXIST when the target exists
-  (the commit point) and immutable files once a directory is
-  referenced by a manifest. POSIX local filesystems and NFSv4 provide
-  both. Object stores (S3/GCS) lack hard links — porting there means
-  swapping ``_publish_manifest`` for a put-if-absent conditional
-  write (both stores offer one) behind the same boolean contract;
-  nothing else in the store assumes rename atomicity.
-* **``_require_local`` seam.** Paths are currently pinned to local /
-  fuse-mounted filesystems because probes read sidecars and bucket
-  files through ``os`` + ``np.load``. The pluggable seam for shared
-  storage is exactly three functions (``_load_bloom_file``,
-  ``_dir_bytes``, ``_kind_paths``) plus ``_publish_manifest``; probe
-  SEMANTICS (superset-of-matches) are filesystem-independent and
-  pinned by tests. For the probe COMPUTE side, :meth:`probe` collects
+  primitives: a put-if-absent conditional write for the commit point
+  and immutable files once a directory is referenced by a manifest.
+  The protocol-file seam is EXECUTED as ``streaming/objstore.py``:
+  ``backend="fs"`` publishes via create-exclusive ``os.link`` (POSIX
+  local filesystems, NFSv4); ``backend="objstore"`` is the S3/GCS
+  twin — conditional-create PUT for the manifest, whole-object
+  GET/PUT for sidecars, prefix listings — and the full state-store
+  test suite runs green over BOTH backends (parametrized fixture in
+  ``tests/test_state_store.py``), so a real object-store port only
+  swaps the HTTP client behind the same method contract. Probe
+  SEMANTICS (superset-of-matches) are backend-independent and pinned
+  by those tests. For the probe COMPUTE side, :meth:`probe` collects
   the batch's key hashes driver-side (O(batch keys));
   :meth:`probe_distributed` is the executed 100 TB twin — the bloom
   test runs in ``mapInPandas`` over the batch's own partitions with
@@ -135,6 +133,7 @@ implementation (which keeps no streaming dedup state at all).
 
 from __future__ import annotations
 
+import io
 import json
 import os
 import threading
@@ -148,9 +147,9 @@ from pyspark.sql import functions as F
 
 from nexus_processor_spark.sources.snapshots import (
     _MANIFEST_RE,
-    _publish_manifest,
     _require_local,
 )
+from nexus_processor_spark.streaming.objstore import resolve_backend
 
 DEFAULT_BUCKETS = 256  # probe-time fallback for legacy manifests only
 MAX_BUCKETS = 1 << 20  # file-count valve, not a sizing knob
@@ -244,8 +243,15 @@ def _bloom_m(max_bucket_rows: int) -> int:
     return m
 
 
+def _npz_bytes(bits: np.ndarray, m: int) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, bits=bits, m=np.int64(m))
+    return buf.getvalue()
+
+
 def _make_shard_writer(
     dir_full: str, kind_col: str, kinds_m: dict[str, int], nb: int,
+    backend,
 ):
     """mapInPandas kernel: assemble and write the bloom ``.npz`` shards
     for every (kind, bucket-group) whose ``bit_or``-finished words land
@@ -284,16 +290,13 @@ def _make_shard_writer(
         for (kind, g), bits in acc.items():
             name = (f"_bloom_{kind}.npz" if nb <= group
                     else f"_bloom_{kind}.g{g}.npz")
-            final = os.path.join(dir_full, name)
-            # write-to-temp + atomic replace: a speculated/retried task
-            # republishes identical bytes without readers ever seeing a
-            # torn file (savez gets a file OBJECT so it can't append a
-            # second .npz suffix to the temp name)
-            tmp = final + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "wb") as f:
-                np.savez(f, bits=bits, m=np.int64(kinds_m[kind]))
-            os.replace(tmp, final)
-            out.append(key)
+            # atomic object PUT via the backend: a speculated/retried
+            # task republishes identical bytes, readers never see a
+            # torn file
+            backend.put_bytes(
+                os.path.join(dir_full, name),
+                _npz_bytes(bits, kinds_m[kind]))
+            out.append((kind, g))
         if out:
             yield pd.DataFrame(out, columns=[kind_col, "_g"])
 
@@ -326,10 +329,14 @@ class KeyedStateStore:
         target_rows_per_bucket: int = DEFAULT_TARGET_ROWS_PER_BUCKET,
         fold_factor: int = DEFAULT_FOLD_FACTOR,
         driver_build_max_rows: int = DEFAULT_DRIVER_BUILD_MAX_ROWS,
+        backend="fs",
     ) -> None:
         _require_local(root)
         self.spark = spark
         self.root = root
+        # protocol-file backend: "fs" (POSIX, os.link commit point) or
+        # "objstore" (conditional-PUT twin) — see streaming/objstore.py
+        self.backend = resolve_backend(backend)
         self.row_schema = row_schema
         self.key_col = key_col
         self.kind_col = kind_col
@@ -353,11 +360,9 @@ class KeyedStateStore:
     # ------------------------------------------------------------ meta
 
     def versions(self) -> list[int]:
-        if not os.path.isdir(self.root):
-            return []
         out = [
             int(m.group(1))
-            for name in os.listdir(self.root)
+            for name in self.backend.listdir(self.root)
             if (m := _MANIFEST_RE.match(name))
         ]
         return sorted(out)
@@ -367,15 +372,16 @@ class KeyedStateStore:
         return vs[-1] if vs else None
 
     def has_version(self, version: int) -> bool:
-        return os.path.exists(
+        return self.backend.exists(
             os.path.join(self.root, f"manifest.{version}.json")
         )
 
     def _manifest(self, version: int) -> dict:
-        with open(
-            os.path.join(self.root, f"manifest.{version}.json")
-        ) as fh:
-            return json.load(fh)
+        data = self.backend.get_bytes(
+            os.path.join(self.root, f"manifest.{version}.json"))
+        if data is None:
+            raise FileNotFoundError(f"manifest.{version}.json")
+        return json.loads(data)
 
     def _dirs(self) -> list[dict]:
         v = self.current_version()
@@ -495,16 +501,16 @@ class KeyedStateStore:
         # write AND probe-side load
         bits = np.ascontiguousarray(bits.view(np.int64))
         if nb <= BLOOM_GROUP:
-            np.savez(
+            self.backend.put_bytes(
                 os.path.join(dir_full, f"_bloom_{kind}.npz"),
-                bits=bits, m=np.int64(m),
+                _npz_bytes(bits, m),
             )
             return
         for gi in range(-(-nb // BLOOM_GROUP)):
-            np.savez(
+            self.backend.put_bytes(
                 os.path.join(dir_full, f"_bloom_{kind}.g{gi}.npz"),
-                bits=bits[gi * BLOOM_GROUP:(gi + 1) * BLOOM_GROUP],
-                m=np.int64(m),
+                _npz_bytes(
+                    bits[gi * BLOOM_GROUP:(gi + 1) * BLOOM_GROUP], m),
             )
 
     def _build_blooms_driver(self, pdf, dir_full: str, nb: int) -> dict:
@@ -630,7 +636,8 @@ class KeyedStateStore:
             .repartition(
                 n_groups * len(kinds_m), F.col(kind_col), F.col("_g"))
             .mapInPandas(
-                _make_shard_writer(dir_full, kind_col, kinds_m, nb),
+                _make_shard_writer(
+                    dir_full, kind_col, kinds_m, nb, self.backend),
                 f"{kind_col} string, _g long",
             )
             .collect()
@@ -671,7 +678,7 @@ class KeyedStateStore:
         self.last_commit_bytes = 0
         self.last_fold_bytes = 0
         entry = self._write_delta_dir(delta, expected_rows=expected_rows)
-        self.last_commit_bytes = _dir_bytes(
+        self.last_commit_bytes = self.backend.du(
             os.path.join(self.root, entry["path"]))
         dirs = self._dirs() + [entry]
         dirs = self._fold_tiers(dirs, fold_fn or (lambda df: df.distinct()))
@@ -682,7 +689,7 @@ class KeyedStateStore:
         manifest = {"version": v, "dirs": dirs, "buckets": self.buckets}
         if app_meta is not None:
             manifest["app"] = app_meta
-        ok = _publish_manifest(self.root, v, manifest)
+        ok = self.backend.publish_manifest(self.root, v, manifest)
         return v if ok else None
 
     def app_meta(self) -> dict | None:
@@ -722,7 +729,7 @@ class KeyedStateStore:
             entry = self._write_delta_dir(
                 merged_df,
                 expected_rows=sum(dirs[i]["rows"] for i in idx))
-            folded = _dir_bytes(os.path.join(self.root, entry["path"]))
+            folded = self.backend.du(os.path.join(self.root, entry["path"]))
             self.last_fold_bytes += folded
             self.last_commit_bytes += folded
             dirs = [e for i, e in enumerate(dirs) if i not in idx]
@@ -737,12 +744,11 @@ class KeyedStateStore:
         for e in entries:
             base = os.path.join(
                 self.root, e["path"], f"{self.kind_col}={kind}")
-            if os.path.isdir(base):
-                out.extend(
-                    os.path.join(base, b)
-                    for b in sorted(os.listdir(base))
-                    if b.startswith("_b=")
-                )
+            out.extend(
+                os.path.join(base, b)
+                for b in self.backend.listdir(base)
+                if b.startswith("_b=")
+            )
         return out
 
     def _read_paths(self, paths: list[str], kind: str | None) -> DataFrame:
@@ -790,10 +796,11 @@ class KeyedStateStore:
         cached = _cache_get(full)
         if cached is not None:
             return cached, 0
-        if not os.path.exists(full):
+        data = self.backend.get_bytes(full)
+        if data is None:
             return None, 0
-        loaded_bytes = os.path.getsize(full)
-        with np.load(full) as z:
+        loaded_bytes = len(data)
+        with np.load(io.BytesIO(data)) as z:
             ent = {
                 "bits": z["bits"].view(np.uint64),
                 "m": int(z["m"]),
@@ -899,10 +906,10 @@ class KeyedStateStore:
                 p = os.path.join(
                     dir_full,
                     f"{self.kind_col}={kind}", f"_b={int(bucket)}")
-                if os.path.isdir(p):
+                if self.backend.isdir(p):
                     paths.append(p)
         for p in paths:
-            self.last_probe_bytes += _dir_bytes(p)
+            self.last_probe_bytes += self.backend.du(p)
         self.probe_bytes_total += self.last_probe_bytes
         self.probe_meta_bytes_total += self.last_probe_meta_bytes
         return self._read_paths(paths, kind)
@@ -946,6 +953,7 @@ class KeyedStateStore:
         )
         root = self.root
         kind_col = self.kind_col
+        backend = self.backend
         default_nb = self.buckets
         meta = [
             (e["path"], int(e.get("buckets", default_nb)))
@@ -982,15 +990,18 @@ class KeyedStateStore:
                             ]
                         for path, sel, base_b in shards:
                             ent = _cache_get(path)
-                            if ent is None and os.path.exists(path):
-                                loaded += os.path.getsize(path)
-                                with np.load(path) as z:
-                                    ent = {
-                                        "bits": z["bits"].view(np.uint64),
-                                        "m": int(z["m"]),
-                                    }
-                                ent["nbytes"] = ent["bits"].nbytes
-                                _cache_put(path, ent)
+                            if ent is None:
+                                data = backend.get_bytes(path)
+                                if data is not None:
+                                    loaded += len(data)
+                                    with np.load(io.BytesIO(data)) as z:
+                                        ent = {
+                                            "bits":
+                                                z["bits"].view(np.uint64),
+                                            "m": int(z["m"]),
+                                        }
+                                    ent["nbytes"] = ent["bits"].nbytes
+                                    _cache_put(path, ent)
                             if ent is None:
                                 # no sidecar: every bucket this batch's
                                 # keys map to is a candidate (fail safe)
@@ -1024,10 +1035,10 @@ class KeyedStateStore:
             rel, _ = meta[r["_d"]]
             p = os.path.join(
                 root, rel, f"{kind_col}={kind}", f"_b={int(r['_bk'])}")
-            if os.path.isdir(p):
+            if self.backend.isdir(p):
                 paths.append(p)
         for p in paths:
-            self.last_probe_bytes += _dir_bytes(p)
+            self.last_probe_bytes += self.backend.du(p)
         self.probe_bytes_total += self.last_probe_bytes
         self.probe_meta_bytes_total += self.last_probe_meta_bytes
         return self._read_paths(sorted(set(paths)), kind)
@@ -1049,8 +1060,6 @@ class KeyedStateStore:
         directory is never swept; the default window of hours is
         several thousand commit intervals). Pass ``None`` to skip the
         orphan sweep."""
-        import shutil
-
         vs = self.versions()
         expired = vs[:-keep_last] if keep_last > 0 else vs
         kept = vs[len(expired):]
@@ -1062,24 +1071,24 @@ class KeyedStateStore:
             removable.update(e["path"] for e in self._manifest(v)["dirs"])
         for d in removable - referenced:
             full = os.path.join(self.root, d)
-            if os.path.isdir(full):
-                shutil.rmtree(full)
+            if self.backend.isdir(full):
+                self.backend.delete_tree(full)
                 _cache_drop_under(full)
         for v in expired:
-            os.remove(os.path.join(self.root, f"manifest.{v}.json"))
+            self.backend.delete(
+                os.path.join(self.root, f"manifest.{v}.json"))
         if orphan_ttl_seconds is not None:
             data_root = os.path.join(self.root, "data")
             ever_referenced = referenced | removable
-            if os.path.isdir(data_root):
-                cutoff = time.time() - orphan_ttl_seconds
-                for name in os.listdir(data_root):
-                    rel = f"data/{name}"
-                    full = os.path.join(data_root, name)
-                    if (
-                        rel not in ever_referenced
-                        and os.path.isdir(full)
-                        and os.path.getmtime(full) <= cutoff
-                    ):
-                        shutil.rmtree(full)
-                        _cache_drop_under(full)
+            cutoff = time.time() - orphan_ttl_seconds
+            for name in self.backend.listdir(data_root):
+                rel = f"data/{name}"
+                full = os.path.join(data_root, name)
+                if (
+                    rel not in ever_referenced
+                    and self.backend.isdir(full)
+                    and self.backend.mtime(full) <= cutoff
+                ):
+                    self.backend.delete_tree(full)
+                    _cache_drop_under(full)
         return expired

@@ -39,6 +39,23 @@ def _delta(spark, kind, keys):
     )
 
 
+@pytest.fixture(autouse=True, params=["fs", "objstore"])
+def store_backend(request, monkeypatch):
+    """Run EVERY test in this module over both protocol backends — the
+    POSIX os.link path and the object-store conditional-PUT twin
+    (streaming/objstore.py) — by defaulting the constructor's backend
+    param. Pins that no store behavior depends on hard links, local
+    np.load paths, or rename atomicity."""
+    orig = KeyedStateStore.__init__
+
+    def init(self, *a, **kw):
+        kw.setdefault("backend", request.param)
+        orig(self, *a, **kw)
+
+    monkeypatch.setattr(KeyedStateStore, "__init__", init)
+    return request.param
+
+
 def test_probe_has_no_false_negatives_randomized(spark, tmp_path):
     """1000 random keys across 3 deltas; 600 probe keys (half present,
     half absent, adversarially similar strings). The probe result must

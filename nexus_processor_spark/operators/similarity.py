@@ -1402,6 +1402,153 @@ def int8_rerank_topk(
     return _ranked_topk(scored, k)
 
 
+def ivf_int8_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    *,
+    nprobe: int = 2,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    cells: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF cells COMPOSED with the packed-int8 rerank tier (VERDICT r8
+    next #6): the quantized candidate scan of :func:`int8_rerank_topk`
+    restricted to each query's ``nprobe`` nearest coarse cells, then
+    the same exact float re-rank of the global top-``candidates``.
+
+    Why compose: the flat packed scan reads the WHOLE 4x/8x-shrunk
+    tier per search; with the packed codes written partitioned by
+    coarse cell (ingest-time, like the IVF index itself), the probe
+    union is an ``isin`` filter partition pruning turns into reading
+    ~nprobe/k_cells of the tier — the two cost dials (cell pruning,
+    byte shrink) multiply instead of competing. Recall is capped by
+    the probed cells (== :func:`ivf_multiprobe_topk` at the same
+    nprobe) since the int8 candidate stage inside a cell set loses
+    essentially nothing at realistic C (annbench: candidate recall
+    ~1.0 at C=50).
+
+    ``cells`` / ``codes`` supply the PRE-BUILT index: ``cells`` is
+    ``(id_col, cell)`` (default: :func:`kmeans_assign` on
+    ``centroids``); ``codes`` is ``(id_col, code, cell)`` — the
+    persisted packed tier with its partition column (default: pack +
+    join, ingest work a search never pays in production).
+
+    Probe selection replays :func:`ivf_multiprobe_topk`'s exact
+    semantics (rounded squared-L2, centroid-id tiebreak, Spark-side
+    fold accumulation) so the DuckDB oracle reproduces the cell set
+    bit-for-bit; the candidate stage is exact integer arithmetic; the
+    re-rank is brute force's cosine. Output: query_id, vec_id, cos,
+    rank — comparable to every other top-k via :func:`recall_at_k`.
+    """
+    import numpy as np
+
+    from nexus_processor_spark.operators import vector_arrow
+
+    if cells is None:
+        cells = kmeans_assign(
+            corpus, centroids, id_col=id_col, vec_col=vec_col,
+            round_digits=round_digits,
+        ).select(id_col, F.col("centroid_id").alias("cell"))
+    if codes is None:
+        codes = vector_arrow.pack_int8_codes(
+            corpus, id_col=id_col, vec_col=vec_col
+        ).join(cells, id_col)
+    qrows = queries.select(id_col, vec_col).collect()
+    qv = np.array([list(r[vec_col]) for r in qrows], dtype=np.float64)
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    scale = np.abs(qv).max(axis=1) if qids.size else np.empty(0)
+    ok = scale > 0
+    qids, qv, scale = qids[ok], qv[ok], scale[ok]
+    if not qids.size:
+        return queries.select(
+            F.lit(0).cast("long").alias("query_id"),
+            F.lit(0).cast("long").alias("vec_id"),
+            F.lit(0.0).alias("cos"),
+            F.lit(0).cast("long").alias("rank"),
+        ).limit(0)
+    q8 = vector_arrow._round_half_up(qv / scale[:, None] * 127.0)
+    # nprobe nearest cells per query — the same expression (and the
+    # same rounded dist + centroid-id tiebreak) as ivf_multiprobe_topk,
+    # collected: O(n_queries x k_cells) rows, never corpus-scale
+    cdf = centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("_cv"))
+    qdist = (
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_vq"))
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            "query_id", "cell",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_vq"), F.col("_cv"),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ),
+                round_digits,
+            ).alias("dist"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy("dist", "cell")
+    probe_rows = (
+        qdist.withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "cell")
+        .collect()
+    )
+    qpos = {int(q): j for j, q in enumerate(qids)}
+    probed: dict[int, set[int]] = {}
+    for r in probe_rows:
+        if int(r["query_id"]) in qpos:
+            probed.setdefault(int(r["cell"]), set()).add(
+                qpos[int(r["query_id"])])
+    cell_ids = np.array(sorted(probed), dtype=np.int64)
+    allowed = np.zeros((cell_ids.size, qids.size), dtype=bool)
+    for ci, cell in enumerate(cell_ids):
+        for j in probed[int(cell)]:
+            allowed[ci, j] = True
+    # probe-union filter: partition pruning when the packed tier is
+    # written partitioned by cell — the scan reads ~nprobe/k_cells
+    fcodes = codes.filter(
+        F.col("cell").isin([int(c) for c in cell_ids]))
+    cand = vector_arrow.int8_candidates_cells_arrow(
+        fcodes, qids, q8, cell_ids, allowed, candidates, id_col=id_col)
+    masked = int(np.iinfo(np.int64).min)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), "vec_id")
+    cand = (
+        cand.filter(F.col("score_q") != F.lit(masked))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= candidates)
+        .select("query_id", "vec_id")
+    )
+    c = spread(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_vc"),
+        norm(F.col(vec_col)).alias("_nc"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_vq"),
+        norm(F.col(vec_col)).alias("_nq"),
+    )
+    scored = (
+        c.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", _cos().alias("cos"))
+    )
+    return _ranked_topk(scored, k)
+
+
 def pca_power_scores(
     vectors: DataFrame,
     *,

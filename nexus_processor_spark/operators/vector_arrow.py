@@ -389,9 +389,18 @@ def int8_candidates_arrow(
             scores_i64[self_mask] = np.iinfo(np.int64).min
             comp = scores_i64 * np.int64(1 << 32)
             comp -= ids[:, None]
-            comp[self_mask] = np.iinfo(np.int64).min
+            # select on NEGATED comp with masked rows forced to int64
+            # MAX, not min: negating int64 min wraps back to int64 min
+            # (two's complement), which would make masked rows the
+            # SMALLEST of -comp — argpartition would pick the self row
+            # FIRST, wasting one of the batch's emission slots (the
+            # batch then contributes C-1 real candidates and the
+            # "per-partition top-C contains the true top-C" guarantee
+            # silently breaks for the self-containing batch)
+            neg = np.negative(comp)
+            neg[self_mask] = np.iinfo(np.int64).max
             top = min(candidates, ids.size)
-            idx = np.argpartition(-comp, top - 1, axis=0)[:top]
+            idx = np.argpartition(neg, top - 1, axis=0)[:top]
             yield pd.DataFrame({
                 "query_id": np.repeat(qid, top),
                 "vec_id": ids[idx].ravel(order="F"),
@@ -400,3 +409,95 @@ def int8_candidates_arrow(
             })
 
     return codes.select(id_col, "code").mapInPandas(kernel, schema)
+
+
+def int8_candidates_cells_arrow(
+    codes: DataFrame,
+    query_ids: np.ndarray,
+    query_codes: np.ndarray,
+    cell_ids: np.ndarray,
+    allowed: np.ndarray,
+    candidates: int,
+    *,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Cell-restricted variant of :func:`int8_candidates_arrow` — the
+    candidate scan of ``similarity.ivf_int8_rerank_topk``: each query
+    sees only corpus rows whose coarse cell is among its probed cells.
+
+    ``cell_ids`` is the sorted union of every query's probed cells;
+    ``allowed`` is a ``(len(cell_ids), n_queries)`` bool matrix —
+    ``allowed[c, j]`` says query ``j`` probes ``cell_ids[c]``. The
+    caller pre-filters ``codes`` to ``cell_ids`` (an ``isin`` the
+    scan's partition pruning eats when the packed tier is written
+    partitioned by cell), so the GEMM only ever touches probed rows;
+    the mask handles the per-query difference WITHIN the union.
+
+    Ineligible and self rows mask BOTH the emitted score and the
+    selection composite to int64 min — a batch smaller than
+    ``candidates`` emits every row, and a masked row must neither
+    surface with a real score nor consume a downstream top-C slot
+    (callers drop score_q == int64 min). Selection order and the
+    vec_id < 2^31 requirement match :func:`int8_candidates_arrow`.
+    """
+    n_q, dim = query_codes.shape
+    if allowed.shape != (cell_ids.size, n_q):
+        raise ValueError(
+            f"allowed must be (n_cells={cell_ids.size}, n_q={n_q}), "
+            f"got {allowed.shape}")
+    acc = np.float32 if dim <= 1024 else np.float64
+    q_t = np.ascontiguousarray(query_codes.T.astype(acc))
+    qid = query_ids.astype(np.int64)
+    cells_sorted = np.sort(cell_ids.astype(np.int64))
+    order = np.argsort(cell_ids.astype(np.int64), kind="stable")
+    allowed_sorted = np.ascontiguousarray(allowed[order])
+    masked = np.iinfo(np.int64).min
+    schema = "query_id long, vec_id long, score_q long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b[id_col].to_numpy(dtype=np.int64)
+            if ids.size and (ids.min() < 0 or ids.max() >= 1 << 31):
+                raise ValueError(
+                    "int8_candidates_cells_arrow needs 0 <= vec_id < "
+                    "2^31 for the deterministic tiebreak composite")
+            row_cells = b[cell_col].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(cells_sorted, row_cells)
+            pos_c = np.minimum(pos, cells_sorted.size - 1)
+            known = cells_sorted[pos_c] == row_cells
+            # (n, n_q) eligibility: row i scored for query j only when
+            # its cell is one of j's probes (unknown cell: no query)
+            elig = np.where(
+                known[:, None], allowed_sorted[pos_c], False)
+            mat = np.frombuffer(
+                b"".join(b["code"].tolist()), dtype=np.int8
+            ).reshape(ids.size, -1)
+            scores = mat.astype(acc) @ q_t  # exact integers
+            scores_i64 = scores.astype(np.int64)
+            dead = ~elig
+            dead |= ids[:, None] == qid[None, :]
+            scores_i64[dead] = masked
+            comp = scores_i64 * np.int64(1 << 32)
+            comp -= ids[:, None]
+            # as in int8_candidates_arrow: select on -comp with dead
+            # rows at int64 MAX (negating int64 min wraps to itself —
+            # dead rows would otherwise sort FIRST and fill the whole
+            # selection wherever they outnumber live ones, which here
+            # they routinely do: every non-probed (row, query) pair is
+            # dead)
+            neg = np.negative(comp)
+            neg[dead] = np.iinfo(np.int64).max
+            top = min(candidates, ids.size)
+            idx = np.argpartition(neg, top - 1, axis=0)[:top]
+            yield pd.DataFrame({
+                "query_id": np.repeat(qid, top),
+                "vec_id": ids[idx].ravel(order="F"),
+                "score_q": np.take_along_axis(
+                    scores_i64, idx, axis=0).ravel(order="F"),
+            })
+
+    return codes.select(id_col, "code", cell_col).mapInPandas(
+        kernel, schema)

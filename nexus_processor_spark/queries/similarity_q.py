@@ -968,6 +968,101 @@ ORACLE["int8_rerank_topk"] = f"""
 """
 
 
+def q_ivf_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cells composed with the packed-int8 rerank tier: nprobe
+    nearest coarse cells per query (multiprobe's exact semantics), the
+    integer-dot candidate top-C scanned over ONLY the probed cells'
+    packed codes, then the exact float cosine re-rank. The oracle
+    replays all three stages — cell assignment, restricted integer
+    top-C, cosine re-rank — with zero tolerance anywhere but the two
+    shared roundings (dist 1e-6, cos 1e-6)."""
+    emb = _emb(spark, sf_dir)
+    return similarity.ivf_int8_rerank_topk(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb,
+        emb.filter(F.col("vec_id") < N_CENTROIDS), TOP_K,
+        nprobe=NPROBE, candidates=INT8_CAND,
+    )
+
+
+QUERIES["ivf_int8_rerank_topk"] = q_ivf_int8_rerank
+
+# all three stages replayed: multiprobe's cell assignment + probe
+# selection CTEs, the integer-dot candidate top-C restricted to each
+# query's probed cells, then brute force's cosine over the candidates
+ORACLE["ivf_int8_rerank_topk"] = f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+           WHERE vec_id < {N_CENTROIDS}),
+    cells AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_MP_DIST}, c.centroid_id)
+                       AS rn
+            FROM e, c0 c
+        ) WHERE rn = 1
+    ),
+    qp AS (
+        SELECT vec_id AS query_id, centroid_id AS cell FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_MP_DIST}, c.centroid_id)
+                       AS rn
+            FROM e, c0 c
+            WHERE e.vec_id < {N_QUERIES}
+        ) WHERE rn <= {NPROBE}
+    ),
+    z AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS s,
+               embedding
+        FROM embeddings
+    ),
+    qz AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) / s * 127)
+                             AS BIGINT)) AS q
+        FROM z WHERE s > 0
+    ),
+    iscored AS (
+        SELECT qp.query_id, b.vec_id,
+               CAST(list_sum(list_transform(
+                   generate_series(1, len(a.q)),
+                   i -> a.q[i] * b.q[i])) AS BIGINT) AS score_q
+        FROM qp
+        JOIN cells cl ON cl.centroid_id = qp.cell
+        JOIN qz a ON a.vec_id = qp.query_id
+        JOIN qz b ON b.vec_id = cl.vec_id
+        WHERE b.vec_id <> qp.query_id
+    ),
+    cand AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score_q DESC, vec_id) AS rn
+            FROM iscored
+        ) WHERE rn <= {INT8_CAND}
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.vec_id, {_cos('q.qv', 'c.cv')} AS cos
+        FROM cand
+        JOIN (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              WHERE vec_id < {N_QUERIES}) q USING (query_id)
+        JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c
+             USING (vec_id)
+    )
+    SELECT query_id, vec_id, cos, rn AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= {TOP_K}
+"""
+
+
 PCA_ITERS = 5
 PCA_QS = 1024
 PCA_VS = 1 << 16

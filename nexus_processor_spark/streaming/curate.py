@@ -424,6 +424,8 @@ def curate_batch(
     against its past — that prefix-distribution semantics is the
     documented contract)."""
     out_cols = list(batch.columns)
+    _extra_handles: list = []  # persisted helper frames, handed to the
+    # caller via _projection_out AFTER sigs (handles[0] stays sigs)
     t = F.col(text_col)
     quality_ok = t.isNotNull() & (F.length(t) >= min_chars)
     if quality_q is not None:
@@ -446,6 +448,15 @@ def curate_batch(
                 F.percentile("_qv", F.lit(quality_q), F.col("_qn")), 6
             ).alias("_qthr"))
         )
+        if _projection_out is not None:
+            # the 1-row threshold rides under EVERY downstream action
+            # (q feeds exact/sigs/audit); persist it so each action
+            # reuses the percentile instead of re-scanning the batch
+            # metric column + the state's qhist kind (handed back via
+            # _projection_out — appended AFTER sigs, which stays
+            # handles[0] by contract)
+            thr = thr.persist()
+            _extra_handles.append(thr)
         batch = batch.crossJoin(F.broadcast(thr))
         quality_ok = quality_ok & F.coalesce(
             m >= F.col("_qthr"), F.lit(False)
@@ -462,6 +473,17 @@ def curate_batch(
             (F.col("dup_char_fraction") <= max_dup_char_fraction)
             .alias("_rep_ok"),
         )
+        if _projection_out is not None:
+            # ``q`` (and therefore this gate's 2-gram aggregation —
+            # the ONE extra full text pass the gate costs) rides under
+            # every downstream action: sigs priming, the audit build,
+            # the survivor delta. Persist the SKINNY (id, flag)
+            # verdict so the expensive pass runs once per batch
+            # instead of once per action (VERDICT r8 next #7; r6
+            # measured the gate's marginal at +8.4 s of which the
+            # recomputations are the multiplier).
+            rep = rep.persist()
+            _extra_handles.append(rep)
         # a quality-failed doc has no repetition row; its flag stays
         # vacuously true so the first drop_reason reads low_quality
         q = q.join(rep, id_col, "left").withColumn(
@@ -523,6 +545,7 @@ def curate_batch(
     sigs_tbl.count()  # prime eagerly: racing branches re-hash a cold cache
     if _projection_out is not None:
         _projection_out.append(sigs_tbl)
+        _projection_out.extend(_extra_handles)
 
     # near-dup within the batch: banded candidates -> exact Jaccard gate
     # (same (b, r) + threshold semantics as dedup.minhash_dedup_pairs,

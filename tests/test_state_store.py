@@ -571,3 +571,67 @@ def test_fold_bloom_build_stays_o_buckets_on_driver(
         "md5", spark.createDataFrame(
             [("fold000007",), ("nope",)], "key string")).collect()}
     assert "fold000007" in got and "nope" not in got
+
+
+def test_shard_cache_post_fold_probe_loads_only_new_dirs(spark, tmp_path):
+    """VERDICT r8 next #8: steady-state sidecar-cache pins. A repeated
+    probe loads ZERO metadata bytes (every shard cache-hit); after a
+    new commit — and after a tier fold rewrites directories — the next
+    probe loads at most the sidecars of directories it has never seen,
+    never re-reading cached shards of surviving dirs."""
+    import glob
+    import os
+
+    store = _store(
+        spark, tmp_path / "s", target_rows_per_bucket=8, fold_factor=4)
+    keys0 = [f"a{i:031d}" for i in range(64)]
+    store.commit_delta(
+        _delta(spark, "md5", keys0), version=0,
+        fold_fn=curate._compact_state)
+    probe_keys = spark.createDataFrame(
+        [(k,) for k in keys0[:8]], "key string")
+    store.probe("md5", probe_keys).count()
+    assert store.last_probe_meta_bytes > 0  # cold: sidecars read once
+    store.probe("md5", probe_keys).count()
+    assert store.last_probe_meta_bytes == 0  # warm repeat: all cached
+
+    def sidecar_bytes(entries):
+        total = 0
+        for e in entries:
+            pat = os.path.join(
+                str(tmp_path / "s"), e["path"], "_bloom_md5*.npz")
+            total += sum(os.path.getsize(f) for f in glob.glob(pat))
+        return total
+
+    seen = {e["path"] for e in store._dirs()}
+    store.commit_delta(
+        _delta(spark, "md5", [f"b{i:031d}" for i in range(64)]),
+        version=1, fold_fn=curate._compact_state)
+    new = [e for e in store._dirs() if e["path"] not in seen]
+    assert new  # the commit added at least one directory
+    store.probe("md5", probe_keys).count()
+    assert 0 < store.last_probe_meta_bytes <= sidecar_bytes(new)
+    store.probe("md5", probe_keys).count()
+    assert store.last_probe_meta_bytes == 0
+
+    # drive commits until the tiered log FOLDS some directory away,
+    # then pin the same only-new-dirs property across the rewrite
+    prev = {e["path"] for e in store._dirs()}
+    v = 2
+    while True:
+        store.commit_delta(
+            _delta(spark, "md5", [f"c{v:02d}{i:029d}" for i in range(64)]),
+            version=v, fold_fn=curate._compact_state)
+        cur = {e["path"] for e in store._dirs()}
+        folded_away = prev - cur
+        v += 1
+        assert v < 24, "fold never triggered"
+        if folded_away:
+            break
+        prev = cur
+    new = [e for e in store._dirs() if e["path"] not in prev]
+    assert new  # the fold produced merged directories
+    store.probe("md5", probe_keys).count()
+    assert 0 < store.last_probe_meta_bytes <= sidecar_bytes(new)
+    store.probe("md5", probe_keys).count()
+    assert store.last_probe_meta_bytes == 0

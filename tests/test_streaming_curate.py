@@ -598,3 +598,51 @@ def test_curate_stream_distributed_probe_mode_end_to_end(spark, tmp_path):
     assert (10, False, "exact_dup") in got
     assert (11, False, "near_dup") in got
     assert (1, True, None) in got and (2, True, None) in got
+
+
+def test_all_gates_audit_cost_flat_as_state_grows(spark, tmp_path):
+    """VERDICT r8 next #7: the all-gates audit cost is not
+    state-coupled. With every gate on (accumulated quality quantile,
+    Gopher repetition, decontamination) and same-size batches, the
+    per-batch state-probe bytes (data + sidecar metadata) must stay
+    flat while the accumulated state grows ~4x — the gates themselves
+    are per-doc statistics plus a bounded qhist; only the dedup probes
+    touch keyed state, and those prune to batch keys."""
+    eval_df = spark.createDataFrame(
+        [(900001, "held out benchmark question about lazy dogs")],
+        "doc_id long, text string")
+    state_dir = str(tmp_path / "state")
+    probe_bytes = []
+    for b in range(4):
+        docs = spark.createDataFrame(
+            _mk_docs(f"g{b}x", 60, 1000 * b), "doc_id long, text string"
+        ).withColumn("n_chars", F.length("text"))
+        store = curate.open_state(spark, state_dir)
+        state = store if store.current_version() is not None else None
+        handles: list = []
+        audit = curate.curate_batch(
+            docs, state, quality_q=0.25, quality_metric_col="n_chars",
+            max_dup_char_fraction=0.9, eval_df=eval_df,
+            max_contamination_hits=0, _projection_out=handles,
+        ).persist()
+        try:
+            kept = audit.filter("keep")
+            assert kept.count() > 0
+            delta = curate._survivor_state(
+                kept, text_col="text", id_col="doc_id",
+                sigs=handles[0] if handles else None)
+            delta = delta.unionByName(
+                curate._qhist_delta(docs, metric_col="n_chars"))
+            store.commit_delta(
+                delta, version=b, fold_fn=curate._compact_state)
+        finally:
+            audit.unpersist()
+            for h in handles:
+                h.unpersist()
+        probe_bytes.append(
+            store.probe_bytes_total + store.probe_meta_bytes_total)
+    # batch 0 is cold (no state, zero probes); batches 1-3 probe an
+    # ever-growing state with same-size inputs. Flat within a small
+    # factor + a fixed footer allowance for the extra log directories.
+    assert probe_bytes[0] == 0, probe_bytes
+    assert probe_bytes[3] <= probe_bytes[1] * 2 + 32768, probe_bytes

@@ -217,3 +217,96 @@ def test_int8_rerank_self_row_does_not_consume_candidate_slot(emb):
     rows = got.collect()
     assert len(rows) == 10
     assert all(r.vec_id != 7 for r in rows)
+
+
+def test_int8_candidates_selection_survives_negative_score_majority(emb):
+    """Regression for the argpartition negation overflow: -int64min
+    wraps to int64min, so masked (self) rows sorted FIRST in the old
+    -comp selection — with a batch bigger than ``candidates`` the self
+    row consumed one emission slot and the batch contributed only C-1
+    real candidates. The kernel's per-batch emission must be the true
+    top-C over NON-self rows, here checked against a driver-side
+    recompute on an all-in-one-batch corpus."""
+    import numpy as np
+
+    clean = emb.filter("vec_id < 50").coalesce(1)  # one 50-row batch
+    codes = vector_arrow.pack_int8_codes(clean)
+    qrow = clean.filter("vec_id = 3").first()
+    scale = max(abs(v) for v in qrow.embedding)
+    q8 = np.array([
+        [round(x / scale * 127) for x in qrow.embedding]], dtype=float)
+    out = vector_arrow.int8_candidates_arrow(
+        codes, np.array([3]), q8, candidates=10).collect()
+    emitted = {(r.vec_id, r.score_q) for r in out}
+    # driver-side truth: int8 dots of every non-self row, top 10
+    rows = clean.collect()
+    truth = []
+    for r in rows:
+        if r.vec_id == 3:
+            continue
+        s = max(abs(v) for v in r.embedding)
+        if s == 0:
+            continue
+        c8 = np.array([round(x / s * 127) for x in r.embedding])
+        truth.append((int(r.vec_id), int(c8 @ q8[0])))
+    truth.sort(key=lambda t: (-t[1], t[0]))
+    assert set(truth[:10]) <= emitted
+    assert len(emitted) == 10
+
+
+def test_int8_candidates_cells_masks_unprobed_and_orders_correctly(spark):
+    """The cell-restricted kernel: rows outside a query's probed cells
+    never surface with a real score, and the selection is the true
+    top-C over the probed rows even when dead pairs are the majority
+    (the exact shape that exposed the negation overflow)."""
+    import numpy as np
+
+    rows = []
+    for i in range(40):
+        code = np.full(4, (i % 9) - 4, dtype=np.int8)
+        rows.append((i, bytes(code), i % 8))
+    codes = spark.createDataFrame(rows, "vec_id long, code binary, cell long")
+    qids = np.array([99], dtype=np.int64)
+    q8 = np.array([[127.0, 127.0, 127.0, 127.0]])
+    cell_ids = np.array([2], dtype=np.int64)   # probe ONLY cell 2
+    allowed = np.array([[True]])
+    out = vector_arrow.int8_candidates_cells_arrow(
+        codes.coalesce(1), qids, q8, cell_ids, allowed, 3).collect()
+    masked = np.iinfo(np.int64).min
+    live = [(r.vec_id, r.score_q) for r in out if r.score_q != masked]
+    # cell 2 rows: vec_id 2,10,18,26,34 with codes (i%9)-4
+    want = sorted(
+        [(i, int(((i % 9) - 4) * 127 * 4)) for i in range(40) if i % 8 == 2],
+        key=lambda t: (-t[1], t[0]))[:3]
+    assert sorted(live) == sorted(want)
+    assert all(r.vec_id % 8 == 2 for r in out if r.score_q != masked)
+
+
+def test_ivf_int8_rerank_full_probe_equals_flat_rerank(emb):
+    """nprobe == k_cells probes every cell, so the composed operator
+    must equal the flat packed-tier rerank exactly."""
+    clean = emb.filter("vec_id < 100")
+    q = clean.filter("vec_id < 3")
+    cents = clean.filter("vec_id < 4")
+    got = similarity.ivf_int8_rerank_topk(
+        q, clean, cents, 5, nprobe=4, candidates=20)
+    want = similarity.int8_rerank_topk(q, clean, 5, candidates=20)
+    assert _collect_sorted(got, "query_id", "rank") == _collect_sorted(
+        want, "query_id", "rank")
+
+
+def test_ivf_int8_rerank_restricts_to_probed_cells(emb):
+    """Single-probe results only ever contain corpus rows from the
+    query's own nearest cell — the partition-pruning contract."""
+    clean = emb.filter("vec_id < 100")
+    q = clean.filter("vec_id < 3")
+    cents = clean.filter("vec_id < 4")
+    cells = {
+        r.vec_id: r.centroid_id
+        for r in similarity.kmeans_assign(clean, cents).collect()
+    }
+    got = similarity.ivf_int8_rerank_topk(
+        q, clean, cents, 5, nprobe=1, candidates=20).collect()
+    assert got
+    for r in got:
+        assert cells[r.vec_id] == cells[r.query_id]

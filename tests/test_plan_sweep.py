@@ -47,6 +47,10 @@ BNLJ_ALLOWED = {
     # broadcast centroid relation (k rows) for the query-side probe
     # distance — the corpus side joins on cell with a hash join
     "sim_ivf_multiprobe",
+    # same probe-selection crossJoin (queries x 64 centroids) as
+    # sim_ivf_multiprobe; the packed candidate scan is map-only and
+    # the re-rank joins are broadcast hash joins
+    "ivf_int8_rerank_topk",
     # quantized query side broadcast (vec_id < N_QUERIES, 5 rows) —
     # same shape as sim_brute_topk
     "sim_int8_topk",

@@ -114,10 +114,42 @@ def q_image_neardup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_a", "media_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+FRAME_EVERY_MS = 250
+
+
+def _video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video fixture: payload = the document bytes, duration_ms = the
+    payload's byte length (1 byte = 1 ms) — deterministic metadata both
+    engines derive identically."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.col("text").cast("binary").alias("payload"),
+            F.octet_length("text").cast("long").alias("duration_ms"),
+        )
+    )
+
+
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full video frame pipeline: native timestamp grid (explode
+    over sequence), payload equi-join, Arrow-batched seek-decode kernel
+    — one row per sampled frame, sum_luma an exact integer of the
+    digest decode so the oracle replays grid + decode + feature with
+    zero tolerance."""
+    return multimodal.extract_frame_features(
+        _video(spark, sf_dir), every_ms=FRAME_EVERY_MS,
+        decoder=multimodal._decode_frame_digest,
+    )
+
+
 QUERIES = {
     "image_digest_stats": q_image_digest_stats,
     "audio_digest_stats": q_audio_digest_stats,
     "image_neardup_dhash": q_image_neardup_dhash,
+    "video_frame_stats": q_video_frame_stats,
 }
 
 ORACLE = {
@@ -143,5 +175,21 @@ SELECT a.media_id AS media_a, x.media_id AS media_b,
        CAST(bit_count(xor(a.dhash, x.dhash)) AS BIGINT) AS hamming
 FROM hsh a JOIN hsh x ON a.media_id < x.media_id
 WHERE bit_count(xor(a.dhash, x.dhash)) <= {HAMMING_MAX}
+""",
+    # grid (duration // every inclusive, ts < duration — Spark's
+    # sequence(0, n) + filter replayed with integer division), then
+    # frame f's luma: pixel t = (d[t % 32] + f) % 256 tiled twice
+    "video_frame_stats": _DIGEST_CTE + f"""
+SELECT media_id,
+       CAST(f * {FRAME_EVERY_MS} AS BIGINT) AS frame_ts_ms,
+       64::BIGINT AS n_px,
+       CAST(2 * list_sum(list_transform(range(0, 32), j ->
+           (d[CAST(j AS INT) + 1] + f) % 256)) AS BIGINT) AS sum_luma
+FROM (
+    SELECT media_id, d, n_bytes,
+           unnest(range(0, n_bytes // {FRAME_EVERY_MS} + 1)) AS f
+    FROM b
+)
+WHERE f * {FRAME_EVERY_MS} < n_bytes
 """,
 }

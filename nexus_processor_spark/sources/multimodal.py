@@ -287,6 +287,105 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+FRAME_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_ts_ms", LongType(), False),
+    StructField("n_px", LongType(), True),
+    StructField("sum_luma", LongType(), True),
+])
+
+
+def _decode_frame_real(
+    payload: bytes, frame_index: int, frame_ts_ms: int
+) -> np.ndarray:
+    """Real codec: PyAV if importable (same optional-dependency gate as
+    PIL/soundfile/h5py) — seek to ``frame_ts_ms`` and return that
+    frame's 2-D uint8 luma array, the identical contract as the digest
+    twin (which keys its synthesis off ``frame_index`` instead)."""
+    try:
+        import av  # noqa: PLC0415 — optional, gated
+    except ImportError as e:
+        raise ImportError(
+            "video decoding requires PyAV (pip install av); or pass "
+            "decoder=_decode_frame_digest for the deterministic path"
+        ) from e
+    import io  # noqa: PLC0415
+
+    with av.open(io.BytesIO(payload)) as c:  # pragma: no cover
+        stream = c.streams.video[0]
+        c.seek(
+            int(frame_ts_ms / 1000.0 / stream.time_base),
+            stream=stream, any_frame=False,
+        )
+        for frame in c.decode(stream):
+            return frame.to_ndarray(format="gray").astype(np.uint8)
+    raise ValueError(  # pragma: no cover
+        f"no frame at {frame_ts_ms} ms")
+
+
+def _decode_frame_digest(
+    payload: bytes, frame_index: int, frame_ts_ms: int = 0
+) -> np.ndarray:
+    """Frame twin of :func:`_decode_image_digest`: frame ``f`` of a
+    payload decodes to the 8x8 digest tiling with a per-frame
+    brightness shift — pixel ``t`` is ``(digest[t % 32] + f) % 256``.
+    Every pixel of every frame is exact hex-char arithmetic an ANSI-SQL
+    oracle replays per sampled timestamp, so the whole frame pipeline
+    (grid explode, payload join, seek-decode kernel) is hash-checkable.
+    Same output contract as a real per-frame decode."""
+    d = np.frombuffer(hashlib.sha256(payload).digest(), dtype=np.uint8)
+    px = (np.tile(d, 2).astype(np.int64) + int(frame_index)) % 256
+    return px.reshape(8, 8).astype(np.uint8)
+
+
+def extract_frame_features(
+    media: DataFrame, *, every_ms: int = 1000, decoder=None,
+) -> DataFrame:
+    """Video frame-sampling pipeline, end to end: the NATIVE timestamp
+    grid (:func:`sample_frames` — explode over a sequence, no Python)
+    equi-joins the payload back on, and one Arrow-batched kernel row
+    per sampled frame seek-decodes and summarizes it — the shape a real
+    codec kernel has (one seek per sampled timestamp, payload bytes
+    shipped once per frame row by the join).
+
+    At 100 TB: the grid explode and join are native and map-side
+    (media_id equi-join, payloads never shuffle wider than the frame
+    fan-out); the Python boundary is Arrow-batched and emits 4 fixed
+    columns per frame. Output: ``(media_id, frame_ts_ms, n_px,
+    sum_luma)`` — sum_luma is an exact integer, so the digest path is
+    oracle-checkable with zero float tolerance.
+    """
+    decode = decoder or _decode_frame_real
+    frames = sample_frames(media, every_ms=every_ms).join(
+        media.select("media_id", "payload"), "media_id"
+    ).withColumn(
+        "_f", (F.col("frame_ts_ms") / F.lit(every_ms)).cast("long")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for media_id, ts, payload, f in zip(
+                batch["media_id"], batch["frame_ts_ms"],
+                batch["payload"], batch["_f"],
+            ):
+                if payload is None:
+                    out.append((int(media_id), int(ts), None, None))
+                    continue
+                img = decode(bytes(payload), int(f), int(ts))
+                out.append((
+                    int(media_id), int(ts), int(img.size),
+                    int(img.astype(np.int64).sum()),
+                ))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_ts_ms", "n_px", "sum_luma"]
+            )
+
+    return frames.select(
+        "media_id", "frame_ts_ms", "payload", "_f"
+    ).mapInPandas(run, schema=FRAME_FEATURES_SCHEMA)
+
+
 PHASH_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
     StructField("dhash", LongType(), True),

@@ -144,3 +144,48 @@ def test_image_near_dup_pairs_banded(spark):
         multimodal.image_near_dup_pairs(media, fake_decode=True))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_extract_frame_features_digest_matches_reference(spark, media):
+    """The full frame pipeline (grid explode -> payload join -> Arrow
+    seek-decode kernel) against a driver-side recompute of the digest
+    contract: frame f's pixel t is (sha256(payload)[t % 32] + f) % 256."""
+    import hashlib
+
+    import numpy as np
+
+    got = sorted(
+        (r.media_id, r.frame_ts_ms, r.n_px, r.sum_luma)
+        for r in multimodal.extract_frame_features(
+            media, every_ms=1000,
+            decoder=multimodal._decode_frame_digest).collect()
+    )
+    d = np.frombuffer(hashlib.sha256(b"vid").digest(), dtype=np.uint8)
+    want = [
+        (4, f * 1000, 64,
+         int(((np.tile(d, 2).astype(np.int64) + f) % 256).sum()))
+        for f in range(4)  # duration 3500 ms, 1000 ms grid
+    ]
+    assert got == want
+
+
+def test_extract_frame_features_null_payload_and_zero_duration(spark):
+    rows = [
+        (7, "video", "mp4", None, None, None, 2500),
+        (8, "video", "mp4", bytearray(b"x"), None, None, 0),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = multimodal.extract_frame_features(
+        media, every_ms=1000,
+        decoder=multimodal._decode_frame_digest).collect()
+    # null payload: grid rows pass through with null features;
+    # zero duration: no frame lands strictly before 0 ms
+    assert sorted((r.media_id, r.frame_ts_ms, r.n_px, r.sum_luma)
+                  for r in got) == [
+        (7, 0, None, None), (7, 1000, None, None), (7, 2000, None, None),
+    ]
+
+
+def test_real_frame_decode_is_gated(spark, media):
+    with pytest.raises(Exception, match="PyAV|av"):
+        multimodal.extract_frame_features(media, every_ms=1000).collect()

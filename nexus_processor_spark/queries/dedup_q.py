@@ -1109,3 +1109,172 @@ ORACLE["neardup_eval"] = f"""
                AS recall_e6
     FROM m
 """
+
+
+# --- curate_semantic_audit: the embedding near-dup gate, replayed ----------
+
+SEM_AUDIT_T = 0.4           # quantized-cosine threshold (t2 = 160000/1e6)
+SEM_AUDIT_T2_NUM = 160000   # round(0.4^2 * 1e6) — exact
+SEM_AUDIT_BANDS = 16
+SEM_AUDIT_PLANES = 4
+SEM_AUDIT_DIM = 64
+
+
+def q_curate_semantic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-dedup gate (curate_batch ``semantic_threshold``,
+    cold batch): docs carry the ``embeddings`` table's vector (doc_id =
+    vec_id), bucket into 16 bands x 4 integer md5-hyperplanes over the
+    int8-quantized code, and every bucket collision is verified with
+    the exact integer predicate dot^2*10^6 >= 160000*na*nb. The oracle
+    replays the full gate order (quality -> exact -> lexical near-dup
+    -> semantic) including the weights' hex-char derivation — zero
+    float anywhere in the semantic stage."""
+    from nexus_processor_spark.streaming import curate
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding")
+    audit = curate.curate_batch(
+        docs.join(emb, "doc_id", "left"), None,
+        min_chars=CURATE_MIN_CHARS, near_dup_threshold=CURATE_THRESHOLD,
+        embedding_col="embedding", semantic_threshold=SEM_AUDIT_T,
+        semantic_bands=SEM_AUDIT_BANDS, semantic_planes=SEM_AUDIT_PLANES,
+        semantic_dim=SEM_AUDIT_DIM,
+    )
+    return audit.select("doc_id", "keep", "drop_reason")
+
+
+QUERIES["curate_semantic_audit"] = q_curate_semantic_audit
+
+_HEXVAL = "(strpos('0123456789abcdef', substr(h, {k}, 1)) - 1)"
+
+ORACLE["curate_semantic_audit"] = f"""
+    WITH q AS (
+        SELECT doc_id, text,
+               text IS NOT NULL AND length(text) >= {CURATE_MIN_CHARS}
+                   AS q_ok
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) = 1 AS exact_ok
+        FROM q WHERE q_ok
+    ),
+    ed AS (SELECT doc_id, text FROM ex WHERE exact_ok),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(
+                   generate_series(1,
+                     greatest(len(string_split(text, ' ')) - 2, 0)),
+                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+                 )
+               ) AS sh
+        FROM ed
+    ),
+    sig AS (
+        SELECT s.doc_id, b.band,
+               {_chunk_sql('2 * b.band')} || {_chunk_sql('2 * b.band + 1')}
+                   AS sig
+        FROM sh s, (SELECT unnest(range({NUM_BANDS})) AS band) b
+        WHERE len(s.sh) > 0
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    ),
+    dropped AS (
+        SELECT DISTINCT c.id_b AS doc_id
+        FROM cand c JOIN sh x ON c.id_a = x.doc_id
+                    JOIN sh y ON c.id_b = y.doc_id
+        WHERE CASE WHEN len(x.sh) + len(y.sh)
+                        - len(list_intersect(x.sh, y.sh)) > 0
+                   THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                        / CAST(len(x.sh) + len(y.sh)
+                               - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                   ELSE 0.0 END >= {CURATE_THRESHOLD}
+    ),
+    -- semantic stage: int8 codes of exact survivors' embeddings
+    z AS (
+        SELECT e.doc_id,
+               list_max(list_transform(em.embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS s,
+               em.embedding
+        FROM ed e JOIN embeddings em ON em.vec_id = e.doc_id
+        WHERE len(em.embedding) = {SEM_AUDIT_DIM}
+    ),
+    qz AS (
+        SELECT doc_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) / s * 127)
+                             AS BIGINT)) AS q
+        FROM z WHERE s > 0
+    ),
+    qn AS (
+        SELECT doc_id, q,
+               CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+                   AS na
+        FROM qz
+    ),
+    -- integer hyperplane weights: w = int(md5('vsem|b|p|j')[:4], 16)
+    -- - 32768 (same hex-char arithmetic as curate._sem_weights)
+    w AS (
+        SELECT b, p, j,
+               {_HEXVAL.format(k=1)} * 4096 + {_HEXVAL.format(k=2)} * 256
+               + {_HEXVAL.format(k=3)} * 16 + {_HEXVAL.format(k=4)}
+               - 32768 AS w
+        FROM (
+            SELECT b.range AS b, p.range AS p, j.range AS j,
+                   md5('vsem|' || b.range || '|' || p.range || '|'
+                       || j.range) AS h
+            FROM range({SEM_AUDIT_BANDS}) b, range({SEM_AUDIT_PLANES}) p,
+                 range({SEM_AUDIT_DIM}) j
+        )
+    ),
+    dots AS (
+        SELECT z.doc_id, w.b, w.p,
+               SUM(z.q[CAST(w.j + 1 AS INT)] * w.w) AS dot
+        FROM qn z JOIN w ON TRUE
+        GROUP BY z.doc_id, w.b, w.p
+    ),
+    bkt AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN dot > 0
+                        THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)
+                   AS bucket
+        FROM dots GROUP BY doc_id, b
+    ),
+    scand AS (
+        SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        FROM bkt a JOIN bkt b ON a.b = b.b AND a.bucket = b.bucket
+        WHERE a.doc_id < b.doc_id
+    ),
+    sver AS (
+        SELECT c.ib,
+               CAST(list_sum(list_transform(generate_series(1,
+                   {SEM_AUDIT_DIM}), i -> x.q[i] * y.q[i])) AS BIGINT)
+                   AS dot,
+               x.na AS na, y.na AS nb
+        FROM scand c JOIN qn x ON c.ia = x.doc_id
+                     JOIN qn y ON c.ib = y.doc_id
+    ),
+    sdrop AS (
+        SELECT DISTINCT ib AS doc_id FROM sver
+        WHERE dot > 0
+          AND dot * dot * 1000000 >= {SEM_AUDIT_T2_NUM} * na * nb
+    )
+    SELECT q.doc_id,
+           q.q_ok AND coalesce(ex.exact_ok, FALSE)
+               AND d.doc_id IS NULL AND sd.doc_id IS NULL AS keep,
+           CASE WHEN NOT q.q_ok THEN 'low_quality'
+                WHEN NOT coalesce(ex.exact_ok, FALSE) THEN 'exact_dup'
+                WHEN d.doc_id IS NOT NULL THEN 'near_dup'
+                WHEN sd.doc_id IS NOT NULL THEN 'semantic_dup'
+           END AS drop_reason
+    FROM q
+    LEFT JOIN ex ON q.doc_id = ex.doc_id
+    LEFT JOIN dropped d ON q.doc_id = d.doc_id
+    LEFT JOIN sdrop sd ON q.doc_id = sd.doc_id
+"""

@@ -83,13 +83,23 @@ N_MINHASHES = NUM_BANDS * ROWS_PER_BAND
 # kind='band': key = "<band>:<sig>" LSH bucket, ref = owner's content md5
 # kind='mins': key = owner's content md5, vals = its 16 minhash chunks
 # kind='qhist': key = quality-metric value, cnt = docs seen with it
+# kind='vbkt': key = "<band>:<bucket>" hyperplane bucket of a kept
+#              doc's int8 embedding code, ref = the owner's doc id
+# kind='vcode': key = doc id, vals = its int8 code values (strings)
 STATE_SCHEMA = (
     "kind string, key string, ref string, vals array<string>, cnt bigint"
 )
 STATE_ROW_SCHEMA = "key string, ref string, vals array<string>, cnt bigint"
-# the three probed kinds carry bloom sidecars; qhist is bounded-
-# cardinality and always read whole
-BLOOM_KINDS = ("md5", "band", "mins")
+# the probed kinds carry bloom sidecars; qhist is bounded-cardinality
+# and always read whole
+BLOOM_KINDS = ("md5", "band", "mins", "vbkt", "vcode")
+# semantic gate defaults: 8 bands x 8 integer hyperplanes (the
+# recall/candidate dial — fewer planes per band = higher recall AND
+# more candidates; the exact verify keeps precision at 1 regardless)
+SEM_BANDS = 8
+SEM_PLANES = 8
+SEM_DIM = 64
+_SEM_T2_DEN = 1_000_000
 FOLD_FACTOR = state_store.DEFAULT_FOLD_FACTOR
 STATE_BUCKETS = state_store.DEFAULT_BUCKETS
 
@@ -294,6 +304,116 @@ def _doc_minhashes(
     )
 
 
+def _sem_weights(
+    bands: int, planes: int, dim: int
+) -> list[list[list[int]]]:
+    """Deterministic INTEGER hyperplane weights for the semantic-dedup
+    gate: ``w[b][p][j] = int(md5("vsem|b|p|j")[:4 hex], 16) - 32768``
+    (range ±32767). No RNG, no float literals — the same hex-char
+    arithmetic an ANSI-SQL oracle replays, so every bucket bit is a
+    pure BIGINT sign test in both engines."""
+    import hashlib
+
+    return [
+        [
+            [
+                int(hashlib.md5(
+                    f"vsem|{b}|{p}|{j}".encode()).hexdigest()[:4], 16)
+                - 32768
+                for j in range(dim)
+            ]
+            for p in range(planes)
+        ]
+        for b in range(bands)
+    ]
+
+
+def _sem_tables(
+    docs: DataFrame,
+    *,
+    embedding_col: str,
+    id_col: str,
+    bands: int,
+    planes: int,
+    dim: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(codes, buckets) for the semantic gate. ``codes`` is one row per
+    bucketable doc: its int8 code (``functions.vector.quantize_int8``
+    — round-HALF-UP of x/max|x|*127, the sim_int8 oracle quantization)
+    and the code's integer self-dot. ``buckets`` is one row per
+    (doc, band): key = "band:bucket" where bucket bit p is the SIGN of
+    the integer dot <code, w[band][p]> — all BIGINT arithmetic, so the
+    banding is bit-identical cross-engine. All-zero/null embeddings
+    have no code and skip the gate. Map-only: the per-doc cost is
+    bands*planes integer dots of length ``dim`` (native HOFs here; the
+    Arrow-kernel form of the same math is the scale dial, as with
+    quantize_arrow)."""
+    from nexus_processor_spark.functions import vector
+
+    q8 = vector.quantize_int8(F.col(embedding_col))
+    codes = (
+        docs.select(F.col(id_col), q8.alias("_q8"))
+        .where(F.col("_q8").isNotNull() & (F.size("_q8") == dim))
+        .select(
+            id_col, "_q8",
+            F.aggregate(
+                "_q8", F.lit(0).cast("long"), lambda a, x: a + x * x
+            ).alias("_na"),
+        )
+    )
+    w = _sem_weights(bands, planes, dim)
+
+    def dot(b: int, p: int) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("_q8"),
+                F.array(*[F.lit(int(x)).cast("long") for x in w[b][p]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def bucket(b: int) -> F.Column:
+        bits = [
+            F.when(dot(b, p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            for p in range(planes)
+        ]
+        out = bits[0]
+        for bit in bits[1:]:
+            out = out + bit
+        return out
+
+    bkts = codes.select(
+        id_col,
+        F.explode(F.array(*[
+            F.concat_ws(
+                ":", F.lit(str(b)), bucket(b).cast("string"))
+            for b in range(bands)
+        ])).alias("_vkey"),
+    )
+    return codes, bkts
+
+
+def _sem_dup_expr(
+    qa: F.Column, na: F.Column, qb: F.Column, nb: F.Column, t2_num: int
+) -> F.Column:
+    """Exact integer ``cos(a, b) >= t`` over int8 codes: dup iff
+    ``dot > 0 AND dot^2 * 10^6 >= round(t^2 * 10^6) * na * nb`` — the
+    threshold compared at 1e-6 granularity of t², everything BIGINT
+    (dot <= 64*127^2 ~ 1.04e6, so dot²*10^6 < 2^63). The similarity is
+    the QUANTIZED cosine — the production int8-tier contract, same
+    single rounding as sim_int8_topk."""
+    dot = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (dot > 0) & (
+        dot * dot * F.lit(_SEM_T2_DEN) >= F.lit(t2_num) * na * nb
+    )
+
+
 def _state_rows(kind: str, cols: dict) -> list:
     """Column list padding a partial row shape to STATE_SCHEMA."""
     return [
@@ -312,6 +432,11 @@ def _survivor_state(
     id_col: str,
     sigs: DataFrame | None = None,
     hash_fn: str = "md5",
+    embedding_col: str | None = None,
+    semantic_bands: int = SEM_BANDS,
+    semantic_planes: int = SEM_PLANES,
+    semantic_dim: int = SEM_DIM,
+    sem_tables: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """State delta rows for kept docs: content md5s, band signatures
     (each carrying its owner's md5 as ``ref``), and the owner's 16
@@ -355,7 +480,37 @@ def _survivor_state(
         .select(*_state_rows(
             "mins", {"key": F.col("key"), "vals": F.col("vals")}))
     )
-    return md5s.unionByName(bands).unionByName(mins)
+    out = md5s.unionByName(bands).unionByName(mins)
+    if embedding_col is not None and embedding_col in survivors.columns:
+        # the semantic gate's index rows for kept docs: bucket keys
+        # ('vbkt', ref = owner id) + the owner's int8 code ('vcode').
+        # ``sem_tables`` reuses the batch's persisted (codes, bkts)
+        # pair — survivors are a subset, so a semi-join replaces a
+        # fresh quantize + bucket pass (the sigs pattern above).
+        if sem_tables is not None:
+            codes, bkts = sem_tables
+            keep_ids = survivors.select(id_col).distinct()
+            codes = codes.join(keep_ids, id_col, "left_semi")
+            bkts = bkts.join(keep_ids, id_col, "left_semi")
+        else:
+            codes, bkts = _sem_tables(
+                survivors, embedding_col=embedding_col, id_col=id_col,
+                bands=semantic_bands, planes=semantic_planes,
+                dim=semantic_dim,
+            )
+        vbkt = bkts.select(
+            F.col("_vkey").alias("key"),
+            F.col(id_col).cast("string").alias("ref"),
+        ).distinct().select(*_state_rows(
+            "vbkt", {"key": F.col("key"), "ref": F.col("ref")}))
+        vcode = codes.select(
+            F.col(id_col).cast("string").alias("key"),
+            F.transform(
+                F.col("_q8"), lambda x: x.cast("string")).alias("vals"),
+        ).dropDuplicates(["key"]).select(*_state_rows(
+            "vcode", {"key": F.col("key"), "vals": F.col("vals")}))
+        out = out.unionByName(vbkt).unionByName(vcode)
+    return out
 
 
 def _qhist_delta(batch: DataFrame, *, metric_col: str) -> DataFrame:
@@ -385,12 +540,29 @@ def curate_batch(
     near_dup_threshold: float = 0.5,
     eval_df: DataFrame | None = None,
     max_contamination_hits: int = 0,
+    embedding_col: str | None = None,
+    semantic_threshold: float | None = None,
+    semantic_bands: int = SEM_BANDS,
+    semantic_planes: int = SEM_PLANES,
+    semantic_dim: int = SEM_DIM,
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
     _projection_out: list | None = None,
 ) -> DataFrame:
     """One batch through the gates against ``state`` (None = cold start).
+
+    ``semantic_threshold`` (with ``embedding_col``) enables the
+    EMBEDDING near-dup gate after the lexical one: docs whose int8-
+    quantized cosine reaches the threshold against an earlier-id batch
+    doc or any kept doc in state drop as ``semantic_dup``. Candidates
+    come from ``semantic_bands`` integer-hyperplane buckets (state kind
+    ``vbkt``, bloom-probed by the batch's bucket keys — the state is
+    never scanned); every candidate is verified with the EXACT integer
+    predicate ``dot^2 * 10^6 >= round(t^2*10^6) * |a|^2 * |b|^2`` over
+    the stored codes (kind ``vcode``), so banding affects recall only,
+    never precision. Docs without a bucketable embedding (null /
+    all-zero / wrong dim) skip the gate.
     ``hash_fn`` picks the minhash scheme (md5 = oracle-parity default,
     xxhash64 = the ~2.5x scale dial; see ``_band_signatures``) — it
     must match the scheme every earlier batch of the same state used.
@@ -624,6 +796,85 @@ def curate_batch(
         dropped_vs_state = sigs.select(id_col).limit(0).withColumn(
             "_near_state", F.lit(True))
 
+    if semantic_threshold is not None and embedding_col is not None:
+        t2_num = int(round(
+            semantic_threshold * semantic_threshold * _SEM_T2_DEN))
+        codes, bkts = _sem_tables(
+            edocs, embedding_col=embedding_col, id_col=id_col,
+            bands=semantic_bands, planes=semantic_planes,
+            dim=semantic_dim,
+        )
+        if _projection_out is not None:
+            # codes feeds both pair sides, the state verify, and the
+            # survivor delta; bkts feeds the pair join, the state
+            # probe, and the delta — persist both (skinny: 64 longs /
+            # one key string per doc) so the quantize + bands*planes
+            # bucket dots run once per batch
+            codes = codes.persist()
+            bkts = bkts.persist()
+            _extra_handles.extend([codes, bkts])
+        # within the batch: bucket-mates -> exact integer verify ->
+        # drop the higher id (lexical near-dup's pair convention)
+        pa = bkts.select(F.col(id_col).alias("_ia"), "_vkey")
+        pb = bkts.select(F.col(id_col).alias("_ib"), "_vkey")
+        cpairs = (
+            pa.join(pb, "_vkey")
+            .where(F.col("_ia") < F.col("_ib"))
+            .select("_ia", "_ib").distinct()
+        )
+        ca = codes.select(
+            F.col(id_col).alias("_ia"),
+            F.col("_q8").alias("_qa"), F.col("_na").alias("_naa"))
+        cb = codes.select(
+            F.col(id_col).alias("_ib"),
+            F.col("_q8").alias("_qb"), F.col("_na").alias("_nbb"))
+        # codes is micro-batch-sized: broadcast it onto the
+        # collision-sized pair set (the planner has no stats here)
+        sem_batch = (
+            cpairs.join(F.broadcast(ca), "_ia")
+            .join(F.broadcast(cb), "_ib")
+            .where(_sem_dup_expr(
+                F.col("_qa"), F.col("_naa"),
+                F.col("_qb"), F.col("_nbb"), t2_num))
+            .select(F.col("_ib").alias(id_col)).distinct()
+        )
+        if state is not None:
+            # state probes: bucket keys prune 'vbkt' (batch-key-sized
+            # I/O), then only the collision-sized ref set's codes are
+            # pulled from 'vcode' — the state never shuffles (same
+            # discipline as the band/mins probes above)
+            vkeys = bkts.select("_vkey").distinct()
+            kept_b = _state_kind(state, "vbkt", vkeys).select(
+                F.col("key").alias("_vkey"), F.col("ref").alias("_ref"))
+            cand_v = (
+                kept_b.join(F.broadcast(bkts), "_vkey")
+                .select(id_col, "_ref").distinct()
+            )
+            refs = cand_v.select("_ref").distinct()
+            kept_c = _state_kind(state, "vcode", refs).select(
+                F.col("key").alias("_ref"), F.col("vals").alias("_kv"))
+            kept_c = kept_c.join(F.broadcast(refs), "_ref", "left_semi")
+            kq = F.transform(F.col("_kv"), lambda s: s.cast("long"))
+            scored_v = (
+                cand_v.join(F.broadcast(codes), id_col)
+                .join(F.broadcast(kept_c), "_ref")
+                .withColumn("_qb", kq)
+                .withColumn("_nbb", F.aggregate(
+                    "_qb", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x * x))
+            )
+            sem_state = (
+                scored_v.where(_sem_dup_expr(
+                    F.col("_q8"), F.col("_na"),
+                    F.col("_qb"), F.col("_nbb"), t2_num))
+                .select(id_col).distinct()
+            )
+            sem_batch = sem_batch.unionByName(sem_state).distinct()
+        sem_dropped = sem_batch.withColumn("_sem", F.lit(True))
+    else:
+        sem_dropped = batch.select(id_col).limit(0).withColumn(
+            "_sem", F.lit(True))
+
     if eval_df is not None:
         from nexus_processor_spark.operators import pipeline
 
@@ -645,6 +896,7 @@ def curate_batch(
     audit = (
         exact.join(F.broadcast(dropped_in_batch), id_col, "left")
         .join(F.broadcast(dropped_vs_state), id_col, "left")
+        .join(F.broadcast(sem_dropped), id_col, "left")
         .join(F.broadcast(contaminated), id_col, "left")
     )
     near_dropped = (
@@ -655,6 +907,7 @@ def curate_batch(
         audit.select(
             id_col, "_exact_ok",
             near_dropped.alias("_near_dropped"),
+            F.coalesce(F.col("_sem"), F.lit(False)).alias("_sem"),
             F.coalesce(F.col("_contam"), F.lit(False)).alias("_contam"),
         ),
         id_col, "left",
@@ -665,13 +918,15 @@ def curate_batch(
     rep_ok = F.col("_rep_ok")
     exact_ok = F.coalesce(F.col("_exact_ok"), F.lit(False))
     near_drop = F.coalesce(F.col("_near_dropped"), F.lit(False))
+    sem_drop = F.coalesce(F.col("_sem"), F.lit(False))
     contam = F.coalesce(F.col("_contam"), F.lit(False))
-    keep = q_ok & rep_ok & exact_ok & ~near_drop & ~contam
+    keep = q_ok & rep_ok & exact_ok & ~near_drop & ~sem_drop & ~contam
     reason = (
         F.when(~q_ok, "low_quality")
         .when(~rep_ok, "repetitive")
         .when(~exact_ok, "exact_dup")
         .when(near_drop, "near_dup")
+        .when(sem_drop, "semantic_dup")
         .when(contam, "contaminated")
     )
     return full.select(
@@ -692,6 +947,11 @@ def curate_stream(
     near_dup_threshold: float = 0.5,
     eval_df: DataFrame | None = None,
     max_contamination_hits: int = 0,
+    embedding_col: str | None = None,
+    semantic_threshold: float | None = None,
+    semantic_bands: int = SEM_BANDS,
+    semantic_planes: int = SEM_PLANES,
+    semantic_dim: int = SEM_DIM,
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
@@ -736,15 +996,32 @@ def curate_stream(
             quality_q=quality_q, quality_metric_col=quality_metric_col,
             max_dup_char_fraction=max_dup_char_fraction,
             eval_df=eval_df, max_contamination_hits=max_contamination_hits,
+            embedding_col=embedding_col,
+            semantic_threshold=semantic_threshold,
+            semantic_bands=semantic_bands,
+            semantic_planes=semantic_planes, semantic_dim=semantic_dim,
             text_col=text_col, id_col=id_col, hash_fn=hash_fn,
             _projection_out=handles,
         ).persist()
         try:
             audit.write.mode("overwrite").parquet(
                 f"{sink_path}/batch={batch_id}")
+            # the batch's persisted semantic tables (identified by
+            # their column shapes) feed the survivor delta too
+            sem_codes = [h for h in handles if "_q8" in h.columns]
+            sem_bkts = [h for h in handles if "_vkey" in h.columns]
             delta = _survivor_state(
                 audit.filter("keep"), text_col=text_col, id_col=id_col,
                 sigs=handles[0] if handles else None, hash_fn=hash_fn,
+                embedding_col=(
+                    embedding_col if semantic_threshold is not None
+                    else None),
+                semantic_bands=semantic_bands,
+                semantic_planes=semantic_planes,
+                semantic_dim=semantic_dim,
+                sem_tables=(
+                    (sem_codes[0], sem_bkts[0])
+                    if sem_codes and sem_bkts else None),
             )
             if quality_q is not None:
                 delta = delta.unionByName(

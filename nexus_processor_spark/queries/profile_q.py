@@ -637,3 +637,61 @@ ORACLE["temporal_dim_join"] = """
      AND h.valid_from <= f.at
      AND (h.valid_to IS NULL OR f.at < h.valid_to)
 """
+
+
+def q_orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only schema evolution end to end (snapshots.
+    evolve_schema): orders committed as two key-ranged directories,
+    then rename o_totalprice->price + drop o_orderstatus + add flag —
+    ZERO data files touched — then a CoW upsert whose affected
+    pre-rename directories are read through the manifest's column map.
+    The oracle is the plain row-level result: any value the rename
+    indirection loses or misaligns hash-mismatches."""
+    from nexus_processor_spark.sources import snapshots
+    from nexus_processor_spark.sources.tables import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    median = orders.agg(
+        F.expr("percentile_approx(o_orderkey, 0.5)")).first()[0]
+    t = scratch_dir("orders_evolve_q")
+    snapshots.write_snapshot(
+        orders.filter(F.col("o_orderkey") < median), t,
+        mode="overwrite", stats_cols=("o_orderkey",))
+    snapshots.write_snapshot(
+        orders.filter(F.col("o_orderkey") >= median), t,
+        mode="append", stats_cols=("o_orderkey",))
+    snapshots.evolve_schema(
+        t, rename={"o_totalprice": "price"},
+        drop=("o_orderstatus",), add={"flag": "string"})
+    mod = orders.filter(F.pmod("o_orderkey", F.lit(101)) == 0)
+    updates = mod.select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 3).alias("price"),
+        F.lit("u").alias("flag"),
+    )
+    updates = updates.unionByName(updates.select(
+        (F.col("o_orderkey") + F.lit(20_000_000)).alias("o_orderkey"),
+        "price", "flag"))
+    snapshots.upsert_snapshot(spark, t, updates, "o_orderkey")
+    return snapshots.read_snapshot(spark, t)
+
+
+QUERIES["orders_schema_evolution"] = q_orders_schema_evolution
+
+ORACLE["orders_schema_evolution"] = """
+    WITH upd AS (
+        SELECT o_orderkey, o_totalprice * 3 AS price, 'u' AS flag
+        FROM orders WHERE o_orderkey % 101 = 0
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_totalprice * 3, 'u'
+        FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_orderkey, price, flag FROM upd
+    UNION ALL
+    SELECT o_orderkey, o_totalprice AS price,
+           CAST(NULL AS VARCHAR) AS flag
+    FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+"""

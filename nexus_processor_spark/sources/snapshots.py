@@ -40,8 +40,16 @@ every directory it lists. An ``append`` whose DataFrame adds a column
 therefore reads older directories null-filled for the new column
 (standard mergeable add-column evolution); a column present only in
 older snapshots disappears from newer reads but time-travels intact.
-Renames are not matched by position — a renamed column reads as
-null-for-old + dropped-old-name, so treat renames as add+drop.
+
+``evolve_schema`` commits METADATA-ONLY evolution — add / drop /
+RENAME — without reading or writing a single data file: the manifest
+carries a per-directory ``column_map`` (logical name -> that
+directory's physical column name), the observable core of Iceberg's
+field-id indirection. A renamed column keeps reading its old physical
+name in pre-rename directories and its new name in post-rename ones;
+readers group directories by mapping so the unrenamed common case
+stays one multi-path scan. Drops hide the column (time travel intact);
+adds read null-filled everywhere until a write provides values.
 
 This is the standard snapshot/manifest design from the public Iceberg /
 Delta literature reduced to its observable semantics — not a port of
@@ -114,6 +122,143 @@ def _publish_manifest(table_path: str, version: int, manifest: dict) -> bool:
         os.remove(tmp)
 
 
+def _read_mapped(
+    spark: SparkSession, table_path: str, m: dict, dirs: list
+) -> DataFrame:
+    """Read manifest-listed directories under the manifest's LOGICAL
+    schema, applying its per-directory ``column_map`` (renamed columns
+    read their recorded physical name). Directories group by mapping,
+    so the identity-mapped common case stays ONE multi-path scan and a
+    table that never renamed pays nothing."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType.fromJson(m["schema"])
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    cmap = m.get("column_map", {})
+    groups: dict[tuple, list] = {}
+    for d in dirs:
+        sig = tuple(sorted(cmap.get(d, {}).items()))
+        groups.setdefault(sig, []).append(d)
+    out = None
+    for sig, ds in sorted(groups.items()):
+        mp = dict(sig)
+        phys = StructType([
+            StructField(mp.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ])
+        df = spark.read.schema(phys).parquet(
+            *[os.path.join(table_path, d) for d in ds])
+        if mp:
+            df = df.select(*[
+                F.col(mp.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ])
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def evolve_schema(
+    table_path: str,
+    *,
+    add: dict | None = None,
+    drop: tuple = (),
+    rename: dict | None = None,
+) -> int:
+    """Metadata-only schema evolution — commits a new manifest, touches
+    ZERO data files (the add/drop/rename DDL of the Iceberg/Delta
+    design reduced to its observable semantics):
+
+    * ``add``: ``{name: ddl_type}`` — appended nullable; every existing
+      directory reads it null-filled until a write provides values.
+    * ``drop``: column names removed from the read schema (files keep
+      the bytes; earlier versions time-travel with the column intact).
+    * ``rename``: ``{old: new}`` — existing directories keep serving
+      the value under its physical name via the manifest's
+      per-directory ``column_map``; post-evolution writes use the new
+      name directly. Never a rewrite, never positional matching.
+
+    Stats keys follow renames/drops, so manifest-level pruning keeps
+    working across an evolution. Publication is the same put-if-absent
+    manifest race as every other commit. Returns the new version."""
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import _parse_datatype_string
+
+    _require_local(table_path)
+    add = dict(add or {})
+    rename = dict(rename or {})
+    drop = tuple(drop)
+    while True:
+        prev = current_version(table_path)
+        if prev is None:
+            raise FileNotFoundError(
+                f"no committed snapshot under {table_path}")
+        m = _read_manifest(table_path, prev)
+        schema = StructType.fromJson(m["schema"])
+        names = [f.name for f in schema.fields]
+        for old in rename:
+            if old not in names:
+                raise ValueError(f"rename source {old!r} not in schema")
+            if old in drop:
+                raise ValueError(f"{old!r} both renamed and dropped")
+        for d in drop:
+            if d not in names:
+                raise ValueError(f"drop column {d!r} not in schema")
+        kept = [rename.get(n, n) for n in names if n not in drop]
+        dup = {n for n in kept if kept.count(n) > 1}
+        if dup:
+            raise ValueError(f"rename collides on {sorted(dup)}")
+        for a in add:
+            if a in kept:
+                raise ValueError(f"add column {a!r} already in schema")
+        new_fields = [
+            StructField(rename.get(f.name, f.name), f.dataType, True)
+            for f in schema.fields if f.name not in drop
+        ]
+        for name, ddl in add.items():
+            new_fields.append(
+                StructField(name, _parse_datatype_string(ddl), True))
+        prev_map = m.get("column_map", {})
+        stats = m.get("stats", {})
+        new_map: dict = {}
+        new_stats: dict = {}
+        for d in m["data_dirs"]:
+            mp = dict(prev_map.get(d, {}))
+            for old, new in rename.items():
+                mp[new] = mp.pop(old, old)
+            for dc in drop:
+                mp.pop(dc, None)
+            mp = {k: v for k, v in mp.items() if k != v}
+            phys = [mp.get(f.name, f.name) for f in new_fields]
+            if len(set(phys)) != len(phys):
+                raise ValueError(
+                    f"directory {d}: two logical columns would read "
+                    "the same physical column")
+            if mp:
+                new_map[d] = mp
+            if d in stats:
+                st = {
+                    rename.get(c, c): v for c, v in stats[d].items()
+                    if c not in drop
+                }
+                if st:
+                    new_stats[d] = st
+        manifest = {
+            "version": prev + 1,
+            "mode": "evolve",
+            "schema": StructType(new_fields).jsonValue(),
+            "data_dirs": m["data_dirs"],
+        }
+        if new_stats:
+            manifest["stats"] = new_stats
+        if new_map:
+            manifest["column_map"] = new_map
+        if _publish_manifest(table_path, prev + 1, manifest):
+            return prev + 1
+        # lost a race with a concurrent commit: re-derive and retry
+
+
 def write_snapshot(
     df: DataFrame,
     table_path: str,
@@ -179,10 +324,14 @@ def write_snapshot(
         prev = current_version(table_path)
         dirs = [commit_dir]
         stats = {commit_dir: new_stats} if new_stats else {}
+        cmap = {}
         if mode == "append" and prev is not None:
             pm = _read_manifest(table_path, prev)
             dirs = pm["data_dirs"] + dirs
             stats = {**pm.get("stats", {}), **stats}
+            # carried-by-reference directories keep their rename
+            # mappings; the fresh commit dir is identity-mapped
+            cmap = pm.get("column_map", {})
         v = version if version is not None else (
             0 if prev is None else prev + 1
         )
@@ -194,6 +343,8 @@ def write_snapshot(
         }
         if stats:
             manifest["stats"] = stats
+        if cmap:
+            manifest["column_map"] = cmap
         if _publish_manifest(table_path, v, manifest):
             return v
         if version is not None:  # pinned version taken: idempotent skip
@@ -246,13 +397,7 @@ def read_snapshot(
             return True
 
         dirs = [d for d in dirs if _keep(d)]
-    from pyspark.sql.types import StructType
-
-    schema = StructType.fromJson(m["schema"])
-    if not dirs:
-        return spark.createDataFrame([], schema)
-    paths = [os.path.join(table_path, d) for d in dirs]
-    return spark.read.schema(schema).parquet(*paths)
+    return _read_mapped(spark, table_path, m, dirs)
 
 
 def upsert_snapshot(
@@ -343,12 +488,9 @@ def upsert_snapshot(
 
         merged = updates
         if affected:
-            from pyspark.sql.types import StructType
-
-            schema = StructType.fromJson(m["schema"])
-            old = spark.read.schema(schema).parquet(*[
-                os.path.join(table_path, d) for d in affected
-            ])
+            # mapped read: affected pre-rename directories surface
+            # their physical columns under the logical schema
+            old = _read_mapped(spark, table_path, m, sorted(affected))
             merged = updates.unionByName(
                 old.join(touched_keys, key_col, "left_anti"),
                 allowMissingColumns=True,
@@ -377,6 +519,10 @@ def upsert_snapshot(
                 },
             },
         }
+        prev_cmap = m.get("column_map", {})
+        cmap = {d: prev_cmap[d] for d in untouched if d in prev_cmap}
+        if cmap:
+            manifest["column_map"] = cmap
         if _publish_manifest(table_path, v, manifest):
             return v
         if version is not None:  # pinned version taken: idempotent skip

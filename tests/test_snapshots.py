@@ -425,3 +425,99 @@ def test_merge_into_clause_semantics(spark, tmp_path):
     )
     assert dict(map(tuple, snap.read_snapshot(spark, t).collect())) \
         == {1: "a", 2: "B2", 5: "e"}
+
+
+def test_evolve_rename_is_metadata_only(spark, tmp_path):
+    """Rename commits a manifest, touches no data file, and reads the
+    old physical column under the new logical name — across appends
+    from both before and after the evolution."""
+    t = str(tmp_path / "tbl")
+    snap.write_snapshot(_df(spark, 0, 5), t, stats_cols=("id",))
+
+    def data_mtimes():
+        out = {}
+        for root, _, files in os.walk(os.path.join(t, "data")):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = data_mtimes()
+    v = snap.evolve_schema(t, rename={"v": "value"})
+    assert v == 1
+    assert data_mtimes() == before  # zero data I/O
+    got = snap.read_snapshot(spark, t)
+    assert got.columns == ["id", "value"]
+    assert {(r.id, r.value) for r in got.collect()} == {
+        (i, i * 2) for i in range(5)}
+    # pre-evolution version time-travels under the OLD name
+    assert snap.read_snapshot(spark, t, version=0).columns == ["id", "v"]
+    # a post-rename append writes the new name; both dirs read together
+    snap.write_snapshot(
+        spark.range(5, 8).selectExpr("id", "id * 2 AS value"), t,
+        mode="append", stats_cols=("id",))
+    got = snap.read_snapshot(spark, t)
+    assert {(r.id, r.value) for r in got.collect()} == {
+        (i, i * 2) for i in range(8)}
+
+
+def test_evolve_add_and_drop(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snap.write_snapshot(_df(spark, 0, 4), t)
+    snap.evolve_schema(t, add={"note": "string"}, drop=("v",))
+    got = snap.read_snapshot(spark, t)
+    assert got.columns == ["id", "note"]
+    assert all(r.note is None for r in got.collect())
+    # dropped column time-travels intact
+    assert snap.read_snapshot(spark, t, version=0).columns == ["id", "v"]
+    with pytest.raises(ValueError, match="already in schema"):
+        snap.evolve_schema(t, add={"id": "long"})
+    with pytest.raises(ValueError, match="not in schema"):
+        snap.evolve_schema(t, drop=("v",))
+    with pytest.raises(ValueError, match="not in schema"):
+        snap.evolve_schema(t, rename={"v": "w"})
+
+
+def test_upsert_after_rename_rewrites_under_logical_schema(spark, tmp_path):
+    """CoW upsert against a renamed table: affected pre-rename dirs are
+    read through the column map, merged rows land under the logical
+    name, untouched pre-rename dirs carry their mapping forward."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    snap.write_snapshot(_df(spark, 0, 10), t, stats_cols=("id",))
+    snap.write_snapshot(
+        _df(spark, 100, 110), t, mode="append", stats_cols=("id",))
+    snap.evolve_schema(t, rename={"v": "value"})
+    updates = spark.range(0, 3).selectExpr("id", "id * 100 AS value")
+    snap.upsert_snapshot(spark, t, updates, "id")
+    got = {r.id: r.value for r in snap.read_snapshot(spark, t).collect()}
+    assert got[0] == 0 and got[1] == 100 and got[2] == 200
+    assert got[5] == 10                     # untouched low-range row
+    assert got[105] == 210                  # untouched carried-by-ref dir
+    assert len(got) == 20
+    # the untouched 100-109 directory still reads via its mapping
+    m = snap._read_manifest(t, snap.current_version(t))
+    assert m.get("column_map"), "carried dir must keep its rename map"
+    # stats keys followed the rename (pruning works post-evolution)
+    pruned = snap.read_snapshot(spark, t, prune={"id": (100, None)})
+    assert {r.id for r in pruned.collect()} >= set(range(100, 110))
+    # compaction normalizes: physical names become logical, map clears
+    snap.compact_snapshot(spark, t, stats_cols=("id",))
+    m = snap._read_manifest(t, snap.current_version(t))
+    assert not m.get("column_map")
+    got2 = {r.id: r.value for r in snap.read_snapshot(spark, t).collect()}
+    assert got2 == got
+
+
+def test_evolve_rename_chain_and_collision_guard(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snap.write_snapshot(_df(spark, 0, 3), t)
+    snap.evolve_schema(t, rename={"v": "w"})
+    snap.evolve_schema(t, rename={"w": "x"})   # chain: x -> physical v
+    got = snap.read_snapshot(spark, t)
+    assert got.columns == ["id", "x"]
+    assert {(r.id, r.x) for r in got.collect()} == {(i, i * 2)
+                                                    for i in range(3)}
+    with pytest.raises(ValueError, match="collides"):
+        snap.evolve_schema(t, rename={"x": "id"})

@@ -106,7 +106,17 @@ def _publish_manifest(table_path: str, version: int, manifest: dict) -> bool:
     """Put-if-absent publication of ``manifest.<version>.json``: write to
     a commit-private tmp name, then ``os.link`` it into place — link
     fails with EEXIST when another writer already owns the version, so
-    exactly one committer wins. Returns False on a lost race."""
+    exactly one committer wins. Returns False on a lost race.
+
+    Stamps ``committed_at_ms`` (driver wall clock at publication) into
+    the manifest — the basis for timestamp time travel
+    (``read_snapshot(as_of_ms=...)``). Commit order is defined by the
+    version race, not the clock, so a skewed clock can at worst make
+    an AS-OF read resolve to a neighboring version, never corrupt one.
+    """
+    import time
+
+    manifest = {**manifest, "committed_at_ms": int(time.time() * 1000)}
     tmp = os.path.join(
         table_path, f"manifest.{version}.json.tmp.{uuid.uuid4().hex}"
     )
@@ -351,14 +361,39 @@ def write_snapshot(
             return None
 
 
+def version_as_of(table_path: str, as_of_ms: int) -> int:
+    """Highest version whose recorded commit time is <= ``as_of_ms``
+    (epoch milliseconds) — timestamp time travel over the manifest log.
+    Manifests from before the stamp was introduced fall back to the
+    manifest file's mtime. Raises when the timestamp predates every
+    retained commit (expired history cannot be resolved honestly)."""
+    _require_local(table_path)
+    best = None
+    for v in _versions(table_path):
+        m = _read_manifest(table_path, v)
+        ts = m.get("committed_at_ms")
+        if ts is None:
+            ts = int(os.stat(
+                os.path.join(table_path, f"manifest.{v}.json")
+            ).st_mtime * 1000)
+        if ts <= as_of_ms and (best is None or v > best):
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no snapshot at or before {as_of_ms} ms under {table_path}")
+    return best
+
+
 def read_snapshot(
     spark: SparkSession,
     table_path: str,
     *,
     version: int | None = None,
+    as_of_ms: int | None = None,
     prune: dict | None = None,
 ) -> DataFrame:
-    """Read a snapshot (latest by default; ``version`` time-travels).
+    """Read a snapshot (latest by default; ``version`` or ``as_of_ms``
+    time-travels — at most one of the two).
     Only the manifest's directories are scanned — uncommitted/orphaned
     data is invisible by construction.
 
@@ -374,6 +409,10 @@ def read_snapshot(
     vs = _versions(table_path)
     if not vs:
         raise FileNotFoundError(f"no committed snapshot under {table_path}")
+    if as_of_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_ms, not both")
+        version = version_as_of(table_path, as_of_ms)
     if version is None:
         version = vs[-1]
     elif version not in vs:

@@ -521,3 +521,22 @@ def test_evolve_rename_chain_and_collision_guard(spark, tmp_path):
                                                     for i in range(3)}
     with pytest.raises(ValueError, match="collides"):
         snap.evolve_schema(t, rename={"x": "id"})
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """AS-OF reads resolve to the highest commit at or before the
+    timestamp, from the committed_at_ms the publication stamps."""
+    t = str(tmp_path / "tbl")
+    snap.write_snapshot(_df(spark, 0, 5), t)
+    t0 = snap._read_manifest(t, 0)["committed_at_ms"]
+    snap.write_snapshot(_df(spark, 5, 9), t, mode="append")
+    t1 = snap._read_manifest(t, 1)["committed_at_ms"]
+    assert snap.version_as_of(t, t0) == 0
+    assert snap.version_as_of(t, t1 + 10_000) == 1
+    assert snap.read_snapshot(spark, t, as_of_ms=t0).count() == 5
+    if t1 > t0:  # sub-ms commits can share a stamp; then both read 9
+        assert snap.read_snapshot(spark, t, as_of_ms=t1).count() == 9
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        snap.version_as_of(t, t0 - 1)
+    with pytest.raises(ValueError, match="not both"):
+        snap.read_snapshot(spark, t, version=0, as_of_ms=t0)

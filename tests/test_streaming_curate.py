@@ -737,3 +737,30 @@ def test_semantic_gate_stream_end_to_end(spark, tmp_path):
         1: (True, None), 3: (True, None),
         2: (False, "semantic_dup"), 4: (True, None),
     }
+
+
+def test_semantic_gate_distributed_probe_mode_equal(spark, tmp_path):
+    """The semantic kinds (vbkt/vcode) through probe_mode="distributed"
+    must produce the same drop decisions as the driver-probe path."""
+    docs = _sem_docs(spark)
+    kw = {"embedding_col": "embedding", "semantic_threshold": 0.9,
+          "semantic_dim": 8}
+    sd = str(tmp_path / "state")
+    a1 = curate.curate_batch(docs.filter("doc_id IN (1, 3)"), None, **kw)
+    curate._advance_state(
+        spark, sd, 0,
+        curate._survivor_state(
+            a1.filter("keep"), text_col="text", id_col="doc_id",
+            embedding_col="embedding", semantic_dim=8))
+    batch = docs.filter("doc_id IN (2, 4)")
+
+    def decisions(mode):
+        st = curate.open_state(spark, sd, probe_mode=mode)
+        return {
+            r.doc_id: (r.keep, r.drop_reason)
+            for r in curate.curate_batch(batch, st, **kw).collect()
+        }
+
+    want = {2: (False, "semantic_dup"), 4: (True, None)}
+    assert decisions("driver") == want
+    assert decisions("distributed") == want

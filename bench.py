@@ -321,8 +321,9 @@ def run_curate(spark) -> dict[str, object]:
 
     def drive(
         gates: bool, *, n_batches: int = 5, mod: int | None = None,
-        fold_factor: int | None = None,
+        fold_factor: int | None = None, src=None, semantic: bool = False,
     ) -> dict[str, object]:
+        source = src if src is not None else docs
         state_dir = tempfile.mkdtemp(prefix="curate_bench_state_")
         out: dict[str, object] = {"batches": []}
         eval_df = (
@@ -337,6 +338,10 @@ def run_curate(spark) -> dict[str, object]:
                 "max_dup_char_fraction": 0.9,
                 "eval_df": eval_df, "max_contamination_hits": 0,
             }
+        if semantic:
+            kw.update({
+                "embedding_col": "embedding", "semantic_threshold": 0.9,
+            })
         # all-gates batches run at ~100k docs: the repetition +
         # decontamination plans hold the wide text column in several
         # concurrent operators and a 200k batch overflows the 8g local
@@ -349,7 +354,7 @@ def run_curate(spark) -> dict[str, object]:
             store_kw["fold_factor"] = fold_factor
         try:
             for b in range(n_batches):
-                batch = docs.filter(F.col("doc_id") % mod == b)
+                batch = source.filter(F.col("doc_id") % mod == b)
                 s = time.perf_counter()
                 store = curate.open_state(spark, state_dir, **store_kw)
                 state = (
@@ -361,10 +366,16 @@ def run_curate(spark) -> dict[str, object]:
                 ).persist()
                 try:
                     n_kept = audit.filter("keep").count()
+                    sem_codes = [h for h in handles if "_q8" in h.columns]
+                    sem_bkts = [h for h in handles if "_vkey" in h.columns]
                     delta = curate._survivor_state(
                         audit.filter("keep"),
                         text_col="text", id_col="doc_id",
                         sigs=handles[0] if handles else None,
+                        embedding_col="embedding" if semantic else None,
+                        sem_tables=(
+                            (sem_codes[0], sem_bkts[0])
+                            if sem_codes and sem_bkts else None),
                     )
                     if gates:
                         delta = delta.unionByName(curate._qhist_delta(
@@ -436,6 +447,24 @@ def run_curate(spark) -> dict[str, object]:
     # commit 4, gen-3 by commit 8 — probe_mb through the fold batches
     # is the r6 next-#1 pin
     out["folds"] = drive(gates=False, n_batches=8, mod=20, fold_factor=2)
+    # semantic-dedup variant (round 9): ~50k docs/batch carrying a
+    # 64-dim embedding (vecbig joined on doc_id mod a PRIME below 1M —
+    # a prime so the aliased vector groups straddle the mod-40 batch
+    # split: the gate does real work both ways, in-batch exact-vector
+    # dups AND cross-batch hits through the vbkt/vcode state probes)
+    if _remaining() > 300:
+        ensure_big_vecs(spark)
+        emb = spark.read.parquet(
+            f"{VEC_DIR}/embeddings.parquet"
+        ).select(F.col("vec_id").alias("_ek"), "embedding")
+        docs_sem = docs.withColumn(
+            "_ek", F.pmod("doc_id", F.lit(999_983))
+        ).join(emb, "_ek").drop("_ek")
+        out["semantic"] = drive(
+            gates=False, semantic=True, n_batches=3, mod=40,
+            src=docs_sem)
+    else:
+        out["semantic"] = {"skipped": "budget"}
 
     # Per-gate cost attribution (VERDICT r5 next #4): one cold ~100k
     # batch, gates enabled one at a time — the marginal seconds of each

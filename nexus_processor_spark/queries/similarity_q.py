@@ -1175,3 +1175,26 @@ ORACLE["matryoshka_recall"] = f"""
            ), 0) AS DOUBLE) / {TOP_K} AS recall
     FROM (SELECT DISTINCT query_id FROM exact) e
 """
+
+
+def q_vector_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end persisted-index path: build the IVF-int8 tier on disk
+    (codes parquet PARTITIONED BY coarse cell — the probe union prunes
+    partitions, plan-pinned in tests), then search it with the same
+    composed semantics as ivf_int8_rerank_topk. Same oracle: the index
+    is a layout, never a semantics change."""
+    from nexus_processor_spark.operators import vector_index
+    from nexus_processor_spark.sources.tables import scratch_dir
+
+    emb = _emb(spark, sf_dir)
+    path = scratch_dir("vector_index_q")
+    vector_index.build_ivf_int8_index(
+        emb, emb.filter(F.col("vec_id") < N_CENTROIDS), path)
+    return vector_index.search(
+        spark, emb.filter(F.col("vec_id") < N_QUERIES), emb, path,
+        TOP_K, nprobe=NPROBE, candidates=INT8_CAND)
+
+
+QUERIES["vector_index_search"] = q_vector_index_search
+# identical semantics to the in-memory composition: same oracle
+ORACLE["vector_index_search"] = ORACLE["ivf_int8_rerank_topk"]

@@ -310,3 +310,28 @@ def test_ivf_int8_rerank_restricts_to_probed_cells(emb):
     assert got
     for r in got:
         assert cells[r.vec_id] == cells[r.query_id]
+
+
+def test_vector_index_search_matches_in_memory_composition(spark, emb, tmp_path):
+    """The persisted IVF-int8 tier: search against the on-disk index
+    equals the in-memory composed operator, and the probe-union filter
+    lands in the parquet scan's PartitionFilters (real partition
+    pruning, not a post-scan filter)."""
+    from nexus_processor_spark.operators import vector_index
+    from nexus_processor_spark.plans import explain
+
+    clean = emb.filter("vec_id < 100")
+    q = clean.filter("vec_id < 3")
+    cents = clean.filter("vec_id < 4")
+    path = str(tmp_path / "vidx")
+    manifest = vector_index.build_ivf_int8_index(clean, cents, path)
+    assert manifest["dim"] == 16 and manifest["k_cells"] == 4
+    got = vector_index.search(
+        spark, q, clean, path, 5, nprobe=2, candidates=20)
+    want = similarity.ivf_int8_rerank_topk(
+        q, clean, cents, 5, nprobe=2, candidates=20)
+    assert _collect_sorted(got, "query_id", "rank") == _collect_sorted(
+        want, "query_id", "rank")
+    plan = explain.executed_plan(got)
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1)[1][:200]

@@ -328,6 +328,76 @@ def _sem_weights(
     ]
 
 
+def _sem_tables_arrow(
+    docs: DataFrame,
+    *,
+    embedding_col: str,
+    id_col: str,
+    bands: int,
+    planes: int,
+    dim: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Arrow-kernel twin of :func:`_sem_tables` — bit-identical output
+    (pinned by tests), ~2 orders faster on wide batches: the
+    bands*planes bucket dots are ONE float64 GEMM per Arrow batch
+    (every product sum is an integer <= dim*127*32767 ~ 2.7e8 << 2^53,
+    so float64 accumulation is exact integer arithmetic), and the
+    quantization is ``_round_half_up`` — the same HALF_UP the native
+    ``quantize_int8`` rounds with. This is the serving path; the
+    native form remains the oracle-exactness twin."""
+    import numpy as np
+
+    from nexus_processor_spark.operators.vector_arrow import (
+        _mat, _round_half_up)
+
+    w = np.array(
+        _sem_weights(bands, planes, dim), dtype=np.float64
+    ).reshape(bands * planes, dim)
+    w_t = np.ascontiguousarray(w.T)
+    shifts = np.array(
+        [1 << p for p in range(planes)] * 1, dtype=np.int64)
+    schema = (
+        f"{id_col} long, _q8 array<long>, _na long, _vkeys array<string>"
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for b in batches:
+            if not len(b):
+                continue
+            keep = b[b[embedding_col].map(
+                lambda v: v is not None and len(v) == dim)]
+            if not len(keep):
+                continue
+            ids = keep[id_col].to_numpy(dtype=np.int64)
+            mat = _mat(keep[embedding_col])
+            scale = np.abs(mat).max(axis=1)
+            ok = scale > 0
+            if not ok.any():
+                continue
+            ids, mat, scale = ids[ok], mat[ok], scale[ok]
+            q8 = _round_half_up(mat / scale[:, None] * 127.0)
+            na = (q8 * q8).sum(axis=1).astype(np.int64)
+            dots = q8 @ w_t  # exact integers in float64 (see docstring)
+            bits = (dots > 0).reshape(len(ids), bands, planes)
+            buckets = (bits * shifts[None, None, :]).sum(axis=2)
+            yield pd.DataFrame({
+                id_col: ids,
+                "_q8": [r.astype(np.int64).tolist() for r in q8],
+                "_na": na,
+                "_vkeys": [
+                    [f"{bb}:{int(buckets[i, bb])}" for bb in range(bands)]
+                    for i in range(len(ids))
+                ],
+            })
+
+    base = docs.select(id_col, embedding_col).mapInPandas(kernel, schema)
+    codes = base.select(id_col, "_q8", "_na")
+    bkts = base.select(id_col, F.explode("_vkeys").alias("_vkey"))
+    return codes, bkts
+
+
 def _sem_tables(
     docs: DataFrame,
     *,
@@ -493,7 +563,7 @@ def _survivor_state(
             codes = codes.join(keep_ids, id_col, "left_semi")
             bkts = bkts.join(keep_ids, id_col, "left_semi")
         else:
-            codes, bkts = _sem_tables(
+            codes, bkts = _sem_tables_arrow(
                 survivors, embedding_col=embedding_col, id_col=id_col,
                 bands=semantic_bands, planes=semantic_planes,
                 dim=semantic_dim,
@@ -799,7 +869,7 @@ def curate_batch(
     if semantic_threshold is not None and embedding_col is not None:
         t2_num = int(round(
             semantic_threshold * semantic_threshold * _SEM_T2_DEN))
-        codes, bkts = _sem_tables(
+        codes, bkts = _sem_tables_arrow(
             edocs, embedding_col=embedding_col, id_col=id_col,
             bands=semantic_bands, planes=semantic_planes,
             dim=semantic_dim,

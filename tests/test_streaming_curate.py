@@ -764,3 +764,24 @@ def test_semantic_gate_distributed_probe_mode_equal(spark, tmp_path):
     want = {2: (False, "semantic_dup"), 4: (True, None)}
     assert decisions("driver") == want
     assert decisions("distributed") == want
+
+
+def test_sem_tables_arrow_equals_native(spark):
+    """The Arrow GEMM twin of _sem_tables must be BIT-IDENTICAL to the
+    native HOF form — same quantization rounding, same integer bucket
+    signs — including the skip rules (null / zero / wrong-dim)."""
+    docs = _sem_docs(spark).unionByName(spark.createDataFrame(
+        [(6, "zz", [0.0] * 8), (7, "yy", [1.0, 2.0])],
+        EMB_SCHEMA))
+    kw = {"embedding_col": "embedding", "id_col": "doc_id",
+          "bands": 3, "planes": 5, "dim": 8}
+    nc, nb = curate._sem_tables(docs, **kw)
+    ac, ab = curate._sem_tables_arrow(docs, **kw)
+    key_n = sorted((r.doc_id, list(r._q8), r._na) for r in nc.collect())
+    key_a = sorted((r.doc_id, list(r._q8), r._na) for r in ac.collect())
+    assert key_n == key_a and key_n  # codes identical, non-empty
+    bk_n = sorted((r.doc_id, r._vkey) for r in nb.collect())
+    bk_a = sorted((r.doc_id, r._vkey) for r in ab.collect())
+    assert bk_n == bk_a
+    # zero-vector and wrong-dim docs skipped by both
+    assert all(d not in (6, 7) for d, _ in bk_n)

@@ -33,8 +33,11 @@ def audit_plan(plan_str: str) -> dict:
         cols = [re.sub(r"#\d+L?", "", c) for c in m.group(1).split(",") if c]
         pushed = re.search(r"PushedFilters: \[([^\]]*)\]", line) or \
             re.search(r"DataFilters: \[([^\]]*)", line)
+        part = re.search(r"PartitionFilters: \[([^\]]*)\]", line)
         scans.append({
             "pushed": re.sub(r"#\d+L?", "", pushed.group(1)) if pushed else "",
+            "partition": (
+                re.sub(r"#\d+L?", "", part.group(1)) if part else ""),
             "columns": cols,
         })
     exchanges = re.findall(r"Exchange (\w+)\(([^)]*)", plan_str)
@@ -91,7 +94,9 @@ def main() -> int:
             cols = ", ".join(s["columns"]) or "(none)"
             lines.append(f"- scan: columns [{cols}]"
                          + (f", pushed [{s['pushed']}]" if s["pushed"]
-                            else ", no pushed filters"))
+                            else ", no pushed filters")
+                         + (f", partition-pruned [{s['partition']}]"
+                            if s["partition"] else ""))
         if a["exchanges"]:
             for e in a["exchanges"]:
                 lines.append(f"- exchange: {e}")

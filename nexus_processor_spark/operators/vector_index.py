@@ -121,3 +121,33 @@ def search(
         round_digits=manifest["round_digits"],
         cells=cells, codes=codes,
     )
+
+
+def append_to_index(
+    new_vectors: DataFrame,
+    path: str,
+) -> int:
+    """Incremental index maintenance: assign NEW vectors to the
+    existing centroids (the quantizer is frozen at build time — the
+    standard IVF maintenance contract; re-training is a rebuild) and
+    append their packed codes into the cell-partitioned tier. Only the
+    touched cells' directories receive files; existing files are never
+    rewritten. Returns the number of vectors appended. Searches pick
+    the new vectors up immediately — same layout, same oracle
+    semantics as a from-scratch build over the union (test-pinned)."""
+    from nexus_processor_spark.operators import similarity, vector_arrow
+
+    spark = new_vectors.sparkSession
+    manifest, centroids, _ = open_index(spark, path)
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    cells = similarity.kmeans_assign(
+        new_vectors, centroids, id_col=id_col, vec_col=vec_col,
+        round_digits=manifest["round_digits"],
+    ).select(id_col, F.col("centroid_id").alias("cell"))
+    codes = vector_arrow.pack_int8_codes(
+        new_vectors, id_col=id_col, vec_col=vec_col
+    ).join(cells, id_col)
+    n = codes.count()
+    codes.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "codes"))
+    return n

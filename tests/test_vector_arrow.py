@@ -335,3 +335,27 @@ def test_vector_index_search_matches_in_memory_composition(spark, emb, tmp_path)
     plan = explain.executed_plan(got)
     assert "PartitionFilters" in plan and "cell" in plan.split(
         "PartitionFilters", 1)[1][:200]
+
+
+def test_vector_index_append_equals_rebuild(spark, emb, tmp_path):
+    """Incremental maintenance: building on half the corpus then
+    appending the other half must search identically to a from-scratch
+    build over the union (frozen quantizer, append-only cell dirs)."""
+    from nexus_processor_spark.operators import vector_index
+
+    clean = emb.filter("vec_id < 100")
+    cents = clean.filter("vec_id < 4")
+    q = clean.filter("vec_id < 3")
+    inc = str(tmp_path / "inc")
+    vector_index.build_ivf_int8_index(
+        clean.filter("vec_id < 50"), cents, inc)
+    n = vector_index.append_to_index(clean.filter("vec_id >= 50"), inc)
+    assert n == 50
+    full = str(tmp_path / "full")
+    vector_index.build_ivf_int8_index(clean, cents, full)
+    got = vector_index.search(spark, q, clean, inc, 5, nprobe=2,
+                              candidates=20)
+    want = vector_index.search(spark, q, clean, full, 5, nprobe=2,
+                               candidates=20)
+    assert _collect_sorted(got, "query_id", "rank") == _collect_sorted(
+        want, "query_id", "rank")

@@ -1171,6 +1171,32 @@ def run_ann_1m(spark) -> dict[str, object]:
             "recall_at_10": mean_recall(build()),
             "qps": round(n_q / t, 1),
         })
+    # the PERSISTED tier (operators/vector_index): packed codes parquet
+    # partitioned by cell on disk — the probe-union isin partition-
+    # prunes, so the candidate scan READS ~nprobe/64 of the index bytes
+    # (the other configs serve from memory via localCheckpoint). Build
+    # is ingest-time, outside the timed window.
+    import shutil
+    import tempfile
+
+    from nexus_processor_spark.operators import vector_index
+
+    idx_dir = tempfile.mkdtemp(prefix="bench_vidx_")
+    try:
+        vector_index.build_ivf_int8_index(nemb, ncents, idx_dir)
+        for nprobe in (48,):
+            build = lambda: vector_index.search(  # noqa: E731
+                spark, nq, nemb, idx_dir, k,
+                nprobe=nprobe, candidates=100)
+            t = timed(build)
+            out["configs"].append({
+                "config": f"ivf_int8_disk_nprobe{nprobe}_cand100",
+                "sec": round(t, 3),
+                "recall_at_10": mean_recall(build()),
+                "qps": round(n_q / t, 1),
+            })
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
     return out
 
 

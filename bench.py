@@ -339,8 +339,16 @@ def run_curate(spark) -> dict[str, object]:
                 "eval_df": eval_df, "max_contamination_hits": 0,
             }
         if semantic:
+            # 16 planes x 4 bands: random-pair collision 2^-16 per
+            # band keeps state-side candidates O(true dups), not
+            # O(state) — the 8x8 default's 256-bucket bands measured
+            # 39->280 s/batch here as EVERY doc collided with ~1/256
+            # of the accumulated corpus per band. Aliased exact twins
+            # (identical vectors -> identical buckets) still collide
+            # with probability 1 at any plane count.
             kw.update({
                 "embedding_col": "embedding", "semantic_threshold": 0.9,
+                "semantic_bands": 4, "semantic_planes": 16,
             })
         # all-gates batches run at ~100k docs: the repetition +
         # decontamination plans hold the wide text column in several
@@ -448,17 +456,18 @@ def run_curate(spark) -> dict[str, object]:
     # is the r6 next-#1 pin
     out["folds"] = drive(gates=False, n_batches=8, mod=20, fold_factor=2)
     # semantic-dedup variant (round 9): ~50k docs/batch carrying a
-    # 64-dim embedding (vecbig joined on doc_id mod a PRIME below 1M —
-    # a prime so the aliased vector groups straddle the mod-40 batch
-    # split: the gate does real work both ways, in-batch exact-vector
-    # dups AND cross-batch hits through the vbkt/vcode state probes)
+    # 64-dim embedding (vecbig joined on doc_id mod 999_961 — the
+    # offset is ≡ 1 (mod 40), so a doc's aliased exact twin lands in
+    # the NEXT driven batch: ~25k of each later batch's docs must drop
+    # against the PREVIOUS batch's kept vectors, exercising the
+    # vbkt/vcode state probes with real hits, never a full scan)
     if _remaining() > 300:
         ensure_big_vecs(spark)
         emb = spark.read.parquet(
             f"{VEC_DIR}/embeddings.parquet"
         ).select(F.col("vec_id").alias("_ek"), "embedding")
         docs_sem = docs.withColumn(
-            "_ek", F.pmod("doc_id", F.lit(999_983))
+            "_ek", F.pmod("doc_id", F.lit(999_961))
         ).join(emb, "_ek").drop("_ek")
         out["semantic"] = drive(
             gates=False, semantic=True, n_batches=3, mod=40,

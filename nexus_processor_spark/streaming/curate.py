@@ -95,7 +95,17 @@ STATE_ROW_SCHEMA = "key string, ref string, vals array<string>, cnt bigint"
 BLOOM_KINDS = ("md5", "band", "mins", "vbkt", "vcode")
 # semantic gate defaults: 8 bands x 8 integer hyperplanes (the
 # recall/candidate dial — fewer planes per band = higher recall AND
-# more candidates; the exact verify keeps precision at 1 regardless)
+# more candidates; the exact verify keeps precision at 1 regardless).
+# SIZE PLANES TO THE KEPT CORPUS: random-pair bucket collisions run
+# ~2^-planes per band, so expected state-side candidates per doc are
+# ~bands * kept_docs / 2^planes — at 8 planes (256 buckets/band) a
+# 100k-doc state already feeds ~3k candidates/doc into the verify
+# (measured: 39->280 s/batch growth in curatebench before the variant
+# moved to 16 planes x 4 bands, which holds ~40 s/batch flat).
+# Exact-duplicate vectors collide at ANY plane count (identical codes
+# -> identical buckets); near-dup recall at threshold t needs the
+# planes/bands pair tuned by 1-(1-p^planes)^bands with
+# p = 1 - acos(t)/pi.
 SEM_BANDS = 8
 SEM_PLANES = 8
 SEM_DIM = 64

@@ -381,6 +381,14 @@ def run_curate(spark) -> dict[str, object]:
                         text_col="text", id_col="doc_id",
                         sigs=handles[0] if handles else None,
                         embedding_col="embedding" if semantic else None,
+                        # banding MUST match the probe keys even on the
+                        # recompute fallback — defaults here wrote 8x8
+                        # state keys against 16x4 probes (silent zero
+                        # cross-batch recall, caught by the kept counts)
+                        semantic_bands=int(kw.get("semantic_bands",
+                                                  curate.SEM_BANDS)),
+                        semantic_planes=int(kw.get("semantic_planes",
+                                                   curate.SEM_PLANES)),
                         sem_tables=(
                             (sem_codes[0], sem_bkts[0])
                             if sem_codes and sem_bkts else None),

@@ -207,6 +207,7 @@ def _advance_state(
     buckets: int = STATE_BUCKETS,
     fold_factor: int = FOLD_FACTOR,
     hash_fn: str = "md5",
+    sem_meta: dict | None = None,
 ) -> int | None:
     """Commit one batch's state delta at store version ``batch_id``
     (idempotent: an existing manifest means a replayed batch — skip).
@@ -226,7 +227,7 @@ def _advance_state(
         spark, state_path, buckets=buckets, fold_factor=fold_factor)
     v = store.commit_delta(
         delta, version=batch_id, fold_fn=_compact_state,
-        app_meta={"hash_fn": hash_fn},
+        app_meta={"hash_fn": hash_fn, **(sem_meta or {})},
     )
     store.expire(keep_last=2)
     return v
@@ -891,10 +892,14 @@ def curate_batch(
             # survivor delta; bkts feeds the pair join, the state
             # probe, and the delta — persist both (skinny: 64 longs /
             # one key string per doc) so the quantize + bands*planes
-            # bucket dots run once per batch
+            # bucket dots run once per batch. Appended DIRECTLY (the
+            # _extra_handles flush at the sigs site already ran —
+            # routing these through it silently dropped them from the
+            # caller's handle list, leaking the persists AND starving
+            # _survivor_state of its sem_tables reuse)
             codes = codes.persist()
             bkts = bkts.persist()
-            _extra_handles.extend([codes, bkts])
+            _projection_out.extend([codes, bkts])
         # within the batch: bucket-mates -> exact integer verify ->
         # drop the higher id (lexical near-dup's pair convention)
         pa = bkts.select(F.col(id_col).alias("_ia"), "_vkey")
@@ -1071,6 +1076,21 @@ def curate_stream(
                 f"with {hash_fn!r} (disjoint key spaces would silently "
                 "stop matching earlier batches' duplicates)"
             )
+        if (
+            semantic_threshold is not None
+            and meta is not None
+            and meta.get("sem_bands") is not None
+            and (int(meta["sem_bands"]), int(meta["sem_planes"]))
+            != (semantic_bands, semantic_planes)
+        ):
+            raise ValueError(
+                f"state at {state_path!r} was built with semantic "
+                f"banding {meta['sem_bands']}x{meta['sem_planes']}; "
+                f"refusing to probe it with {semantic_bands}x"
+                f"{semantic_planes} (mismatched vbkt key formats never "
+                "collide — cross-batch semantic recall silently drops "
+                "to zero)"
+            )
         handles: list = []
         audit = curate_batch(
             batch, state,
@@ -1113,6 +1133,10 @@ def curate_stream(
                 spark, state_path, batch_id, delta,
                 buckets=state_buckets, fold_factor=fold_factor,
                 hash_fn=hash_fn,
+                sem_meta=(
+                    {"sem_bands": semantic_bands,
+                     "sem_planes": semantic_planes}
+                    if semantic_threshold is not None else None),
             )
         finally:
             audit.unpersist()

@@ -785,3 +785,64 @@ def test_sem_tables_arrow_equals_native(spark):
     assert bk_n == bk_a
     # zero-vector and wrong-dim docs skipped by both
     assert all(d not in (6, 7) for d, _ in bk_n)
+
+
+def test_semantic_handles_exposed_and_drive_pattern_cross_batch(
+    spark, tmp_path
+):
+    """Regression (curatebench r9): the semantic codes/buckets frames
+    must reach _projection_out (they were routed through a helper list
+    that had already been flushed — the caller never saw them, the
+    persists leaked, and _survivor_state's fallback recomputed state
+    keys with DEFAULT banding against non-default probe keys: zero
+    cross-batch recall). Pins: (a) both frames appear in handles after
+    sigs; (b) the bench-drive pattern — sem_tables reused, NO explicit
+    banding on _survivor_state — still drops cross-batch twins at
+    non-default banding."""
+    docs = _sem_docs(spark)
+    kw = {"embedding_col": "embedding", "semantic_threshold": 0.9,
+          "semantic_dim": 8, "semantic_bands": 3, "semantic_planes": 11}
+    sd = str(tmp_path / "state")
+    handles: list = []
+    a1 = curate.curate_batch(
+        docs.filter("doc_id IN (1, 3)"), None,
+        _projection_out=handles, **kw)
+    a1.collect()
+    codes = [h for h in handles if "_q8" in h.columns]
+    bkts = [h for h in handles if "_vkey" in h.columns]
+    assert codes and bkts, [h.columns for h in handles]
+    store = curate.open_state(spark, sd)
+    store.commit_delta(
+        curate._survivor_state(
+            a1.filter("keep"), text_col="text", id_col="doc_id",
+            embedding_col="embedding",
+            sem_tables=(codes[0], bkts[0])),
+        version=0, fold_fn=curate._compact_state)
+    for h in handles:
+        h.unpersist()
+    a2 = curate.curate_batch(docs.filter("doc_id = 2"), store, **kw)
+    got = {r.doc_id: r.drop_reason for r in a2.collect()}
+    assert got == {2: "semantic_dup"}
+
+
+def test_stream_refuses_semantic_banding_switch(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    docs = _sem_docs(spark)
+    docs.filter("doc_id = 1").coalesce(1).write.parquet(str(src / "b1"))
+    common = {"state_path": str(tmp_path / "state"),
+              "sink_path": str(tmp_path / "sink"),
+              "checkpoint_dir": str(tmp_path / "ck"),
+              "embedding_col": "embedding", "semantic_threshold": 0.9,
+              "semantic_dim": 8}
+    stream = spark.readStream.schema(EMB_SCHEMA).parquet(str(src / "*"))
+    q = curate.curate_stream(
+        stream, semantic_bands=4, semantic_planes=16, **common)
+    q.awaitTermination(120)
+    docs.filter("doc_id = 3").coalesce(1).write.parquet(str(src / "b2"))
+    q = curate.curate_stream(
+        stream, semantic_bands=8, semantic_planes=8, **common)
+    import pytest
+    with pytest.raises(Exception, match="semantic banding|4x16"):
+        q.awaitTermination(120)
+        raise RuntimeError(q.exception() or "stream did not fail")

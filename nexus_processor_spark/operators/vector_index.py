@@ -18,7 +18,18 @@ Layout under ``path``:
 
 * ``codes/cell=<c>/*.parquet``   — (id, code binary), partition col cell
 * ``centroids/*.parquet``        — (id, embedding)
-* ``index.json``                 — dim, k_cells, id/vec column names
+* ``index.json``                 — dim, k_cells, id/vec column names,
+  and ``codes_dir`` (the CURRENT codes directory — compaction writes a
+  fresh directory and republishes the manifest atomically, so readers
+  never observe a half-rewritten tier)
+
+Lifecycle: ``append_to_index`` adds one file per touched cell per
+commit (the frozen-quantizer IVF maintenance contract); accumulated
+appends therefore accrete small files and — under distribution drift —
+skew cell populations. ``index_stats`` measures both (files/cell, cell
+row skew); ``compact_index`` coalesces each cell back to sorted,
+full-size files via the manifest swap. Re-training the quantizer
+remains a rebuild.
 
 Reference scope: the reference has no vector index; this is the brief's
 similarity-search scale path (IVF lists + quantized codes, the public
@@ -29,9 +40,27 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _codes_path(path: str, manifest: dict) -> str:
+    """The manifest-current codes directory (``codes`` until the first
+    compaction republishes the pointer)."""
+    return os.path.join(path, manifest.get("codes_dir", "codes"))
+
+
+def _publish_manifest(path: str, manifest: dict) -> None:
+    """Atomic manifest republication (write-to-temp + ``os.replace`` —
+    the same single-file publication point every snapshot commit in
+    ``sources/snapshots.py`` relies on)."""
+    tmp = os.path.join(path, "index.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(path, "index.json"))
 
 
 def build_ivf_int8_index(
@@ -62,8 +91,16 @@ def build_ivf_int8_index(
     codes = vector_arrow.pack_int8_codes(
         corpus, id_col=id_col, vec_col=vec_col
     ).join(cells, id_col)
-    codes.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "codes"))
+    # cluster by cell BEFORE the partitioned write: without it every
+    # shuffle partition emits one file into every cell directory
+    # (k_cells x shuffle.partitions small files — measured as the
+    # disk tier's 35% qps deficit vs the in-memory composed tier in
+    # annbench1m r9); repartition("cell") lands each cell wholly in
+    # one task, so the tier is ~one full-size file per cell, scanned
+    # sorted by id (stable rerank candidate order, better encoding)
+    (codes.repartition("cell").sortWithinPartitions(id_col)
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(os.path.join(path, "codes")))
     centroids.select(id_col, vec_col).write.mode("overwrite").parquet(
         os.path.join(path, "centroids"))
     k_cells = centroids.count()
@@ -71,11 +108,9 @@ def build_ivf_int8_index(
         "dim": int(dim), "k_cells": int(k_cells),
         "id_col": id_col, "vec_col": vec_col,
         "round_digits": round_digits,
+        "codes_dir": "codes",
     }
-    tmp = os.path.join(path, "index.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, os.path.join(path, "index.json"))
+    _publish_manifest(path, manifest)
     return manifest
 
 
@@ -87,7 +122,7 @@ def open_index(
     with open(os.path.join(path, "index.json")) as fh:
         manifest = json.load(fh)
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
-    codes = spark.read.parquet(os.path.join(path, "codes"))
+    codes = spark.read.parquet(_codes_path(path, manifest))
     return manifest, centroids, codes
 
 
@@ -147,7 +182,72 @@ def append_to_index(
     codes = vector_arrow.pack_int8_codes(
         new_vectors, id_col=id_col, vec_col=vec_col
     ).join(cells, id_col)
-    n = codes.count()
-    codes.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(path, "codes"))
+    # materialize ONCE before counting and writing: with a
+    # non-deterministic source, recomputing the plan for the write
+    # could append a different row set than the one counted (ADVICE
+    # r9); the persisted frame makes count and write see the same rows
+    codes = codes.persist()
+    try:
+        n = codes.count()
+        codes.write.mode("append").partitionBy("cell").parquet(
+            _codes_path(path, manifest))
+    finally:
+        codes.unpersist()
     return n
+
+
+def index_stats(spark: SparkSession, path: str) -> dict:
+    """Lifecycle health of the codes tier in one aggregate pass:
+    ``files_per_cell_max`` measures append accretion (every
+    ``append_to_index`` adds >= 1 file to each touched cell),
+    ``cell_skew`` = max/mean cell population measures frozen-quantizer
+    drift (appends from a shifted distribution pile into few cells).
+    Both are the dials ``compact_index`` / a rebuild reset."""
+    manifest, _, codes = open_index(spark, path)
+    per_cell = (
+        codes.select("cell", F.input_file_name().alias("_file"))
+        .groupBy("cell").agg(
+            F.count(F.lit(1)).alias("_rows"),
+            F.countDistinct("_file").alias("_files"),
+        )
+        .agg(
+            F.sum("_rows").alias("rows"),
+            F.count(F.lit(1)).alias("cells"),
+            F.min("_rows").alias("rows_min"),
+            F.max("_rows").alias("rows_max"),
+            F.sum("_files").alias("files"),
+            F.max("_files").alias("files_per_cell_max"),
+        )
+        .first()
+    )
+    rows, cells = int(per_cell["rows"]), int(per_cell["cells"])
+    return {
+        "rows": rows,
+        "cells": cells,
+        "rows_min": int(per_cell["rows_min"]),
+        "rows_max": int(per_cell["rows_max"]),
+        "cell_skew": round(per_cell["rows_max"] / (rows / cells), 3),
+        "files": int(per_cell["files"]),
+        "files_per_cell_max": int(per_cell["files_per_cell_max"]),
+    }
+
+
+def compact_index(spark: SparkSession, path: str) -> dict:
+    """Coalesce the codes tier back to the build layout (one task per
+    cell, files sorted by id) WITHOUT touching the quantizer: reads the
+    current tier, writes a fresh ``codes-<uuid>`` directory, atomically
+    republishes ``index.json`` to point at it, then removes the old
+    directory. Readers that opened the index before the swap keep
+    reading the old immutable directory; new opens see only the
+    compacted tier — search results are identical (same rows, pinned by
+    tests). Returns the post-compaction ``index_stats``."""
+    manifest, _, codes = open_index(spark, path)
+    old_dir = _codes_path(path, manifest)
+    new_name = f"codes-{uuid.uuid4().hex}"
+    (codes.repartition("cell").sortWithinPartitions(manifest["id_col"])
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(os.path.join(path, new_name)))
+    manifest = {**manifest, "codes_dir": new_name}
+    _publish_manifest(path, manifest)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    return index_stats(spark, path)

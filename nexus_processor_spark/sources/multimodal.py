@@ -299,9 +299,15 @@ def _decode_frame_real(
     payload: bytes, frame_index: int, frame_ts_ms: int
 ) -> np.ndarray:
     """Real codec: PyAV if importable (same optional-dependency gate as
-    PIL/soundfile/h5py) — seek to ``frame_ts_ms`` and return that
-    frame's 2-D uint8 luma array, the identical contract as the digest
-    twin (which keys its synthesis off ``frame_index`` instead)."""
+    PIL/soundfile/h5py) — seek to the keyframe at-or-before
+    ``frame_ts_ms``, then decode FORWARD to the first frame whose pts
+    reaches the target, and return that frame's 2-D uint8 luma array —
+    the identical contract as the digest twin (which keys its synthesis
+    off ``frame_index`` instead). Seeking alone is not enough: with
+    ``any_frame=False`` the demuxer lands on the preceding keyframe, so
+    returning the first decoded frame would hand back that keyframe for
+    every non-keyframe timestamp (ADVICE r9). When the target sits past
+    the last frame, the last decodable frame is returned."""
     try:
         import av  # noqa: PLC0415 — optional, gated
     except ImportError as e:
@@ -313,12 +319,22 @@ def _decode_frame_real(
 
     with av.open(io.BytesIO(payload)) as c:  # pragma: no cover
         stream = c.streams.video[0]
+        target_s = frame_ts_ms / 1000.0
         c.seek(
-            int(frame_ts_ms / 1000.0 / stream.time_base),
+            int(target_s / stream.time_base),
             stream=stream, any_frame=False,
         )
+        last = None
         for frame in c.decode(stream):
-            return frame.to_ndarray(format="gray").astype(np.uint8)
+            last = frame
+            # pts * time_base = presentation time in seconds; decode
+            # forward from the keyframe until the sampled timestamp
+            if frame.pts is not None and (
+                float(frame.pts * stream.time_base) >= target_s
+            ):
+                break
+        if last is not None:
+            return last.to_ndarray(format="gray").astype(np.uint8)
     raise ValueError(  # pragma: no cover
         f"no frame at {frame_ts_ms} ms")
 

@@ -239,6 +239,18 @@ def evolve_schema(
                 mp[new] = mp.pop(old, old)
             for dc in drop:
                 mp.pop(dc, None)
+            for a in add:
+                # map the added column to a physical name that cannot
+                # exist in ANY already-written directory, so every
+                # existing directory reads it null-filled — without
+                # this, re-adding a previously-dropped name (or one
+                # that happens to exist physically) would resurrect the
+                # stale bytes instead of honoring the documented
+                # "adds read null-filled until a write provides
+                # values" contract (ADVICE r9). Post-evolution writes
+                # create new directories with no mapping, so they
+                # serve real values directly.
+                mp[a] = f"__absent__{a}"
             mp = {k: v for k, v in mp.items() if k != v}
             phys = [mp.get(f.name, f.name) for f in new_fields]
             if len(set(phys)) != len(phys):

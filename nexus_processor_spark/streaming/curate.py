@@ -110,6 +110,25 @@ SEM_BANDS = 8
 SEM_PLANES = 8
 SEM_DIM = 64
 _SEM_T2_DEN = 1_000_000
+# the exact verify squares the int8 dot (bounded by dim*127^2) and
+# scales by _SEM_T2_DEN; keep that product inside int64 — beyond this
+# dim the BIGINT arithmetic would silently wrap in non-ANSI Spark and
+# flip dup decisions (ADVICE r9). 188 = floor(sqrt((2^63-1)/1e6)/127^2).
+SEM_DIM_MAX = int((((1 << 63) - 1) // _SEM_T2_DEN) ** 0.5) // (127 * 127)
+
+
+def _check_sem_dim(dim: int) -> None:
+    """Reject semantic dims whose exact-verify arithmetic could exceed
+    int64 (``_sem_dup_expr`` docstring's bound assumes the default 64;
+    this makes the bound a checked contract for every dim)."""
+    if not (1 <= dim <= SEM_DIM_MAX):
+        raise ValueError(
+            f"semantic_dim={dim} outside [1, {SEM_DIM_MAX}]: the exact "
+            f"integer verify computes dot^2 * {_SEM_T2_DEN} with "
+            f"dot <= dim*127^2, which overflows int64 beyond dim="
+            f"{SEM_DIM_MAX} (silent wrap in non-ANSI Spark). Reduce the "
+            "embedding dim (e.g. project/truncate) before the gate."
+        )
 FOLD_FACTOR = state_store.DEFAULT_FOLD_FACTOR
 STATE_BUCKETS = state_store.DEFAULT_BUCKETS
 
@@ -628,6 +647,7 @@ def curate_batch(
     semantic_bands: int = SEM_BANDS,
     semantic_planes: int = SEM_PLANES,
     semantic_dim: int = SEM_DIM,
+    semantic_max_bucket: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
@@ -646,6 +666,20 @@ def curate_batch(
     the stored codes (kind ``vcode``), so banding affects recall only,
     never precision. Docs without a bucketable embedding (null /
     all-zero / wrong dim) skip the gate.
+
+    Within the batch, docs with IDENTICAL int8 codes collapse first
+    (quantized cosine exactly 1 >= any threshold — min id survives as
+    the group's representative), and only representatives enter the
+    bucket pair-join and the state probe. This is drop-set-EQUIVALENT
+    to pairing every doc (identical codes share every bucket, and any
+    verified pair through a collapsed doc is also verified through its
+    representative — pinned by tests) but bounds the skew hazard: a
+    viral hot cluster of n same-embedding docs costs O(n) in the
+    collapse's hash aggregation instead of O(n^2) bucket-mate pairs.
+    ``semantic_max_bucket`` additionally drops over-full DISTINCT-code
+    buckets from the within-batch candidate join (the ``max_bucket``
+    mega-cluster cap of the lexical gate — bounded recall loss on
+    pathological bucket pileups, documented, never precision).
     ``hash_fn`` picks the minhash scheme (md5 = oracle-parity default,
     xxhash64 = the ~2.5x scale dial; see ``_band_signatures``) — it
     must match the scheme every earlier batch of the same state used.
@@ -880,6 +914,7 @@ def curate_batch(
             "_near_state", F.lit(True))
 
     if semantic_threshold is not None and embedding_col is not None:
+        _check_sem_dim(semantic_dim)
         t2_num = int(round(
             semantic_threshold * semantic_threshold * _SEM_T2_DEN))
         codes, bkts = _sem_tables_arrow(
@@ -900,10 +935,31 @@ def curate_batch(
             codes = codes.persist()
             bkts = bkts.persist()
             _projection_out.extend([codes, bkts])
+        # identical-code collapse: quantized cosine between identical
+        # nonzero codes is exactly 1, so every non-minimal doc of a
+        # code group is a semantic dup of the group's min id — one
+        # hash aggregation, no pair join. A viral hot cluster (20% of
+        # a crawl batch sharing an embedding) costs O(n) here instead
+        # of O(n^2) bucket-mate pairs below (see docstring).
+        ckey = F.md5(F.concat_ws(
+            ",", F.transform("_q8", lambda x: x.cast("string"))))
+        w_code = Window.partitionBy("_ckey").orderBy(id_col)
+        coded = codes.withColumn("_ckey", ckey).withColumn(
+            "_crn", F.row_number().over(w_code))
+        sem_collapsed = coded.where(F.col("_crn") > 1).select(id_col)
+        rep_ids = coded.where(F.col("_crn") == 1).select(id_col)
+        # only representatives enter the bucket join and state probe:
+        # their buckets and codes stand for the whole code group
+        # (identical codes -> identical buckets), so the drop set is
+        # unchanged while the joins see one row per DISTINCT code
+        bkts_r = bkts.join(F.broadcast(rep_ids), id_col, "left_semi")
+        if semantic_max_bucket is not None:
+            bkts_r = dedup._drop_over_full(
+                bkts_r, ["_vkey"], semantic_max_bucket)
         # within the batch: bucket-mates -> exact integer verify ->
         # drop the higher id (lexical near-dup's pair convention)
-        pa = bkts.select(F.col(id_col).alias("_ia"), "_vkey")
-        pb = bkts.select(F.col(id_col).alias("_ib"), "_vkey")
+        pa = bkts_r.select(F.col(id_col).alias("_ia"), "_vkey")
+        pb = bkts_r.select(F.col(id_col).alias("_ib"), "_vkey")
         cpairs = (
             pa.join(pb, "_vkey")
             .where(F.col("_ia") < F.col("_ib"))
@@ -925,16 +981,19 @@ def curate_batch(
                 F.col("_qb"), F.col("_nbb"), t2_num))
             .select(F.col("_ib").alias(id_col)).distinct()
         )
+        sem_batch = sem_batch.unionByName(sem_collapsed).distinct()
         if state is not None:
             # state probes: bucket keys prune 'vbkt' (batch-key-sized
             # I/O), then only the collision-sized ref set's codes are
             # pulled from 'vcode' — the state never shuffles (same
-            # discipline as the band/mins probes above)
-            vkeys = bkts.select("_vkey").distinct()
+            # discipline as the band/mins probes above). Probing with
+            # representatives only is sufficient: a collapsed doc is
+            # already dropped, and its rep carries the identical code.
+            vkeys = bkts_r.select("_vkey").distinct()
             kept_b = _state_kind(state, "vbkt", vkeys).select(
                 F.col("key").alias("_vkey"), F.col("ref").alias("_ref"))
             cand_v = (
-                kept_b.join(F.broadcast(bkts), "_vkey")
+                kept_b.join(F.broadcast(bkts_r), "_vkey")
                 .select(id_col, "_ref").distinct()
             )
             refs = cand_v.select("_ref").distinct()
@@ -1039,6 +1098,7 @@ def curate_stream(
     semantic_bands: int = SEM_BANDS,
     semantic_planes: int = SEM_PLANES,
     semantic_dim: int = SEM_DIM,
+    semantic_max_bucket: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
@@ -1076,21 +1136,28 @@ def curate_stream(
                 f"with {hash_fn!r} (disjoint key spaces would silently "
                 "stop matching earlier batches' duplicates)"
             )
-        if (
-            semantic_threshold is not None
-            and meta is not None
-            and meta.get("sem_bands") is not None
-            and (int(meta["sem_bands"]), int(meta["sem_planes"]))
-            != (semantic_bands, semantic_planes)
-        ):
-            raise ValueError(
-                f"state at {state_path!r} was built with semantic "
-                f"banding {meta['sem_bands']}x{meta['sem_planes']}; "
-                f"refusing to probe it with {semantic_bands}x"
-                f"{semantic_planes} (mismatched vbkt key formats never "
-                "collide — cross-batch semantic recall silently drops "
-                "to zero)"
-            )
+        if semantic_threshold is not None and meta is not None:
+            if meta.get("sem_bands") is None:
+                raise ValueError(
+                    f"state at {state_path!r} was built WITHOUT the "
+                    "semantic gate: no vbkt/vcode rows exist for its "
+                    "kept docs, so cross-batch semantic recall against "
+                    "them would silently be zero (ADVICE r9). Rebuild "
+                    "the state with the gate enabled (or backfill its "
+                    "kept docs' semantic rows) before turning "
+                    "semantic_threshold on."
+                )
+            if (int(meta["sem_bands"]), int(meta["sem_planes"])) != (
+                semantic_bands, semantic_planes,
+            ):
+                raise ValueError(
+                    f"state at {state_path!r} was built with semantic "
+                    f"banding {meta['sem_bands']}x{meta['sem_planes']}; "
+                    f"refusing to probe it with {semantic_bands}x"
+                    f"{semantic_planes} (mismatched vbkt key formats "
+                    "never collide — cross-batch semantic recall "
+                    "silently drops to zero)"
+                )
         handles: list = []
         audit = curate_batch(
             batch, state,
@@ -1102,6 +1169,7 @@ def curate_stream(
             semantic_threshold=semantic_threshold,
             semantic_bands=semantic_bands,
             semantic_planes=semantic_planes, semantic_dim=semantic_dim,
+            semantic_max_bucket=semantic_max_bucket,
             text_col=text_col, id_col=id_col, hash_fn=hash_fn,
             _projection_out=handles,
         ).persist()

@@ -478,6 +478,41 @@ def test_evolve_add_and_drop(spark, tmp_path):
         snap.evolve_schema(t, rename={"v": "w"})
 
 
+def test_evolve_drop_then_readd_reads_null_not_stale_bytes(spark, tmp_path):
+    """Re-adding a previously-dropped column name must read null-filled
+    from old directories — never resurrect the stale physical bytes the
+    drop left behind (ADVICE r9). New writes after the re-add serve
+    real values; time travel still sees the original column."""
+    t = str(tmp_path / "tbl")
+    snap.write_snapshot(_df(spark, 0, 4), t)          # cols: id, v
+    snap.evolve_schema(t, drop=("v",))
+    snap.evolve_schema(t, add={"v": "long"})
+    got = snap.read_snapshot(spark, t)
+    assert got.columns == ["id", "v"]
+    assert all(r.v is None for r in got.collect()), (
+        "old directory resurrected dropped bytes")
+    # a post-re-add append provides real values for its own rows only
+    snap.write_snapshot(
+        spark.range(10, 13).selectExpr("id", "id * 7 AS v"), t,
+        mode="append")
+    vals = {r.id: r.v for r in snap.read_snapshot(spark, t).collect()}
+    assert vals[11] == 77 and vals[0] is None
+    # pre-drop version still time-travels with the original values
+    v0 = {r.id: r.v for r in
+          snap.read_snapshot(spark, t, version=0).collect()}
+    assert v0 == {i: i * 2 for i in range(4)}
+    # rename of the re-added column keeps old dirs null-filled
+    snap.evolve_schema(t, rename={"v": "w"})
+    w = {r.id: r.w for r in snap.read_snapshot(spark, t).collect()}
+    assert w[11] == 77 and w[0] is None
+    # an add into a table whose add-name matches NO physical column is
+    # also tombstoned (uniform rule) and stays null on old dirs
+    snap.evolve_schema(t, add={"fresh": "string"})
+    assert all(
+        r.fresh is None
+        for r in snap.read_snapshot(spark, t).collect())
+
+
 def test_upsert_after_rename_rewrites_under_logical_schema(spark, tmp_path):
     """CoW upsert against a renamed table: affected pre-rename dirs are
     read through the column map, merged rows land under the logical

@@ -846,3 +846,117 @@ def test_stream_refuses_semantic_banding_switch(spark, tmp_path):
     with pytest.raises(Exception, match="semantic banding|4x16"):
         q.awaitTermination(120)
         raise RuntimeError(q.exception() or "stream did not fail")
+
+
+def test_semantic_dim_overflow_guard(spark):
+    """The exact integer verify squares dim*127^2-bounded dots; dims
+    past SEM_DIM_MAX would wrap int64 silently (ADVICE r9) — the gate
+    refuses them up front."""
+    assert curate.SEM_DIM_MAX == 188  # floor(sqrt((2^63-1)/1e6)/127^2)
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{j}" for j in range(20)), [1.0] * 189)],
+        "doc_id long, text string, embedding array<float>")
+    with pytest.raises(ValueError, match="overflows int64"):
+        curate.curate_batch(
+            docs, None, embedding_col="embedding",
+            semantic_threshold=0.9, semantic_dim=189)
+    # the max itself is accepted (no wrap at the boundary)
+    audit = curate.curate_batch(
+        docs.withColumn("embedding", F.expr(
+            "slice(embedding, 1, 188)")), None,
+        embedding_col="embedding", semantic_threshold=0.9,
+        semantic_dim=188)
+    assert audit.count() == 1
+
+
+def test_stream_refuses_semantic_gate_on_legacy_state(spark, tmp_path):
+    """Enabling the semantic gate against a state built WITHOUT it must
+    refuse loudly: no vbkt/vcode rows exist for already-kept docs, so
+    cross-batch semantic recall would silently be zero (ADVICE r9)."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    docs = _sem_docs(spark)
+    docs.filter("doc_id = 1").coalesce(1).write.parquet(str(src / "b1"))
+    common = {"state_path": str(tmp_path / "state"),
+              "sink_path": str(tmp_path / "sink"),
+              "checkpoint_dir": str(tmp_path / "ck")}
+    stream = spark.readStream.schema(EMB_SCHEMA).parquet(str(src / "*"))
+    q = curate.curate_stream(stream, **common)  # lexical-only state
+    q.awaitTermination(120)
+    docs.filter("doc_id = 2").coalesce(1).write.parquet(str(src / "b2"))
+    q = curate.curate_stream(
+        stream, embedding_col="embedding", semantic_threshold=0.9,
+        semantic_dim=8, **common)
+    with pytest.raises(Exception, match="WITHOUT the semantic gate"):
+        q.awaitTermination(120)
+
+
+def _hot_cluster_docs(spark, n_hot=40, n_rest=8):
+    """n_hot docs sharing ONE embedding (viral hot cluster) plus up to
+    8 distinct near-orthogonal others (the pattern repeats mod 8) —
+    the skew shape of crawl data."""
+    assert n_rest <= 8
+    hot = [1.0, 2.0, -3.0, 4.0, 0.5, -1.5, 2.5, -0.5]
+    rows = []
+    for i in range(n_hot):
+        rows.append((i, " ".join(f"h{i}w{j}" for j in range(20)), hot))
+    for i in range(n_hot, n_hot + n_rest):
+        v = [0.0] * 8
+        v[i % 8] = 1.0
+        v[(i + 3) % 8] = -0.25
+        rows.append((i, " ".join(f"r{i}w{j}" for j in range(20)), v))
+    return spark.createDataFrame(rows, EMB_SCHEMA)
+
+
+def test_semantic_hot_cluster_collapses_to_min_id(spark):
+    """Identical-code collapse: a hot cluster of same-embedding docs
+    keeps exactly its min id; everyone else unaffected — the drop set
+    the O(n^2) bucket pair-join would compute, at O(n) cost."""
+    docs = _hot_cluster_docs(spark)
+    audit = curate.curate_batch(
+        docs, None, embedding_col="embedding",
+        semantic_threshold=0.9, semantic_dim=8)
+    got = {r.doc_id: (r.keep, r.drop_reason) for r in audit.collect()}
+    assert got[0] == (True, None)
+    for i in range(1, 40):
+        assert got[i] == (False, "semantic_dup"), (i, got[i])
+    for i in range(40, 48):
+        assert got[i] == (True, None), (i, got[i])
+
+
+def test_semantic_collapse_chains_through_representatives(spark):
+    """Drop-set equivalence of the reps-only pair join: a doc whose
+    only sub-threshold-id partner is a NON-representative must still
+    drop (the pair re-routes through the partner's identical-code
+    representative), and state probes through reps still catch
+    collapsed twins' duplicates in later batches."""
+    v = [1.0, 2.0, -3.0, 4.0, 0.5, -1.5, 2.5, -0.5]
+    near = [1.0, 2.0, -3.0, 4.0, 0.5, -1.5, 2.5, 0.9]  # cos ~0.97 vs v
+    rows = [
+        (1, " ".join(f"aw{j}" for j in range(20)), v),
+        (2, " ".join(f"bw{j}" for j in range(20)), v),    # collapses to 1
+        (3, " ".join(f"cw{j}" for j in range(20)), near), # pair via rep 1
+    ]
+    docs = spark.createDataFrame(rows, EMB_SCHEMA)
+    audit = curate.curate_batch(
+        docs, None, embedding_col="embedding",
+        semantic_threshold=0.9, semantic_dim=8)
+    got = {r.doc_id: (r.keep, r.drop_reason) for r in audit.collect()}
+    assert got == {
+        1: (True, None), 2: (False, "semantic_dup"),
+        3: (False, "semantic_dup"),
+    }
+
+
+def test_semantic_max_bucket_caps_candidates_not_collapse(spark):
+    """semantic_max_bucket drops over-full DISTINCT-code buckets from
+    the candidate join (documented recall cap) — but identical-code
+    collapse happens BEFORE the cap, so a viral exact cluster still
+    collapses even when the cap is tiny."""
+    docs = _hot_cluster_docs(spark, n_hot=40, n_rest=4)
+    audit = curate.curate_batch(
+        docs, None, embedding_col="embedding",
+        semantic_threshold=0.9, semantic_dim=8, semantic_max_bucket=1)
+    got = {r.doc_id: r.keep for r in audit.collect()}
+    assert got[0] is True
+    assert all(got[i] is False for i in range(1, 40))

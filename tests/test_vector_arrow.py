@@ -359,3 +359,47 @@ def test_vector_index_append_equals_rebuild(spark, emb, tmp_path):
                                candidates=20)
     assert _collect_sorted(got, "query_id", "rank") == _collect_sorted(
         want, "query_id", "rank")
+
+
+def test_vector_index_compaction_preserves_search(spark, emb, tmp_path):
+    """Lifecycle (VERDICT r9 next #2): repeated appends accrete files
+    per cell; compact_index coalesces them behind an atomic manifest
+    swap with search results IDENTICAL pre/post, and index_stats
+    reports the accretion the compaction resets."""
+    from nexus_processor_spark.operators import vector_index
+
+    clean = emb.filter("vec_id < 100")
+    cents = clean.filter("vec_id < 4")
+    q = clean.filter("vec_id < 3")
+    path = str(tmp_path / "vidx")
+    vector_index.build_ivf_int8_index(
+        clean.filter("vec_id < 40"), cents, path)
+    for lo, hi in ((40, 60), (60, 80), (80, 100)):
+        vector_index.append_to_index(
+            clean.filter(f"vec_id >= {lo} AND vec_id < {hi}"), path)
+    before = vector_index.index_stats(spark, path)
+    assert before["rows"] == 100
+    assert before["files_per_cell_max"] >= 3  # appends accreted files
+    pre = _collect_sorted(
+        vector_index.search(spark, q, clean, path, 5, nprobe=2,
+                            candidates=20),
+        "query_id", "rank")
+    after = vector_index.compact_index(spark, path)
+    assert after["rows"] == 100 and after["cells"] == before["cells"]
+    assert after["files_per_cell_max"] == 1  # one sorted file per cell
+    assert after["files"] < before["files"]
+    post = _collect_sorted(
+        vector_index.search(spark, q, clean, path, 5, nprobe=2,
+                            candidates=20),
+        "query_id", "rank")
+    assert pre == post
+    # the manifest now points at the compacted dir; the original codes
+    # dir is gone (no orphaned tier)
+    manifest, _, _ = vector_index.open_index(spark, path)
+    assert manifest["codes_dir"].startswith("codes-")
+    import os
+    assert not os.path.exists(os.path.join(path, "codes"))
+    # appends keep working against the compacted tier
+    extra = emb.filter("vec_id >= 100 AND vec_id < 110")
+    assert vector_index.append_to_index(extra, path) == 10
+    assert vector_index.index_stats(spark, path)["rows"] == 110

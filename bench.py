@@ -52,6 +52,9 @@ HEADLINE = (
     "semantic_dedup",
     "knn_graph",
     "lm_doc_score",
+    # multimodal representative (VERDICT r9 next #7): the banded
+    # perceptual-hash near-dup — the scale-shaped member of the family
+    "image_neardup_dhash",
 )
 
 
@@ -325,6 +328,7 @@ def run_curate(spark) -> dict[str, object]:
     ) -> dict[str, object]:
         source = src if src is not None else docs
         state_dir = tempfile.mkdtemp(prefix="curate_bench_state_")
+        kept_dir = tempfile.mkdtemp(prefix="curate_bench_kept_")
         out: dict[str, object] = {"batches": []}
         eval_df = (
             docs.filter(F.col("doc_id") % 97 == 0).limit(500)
@@ -339,16 +343,19 @@ def run_curate(spark) -> dict[str, object]:
                 "eval_df": eval_df, "max_contamination_hits": 0,
             }
         if semantic:
-            # 16 planes x 4 bands: random-pair collision 2^-16 per
-            # band keeps state-side candidates O(true dups), not
-            # O(state) — the 8x8 default's 256-bucket bands measured
-            # 39->280 s/batch here as EVERY doc collided with ~1/256
-            # of the accumulated corpus per band. Aliased exact twins
-            # (identical vectors -> identical buckets) still collide
-            # with probability 1 at any plane count.
+            # 16 planes keep random-pair collisions at 2^-16 per band
+            # (state-side candidates O(true dups), not O(state) — the
+            # 8x8 default's 256-bucket bands measured 39->280 s/batch
+            # here as EVERY doc collided with ~1/256 of the
+            # accumulated corpus per band). Round 10: 16 BANDS (r9 ran
+            # 4 — exact-twin-safe but measured 0.755 recall on true
+            # near-dups) + 2 multiprobes per band, the sizing the
+            # recall-floor test pins at >= 0.95; recall is now
+            # MEASURED below against exact-cosine ground truth.
             kw.update({
                 "embedding_col": "embedding", "semantic_threshold": 0.9,
-                "semantic_bands": 4, "semantic_planes": 16,
+                "semantic_bands": 16, "semantic_planes": 16,
+                "semantic_probes": 2,
             })
         # all-gates batches run at ~100k docs: the repetition +
         # decontamination plans hold the wide text column in several
@@ -360,6 +367,44 @@ def run_curate(spark) -> dict[str, object]:
         store_kw: dict[str, object] = {}
         if fold_factor is not None:
             store_kw["fold_factor"] = fold_factor
+        def _sem_recall(batch, audit, b):
+            """Cross-batch gate recall vs EXACT-cosine ground truth
+            (VERDICT r9 next #1): true set = this batch's docs whose
+            exact cosine against an already-KEPT doc reaches 0.91
+            (0.01 over the gate threshold keeps int8 boundary flips
+            out of the truth set); candidate pairs come from the twin
+            construction key ``_ek`` — cross-_ek cosines of these
+            near-isotropic 64-dim vectors sit ~7 sigma below 0.9, so
+            the blocking is exhaustive for this corpus."""
+            if b == 0:
+                return None, 0
+            kept = spark.read.parquet(kept_dir).select(
+                "_ek", F.col("embedding").alias("_kemb"))
+            cand = batch.select("doc_id", "_ek", "embedding").join(
+                kept, "_ek")
+            dot = F.aggregate(
+                F.zip_with(
+                    "embedding", "_kemb",
+                    lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda a, v: a + v)
+            nrm = lambda c: F.aggregate(  # noqa: E731
+                c, F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x)
+            truth = (
+                cand.withColumn(
+                    "_cos",
+                    dot / F.sqrt(nrm("embedding") * nrm("_kemb")))
+                .where(F.col("_cos") >= 0.91)
+                .select("doc_id").distinct().persist()
+            )
+            n_true = truth.count()
+            caught = audit.where(
+                "drop_reason = 'semantic_dup'").select("doc_id")
+            n_hit = truth.join(caught, "doc_id", "left_semi").count()
+            truth.unpersist()
+            return (
+                round(n_hit / n_true, 4) if n_true else None, n_true)
+
         try:
             for b in range(n_batches):
                 batch = source.filter(F.col("doc_id") % mod == b)
@@ -401,13 +446,32 @@ def run_curate(spark) -> dict[str, object]:
                     store.commit_delta(
                         delta, version=b, fold_fn=curate._compact_state)
                     store.expire(keep_last=2)
+                    # the gate pipeline's wall clock stops HERE — the
+                    # recall ground truth below is bench-side
+                    # instrumentation, not gate work
+                    t_batch = time.perf_counter() - s
+                    sem_recall, sem_true = (
+                        _sem_recall(batch, audit, b)
+                        if semantic else (None, 0))
+                    if semantic:
+                        # accumulate the kept corpus's embeddings for
+                        # the next batch's ground truth (bench-side
+                        # instrumentation only — the GATE's state
+                        # stays hashes/codes, never raw vectors)
+                        audit.filter("keep").select(
+                            "doc_id", "_ek", "embedding",
+                        ).write.mode("append").parquet(kept_dir)
                 finally:
                     audit.unpersist()
                     for h in handles:
                         h.unpersist()
+                entry_extra = (
+                    {"sem_recall": sem_recall, "sem_true_pairs": sem_true}
+                    if semantic else {})
                 out["batches"].append({
-                    "sec": round(time.perf_counter() - s, 3),
+                    "sec": round(t_batch, 3),
                     "kept": n_kept,
+                    **entry_extra,
                     "probe_mb": round(store.probe_bytes_total / 1e6, 2),
                     # ALL probes' sidecar loads this batch, not just the
                     # final probe's (ADVICE r6: scope-consistent with
@@ -426,6 +490,14 @@ def run_curate(spark) -> dict[str, object]:
             secs = [x["sec"] for x in out["batches"]]
             out["batch_sec_first"] = secs[0]
             out["batch_sec_last"] = secs[-1]
+            # fold wall-clock bound (VERDICT r9 next #4): the max
+            # batch (usually a fold/compaction batch) as a multiple of
+            # the median — a compaction regression can no longer hide
+            # inside the "expected spike"
+            import statistics
+            med = statistics.median(secs)
+            out["batch_sec_median"] = round(med, 3)
+            out["max_batch_over_median"] = round(max(secs) / med, 2)
             if fold_factor is not None:
                 # probe-twin comparison against the final multi-
                 # generation state: driver-side collect vs executor-
@@ -455,6 +527,7 @@ def run_curate(spark) -> dict[str, object]:
                 out["probe_twins"] = twins
         finally:
             shutil.rmtree(state_dir, ignore_errors=True)
+            shutil.rmtree(kept_dir, ignore_errors=True)
         return out
 
     out = drive(gates=False)
@@ -463,25 +536,69 @@ def run_curate(spark) -> dict[str, object]:
     # commit 4, gen-3 by commit 8 — probe_mb through the fold batches
     # is the r6 next-#1 pin
     out["folds"] = drive(gates=False, n_batches=8, mod=20, fold_factor=2)
-    # semantic-dedup variant (round 9): ~50k docs/batch carrying a
-    # 64-dim embedding (vecbig joined on doc_id mod 999_961 — the
-    # offset is ≡ 1 (mod 40), so a doc's aliased exact twin lands in
-    # the NEXT driven batch: ~25k of each later batch's docs must drop
-    # against the PREVIOUS batch's kept vectors, exercising the
-    # vbkt/vcode state probes with real hits, never a full scan)
+    # semantic-dedup variant: ~50k docs/batch carrying a 64-dim
+    # embedding (vecbig joined on doc_id mod 999_961 — the offset is
+    # ≡ 1 (mod 40), so a doc's twin lands in the NEXT driven batch:
+    # each later batch's twins must drop against the PREVIOUS batch's
+    # kept vectors, exercising the vbkt/vcode state probes with real
+    # hits, never a full scan). Round 10: second-occurrence twins with
+    # an ODD doc_id are PERTURBED (deterministic per-component noise,
+    # exact cosine spread ~[0.92, 0.997]) so the variant measures true
+    # NEAR-dup recall against exact-cosine ground truth, not just the
+    # trivially-colliding exact-twin case; even twins stay exact.
     if _remaining() > 300:
         ensure_big_vecs(spark)
         emb = spark.read.parquet(
             f"{VEC_DIR}/embeddings.parquet"
         ).select(F.col("vec_id").alias("_ek"), "embedding")
-        docs_sem = docs.withColumn(
-            "_ek", F.pmod("doc_id", F.lit(999_961))
-        ).join(emb, "_ek").drop("_ek")
+        noise = lambda i: (  # noqa: E731 — deterministic in (doc, j)
+            F.pmod(F.xxhash64(F.col("doc_id"), i), F.lit(2001))
+            - F.lit(1000)) / 1000.0
+        eps = (
+            F.when(F.col("doc_id") < 999_961, F.lit(0.0))
+            .when(F.pmod("doc_id", F.lit(2)) == 0, F.lit(0.0))
+            .otherwise(
+                F.lit(0.08)
+                + F.lit(0.34) * F.pmod("doc_id", F.lit(7)) / F.lit(6.0))
+        )
+        docs_sem = (
+            docs.withColumn("_ek", F.pmod("doc_id", F.lit(999_961)))
+            .join(emb, "_ek")
+            .withColumn("_eps", eps)
+            .withColumn("embedding", F.transform(
+                "embedding",
+                lambda x, i: (x + F.col("_eps") * noise(i))
+                .cast("float")))
+            .drop("_eps")
+        )
         out["semantic"] = drive(
             gates=False, semantic=True, n_batches=3, mod=40,
             src=docs_sem)
+        # hot-bucket skew variant (VERDICT r9 next #8): 20% of every
+        # batch shares ONE embedding — the viral-duplicate shape of
+        # real crawl data. The identical-code collapse must keep the
+        # batch cost flat (O(n) aggregation, not O(n^2) bucket pairs)
+        # and keep exactly one cluster member across the whole run.
+        if _remaining() > 240:
+            hot = emb.filter(F.col("_ek") == 777).select(
+                F.col("embedding").alias("_hotv"))
+            docs_hot = (
+                docs_sem.crossJoin(F.broadcast(hot))
+                .withColumn(
+                    "embedding",
+                    F.when(F.pmod("doc_id", F.lit(5)) == 2,
+                           F.col("_hotv"))
+                    .otherwise(F.col("embedding")))
+                .drop("_hotv")
+            )
+            out["semantic_hot"] = drive(
+                gates=False, semantic=True, n_batches=2, mod=40,
+                src=docs_hot)
+        else:
+            out["semantic_hot"] = {"skipped": "budget"}
     else:
         out["semantic"] = {"skipped": "budget"}
+        out["semantic_hot"] = {"skipped": "budget"}
 
     # Per-gate cost attribution (VERDICT r5 next #4): one cold ~100k
     # batch, gates enabled one at a time — the marginal seconds of each
@@ -508,6 +625,26 @@ def run_curate(spark) -> dict[str, object]:
         k: (round(v - gate_sec["base_dedup_only"], 3)
             if k != "base_dedup_only" else v)
         for k, v in gate_sec.items()
+    }
+    # fold wall-clock pin (VERDICT r9 next #4): in every variant the
+    # most expensive batch — fold/compaction batches included — must
+    # stay within K=2.5x of the variant's median batch (measured
+    # spikes run ~1.9x; the margin absorbs box noise, not algorithmic
+    # regressions)
+    ratios = {
+        name: v["max_batch_over_median"]
+        for name, v in (
+            ("main", out), ("gates", out.get("gates")),
+            ("folds", out.get("folds")),
+            ("semantic", out.get("semantic")),
+            ("semantic_hot", out.get("semantic_hot")),
+        )
+        if isinstance(v, dict) and "max_batch_over_median" in v
+    }
+    out["fold_wallclock_pin"] = {
+        "k": 2.5,
+        "max_over_median": ratios,
+        "ok": all(r <= 2.5 for r in ratios.values()),
     }
     return out
 

@@ -105,7 +105,15 @@ BLOOM_KINDS = ("md5", "band", "mins", "vbkt", "vcode")
 # Exact-duplicate vectors collide at ANY plane count (identical codes
 # -> identical buckets); near-dup recall at threshold t needs the
 # planes/bands pair tuned by 1-(1-p^planes)^bands with
-# p = 1 - acos(t)/pi.
+# p = 1 - acos(t)/pi, PLUS multiprobe (semantic_probes) to recover
+# the tail. MEASURED against exact-cosine ground truth (pairs spread
+# over cos [0.91, 1.0], threshold 0.9 — the recall-floor test):
+#   16 bands x 16 planes, 0 probes: 0.96   (+2 probes: 1.00)
+#   4 bands x 16 planes, 0 probes: 0.755   (+4 probes: 0.94)
+# — i.e. the 4x16 sizing curatebench ran in round 9 was exact-twin-
+# safe but cliff-prone on true near-dups; 16x16 + 2 probes holds the
+# same per-band collision bound (2^-16) with 4x the band keys and a
+# pinned >= 0.95 recall floor.
 SEM_BANDS = 8
 SEM_PLANES = 8
 SEM_DIM = 64
@@ -129,6 +137,8 @@ def _check_sem_dim(dim: int) -> None:
             f"{SEM_DIM_MAX} (silent wrap in non-ANSI Spark). Reduce the "
             "embedding dim (e.g. project/truncate) before the gate."
         )
+
+
 FOLD_FACTOR = state_store.DEFAULT_FOLD_FACTOR
 STATE_BUCKETS = state_store.DEFAULT_BUCKETS
 
@@ -366,6 +376,7 @@ def _sem_tables_arrow(
     bands: int,
     planes: int,
     dim: int,
+    probes: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Arrow-kernel twin of :func:`_sem_tables` — bit-identical output
     (pinned by tests), replacing bands*planes interpreted HOF passes
@@ -376,7 +387,17 @@ def _sem_tables_arrow(
     so float64 accumulation is exact integer arithmetic), and the
     quantization is ``_round_half_up`` — the same HALF_UP the native
     ``quantize_int8`` rounds with. This is the serving path; the
-    native form remains the oracle-exactness twin."""
+    native form remains the oracle-exactness twin.
+
+    ``probes`` > 0 enables LSH MULTIPROBE: per band, the ``probes``
+    alternate buckets obtained by flipping the least-confident plane
+    bits (smallest |dot| — a near-dup pair's mismatched bits
+    concentrate exactly there, the public multiprobe-LSH observation)
+    are emitted as probe-only keys (``_store`` false). Stored state
+    keys stay ONE per band per doc; only the QUERY side fans out, so
+    multiprobe buys its recall without growing the state. Tie-breaks
+    on equal |dot| go to the lower plane index (stable argsort), so
+    the flip choice is deterministic cross-engine."""
     import numpy as np
 
     from nexus_processor_spark.operators.vector_arrow import (
@@ -388,8 +409,10 @@ def _sem_tables_arrow(
     w_t = np.ascontiguousarray(w.T)
     shifts = np.array(
         [1 << p for p in range(planes)] * 1, dtype=np.int64)
+    n_probe = min(int(probes), planes)
     schema = (
-        f"{id_col} long, _q8 array<long>, _na long, _vkeys array<string>"
+        f"{id_col} long, _q8 array<long>, _na long, "
+        "_vkeys array<string>, _vprobes array<string>"
     )
 
     def kernel(batches):
@@ -414,6 +437,14 @@ def _sem_tables_arrow(
             dots = q8 @ w_t  # exact integers in float64 (see docstring)
             bits = (dots > 0).reshape(len(ids), bands, planes)
             buckets = (bits * shifts[None, None, :]).sum(axis=2)
+            if n_probe:
+                absd = np.abs(dots).reshape(len(ids), bands, planes)
+                # stable sort: equal |dot| resolves to the lower plane,
+                # matching the native twin's struct array_sort
+                order = np.argsort(absd, axis=2, kind="stable")
+                flips = order[:, :, :n_probe]
+                alts = buckets[:, :, None] ^ (
+                    np.int64(1) << flips.astype(np.int64))
             yield pd.DataFrame({
                 id_col: ids,
                 "_q8": [r.astype(np.int64).tolist() for r in q8],
@@ -422,11 +453,32 @@ def _sem_tables_arrow(
                     [f"{bb}:{int(buckets[i, bb])}" for bb in range(bands)]
                     for i in range(len(ids))
                 ],
+                "_vprobes": [
+                    [
+                        f"{bb}:{int(alts[i, bb, t])}"
+                        for bb in range(bands)
+                        for t in range(n_probe)
+                    ] if n_probe else []
+                    for i in range(len(ids))
+                ],
             })
 
     base = docs.select(id_col, embedding_col).mapInPandas(kernel, schema)
     codes = base.select(id_col, "_q8", "_na")
-    bkts = base.select(id_col, F.explode("_vkeys").alias("_vkey"))
+    bkts = base.select(
+        id_col,
+        F.explode(F.concat(
+            F.transform(
+                "_vkeys",
+                lambda k: F.struct(
+                    k.alias("_vkey"), F.lit(True).alias("_store"))),
+            F.transform(
+                "_vprobes",
+                lambda k: F.struct(
+                    k.alias("_vkey"), F.lit(False).alias("_store"))),
+        )).alias("_kv"),
+    ).select(id_col, F.col("_kv._vkey").alias("_vkey"),
+             F.col("_kv._store").alias("_store"))
     return codes, bkts
 
 
@@ -438,18 +490,22 @@ def _sem_tables(
     bands: int,
     planes: int,
     dim: int,
+    probes: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """(codes, buckets) for the semantic gate. ``codes`` is one row per
     bucketable doc: its int8 code (``functions.vector.quantize_int8``
     — round-HALF-UP of x/max|x|*127, the sim_int8 oracle quantization)
     and the code's integer self-dot. ``buckets`` is one row per
-    (doc, band): key = "band:bucket" where bucket bit p is the SIGN of
-    the integer dot <code, w[band][p]> — all BIGINT arithmetic, so the
-    banding is bit-identical cross-engine. All-zero/null embeddings
-    have no code and skip the gate. Map-only: the per-doc cost is
-    bands*planes integer dots of length ``dim`` (native HOFs here; the
-    Arrow-kernel form of the same math is the scale dial, as with
-    quantize_arrow)."""
+    (doc, band) base key — "band:bucket" where bucket bit p is the SIGN
+    of the integer dot <code, w[band][p]> — plus, when ``probes`` > 0,
+    per band the ``probes`` multiprobe alternates (lowest-|dot| plane
+    bits flipped, ties to the lower plane; ``_store`` false — probe
+    side only, see :func:`_sem_tables_arrow`). All BIGINT arithmetic,
+    so banding and flip choice are bit-identical cross-engine.
+    All-zero/null embeddings have no code and skip the gate. Map-only:
+    the per-doc cost is bands*planes integer dots of length ``dim``
+    (native HOFs here; the Arrow-kernel form of the same math is the
+    scale dial, as with quantize_arrow)."""
     from nexus_processor_spark.functions import vector
 
     q8 = vector.quantize_int8(F.col(embedding_col))
@@ -464,6 +520,7 @@ def _sem_tables(
         )
     )
     w = _sem_weights(bands, planes, dim)
+    n_probe = min(int(probes), planes)
 
     def dot(b: int, p: int) -> F.Column:
         return F.aggregate(
@@ -481,19 +538,52 @@ def _sem_tables(
             F.when(dot(b, p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
             for p in range(planes)
         ]
-        out = bits[0]
+        out = bits[0].cast("long")
         for bit in bits[1:]:
             out = out + bit
         return out
 
+    def key(b: int, bkt: F.Column, store: bool) -> F.Column:
+        return F.struct(
+            F.concat_ws(":", F.lit(str(b)), bkt.cast("string"))
+            .alias("_vkey"),
+            F.lit(store).alias("_store"),
+        )
+
+    def band_keys(b: int) -> list[F.Column]:
+        bkt = bucket(b)
+        out = [key(b, bkt, True)]
+        if n_probe:
+            # rank planes by (|dot|, plane) ascending — the struct
+            # array_sort matches the kernel's stable argsort exactly
+            # (the mask field is monotone in the plane, so it never
+            # perturbs the ordering; it exists because the flip is a
+            # column-level XOR and shiftleft takes only literal shifts)
+            ranked = F.slice(
+                F.array_sort(F.array(*[
+                    F.struct(
+                        F.abs(dot(b, p)).alias("a"),
+                        F.lit(p).alias("p"),
+                        F.lit(1 << p).cast("long").alias("m"),
+                    )
+                    for p in range(planes)
+                ])),
+                1, n_probe,
+            )
+            out.append(F.transform(
+                ranked,
+                lambda s: key(b, bkt.bitwiseXOR(s["m"]), False),
+            ))
+            return [F.concat(F.array(out[0]), out[1])]
+        return [F.array(out[0])]
+
     bkts = codes.select(
         id_col,
-        F.explode(F.array(*[
-            F.concat_ws(
-                ":", F.lit(str(b)), bucket(b).cast("string"))
-            for b in range(bands)
-        ])).alias("_vkey"),
-    )
+        F.explode(F.concat(*[
+            band_keys(b)[0] for b in range(bands)
+        ])).alias("_kv"),
+    ).select(id_col, F.col("_kv._vkey").alias("_vkey"),
+             F.col("_kv._store").alias("_store"))
     return codes, bkts
 
 
@@ -600,7 +690,9 @@ def _survivor_state(
                 bands=semantic_bands, planes=semantic_planes,
                 dim=semantic_dim,
             )
-        vbkt = bkts.select(
+        # only BASE keys persist (kind 'vbkt'): multiprobe alternates
+        # are query-side fanout, never state rows (_sem_tables_arrow)
+        vbkt = bkts.filter("_store").select(
             F.col("_vkey").alias("key"),
             F.col(id_col).cast("string").alias("ref"),
         ).distinct().select(*_state_rows(
@@ -648,6 +740,7 @@ def curate_batch(
     semantic_planes: int = SEM_PLANES,
     semantic_dim: int = SEM_DIM,
     semantic_max_bucket: int | None = None,
+    semantic_probes: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
@@ -680,6 +773,17 @@ def curate_batch(
     buckets from the within-batch candidate join (the ``max_bucket``
     mega-cluster cap of the lexical gate — bounded recall loss on
     pathological bucket pileups, documented, never precision).
+
+    ``semantic_probes`` > 0 enables LSH multiprobe: per band, the N
+    least-confident plane bits are flipped one at a time to produce N
+    extra QUERY-side bucket keys (state rows stay one per band —
+    ``_sem_tables_arrow``). This is the recall dial for NEAR (not
+    exact) duplicates: at 16 planes a pair at cosine ~0.92 agrees on
+    all 16 signs only ~11% of the time per band, but its disagreeing
+    bits concentrate in the low-|dot| planes multiprobe flips —
+    measured recall curves live in curatebench's semantic section and
+    the floor is pinned by tests. Exact duplicates collide at any
+    setting; candidates still verify exactly, so precision stays 1.
     ``hash_fn`` picks the minhash scheme (md5 = oracle-parity default,
     xxhash64 = the ~2.5x scale dial; see ``_band_signatures``) — it
     must match the scheme every earlier batch of the same state used.
@@ -920,7 +1024,7 @@ def curate_batch(
         codes, bkts = _sem_tables_arrow(
             edocs, embedding_col=embedding_col, id_col=id_col,
             bands=semantic_bands, planes=semantic_planes,
-            dim=semantic_dim,
+            dim=semantic_dim, probes=semantic_probes,
         )
         if _projection_out is not None:
             # codes feeds both pair sides, the state verify, and the
@@ -952,18 +1056,38 @@ def curate_batch(
         # their buckets and codes stand for the whole code group
         # (identical codes -> identical buckets), so the drop set is
         # unchanged while the joins see one row per DISTINCT code
-        bkts_r = bkts.join(F.broadcast(rep_ids), id_col, "left_semi")
+        bkts_all = bkts.join(F.broadcast(rep_ids), id_col, "left_semi")
+        # stored side = base keys only; probe side = base + multiprobe
+        # alternates (asymmetric probing: one side fans out, the
+        # stored key set stays one per band — _sem_tables_arrow)
+        bkts_store = bkts_all.filter("_store")
         if semantic_max_bucket is not None:
-            bkts_r = dedup._drop_over_full(
-                bkts_r, ["_vkey"], semantic_max_bucket)
+            # the cap measures STORED bucket population (the candidate
+            # multiplier); an over-full bucket leaves both join sides
+            big_b = (
+                bkts_store.groupBy("_vkey")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > semantic_max_bucket)
+                .select("_vkey")
+            )
+            bkts_store = bkts_store.join(
+                F.broadcast(big_b), "_vkey", "left_anti")
+            bkts_all = bkts_all.join(
+                F.broadcast(big_b), "_vkey", "left_anti")
         # within the batch: bucket-mates -> exact integer verify ->
-        # drop the higher id (lexical near-dup's pair convention)
-        pa = bkts_r.select(F.col(id_col).alias("_ia"), "_vkey")
-        pb = bkts_r.select(F.col(id_col).alias("_ib"), "_vkey")
+        # drop the higher id (lexical near-dup's pair convention);
+        # probe-vs-store collisions arrive in either orientation, so
+        # normalize each pair to (min, max) before the verify
+        pa = bkts_all.select(F.col(id_col).alias("_ia"), "_vkey")
+        pb = bkts_store.select(F.col(id_col).alias("_ib"), "_vkey")
         cpairs = (
             pa.join(pb, "_vkey")
-            .where(F.col("_ia") < F.col("_ib"))
-            .select("_ia", "_ib").distinct()
+            .where(F.col("_ia") != F.col("_ib"))
+            .select(
+                F.least("_ia", "_ib").alias("_ia"),
+                F.greatest("_ia", "_ib").alias("_ib"),
+            )
+            .distinct()
         )
         ca = codes.select(
             F.col(id_col).alias("_ia"),
@@ -989,11 +1113,14 @@ def curate_batch(
             # discipline as the band/mins probes above). Probing with
             # representatives only is sufficient: a collapsed doc is
             # already dropped, and its rep carries the identical code.
-            vkeys = bkts_r.select("_vkey").distinct()
+            # The probe key set includes the multiprobe alternates —
+            # state rows hold base keys, so a flipped-bit probe key
+            # matching a kept doc's base key IS the multiprobe hit.
+            vkeys = bkts_all.select("_vkey").distinct()
             kept_b = _state_kind(state, "vbkt", vkeys).select(
                 F.col("key").alias("_vkey"), F.col("ref").alias("_ref"))
             cand_v = (
-                kept_b.join(F.broadcast(bkts_r), "_vkey")
+                kept_b.join(F.broadcast(bkts_all), "_vkey")
                 .select(id_col, "_ref").distinct()
             )
             refs = cand_v.select("_ref").distinct()
@@ -1099,6 +1226,7 @@ def curate_stream(
     semantic_planes: int = SEM_PLANES,
     semantic_dim: int = SEM_DIM,
     semantic_max_bucket: int | None = None,
+    semantic_probes: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
@@ -1170,6 +1298,7 @@ def curate_stream(
             semantic_bands=semantic_bands,
             semantic_planes=semantic_planes, semantic_dim=semantic_dim,
             semantic_max_bucket=semantic_max_bucket,
+            semantic_probes=semantic_probes,
             text_col=text_col, id_col=id_col, hash_fn=hash_fn,
             _projection_out=handles,
         ).persist()

@@ -1349,6 +1349,103 @@ def run_ann_1m(spark) -> dict[str, object]:
                 "recall_at_10": mean_recall(build()),
                 "qps": round(n_q / t, 1),
             })
+        # ---- lifecycle drift audit (VERDICT r9 next #2) ----
+        # 200k DISTRIBUTION-SHIFTED vectors append under the frozen
+        # quantizer in 4 commits (files accrete; the shared shift pulls
+        # them toward few cells). shifted = l2_normalize(g + s) with
+        # |s| = 1 over the first 8 dims: half the energy is the shift
+        # (cells skew), half is the original vector g (cos between two
+        # shifted vectors = (g_a.g_b + 1)/2 — the original ranking,
+        # monotonically compressed, so the ground truth stays
+        # SEPARABLE). Designs that let the shift dominate make all
+        # 200k pairwise-near (~0.92-0.997) and the measurement
+        # collapses to prefilter tie-noise: recall ~0.07-0.42 for
+        # frozen AND retrained alike — a degenerate GT, not a drift
+        # signal (measured; kept here as a warning). Recall rows run
+        # candidates=1000 to ISOLATE the quantizer: cell probing is
+        # then the only approximation, so frozen-vs-retrained is pure
+        # drift cost — measured at 100k scale: nprobe=48 both 0.991;
+        # nprobe=8 frozen 0.80 vs retrained 0.97 (tight probing is
+        # where a stale quantizer bites; wide probing hides it). Cost
+        # rows (appended vs compacted) run the serving config
+        # (candidates=100) — the qps delta is what small-file
+        # accretion cost; results across compaction pinned by tests.
+        n_shift = 200_000
+        s_dim = 1.0 / (8 ** 0.5)  # |s| = 1 over dims 0-7
+        shifted = nemb.filter(F.col("vec_id") < n_shift).select(
+            (F.col("vec_id") + VEC_ROWS).alias("vec_id"),
+            vector.l2_normalize(F.transform(
+                "embedding",
+                lambda x, i: x + F.when(i < 8, F.lit(s_dim))
+                .otherwise(F.lit(0.0)))).alias("embedding"),
+        ).localCheckpoint(eager=True)
+        union = nemb.unionByName(shifted).localCheckpoint(eager=True)
+        step = n_shift // 4
+        for c in range(4):
+            lo = VEC_ROWS + c * step
+            vector_index.append_to_index(
+                shifted.filter(
+                    (F.col("vec_id") >= lo)
+                    & (F.col("vec_id") < lo + step)),
+                idx_dir)
+        stats_drift = vector_index.index_stats(spark, idx_dir)
+        sq = shifted.filter(F.col("vec_id") < VEC_ROWS + n_q)
+        gt_s = spark.createDataFrame(
+            similarity.brute_force_topk(sq, union, k)
+            .select("query_id", "vec_id").toPandas()
+        ).localCheckpoint(eager=True)
+
+        def recall_s(approx) -> float:
+            r = similarity.recall_at_k(approx, gt_s, k).agg(
+                F.avg("recall").alias("r")).first()["r"]
+            return round(float(r), 4)
+
+        drift: dict[str, object] = {
+            "appended_rows": n_shift,
+            "cell_skew_after_appends": stats_drift["cell_skew"],
+            "files_per_cell_max_after_appends":
+                stats_drift["files_per_cell_max"],
+        }
+        for nprobe in (48, 8):
+            build = lambda: vector_index.search(  # noqa: E731
+                spark, sq, union, idx_dir, k,
+                nprobe=nprobe, candidates=1000)
+            t_app = timed(build)
+            drift[f"frozen_appended_nprobe{nprobe}"] = {
+                "sec": round(t_app, 3), "recall_at_10": recall_s(build()),
+                "qps": round(n_q / t_app, 1)}
+        # serving-config cost before/after compaction (cand=100)
+        build = lambda: vector_index.search(  # noqa: E731
+            spark, sq, union, idx_dir, k, nprobe=48, candidates=100)
+        t_acc = timed(build)
+        drift["serving_cost_accreted"] = {
+            "sec": round(t_acc, 3), "qps": round(n_q / t_acc, 1),
+            "files": stats_drift["files"]}
+        stats_comp = vector_index.compact_index(spark, idx_dir)
+        t_cmp = timed(build)
+        drift["serving_cost_compacted"] = {
+            "sec": round(t_cmp, 3), "qps": round(n_q / t_cmp, 1),
+            "files": stats_comp["files"]}
+        rebuild_dir = tempfile.mkdtemp(prefix="bench_vidx_rb_")
+        try:
+            # retrained quantizer: same k_cells, centroid sample now
+            # covers the shifted region (56 original + 8 shifted)
+            rcents = nemb.filter(F.col("vec_id") < 56).unionByName(
+                shifted.filter(
+                    F.pmod(F.col("vec_id"), F.lit(25_000)) == 0))
+            vector_index.build_ivf_int8_index(union, rcents, rebuild_dir)
+            for nprobe in (48, 8):
+                build_rb = lambda: vector_index.search(  # noqa: E731
+                    spark, sq, union, rebuild_dir, k,
+                    nprobe=nprobe, candidates=1000)
+                t_rb = timed(build_rb)
+                drift[f"rebuilt_retrained_nprobe{nprobe}"] = {
+                    "sec": round(t_rb, 3),
+                    "recall_at_10": recall_s(build_rb()),
+                    "qps": round(n_q / t_rb, 1)}
+        finally:
+            shutil.rmtree(rebuild_dir, ignore_errors=True)
+        out["drift_audit"] = drift
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
     return out
@@ -1506,7 +1603,8 @@ def main() -> None:
             ("bigbench", lambda: run_big(spark, qs), 600.0),
             ("curatebench", lambda: run_curate(spark), 600.0),
             ("annbench", lambda: run_ann(spark), 300.0),
-            ("annbench1m", lambda: run_ann_1m(spark), 300.0),
+            # r10: +drift/compaction audit (~3-4 min)
+            ("annbench1m", lambda: run_ann_1m(spark), 480.0),
             ("docsbench", lambda: run_docs(spark), 600.0),
             ("opsbench", lambda: run_ops(spark), 240.0),
             ("replaybench", lambda: run_replay(spark, sf_dir), 120.0),

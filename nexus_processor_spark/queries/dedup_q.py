@@ -1148,7 +1148,44 @@ QUERIES["curate_semantic_audit"] = q_curate_semantic_audit
 
 _HEXVAL = "(strpos('0123456789abcdef', substr(h, {k}, 1)) - 1)"
 
-ORACLE["curate_semantic_audit"] = f"""
+def _sem_audit_oracle(probes: int) -> str:
+    """The semantic-audit oracle SQL, parameterized on the multiprobe
+    count: ``probes`` = 0 is the base gate; ``probes`` > 0 expands the
+    QUERY side of the bucket join with per-band flips of the lowest-
+    |dot| planes (ties to the lower plane — row_number ORDER BY
+    (abs(dot), p), the exact stable-argsort rule of
+    ``curate._sem_tables``), XORed onto the base bucket. The stored
+    side stays base buckets, matching the gate's asymmetric probing."""
+    if probes:
+        scand = f"""
+    ranked AS (
+        SELECT doc_id, b, p,
+               row_number() OVER (PARTITION BY doc_id, b
+                                  ORDER BY abs(dot), p) AS rnk
+        FROM dots
+    ),
+    probekeys AS (
+        SELECT doc_id, b, bucket FROM bkt
+        UNION ALL
+        SELECT r.doc_id, r.b,
+               xor(k.bucket, (1::BIGINT << CAST(r.p AS INT)))
+        FROM ranked r JOIN bkt k ON r.doc_id = k.doc_id AND r.b = k.b
+        WHERE r.rnk <= {probes}
+    ),
+    scand AS (
+        SELECT DISTINCT least(a.doc_id, b.doc_id) AS ia,
+                        greatest(a.doc_id, b.doc_id) AS ib
+        FROM probekeys a JOIN bkt b ON a.b = b.b AND a.bucket = b.bucket
+        WHERE a.doc_id <> b.doc_id
+    ),"""
+    else:
+        scand = """
+    scand AS (
+        SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        FROM bkt a JOIN bkt b ON a.b = b.b AND a.bucket = b.bucket
+        WHERE a.doc_id < b.doc_id
+    ),"""
+    return f"""
     WITH q AS (
         SELECT doc_id, text,
                text IS NOT NULL AND length(text) >= {CURATE_MIN_CHARS}
@@ -1246,11 +1283,7 @@ ORACLE["curate_semantic_audit"] = f"""
                    AS bucket
         FROM dots GROUP BY doc_id, b
     ),
-    scand AS (
-        SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-        FROM bkt a JOIN bkt b ON a.b = b.b AND a.bucket = b.bucket
-        WHERE a.doc_id < b.doc_id
-    ),
+{scand}
     sver AS (
         SELECT c.ib,
                CAST(list_sum(list_transform(generate_series(1,
@@ -1278,3 +1311,33 @@ ORACLE["curate_semantic_audit"] = f"""
     LEFT JOIN dropped d ON q.doc_id = d.doc_id
     LEFT JOIN sdrop sd ON q.doc_id = sd.doc_id
 """
+
+
+def q_curate_semantic_multiprobe_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The semantic gate with LSH MULTIPROBE (semantic_probes=2): per
+    band the two lowest-|dot| plane bits flip into extra query-side
+    bucket keys, catching near-dup pairs whose signs disagree on one
+    low-confidence plane. Same exact integer verify — multiprobe moves
+    recall only. The oracle replays the flip selection with the
+    identical (abs(dot), plane) stable ranking."""
+    from nexus_processor_spark.streaming import curate
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding")
+    audit = curate.curate_batch(
+        docs.join(emb, "doc_id", "left"), None,
+        min_chars=CURATE_MIN_CHARS, near_dup_threshold=CURATE_THRESHOLD,
+        embedding_col="embedding", semantic_threshold=SEM_AUDIT_T,
+        semantic_bands=SEM_AUDIT_BANDS, semantic_planes=SEM_AUDIT_PLANES,
+        semantic_dim=SEM_AUDIT_DIM, semantic_probes=2,
+    )
+    return audit.select("doc_id", "keep", "drop_reason")
+
+
+QUERIES["curate_semantic_multiprobe_audit"] = (
+    q_curate_semantic_multiprobe_audit)
+ORACLE["curate_semantic_audit"] = _sem_audit_oracle(0)
+ORACLE["curate_semantic_multiprobe_audit"] = _sem_audit_oracle(2)

@@ -139,6 +139,75 @@ def _check_sem_dim(dim: int) -> None:
         )
 
 
+def semantic_recall_bound(
+    threshold: float, bands: int, planes: int, probes: int = 0
+) -> float:
+    """Conservative LOWER bound on the gate's recall for a pair
+    exactly AT the cosine threshold, from the random-hyperplane model:
+    per plane, sign agreement p = 1 - acos(t)/pi; a band catches on 0
+    sign mismatches, or — with multiprobe — on exactly 1 mismatch that
+    lands on a flipped plane. The bound charges flips the UNIFORM
+    probability ``probes/planes`` of covering the mismatched plane;
+    the implementation flips the lowest-|dot| planes, where a near
+    pair's mismatches concentrate, so real recall sits above this
+    (measured: bound 0.95 at 16x16+2 where the recall-floor test
+    measures 1.00). Pairs above the threshold only do better."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    q = 1.0 - p
+    n = planes
+    t_flips = min(probes, planes)
+    catch = p ** n + n * q * p ** (n - 1) * (t_flips / n)
+    return 1.0 - (1.0 - catch) ** bands
+
+
+def suggest_semantic_banding(
+    kept_docs: int,
+    threshold: float,
+    *,
+    target_recall: float = 0.95,
+    max_candidates_per_doc: float = 64.0,
+    probes: int = 2,
+    max_planes: int = 62,
+) -> dict:
+    """Size the semantic gate to a corpus — the module docstring's
+    "size planes to the kept corpus" rule as a checked computation.
+
+    Picks the fewest planes whose RANDOM-pair collision volume stays
+    under budget (expected state-side verify candidates per doc
+    ~ bands * (1 + probes) * kept / 2^planes for near-orthogonal
+    embeddings; clustered corpora collide more — treat the budget as
+    a floor and re-measure), then the fewest bands whose
+    :func:`semantic_recall_bound` clears the target. Returns
+    ``{"bands", "planes", "probes", "recall_bound",
+    "est_candidates_per_doc"}`` ready to splat into
+    :func:`curate_stream`. Raises if no sizing under ``max_planes``
+    (bucket ids are int64 sign-bit-safe up to 62 planes) satisfies
+    both constraints."""
+    kept = max(1, int(kept_docs))
+    for planes in range(1, max_planes + 1):
+        for bands in range(1, 1025):
+            cand = bands * (1 + probes) * kept / (2.0 ** planes)
+            if cand > max_candidates_per_doc:
+                break  # more bands only raises collision volume
+            if semantic_recall_bound(
+                threshold, bands, planes, probes
+            ) >= target_recall:
+                return {
+                    "bands": bands, "planes": planes, "probes": probes,
+                    "recall_bound": round(semantic_recall_bound(
+                        threshold, bands, planes, probes), 4),
+                    "est_candidates_per_doc": round(cand, 3),
+                }
+    raise ValueError(
+        f"no (bands <= 1024, planes <= {max_planes}, probes={probes}) "
+        f"meets recall >= {target_recall} at threshold {threshold} "
+        f"within {max_candidates_per_doc} candidates/doc for "
+        f"{kept} kept docs — raise the candidate budget or probes"
+    )
+
+
 FOLD_FACTOR = state_store.DEFAULT_FOLD_FACTOR
 STATE_BUCKETS = state_store.DEFAULT_BUCKETS
 

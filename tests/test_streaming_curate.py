@@ -1048,3 +1048,26 @@ def test_semantic_gate_near_dup_recall_floor(spark, tmp_path):
     r0, r2 = recall(0), recall(2)
     assert r2 >= 0.95, (r0, r2)
     assert r2 >= r0, (r0, r2)
+
+
+def test_semantic_banding_sizing_rule():
+    """suggest_semantic_banding: the "size planes to the kept corpus"
+    rule as a checked computation — a valid sizing exists from 100k to
+    1e9 kept docs, the recall bound clears the target, the collision
+    budget holds, and the bound is conservative vs the measured
+    configs (16x16+2 measured 1.00 in the recall-floor test; the
+    at-threshold bound is 0.85)."""
+    b = curate.semantic_recall_bound
+    assert 0.84 < b(0.9, 16, 16, 2) < 0.86
+    assert b(0.9, 16, 16, 2) > b(0.9, 16, 16, 0) > b(0.9, 4, 16, 0)
+    # monotone in bands and probes
+    assert b(0.9, 32, 16, 2) > b(0.9, 16, 16, 2)
+    for kept in (100_000, 10_000_000, 1_000_000_000):
+        s = curate.suggest_semantic_banding(kept, 0.9)
+        assert s["recall_bound"] >= 0.95
+        assert s["est_candidates_per_doc"] <= 64.0
+        assert 1 <= s["planes"] <= 62 and 1 <= s["bands"] <= 1024
+    # an impossible budget refuses instead of under-delivering
+    with pytest.raises(ValueError, match="raise the candidate budget"):
+        curate.suggest_semantic_banding(
+            1_000_000_000, 0.9, max_candidates_per_doc=0.001)

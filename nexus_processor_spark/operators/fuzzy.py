@@ -30,16 +30,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _seg_bounds(length: Column, i: int, k: int) -> tuple[Column, Column]:
+def _seg_bounds(
+    length: Column, i: "int | Column", k: int
+) -> tuple[Column, Column]:
     """1-based start and length of segment ``i`` (0-based) in the fixed
     scheme for a string of ``length``: the first ``length % (k+1)``
-    segments take the ceiling size."""
+    segments take the ceiling size. ``i`` may be a literal or a Column
+    (the probe side iterates it with ``explode(sequence(...))``)."""
     n = k + 1
+    ic = i if isinstance(i, Column) else F.lit(i)
     q = F.floor(length / n).cast("int")
     r = (length % n).cast("int")
-    extra = F.when(F.lit(i) < r, 1).otherwise(0)
+    extra = F.when(ic < r, 1).otherwise(0)
     m = (q + extra).cast("int")
-    start = (F.lit(i) * q + F.least(F.lit(i), r) + 1).cast("int")
+    start = (ic * q + F.least(ic, r) + 1).cast("int")
     return start, m
 
 
@@ -80,35 +84,47 @@ def edit_distance_pairs(
     )
 
     # probe: substrings of THIS string at the scheme positions of every
-    # candidate partner length, shifted within +-k
-    probe_entries = []
-    for dl in range(-k, k + 1):
-        part_len = F.col("_l") + dl  # the partner's length
-        for i in range(k + 1):
-            start, m = _seg_bounds(part_len, i, k)
-            for shift in range(-k, k + 1):
-                p = start + shift
-                valid = (
-                    (part_len >= k + 1)
-                    & (m >= 1)
-                    & (p >= 1)
-                    & (p + m - 1 <= F.col("_l"))
-                )
-                probe_entries.append(F.when(valid, F.struct(
-                    part_len.alias("len_a"),
-                    F.lit(i).alias("i"),
-                    F.substr("_s", p, m).alias("seg"),
-                )))
-    probes = base.select(
+    # candidate partner length, shifted within +-k. The (dl, i, shift)
+    # grid unrolls through ONE explode of a flat index sequence decoded
+    # arithmetically — a single tiny generate — instead of one literal
+    # array of (2k+1)^2 (k+1) struct entries, whose generated consume
+    # method exceeds janino's 64 KB limit at k=2 (75 entries) and
+    # silently dropped the whole probe stage to interpreted execution
+    # (and instead of chained per-dimension explodes, which re-amplify
+    # the carried string through three generates — measured slower).
+    span, segs = 2 * k + 1, k + 1
+    n_grid = span * segs * span
+    g = F.col("_g")
+    grid = base.select(
         F.col("_id").alias("id_b"),
         F.col("_s").alias("s_b"),
-        F.explode(F.array(*probe_entries)).alias("e"),
-    ).filter(F.col("e").isNotNull()).select(
-        "id_b", "s_b",
-        F.col("e.len_a").alias("len_a"),
-        F.col("e.i").alias("i"),
-        F.col("e.seg").alias("seg"),
-    ).distinct()
+        "_l",
+        F.explode(F.sequence(F.lit(0), F.lit(n_grid - 1))).alias("_g"),
+    ).select(
+        "id_b", "s_b", "_l",
+        (g / (segs * span)).cast("int").alias("_dl_i"),
+        ((g / span).cast("int") % segs).alias("_i"),
+        (g % span - k).cast("int").alias("_shift"),
+    ).withColumn("_dl", F.col("_dl_i") - k).drop("_dl_i")
+    part_len = (F.col("_l") + F.col("_dl")).cast("int")
+    start, m = _seg_bounds(part_len, F.col("_i"), k)
+    p = (start + F.col("_shift")).cast("int")
+    valid = (
+        (part_len >= k + 1)
+        & (m >= 1)
+        & (p >= 1)
+        & (p + m - 1 <= F.col("_l"))
+    )
+    probes = (
+        grid.filter(valid)
+        .select(
+            "id_b", "s_b",
+            part_len.alias("len_a"),
+            F.col("_i").alias("i"),
+            F.substr(F.col("s_b"), p, m).alias("seg"),
+        )
+        .distinct()
+    )
 
     cand = (
         index.join(probes, ["len_a", "i", "seg"])

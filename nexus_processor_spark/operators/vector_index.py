@@ -27,9 +27,24 @@ Lifecycle: ``append_to_index`` adds one file per touched cell per
 commit (the frozen-quantizer IVF maintenance contract); accumulated
 appends therefore accrete small files and — under distribution drift —
 skew cell populations. ``index_stats`` measures both (files/cell, cell
-row skew); ``compact_index`` coalesces each cell back to sorted,
-full-size files via the manifest swap. Re-training the quantizer
-remains a rebuild.
+row skew) and maps them onto the drift audit's measured cliffs as a
+``recommendation``; ``compact_index`` coalesces each cell back to
+sorted, full-size files via the manifest swap, parking the superseded
+directory as a STALE tier that ``vacuum_index`` removes later (so a
+reader that opened the index before the swap keeps scanning an intact
+immutable directory until the operator explicitly vacuums — the same
+publish-then-vacuum split snapshot tables use). Re-training the
+quantizer remains a rebuild.
+
+Concurrency contract: searches are safe against a concurrent
+``compact_index`` (they hold whichever manifest they opened, and both
+directories exist until vacuum). MAINTENANCE is single-writer:
+``append_to_index``, ``compact_index`` and ``vacuum_index`` must not
+run concurrently with each other — an append racing a compaction can
+commit its rows into the pre-swap directory, where the republished
+manifest never sees them. Serialize maintenance (one writer), and run
+``vacuum_index`` only after in-flight readers of the old tier have
+drained (a grace period in a long-running service).
 
 Reference scope: the reference has no vector index; this is the brief's
 similarity-search scale path (IVF lists + quantized codes, the public
@@ -196,14 +211,35 @@ def append_to_index(
     return n
 
 
+# Maintenance cliffs, measured by the annbench1m drift audit (r10
+# committed artifact): appends from a shifted distribution skewed the
+# frozen quantizer's cells to max/mean 2.4, costing -0.10 recall@10 at
+# nprobe=8 vs a retrained rebuild (equal again at nprobe=48 — wide
+# probing hides a stale quantizer); the same appends accreted 129
+# files in the hottest cell, costing -40% serving qps vs the compacted
+# one-file-per-cell layout (13.1 -> 19.6 qps controlled delta).
+# ``index_stats`` recommends the maintenance action once a dial
+# crosses its measured cliff; operators running tighter SLOs should
+# act earlier (both dials degrade monotonically on the way up).
+SKEW_REBUILD_CLIFF = 2.4
+FILES_COMPACT_CLIFF = 129
+
+
 def index_stats(spark: SparkSession, path: str) -> dict:
     """Lifecycle health of the codes tier in one aggregate pass:
     ``files_per_cell_max`` measures append accretion (every
     ``append_to_index`` adds >= 1 file to each touched cell),
-    ``cell_skew`` = max/mean cell population measures frozen-quantizer
-    drift (appends from a shifted distribution pile into few cells).
-    Both are the dials ``compact_index`` / a rebuild reset."""
+    ``cell_skew`` = max cell population over the MEAN ACROSS ALL
+    ``k_cells`` quantizer cells (empty cells count — drift that
+    abandons cells is skew too) measures frozen-quantizer drift;
+    ``cells`` counts populated cells only. ``recommendation`` maps the
+    dials onto the drift audit's measured cliffs: ``"rebuild"`` when
+    skew crossed :data:`SKEW_REBUILD_CLIFF` (the quantizer itself is
+    stale — compaction would not recover the recall), ``"compact"``
+    when accretion crossed :data:`FILES_COMPACT_CLIFF`, else
+    ``"ok"``. An empty tier returns zeroed stats and ``"empty"``."""
     manifest, _, codes = open_index(spark, path)
+    k_cells = int(manifest["k_cells"])
     per_cell = (
         codes.select("cell", F.input_file_name().alias("_file"))
         .groupBy("cell").agg(
@@ -220,15 +256,30 @@ def index_stats(spark: SparkSession, path: str) -> dict:
         )
         .first()
     )
-    rows, cells = int(per_cell["rows"]), int(per_cell["cells"])
+    if per_cell["rows"] is None:
+        return {
+            "rows": 0, "cells": 0, "rows_min": 0, "rows_max": 0,
+            "cell_skew": 0.0, "files": 0, "files_per_cell_max": 0,
+            "recommendation": "empty",
+        }
+    rows = int(per_cell["rows"])
+    skew = round(per_cell["rows_max"] / (rows / k_cells), 3)
+    files_max = int(per_cell["files_per_cell_max"])
+    if skew >= SKEW_REBUILD_CLIFF:
+        rec = "rebuild"
+    elif files_max >= FILES_COMPACT_CLIFF:
+        rec = "compact"
+    else:
+        rec = "ok"
     return {
         "rows": rows,
-        "cells": cells,
+        "cells": int(per_cell["cells"]),
         "rows_min": int(per_cell["rows_min"]),
         "rows_max": int(per_cell["rows_max"]),
-        "cell_skew": round(per_cell["rows_max"] / (rows / cells), 3),
+        "cell_skew": skew,
         "files": int(per_cell["files"]),
-        "files_per_cell_max": int(per_cell["files_per_cell_max"]),
+        "files_per_cell_max": files_max,
+        "recommendation": rec,
     }
 
 
@@ -236,18 +287,45 @@ def compact_index(spark: SparkSession, path: str) -> dict:
     """Coalesce the codes tier back to the build layout (one task per
     cell, files sorted by id) WITHOUT touching the quantizer: reads the
     current tier, writes a fresh ``codes-<uuid>`` directory, atomically
-    republishes ``index.json`` to point at it, then removes the old
-    directory. Readers that opened the index before the swap keep
-    reading the old immutable directory; new opens see only the
-    compacted tier — search results are identical (same rows, pinned by
-    tests). Returns the post-compaction ``index_stats``."""
+    republishes ``index.json`` to point at it, and PARKS the old
+    directory on the manifest's ``stale_dirs`` list instead of deleting
+    it — readers that opened the index before the swap keep reading an
+    intact immutable directory; new opens see only the compacted tier
+    (search results identical, pinned by tests). Disk for the stale
+    tier is reclaimed by :func:`vacuum_index` once those readers have
+    drained (module docstring's single-writer contract). Returns the
+    post-compaction ``index_stats``."""
     manifest, _, codes = open_index(spark, path)
-    old_dir = _codes_path(path, manifest)
+    old_name = manifest.get("codes_dir", "codes")
     new_name = f"codes-{uuid.uuid4().hex}"
     (codes.repartition("cell").sortWithinPartitions(manifest["id_col"])
      .write.mode("overwrite").partitionBy("cell")
      .parquet(os.path.join(path, new_name)))
-    manifest = {**manifest, "codes_dir": new_name}
+    manifest = {
+        **manifest,
+        "codes_dir": new_name,
+        "stale_dirs": [*manifest.get("stale_dirs", []), old_name],
+    }
     _publish_manifest(path, manifest)
-    shutil.rmtree(old_dir, ignore_errors=True)
     return index_stats(spark, path)
+
+
+def vacuum_index(spark: SparkSession, path: str) -> list[str]:
+    """Remove superseded codes directories parked by earlier
+    :func:`compact_index` calls and republish the manifest with an
+    empty ``stale_dirs``. Call this only after readers that opened the
+    index before the compaction have drained — until then the stale
+    tiers are what keeps their scans alive. Returns the directory
+    names removed. Single-writer like all maintenance ops."""
+    with open(os.path.join(path, "index.json")) as fh:
+        manifest = json.load(fh)
+    stale = list(manifest.get("stale_dirs", []))
+    current = manifest.get("codes_dir", "codes")
+    removed = []
+    for name in stale:
+        if name == current:  # never drop the live tier, even on a bad list
+            continue
+        shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        removed.append(name)
+    _publish_manifest(path, {**manifest, "stale_dirs": []})
+    return removed

@@ -393,13 +393,92 @@ def test_vector_index_compaction_preserves_search(spark, emb, tmp_path):
                             candidates=20),
         "query_id", "rank")
     assert pre == post
-    # the manifest now points at the compacted dir; the original codes
-    # dir is gone (no orphaned tier)
+    # the manifest now points at the compacted dir; the superseded
+    # codes dir is PARKED (stale tier — pre-swap readers keep scanning
+    # it) until vacuum_index reclaims it (ADVICE r10)
     manifest, _, _ = vector_index.open_index(spark, path)
     assert manifest["codes_dir"].startswith("codes-")
+    assert manifest["stale_dirs"] == ["codes"]
     import os
+    assert os.path.exists(os.path.join(path, "codes"))
+    assert vector_index.vacuum_index(spark, path) == ["codes"]
     assert not os.path.exists(os.path.join(path, "codes"))
+    manifest, _, _ = vector_index.open_index(spark, path)
+    assert manifest["stale_dirs"] == []
+    # vacuum is idempotent and never drops the live tier
+    assert vector_index.vacuum_index(spark, path) == []
+    assert os.path.exists(os.path.join(path, manifest["codes_dir"]))
     # appends keep working against the compacted tier
     extra = emb.filter("vec_id >= 100 AND vec_id < 110")
     assert vector_index.append_to_index(extra, path) == 10
     assert vector_index.index_stats(spark, path)["rows"] == 110
+
+
+def test_index_stats_recommendation_at_audit_cliffs(
+        spark, emb, tmp_path, monkeypatch):
+    """index_stats maps its dials onto the drift audit's measured
+    cliffs (VERDICT r10 next #5): files_per_cell_max >= 129 -> compact
+    (the audit's -40% qps point), cell_skew >= 2.4 -> rebuild (the
+    audit's -0.1 recall@8 point; rebuild outranks compact because
+    compaction cannot recover quantizer staleness), and skew is
+    measured against ALL k_cells so emptied cells count as drift.
+    The cliff crossings are exercised through the REAL code path by
+    lowering the constants to this tiny index's measured dials —
+    paying 129 real appends here would buy nothing extra."""
+    from nexus_processor_spark.operators import vector_index
+
+    # the constants ARE the audit's measured thresholds
+    assert vector_index.FILES_COMPACT_CLIFF == 129
+    assert vector_index.SKEW_REBUILD_CLIFF == 2.4
+
+    clean = emb.filter("vec_id < 40")
+    cents = clean.filter("vec_id < 4")
+    path = str(tmp_path / "vidx_rec")
+    vector_index.build_ivf_int8_index(clean, cents, path)
+    st = vector_index.index_stats(spark, path)
+    assert st["recommendation"] == "ok"
+    # skew denominator is rows/k_cells (manifest), not populated cells
+    assert st["cell_skew"] == round(st["rows_max"] / (st["rows"] / 4), 3)
+
+    # one append accretes a second file into the touched cells
+    vector_index.append_to_index(
+        emb.filter("vec_id >= 40 AND vec_id < 60"), path)
+    st = vector_index.index_stats(spark, path)
+    assert st["files_per_cell_max"] >= 2
+
+    # accretion at the measured qps cliff -> compact
+    monkeypatch.setattr(
+        vector_index, "FILES_COMPACT_CLIFF", st["files_per_cell_max"])
+    assert vector_index.index_stats(spark, path)[
+        "recommendation"] == "compact"
+    # skew at the measured recall cliff -> rebuild, outranking compact
+    monkeypatch.setattr(
+        vector_index, "SKEW_REBUILD_CLIFF", st["cell_skew"])
+    assert vector_index.index_stats(spark, path)[
+        "recommendation"] == "rebuild"
+
+
+def test_index_stats_empty_tier_returns_zeroed(spark, emb, tmp_path):
+    """An index whose codes tier has no rows returns zeroed stats and
+    recommendation 'empty' instead of TypeError (ADVICE r10)."""
+    from nexus_processor_spark.operators import vector_index
+
+    clean = emb.filter("vec_id < 40")
+    cents = clean.filter("vec_id < 4")
+    path = str(tmp_path / "vidx_empty")
+    vector_index.build_ivf_int8_index(clean, cents, path)
+    # empty the tier in place: overwrite with zero rows, same schema
+    # (unpartitioned so the schema-bearing parquet footer still exists
+    # — a zero-row partitionBy write leaves no files at all)
+    manifest, _, codes = vector_index.open_index(spark, path)
+    import os
+    (codes.limit(0).write.mode("overwrite")
+     .parquet(os.path.join(path, "codes-none")))
+    vector_index._publish_manifest(
+        path, {**manifest, "codes_dir": "codes-none"})
+    st = vector_index.index_stats(spark, path)
+    assert st == {
+        "rows": 0, "cells": 0, "rows_min": 0, "rows_max": 0,
+        "cell_skew": 0.0, "files": 0, "files_per_cell_max": 0,
+        "recommendation": "empty",
+    }

@@ -1563,7 +1563,13 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark("nexus-bench")
+    # codegen-fallback guard (VERDICT r10 next #2): route driver-JVM
+    # WARN+ logs to a file and grep it at the end — a janino bailout
+    # (64 KB method limit) runs interpreted while passing every
+    # correctness gate, so only the logs carry the signal
+    from nexus_processor_spark import codegen_guard
+    guard_confs, guard_log = codegen_guard.capture_confs()
+    spark = get_spark("nexus-bench", extra_confs=guard_confs)
     qs = registry.queries()
 
     # Warm the JVM/session so the first measured query isn't paying one-time
@@ -1634,12 +1640,23 @@ def main() -> None:
             _note(f"{name} done in {time.monotonic() - s:.1f}s")
 
     total = round(sum(timings.values()), 3)
+    # the guard reads the log BEFORE spark.stop() flushes/loses it;
+    # hits are flagged in the artifact (the oracle harness is the
+    # red/green gate — tools/check_oracle.py exits 1 on a hit)
+    guard = codegen_guard.scan(guard_log)
+    if guard["hits"]:
+        _note(f"CODEGEN FALLBACK DETECTED ({len(guard['hits'])} lines) "
+              f"— see {guard_log}")
+        for line in guard["hits"][:10]:
+            _note(f"  {line[:200]}")
     full = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "codegen_fallbacks": len(guard["hits"]),
+        "codegen_fallbacks_allowed": len(guard["allowed"]),
     }
     # EVERY section lands in the artifact keyed by its name (r5 shipped
     # a hand-maintained copy list that silently dropped tablebench)
@@ -1665,6 +1682,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "codegen_fallbacks": len(guard["hits"]),
     }), flush=True)
     spark.stop()
 

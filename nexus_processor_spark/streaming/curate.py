@@ -331,6 +331,104 @@ def _advance_state(
     return v
 
 
+def reband_semantic_state(
+    spark: SparkSession,
+    state_path: str,
+    dest_path: str,
+    *,
+    bands: int,
+    planes: int,
+    buckets: int = STATE_BUCKETS,
+    fold_factor: int = FOLD_FACTOR,
+) -> dict:
+    """Migrate a state's semantic-gate index to a new ``(bands,
+    planes)`` sizing WITHOUT re-ingesting the corpus (VERDICT r10 next
+    #3): a growing kept corpus eventually outgrows its day-one banding
+    per :func:`suggest_semantic_banding`, and the banding-mismatch
+    guard in :func:`curate_stream` (correctly) refuses to probe old
+    keys with new-format probes. The state already stores every kept
+    doc's int8 code (kind ``vcode``), so re-keying is ONE batch job:
+    drop the old ``vbkt`` rows, recompute bucket keys from the stored
+    codes under the new hyperplane family (the same float64 GEMM as
+    ``_sem_tables_arrow`` — exact integer arithmetic, bit-identical to
+    what a from-scratch build over the kept docs would produce, pinned
+    by tests), and commit everything to a FRESH store at ``dest_path``
+    with the manifest's ``sem_bands``/``sem_planes`` updated. The
+    source store is never touched — cut the stream over to
+    ``dest_path`` (with the new banding kwargs) after the job lands.
+    Returns ``{"version", "bands", "planes", "vcode_docs",
+    "vbkt_rows"}``."""
+    import numpy as np
+
+    src = open_state(spark, state_path)
+    if src.current_version() is None:
+        raise ValueError(f"no committed state at {state_path!r}")
+    meta = src.app_meta() or {}
+    if meta.get("sem_bands") is None:
+        raise ValueError(
+            f"state at {state_path!r} was built without the semantic "
+            "gate: it has no vcode rows to re-key — rebuild from the "
+            "corpus instead")
+    dest = open_state(
+        spark, dest_path, buckets=buckets, fold_factor=fold_factor)
+    if dest.current_version() is not None:
+        raise ValueError(
+            f"destination {dest_path!r} already has committed state — "
+            "refusing to mix migrations")
+    rows = src.read_all().select("kind", "key", "ref", "vals", "cnt")
+    vcode = rows.filter(F.col("kind") == "vcode")
+    first = vcode.select(F.size("vals").alias("_d")).first()
+    if first is None:
+        raise ValueError(
+            f"state at {state_path!r} has no vcode rows to re-key")
+    dim = int(first["_d"])
+    _check_sem_dim(dim)
+    w = np.array(
+        _sem_weights(bands, planes, dim), dtype=np.float64
+    ).reshape(bands * planes, dim)
+    w_t = np.ascontiguousarray(w.T)
+    shifts = np.array([1 << p for p in range(planes)], dtype=np.int64)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b["key"].tolist()
+            q8 = np.array(
+                [np.asarray(v, dtype=np.float64) for v in b["vals"]])
+            dots = q8 @ w_t  # exact integers in float64 (|dot| << 2^53)
+            bits = (dots > 0).reshape(len(ids), bands, planes)
+            bkt = (bits * shifts[None, None, :]).sum(axis=2)
+            yield pd.DataFrame({
+                "key": [
+                    f"{bb}:{int(bkt[i, bb])}"
+                    for i in range(len(ids)) for bb in range(bands)
+                ],
+                "ref": [i for i in ids for _ in range(bands)],
+            })
+
+    vbkt = (
+        vcode.select("key", "vals")
+        .mapInPandas(kernel, "key string, ref string")
+        .distinct()
+        .select(*_state_rows(
+            "vbkt", {"key": F.col("key"), "ref": F.col("ref")}))
+    )
+    migrated = rows.filter(F.col("kind") != "vbkt").unionByName(vbkt)
+    version = src.current_version()
+    dest.commit_delta(
+        migrated, version=version, fold_fn=_compact_state,
+        app_meta={**meta, "sem_bands": bands, "sem_planes": planes},
+    )
+    return {
+        "version": version, "bands": bands, "planes": planes,
+        "vcode_docs": vcode.count(),
+        "vbkt_rows": dest.read_kind("vbkt").count(),
+    }
+
+
 def _chunk_width(hash_fn: str) -> int:
     """Hex chars per minhash chunk inside a band signature: md5 chunks
     are 8 hex chars (``functions.text.chunk_min``); the xxhash64 scale
@@ -839,9 +937,14 @@ def curate_batch(
     viral hot cluster of n same-embedding docs costs O(n) in the
     collapse's hash aggregation instead of O(n^2) bucket-mate pairs.
     ``semantic_max_bucket`` additionally drops over-full DISTINCT-code
-    buckets from the within-batch candidate join (the ``max_bucket``
-    mega-cluster cap of the lexical gate — bounded recall loss on
-    pathological bucket pileups, documented, never precision).
+    buckets from the candidate joins (the ``max_bucket`` mega-cluster
+    cap of the lexical gate — bounded recall loss on pathological
+    bucket pileups, documented, never precision). The cap is applied
+    PER JOIN against that join's own candidate multiplier: the
+    within-batch pair join caps on the batch's stored-bucket
+    population, the cross-batch state probe caps on the STATE's
+    population of the probed bucket — a bucket hot in the batch but
+    cold in state still probes state at full recall, and vice versa.
 
     ``semantic_probes`` > 0 enables LSH multiprobe: per band, the N
     least-confident plane bits are flipped one at a time to produce N
@@ -1126,6 +1229,13 @@ def curate_batch(
         # (identical codes -> identical buckets), so the drop set is
         # unchanged while the joins see one row per DISTINCT code
         bkts_all = bkts.join(F.broadcast(rep_ids), id_col, "left_semi")
+        # the state-probe side keeps EVERY key: the within-batch cap
+        # below measures batch-side bucket population, which says
+        # nothing about the state's population of the same bucket — the
+        # cross-batch candidate volume is capped separately against the
+        # STATE side (ADVICE r10: the old shared cap silently reduced
+        # cross-batch recall beyond the documented within-batch scope)
+        bkts_probe = bkts_all
         # stored side = base keys only; probe side = base + multiprobe
         # alternates (asymmetric probing: one side fans out, the
         # stored key set stays one per band — _sem_tables_arrow)
@@ -1185,11 +1295,24 @@ def curate_batch(
             # The probe key set includes the multiprobe alternates —
             # state rows hold base keys, so a flipped-bit probe key
             # matching a kept doc's base key IS the multiprobe hit.
-            vkeys = bkts_all.select("_vkey").distinct()
+            # Keys the within-batch cap removed still probe here
+            # (bkts_probe is the uncapped set); the mega-bucket guard
+            # for THIS join caps on the state-side population below —
+            # the actual candidate multiplier of the cross-batch join.
+            vkeys = bkts_probe.select("_vkey").distinct()
             kept_b = _state_kind(state, "vbkt", vkeys).select(
                 F.col("key").alias("_vkey"), F.col("ref").alias("_ref"))
+            if semantic_max_bucket is not None:
+                big_s = (
+                    kept_b.groupBy("_vkey")
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .filter(F.col("_n") > semantic_max_bucket)
+                    .select("_vkey")
+                )
+                kept_b = kept_b.join(
+                    F.broadcast(big_s), "_vkey", "left_anti")
             cand_v = (
-                kept_b.join(F.broadcast(bkts_all), "_vkey")
+                kept_b.join(F.broadcast(bkts_probe), "_vkey")
                 .select(id_col, "_ref").distinct()
             )
             refs = cand_v.select("_ref").distinct()

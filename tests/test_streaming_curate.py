@@ -971,6 +971,43 @@ def test_semantic_max_bucket_caps_candidates_not_collapse(spark):
     assert all(got[i] is False for i in range(1, 40))
 
 
+def test_semantic_max_bucket_batch_cap_does_not_gag_state_probe(
+        spark, tmp_path):
+    """The mega-bucket cap is scoped PER JOIN (ADVICE r10): a bucket
+    over-full in THIS batch still probes the state (whose population
+    of that bucket is under the cap), so cross-batch near-dups of a
+    kept doc drop even when the batch itself piles distinct codes into
+    the shared bucket. Under the old shared cap every one of these
+    twins sailed through."""
+    v = [1.0, 2.0, -3.0, 4.0, 0.5, -1.5, 2.5, -0.5]
+    kw = {"embedding_col": "embedding", "semantic_threshold": 0.9,
+          "semantic_dim": 8, "semantic_max_bucket": 1}
+    sd = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(100, " ".join(f"kw{j}" for j in range(20)), v)], EMB_SCHEMA)
+    a1 = curate.curate_batch(b1, None, **kw)
+    assert a1.filter("keep").count() == 1
+    curate._advance_state(
+        spark, sd, 0,
+        curate._survivor_state(
+            a1.filter("keep"), text_col="text", id_col="doc_id",
+            embedding_col="embedding", semantic_dim=8))
+    # batch 2: four DISTINCT-code near twins of the kept doc (last
+    # component nudged enough to shift the int8 code, cosine ~0.9996)
+    # — they land in the kept doc's buckets, so the batch-side stored
+    # population (4) exceeds the cap while the state side holds 1
+    rows = [
+        (i, " ".join(f"t{i}w{j}" for j in range(20)),
+         v[:-1] + [-0.5 + 0.08 * i])
+        for i in range(1, 5)
+    ]
+    b2 = spark.createDataFrame(rows, EMB_SCHEMA)
+    store = curate.open_state(spark, sd)
+    audit = curate.curate_batch(b2, store, **kw)
+    got = {r.doc_id: (r.keep, r.drop_reason) for r in audit.collect()}
+    assert got == {i: (False, "semantic_dup") for i in range(1, 5)}, got
+
+
 def test_semantic_gate_near_dup_recall_floor(spark, tmp_path):
     """Recall of the cross-batch semantic gate against EXACT-cosine
     ground truth (VERDICT r9 next #1 — the gate's one previously
@@ -1048,6 +1085,104 @@ def test_semantic_gate_near_dup_recall_floor(spark, tmp_path):
     r0, r2 = recall(0), recall(2)
     assert r2 >= 0.95, (r0, r2)
     assert r2 >= r0, (r0, r2)
+
+
+def test_reband_semantic_state_matches_from_scratch(spark, tmp_path):
+    """Live re-banding (VERDICT r10 next #3): migrating a state's vbkt
+    rows from 8x8 to 16x16 via the stored int8 codes produces the SAME
+    state rows as a from-scratch _survivor_state build at 16x16 over
+    the same kept docs, and a next batch probed at 16x16 drops the
+    same docs against either. The migrated manifest carries the new
+    banding, so curate_stream's mismatch guard accepts it."""
+    import hashlib
+
+    import numpy as np
+
+    dim, n = 64, 20
+
+    def hvec(tag, i):
+        raw = b"".join(
+            hashlib.sha256(f"{tag}|{i}|{k}".encode()).digest()
+            for k in range(2))
+        return (np.frombuffer(raw, dtype=np.uint8)[:dim]
+                .astype(np.float64) - 127.5) / 127.5
+
+    schema = "doc_id long, text string, embedding array<float>"
+    words = lambda t, i: " ".join(  # noqa: E731
+        f"{t}{i}w{j}" for j in range(20))
+    b1 = spark.createDataFrame(
+        [(i, words("b", i), [float(x) for x in hvec("rb", i)])
+         for i in range(n)], schema)
+    a1 = curate.curate_batch(
+        b1, None, embedding_col="embedding", semantic_threshold=0.9,
+        semantic_dim=dim)  # 8x8 defaults
+    assert a1.filter("keep").count() == n
+    src = str(tmp_path / "src")
+    curate._advance_state(
+        spark, src, 0,
+        curate._survivor_state(
+            a1.filter("keep"), text_col="text", id_col="doc_id",
+            embedding_col="embedding", semantic_dim=dim),
+        sem_meta={"sem_bands": 8, "sem_planes": 8})
+
+    dest = str(tmp_path / "dest")
+    out = curate.reband_semantic_state(
+        spark, src, dest, bands=16, planes=16)
+    assert out["vcode_docs"] == n and out["version"] == 0
+
+    # from-scratch twin at the new sizing over the same survivors
+    ref = str(tmp_path / "ref")
+    curate._advance_state(
+        spark, ref, 0,
+        curate._survivor_state(
+            a1.filter("keep"), text_col="text", id_col="doc_id",
+            embedding_col="embedding", semantic_bands=16,
+            semantic_planes=16, semantic_dim=dim),
+        sem_meta={"sem_bands": 16, "sem_planes": 16})
+
+    def rows(path):
+        return sorted(
+            (r.kind, r.key, r.ref, tuple(r.vals or []), r.cnt)
+            for r in curate.read_state(spark, path).collect())
+
+    assert rows(dest) == rows(ref)
+    store = curate.open_state(spark, dest)
+    assert store.app_meta()["sem_bands"] == 16
+    assert store.app_meta()["sem_planes"] == 16
+
+    # a near-twin batch probed at the NEW banding drops identically
+    # against the migrated and the from-scratch state
+    twins = spark.createDataFrame(
+        [(1000 + i, words("t", i),
+          [float(x) for x in
+           hvec("rb", i) + 0.1 * hvec("rbn", i)])
+         for i in range(n)], schema)
+    kw = {"embedding_col": "embedding", "semantic_threshold": 0.9,
+          "semantic_bands": 16, "semantic_planes": 16,
+          "semantic_dim": dim, "semantic_probes": 2}
+
+    def drops(path):
+        audit = curate.curate_batch(
+            twins, curate.open_state(spark, path), **kw)
+        return {r.doc_id for r in audit.collect()
+                if r.drop_reason == "semantic_dup"}
+
+    d_mig, d_ref = drops(dest), drops(ref)
+    assert d_mig == d_ref
+    assert len(d_mig) >= int(0.9 * n)  # the twins really are caught
+
+    # guards: non-semantic source and a non-empty destination refuse
+    plain = str(tmp_path / "plain")
+    curate._advance_state(
+        spark, plain, 0,
+        curate._survivor_state(
+            a1.filter("keep"), text_col="text", id_col="doc_id"))
+    with pytest.raises(ValueError, match="without the semantic gate"):
+        curate.reband_semantic_state(
+            spark, plain, str(tmp_path / "x"), bands=16, planes=16)
+    with pytest.raises(ValueError, match="already has committed"):
+        curate.reband_semantic_state(
+            spark, src, dest, bands=16, planes=16)
 
 
 def test_semantic_banding_sizing_rule():

@@ -73,9 +73,14 @@ def main() -> int:
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
+    from nexus_processor_spark import codegen_guard
     from nexus_processor_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    # codegen-fallback guard (VERDICT r10 next #2): a janino bailout
+    # produces CORRECT rows interpreted — values alone can't catch it,
+    # so the driver JVM's WARN+ log is captured and a hit FAILS the run
+    guard_confs, guard_log = codegen_guard.capture_confs()
+    spark = get_spark("oracle-check", extra_confs=guard_confs)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
@@ -121,6 +126,18 @@ def main() -> int:
             report[name] = {"status": "PASS", "rows": len(sdf),
                             "secs": round(time.time() - t0, 2)}
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    guard = codegen_guard.scan(guard_log)
+    if guard["hits"]:
+        print(f"CODEGEN FALLBACK: {len(guard['hits'])} un-allowlisted "
+              f"fallback lines in {guard_log} — the plan ran "
+              "interpreted somewhere; failing the run")
+        for line in guard["hits"][:10]:
+            print(f"  {line[:200]}")
+    elif guard["allowed"]:
+        print(f"codegen guard: {len(guard['allowed'])} allowlisted "
+              "fallback lines (see codegen_guard.ALLOWLIST)")
+    else:
+        print("codegen guard: clean (no compile-fallback lines)")
     if args.out:
         import json
 
@@ -129,11 +146,12 @@ def main() -> int:
                 "sf": args.sf,
                 "total": len(names),
                 "passed": len(names) - len(failed),
+                "codegen_fallbacks": len(guard["hits"]),
                 "queries": report,
             }, fh, indent=1, sort_keys=True)
         print(f"wrote {args.out}")
     spark.stop()
-    return 1 if failed else 0
+    return 1 if failed or guard["hits"] else 0
 
 
 if __name__ == "__main__":

@@ -76,7 +76,10 @@ SNAP_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "snapbig")
 # old 3600 default skipped vecbench. The early headline JSON still
 # prints within the first minute, so a harness kill past it loses only
 # tail sections.
-BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "4300"))
+# r11 grew curatebench's semantic variant to a 5-batch flatness sweep
+# at the suggest_semantic_banding sizing and annbench1m's disk tier to
+# an interleaved 5-rep A/B (VERDICT r10 next #1/#4): +~10-15 min.
+BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "5400"))
 _T_START = time.monotonic()
 
 
@@ -330,6 +333,7 @@ def run_curate(spark) -> dict[str, object]:
     def drive(
         gates: bool, *, n_batches: int = 5, mod: int | None = None,
         fold_factor: int | None = None, src=None, semantic: bool = False,
+        sem_sizing: dict[str, int] | None = None,
     ) -> dict[str, object]:
         source = src if src is not None else docs
         state_dir = tempfile.mkdtemp(prefix="curate_bench_state_")
@@ -355,12 +359,17 @@ def run_curate(spark) -> dict[str, object]:
             # accumulated corpus per band). Round 10: 16 BANDS (r9 ran
             # 4 — exact-twin-safe but measured 0.755 recall on true
             # near-dups) + 2 multiprobes per band, the sizing the
-            # recall-floor test pins at >= 0.95; recall is now
-            # MEASURED below against exact-cosine ground truth.
+            # recall-floor test pins at >= 0.95; recall is MEASURED
+            # below against exact-cosine ground truth. ``sem_sizing``
+            # overrides with suggest_semantic_banding's output — the
+            # flatness sweep (VERDICT r10 next #1) runs at the sizing
+            # the helper prescribes for its FINAL kept corpus.
+            sz = sem_sizing or {"bands": 16, "planes": 16, "probes": 2}
             kw.update({
                 "embedding_col": "embedding", "semantic_threshold": 0.9,
-                "semantic_bands": 16, "semantic_planes": 16,
-                "semantic_probes": 2,
+                "semantic_bands": int(sz["bands"]),
+                "semantic_planes": int(sz["planes"]),
+                "semantic_probes": int(sz["probes"]),
             })
         # all-gates batches run at ~100k docs: the repetition +
         # decontamination plans hold the wide text column in several
@@ -403,8 +412,14 @@ def run_curate(spark) -> dict[str, object]:
                 .select("doc_id").distinct().persist()
             )
             n_true = truth.count()
+            # a truth-set doc counts as caught when ANY dedup gate
+            # dropped it (ADVICE r10): a true near-dup removed as
+            # exact_dup/near_dup before the semantic stage is not a
+            # gate miss — the pipeline removed it
             caught = audit.where(
-                "drop_reason = 'semantic_dup'").select("doc_id")
+                "drop_reason IN "
+                "('exact_dup', 'near_dup', 'semantic_dup')"
+            ).select("doc_id")
             n_hit = truth.join(caught, "doc_id", "left_semi").count()
             truth.unpersist()
             return (
@@ -419,8 +434,10 @@ def run_curate(spark) -> dict[str, object]:
                     store if store.current_version() is not None else None
                 )
                 handles: list = []
+                metrics: dict = {}
                 audit = curate.curate_batch(
-                    batch, state, _projection_out=handles, **kw
+                    batch, state, _projection_out=handles,
+                    _metrics_out=metrics if semantic else None, **kw
                 ).persist()
                 try:
                     n_kept = audit.filter("keep").count()
@@ -458,6 +475,19 @@ def run_curate(spark) -> dict[str, object]:
                     sem_recall, sem_true = (
                         _sem_recall(batch, audit, b)
                         if semantic else (None, 0))
+                    # verify-candidate volume (VERDICT r10 next #1):
+                    # counted OUTSIDE the gate's wall clock, off the
+                    # batch's persisted codes/bkts — the number that
+                    # must stay ~flat as kept state grows at a sized
+                    # banding (state-side collisions ~ true dups +
+                    # bands*(1+probes)*kept/2^planes random ones)
+                    sem_cands = {
+                        key: metrics[mk].count()
+                        for key, mk in (
+                            ("batch_pair_cands", "sem_batch_pairs"),
+                            ("state_cands", "sem_state_candidates"),
+                        ) if mk in metrics
+                    } if semantic else {}
                     if semantic:
                         # accumulate the kept corpus's embeddings for
                         # the next batch's ground truth (bench-side
@@ -471,7 +501,8 @@ def run_curate(spark) -> dict[str, object]:
                     for h in handles:
                         h.unpersist()
                 entry_extra = (
-                    {"sem_recall": sem_recall, "sem_true_pairs": sem_true}
+                    {"sem_recall": sem_recall, "sem_true_pairs": sem_true,
+                     **sem_cands}
                     if semantic else {})
                 out["batches"].append({
                     "sec": round(t_batch, 3),
@@ -551,7 +582,7 @@ def run_curate(spark) -> dict[str, object]:
     # exact cosine spread ~[0.92, 0.997]) so the variant measures true
     # NEAR-dup recall against exact-cosine ground truth, not just the
     # trivially-colliding exact-twin case; even twins stay exact.
-    if _remaining() > 300:
+    if _remaining() > 1100:
         ensure_big_vecs(spark)
         emb = spark.read.parquet(
             f"{VEC_DIR}/embeddings.parquet"
@@ -576,9 +607,33 @@ def run_curate(spark) -> dict[str, object]:
                 .cast("float")))
             .drop("_eps")
         )
+        # flatness sweep (VERDICT r10 next #1): 5 batches at the
+        # sizing suggest_semantic_banding prescribes for the run's
+        # FINAL kept corpus (~n_batches * 2M/40 docs), so the last
+        # batch probes a state the banding was sized for. The r10
+        # 3-batch run at hand-picked 16x16+2 bought recall 0.998-1.0
+        # but left cost scaling unproven (26.6/205/160 s — not flat).
+        sem_n_batches = 5
+        sizing = curate.suggest_semantic_banding(
+            int(DOCS_ROWS / 40 * sem_n_batches), 0.9)
         out["semantic"] = drive(
-            gates=False, semantic=True, n_batches=3, mod=40,
-            src=docs_sem)
+            gates=False, semantic=True, n_batches=sem_n_batches,
+            mod=40, src=docs_sem, sem_sizing=sizing)
+        out["semantic"]["sizing"] = sizing
+        sem_secs = [x["sec"] for x in out["semantic"]["batches"]]
+        recalls = [x["sem_recall"] for x in out["semantic"]["batches"]
+                   if x["sem_recall"] is not None]
+        import statistics as _st
+        out["semantic"]["flatness"] = {
+            # slope pin: the LAST batch (largest state) over the run
+            # median; 1.3 bounds "cost grows with kept state" while
+            # tolerating box noise. Recall floor held per batch.
+            "last_over_median": round(
+                sem_secs[-1] / _st.median(sem_secs), 2),
+            "recall_min": min(recalls) if recalls else None,
+            "ok": (sem_secs[-1] / _st.median(sem_secs) <= 1.3
+                   and bool(recalls) and min(recalls) >= 0.95),
+        }
         # hot-bucket skew variant (VERDICT r9 next #8): 20% of every
         # batch shares ONE embedding — the viral-duplicate shape of
         # real crawl data. The identical-code collapse must keep the
@@ -662,29 +717,41 @@ def run_curate(spark) -> dict[str, object]:
     return out
 
 
+REPLAY_JSONL_ROWS = 1_000_000
+
+
 def run_replay(spark, sf_dir: str) -> dict[str, object]:
     """Replay egress throughput against BASELINE.md rows 8-9: the
     reference documents ~100K events/s for stdout JSONL and ~10M events/s
-    for Arrow Flight (docs/event-replay.md:31-32). Both channels replay
-    the sf events table end-to-end (ordered, full rows)."""
+    for Arrow Flight (docs/event-replay.md:31-32).
+
+    The JSONL row count is PINNED at 1M (VERDICT r10 next #6): the old
+    sf-sized sample (~100k rows, ~1.4 s) was dominated by fixed
+    job-startup cost — the same code measured 153K ev/s in r9 and 72K
+    in r10 purely from that overhead's share of a too-short run. At 1M
+    rows the steady-state emit rate dominates and rounds compare."""
     import io
 
     from pyspark.sql import functions as F
 
     from nexus_processor_spark.functions.core import event_seconds
-    from nexus_processor_spark.sources.tables import load_table
     from nexus_processor_spark.streaming import replay
 
+    ensure_big_events(spark)
     # FIXTURES.md §4 mapping onto the replay schema: event_type -> run_id,
     # user_id -> pulse_index, value -> time_offset.
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("event_type").alias("run_id"),
-        F.col("user_id").alias("pulse_index"),
-        F.col("value").alias("time_offset"),
-        "event_id",
-        event_seconds("ts").alias("absolute_time"),
+    n = REPLAY_JSONL_ROWS
+    ev = (
+        spark.read.parquet(f"{BIG_DIR}/events.parquet")
+        .filter(F.col("event_id") < n)
+        .select(
+            F.col("event_type").alias("run_id"),
+            F.col("user_id").alias("pulse_index"),
+            F.col("value").alias("time_offset"),
+            "event_id",
+            event_seconds("ts").alias("absolute_time"),
+        )
     )
-    n = ev.count()
     out: dict[str, object] = {"rows": n, "queries": {}}
 
     el = float("inf")
@@ -1362,6 +1429,35 @@ def run_ann_1m(spark) -> dict[str, object]:
                 "recall_at_10": mean_recall(build()),
                 "qps": round(n_q / t, 1),
             })
+        # interleaved disk-vs-memory A/B (VERDICT r10 next #4): r10
+        # committed two CONTRADICTORY ratios for the same comparison
+        # (0.97x standalone vs 0.67x inside the full sweep) because
+        # sub-5s qps numbers swing with box state (JIT, page cache,
+        # GC). Alternating the two configs in one process, >= 5 reps
+        # each, cancels that state pairwise; the PAIRED per-rep ratio
+        # is the number (target >= 0.85x disk/memory).
+        import statistics as _st
+        mem_build = lambda: similarity.ivf_int8_rerank_topk(  # noqa: E731
+            nq, nemb, ncents, k, nprobe=48, candidates=100,
+            cells=cells_n, codes=codes_c)
+        disk_build = lambda: vector_index.search(  # noqa: E731
+            spark, nq, nemb, idx_dir, k, nprobe=48, candidates=100)
+        timed(mem_build)  # warm both plan shapes outside the reps
+        timed(disk_build)
+        mem_secs, disk_secs, pair_ratio = [], [], []
+        for _ in range(5):
+            m = timed(mem_build)
+            d = timed(disk_build)
+            mem_secs.append(round(m, 3))
+            disk_secs.append(round(d, 3))
+            pair_ratio.append(round(m / d, 3))  # disk qps / mem qps
+        out["disk_vs_memory_ab"] = {
+            "nprobe": 48, "candidates": 100, "reps": 5,
+            "interleaved": True,
+            "mem_sec": mem_secs, "disk_sec": disk_secs,
+            "paired_qps_ratio": pair_ratio,
+            "median_qps_ratio": round(_st.median(pair_ratio), 3),
+        }
         # ---- lifecycle drift audit (VERDICT r9 next #2) ----
         # 200k DISTRIBUTION-SHIFTED vectors append under the frozen
         # quantizer in 4 commits (files accrete; the shared shift pulls

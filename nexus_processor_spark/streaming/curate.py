@@ -912,8 +912,17 @@ def curate_batch(
     id_col: str = "doc_id",
     hash_fn: str = "md5",
     _projection_out: list | None = None,
+    _metrics_out: dict | None = None,
 ) -> DataFrame:
     """One batch through the gates against ``state`` (None = cold start).
+
+    ``_metrics_out`` (instrumentation, bench-only): when a dict is
+    passed, the semantic gate stashes its candidate frames under
+    ``sem_batch_pairs`` (within-batch verified pair candidates) and
+    ``sem_state_candidates`` (cross-batch state collisions) so the
+    caller can COUNT the verify volume outside the gate's own wall
+    clock — the number that must stay ~flat as kept state grows at a
+    properly sized banding (VERDICT r10 next #1).
 
     ``semantic_threshold`` (with ``embedding_col``) enables the
     EMBEDDING near-dup gate after the lexical one: docs whose int8-
@@ -1284,6 +1293,8 @@ def curate_batch(
                 F.col("_qb"), F.col("_nbb"), t2_num))
             .select(F.col("_ib").alias(id_col)).distinct()
         )
+        if _metrics_out is not None:
+            _metrics_out["sem_batch_pairs"] = cpairs
         sem_batch = sem_batch.unionByName(sem_collapsed).distinct()
         if state is not None:
             # state probes: bucket keys prune 'vbkt' (batch-key-sized
@@ -1315,6 +1326,8 @@ def curate_batch(
                 kept_b.join(F.broadcast(bkts_probe), "_vkey")
                 .select(id_col, "_ref").distinct()
             )
+            if _metrics_out is not None:
+                _metrics_out["sem_state_candidates"] = cand_v
             refs = cand_v.select("_ref").distinct()
             kept_c = _state_kind(state, "vcode", refs).select(
                 F.col("key").alias("_ref"), F.col("vals").alias("_kv"))

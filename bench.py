@@ -620,18 +620,27 @@ def run_curate(spark) -> dict[str, object]:
             gates=False, semantic=True, n_batches=sem_n_batches,
             mod=40, src=docs_sem, sem_sizing=sizing)
         out["semantic"]["sizing"] = sizing
-        sem_secs = [x["sec"] for x in out["semantic"]["batches"]]
-        recalls = [x["sem_recall"] for x in out["semantic"]["batches"]
+        batches = out["semantic"]["batches"]
+        recalls = [x["sem_recall"] for x in batches
                    if x["sem_recall"] is not None]
+        # slope pin over STEADY batches: tier folds (fold_mb > 0) are
+        # bounded-amortized rewrites already pinned separately by
+        # fold_wallclock_pin at K=3.5 — a fold landing on the last
+        # batch must not masquerade as "cost grows with kept state".
+        # The steady last/median <= 1.3 bound plus per-batch recall
+        # >= 0.95 is the VERDICT r10 next-#1 done criterion.
         import statistics as _st
+        steady = [x["sec"] for x in batches if x["fold_mb"] == 0]
+        if len(steady) >= 3:
+            slope = round(steady[-1] / _st.median(steady), 2)
+        else:  # folds everywhere: fall back to the full sequence
+            allsec = [x["sec"] for x in batches]
+            slope = round(allsec[-1] / _st.median(allsec), 2)
         out["semantic"]["flatness"] = {
-            # slope pin: the LAST batch (largest state) over the run
-            # median; 1.3 bounds "cost grows with kept state" while
-            # tolerating box noise. Recall floor held per batch.
-            "last_over_median": round(
-                sem_secs[-1] / _st.median(sem_secs), 2),
+            "steady_batches": len(steady),
+            "last_over_median": slope,
             "recall_min": min(recalls) if recalls else None,
-            "ok": (sem_secs[-1] / _st.median(sem_secs) <= 1.3
+            "ok": (slope <= 1.3
                    and bool(recalls) and min(recalls) >= 0.95),
         }
         # hot-bucket skew variant (VERDICT r9 next #8): 20% of every
@@ -1514,6 +1523,10 @@ def run_ann_1m(spark) -> dict[str, object]:
             "cell_skew_after_appends": stats_drift["cell_skew"],
             "files_per_cell_max_after_appends":
                 stats_drift["files_per_cell_max"],
+            # the r11 maintenance advice (index_stats recommendation),
+            # evaluated on the audit's own drifted tier — the audit's
+            # measured cliffs are exactly what the field encodes
+            "recommendation_after_appends": stats_drift["recommendation"],
         }
         for nprobe in (48, 8):
             build = lambda: vector_index.search(  # noqa: E731
@@ -1535,6 +1548,10 @@ def run_ann_1m(spark) -> dict[str, object]:
         drift["serving_cost_compacted"] = {
             "sec": round(t_cmp, 3), "qps": round(n_q / t_cmp, 1),
             "files": stats_comp["files"]}
+        # full lifecycle: the superseded tier is parked (pre-swap
+        # readers keep an intact dir) until vacuum reclaims it
+        drift["vacuumed_stale_dirs"] = len(
+            vector_index.vacuum_index(spark, idx_dir))
         rebuild_dir = tempfile.mkdtemp(prefix="bench_vidx_rb_")
         try:
             # retrained quantizer: same k_cells, centroid sample now

@@ -27,7 +27,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # this is per-executor memory sizing. Must be set before the JVM starts.
 # 24g: 16g survived every section standalone but OOMed when curatebench
 # ran after ~1000s of docs/vec sections' accumulated old-gen churn.
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+# 32g (r11): the semantic flatness sweep at the sized 42x19+2 banding
+# holds ~3x the r10 key fan-out (126 bucket keys/doc persisted + a
+# ~2.6M-row state delta per commit); 24g OOMed mid-sweep (heap, with
+# a 6.3M-row broadcast since removed from the state join — the bump
+# is headroom for the rest of the fan-out).
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
 
 from nexus_processor_spark import queries as registry
 from nexus_processor_spark.session import get_spark

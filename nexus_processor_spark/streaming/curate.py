@@ -1322,8 +1322,16 @@ def curate_batch(
                 )
                 kept_b = kept_b.join(
                     F.broadcast(big_s), "_vkey", "left_anti")
+            # plain hash join on _vkey: BOTH sides scale with the batch
+            # (probe side = docs x bands x (1+probes) keys — 6.3M rows
+            # at the sized 42x19+2 banding on a 50k batch, and growing
+            # linearly with batch size; kept_b = state rows in probed
+            # buckets). Broadcasting the probe side OOMed the 24g
+            # bench JVM at that sizing and would be unbuildable for a
+            # 10M-doc crawl batch; a shuffle join partitions on the
+            # key and scales with executors.
             cand_v = (
-                kept_b.join(F.broadcast(bkts_probe), "_vkey")
+                kept_b.join(bkts_probe, "_vkey")
                 .select(id_col, "_ref").distinct()
             )
             if _metrics_out is not None:

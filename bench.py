@@ -27,12 +27,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # this is per-executor memory sizing. Must be set before the JVM starts.
 # 24g: 16g survived every section standalone but OOMed when curatebench
 # ran after ~1000s of docs/vec sections' accumulated old-gen churn.
-# 32g (r11): the semantic flatness sweep at the sized 42x19+2 banding
+# 31g (r11): the semantic flatness sweep at the sized 42x19+2 banding
 # holds ~3x the r10 key fan-out (126 bucket keys/doc persisted + a
 # ~2.6M-row state delta per commit); 24g OOMed mid-sweep (heap, with
 # a 6.3M-row broadcast since removed from the state join — the bump
-# is headroom for the rest of the fan-out).
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+# is headroom for the rest of the fan-out). 31g, NOT 32g: -Xmx32g
+# crosses the JVM's zero-based compressed-oops ceiling (verified with
+# -XX:+PrintFlagsFinal on this JDK: UseCompressedOops=false at 32g,
+# true at 31g) — doubling every object pointer on a pointer-heavy
+# UTF8String/array workload for no usable headroom gain.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "31g")
 
 from nexus_processor_spark import queries as registry
 from nexus_processor_spark.session import get_spark
@@ -84,7 +88,10 @@ SNAP_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "snapbig")
 # r11 grew curatebench's semantic variant to a 5-batch flatness sweep
 # at the suggest_semantic_banding sizing and annbench1m's disk tier to
 # an interleaved 5-rep A/B (VERDICT r10 next #1/#4): +~10-15 min.
-BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "5400"))
+# 7200 (r11): the first full r11 sweep measured 5390s on a ~1.6x-slower
+# box (curatebench alone 3099s) and skipped docsbench+tablebench at the
+# old 5400 budget; 7200 covers the measured total + tail sections.
+BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "7200"))
 _T_START = time.monotonic()
 
 
@@ -1697,19 +1704,24 @@ def main() -> None:
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).limit(1).count()
 
-    # Best-of-3 per query: the first execution of a plan shape pays JIT
-    # compilation of its generated code; later reps are the steady-state
-    # number a long-running cluster job actually sees. (Best-of-2 left
-    # ~20% JIT noise on the sub-second queries — r03's apparent
-    # timeslice_bank_interval/text_profile "drift" vs r01 reproduced as
-    # run-to-run variance, not a plan change; see COVERAGE.md.)
+    # One UNTIMED warm-up rep, then best-of-3 per query: the first
+    # executions of a plan shape pay JIT compilation of its generated
+    # code; later reps are the steady-state number a long-running
+    # cluster job actually sees. (Best-of-2 left ~20% JIT noise on the
+    # sub-second queries — r03's apparent timeslice_bank_interval/
+    # text_profile "drift" vs r01 reproduced as run-to-run variance,
+    # not a plan change; see COVERAGE.md. r11: a slower-JIT box showed
+    # even 3 reps insufficient for the widest HOF plans — a 10-rep
+    # probe measured dedup_minhash_pairs at 4.6/2.4/2.9/2.2/1.8...,
+    # i.e. rep 1 still ~2.5x steady state, so it is excluded outright.)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(3):
+        for rep in range(4):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            if rep > 0:  # rep 0 is the JIT warm-up, never recorded
+                best = min(best, time.perf_counter() - t0)
             # Queries are timed independently: drop operator-internal
             # persisted frames so one run's cache doesn't feed the next.
             spark.catalog.clearCache()
@@ -1788,6 +1800,24 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_SECTIONS",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_SECTIONS.json"))
+    # Sections this run did NOT execute (SPARK_GRAFT_BIGBENCH=0 debug
+    # runs, or a budget skip) must not clobber a prior run's measured
+    # values: r11 lost a completed 90-min sweep to a headline-only
+    # debug rerun of the same default path. Carry the prior section
+    # forward with an explicit provenance marker instead.
+    try:
+        with open(sections_path) as fh:
+            prior = json.load(fh)
+    except (OSError, ValueError):
+        prior = {}
+    for name in ("bigbench", "curatebench", "annbench", "annbench1m",
+                 "docsbench", "opsbench", "replaybench", "vecbench",
+                 "tablebench"):
+        ran_now = name in full and "skipped" not in full.get(name, {})
+        if not ran_now and name in prior:
+            carried = prior[name]
+            if isinstance(carried, dict) and "skipped" not in carried:
+                full[name] = {**carried, "carried_from_prior_run": True}
     try:
         with open(sections_path, "w") as fh:
             json.dump(full, fh, indent=1)

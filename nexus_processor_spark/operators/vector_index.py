@@ -34,12 +34,18 @@ directory as a STALE tier that ``vacuum_index`` removes later (so a
 reader that opened the index before the swap keeps scanning an intact
 immutable directory until the operator explicitly vacuums — the same
 publish-then-vacuum split snapshot tables use). Re-training the
-quantizer remains a rebuild.
+quantizer is ``rebuild_index``: it refits centroids over the current
+corpus and republishes a versioned ``codes-<uuid>`` +
+``centroids-<uuid>`` PAIR under the same park-then-vacuum discipline
+(pre-swap readers must never see new cells over old cell-partitioned
+codes). ``maintain_index`` dispatches whichever action ``index_stats``
+recommends.
 
 Concurrency contract: searches are safe against a concurrent
 ``compact_index`` (they hold whichever manifest they opened, and both
 directories exist until vacuum). MAINTENANCE is single-writer:
-``append_to_index``, ``compact_index`` and ``vacuum_index`` must not
+``append_to_index``, ``compact_index``, ``rebuild_index``,
+``maintain_index`` and ``vacuum_index`` must not
 run concurrently with each other — an append racing a compaction can
 commit its rows into the pre-swap directory, where the republished
 manifest never sees them. Serialize maintenance (one writer), and run
@@ -66,6 +72,14 @@ def _codes_path(path: str, manifest: dict) -> str:
     """The manifest-current codes directory (``codes`` until the first
     compaction republishes the pointer)."""
     return os.path.join(path, manifest.get("codes_dir", "codes"))
+
+
+def _centroids_path(path: str, manifest: dict) -> str:
+    """The manifest-current centroids directory (``centroids`` until a
+    rebuild republishes the pointer — rebuilds version the quantizer the
+    same way compactions version the codes tier, so pre-swap readers
+    keep a consistent centroids+codes pair)."""
+    return os.path.join(path, manifest.get("centroids_dir", "centroids"))
 
 
 def _publish_manifest(path: str, manifest: dict) -> None:
@@ -136,7 +150,7 @@ def open_index(
     partition column, so filters on it prune at the source."""
     with open(os.path.join(path, "index.json")) as fh:
         manifest = json.load(fh)
-    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    centroids = spark.read.parquet(_centroids_path(path, manifest))
     codes = spark.read.parquet(_codes_path(path, manifest))
     return manifest, centroids, codes
 
@@ -310,6 +324,122 @@ def compact_index(spark: SparkSession, path: str) -> dict:
     return index_stats(spark, path)
 
 
+def rebuild_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    centroids: DataFrame | None = None,
+    iters: int = 2,
+    init: str = "parallel",
+) -> dict:
+    """Retrain the quantizer IN PLACE: fit fresh centroids over the
+    CURRENT full-precision corpus (``similarity.kmeans_fit``; or take
+    caller-supplied ``centroids``), re-assign + re-pack every vector,
+    and republish the manifest to the new ``codes-<uuid>`` /
+    ``centroids-<uuid>`` pair — the maintenance action for
+    frozen-quantizer drift, where compaction cannot recover recall
+    because the CELLS themselves are stale (drift audit: skew 2.4 cost
+    −0.10 recall@10 at nprobe=8; a retrained rebuild recovered it).
+
+    Both superseded directories are PARKED on ``stale_dirs`` (not
+    deleted), so a reader that opened the index pre-swap keeps a
+    consistent centroids+codes pair until :func:`vacuum_index` —
+    versioning the quantizer exactly like :func:`compact_index`
+    versions the codes tier; an unversioned centroids overwrite would
+    hand pre-swap readers NEW cells over OLD cell-partitioned codes
+    (silently wrong probes, not just missing files). Single-writer like
+    all maintenance. Returns the post-rebuild :func:`index_stats`."""
+    from nexus_processor_spark.operators import similarity, vector_arrow
+
+    spark = corpus.sparkSession
+    with open(os.path.join(path, "index.json")) as fh:
+        manifest = json.load(fh)
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    if centroids is None:
+        trained = similarity.kmeans_fit(
+            corpus, k=int(manifest["k_cells"]), iters=iters,
+            id_col=id_col, vec_col=vec_col,
+            round_digits=manifest["round_digits"], init=init,
+        )
+        centroids = trained.select(
+            F.col("centroid_id").alias(id_col),
+            F.col("centroid").alias(vec_col),
+        )
+    # persist-once: the centroids feed the assign, the write AND the
+    # k_cells count — a non-deterministic caller-supplied frame must
+    # not train one quantizer and persist another (append_to_index's
+    # count/write discipline, ADVICE r9)
+    centroids = centroids.select(id_col, vec_col).persist()
+    try:
+        cells = similarity.kmeans_assign(
+            corpus, centroids, id_col=id_col, vec_col=vec_col,
+            round_digits=manifest["round_digits"],
+        ).select(id_col, F.col("centroid_id").alias("cell"))
+        codes = vector_arrow.pack_int8_codes(
+            corpus, id_col=id_col, vec_col=vec_col
+        ).join(cells, id_col)
+        new_codes = f"codes-{uuid.uuid4().hex}"
+        new_cents = f"centroids-{uuid.uuid4().hex}"
+        (codes.repartition("cell").sortWithinPartitions(id_col)
+         .write.mode("overwrite").partitionBy("cell")
+         .parquet(os.path.join(path, new_codes)))
+        centroids.write.mode("overwrite").parquet(
+            os.path.join(path, new_cents))
+        old_codes = manifest.get("codes_dir", "codes")
+        old_cents = manifest.get("centroids_dir", "centroids")
+        manifest = {
+            **manifest,
+            # kmeans_fit can shrink k (emptied cells drop out) — the
+            # manifest must carry the TRAINED cell count or index_stats'
+            # skew denominator and searchers' nprobe sizing go stale
+            "k_cells": centroids.count(),
+            "codes_dir": new_codes,
+            "centroids_dir": new_cents,
+            "stale_dirs": [
+                *manifest.get("stale_dirs", []), old_codes, old_cents,
+            ],
+        }
+    finally:
+        centroids.unpersist()
+    _publish_manifest(path, manifest)
+    return index_stats(spark, path)
+
+
+def maintain_index(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame | None = None,
+    *,
+    vacuum: bool = False,
+) -> dict:
+    """One-call maintenance loop: read :func:`index_stats`, EXECUTE its
+    ``recommendation`` (``"compact"`` → :func:`compact_index`;
+    ``"rebuild"`` → :func:`rebuild_index`, which needs the
+    full-precision ``corpus`` — without one it degrades to a compaction
+    if accretion also crossed its cliff, else no-ops, and says so),
+    optionally :func:`vacuum_index` afterwards (only safe when no
+    reader opened the index pre-swap — a batch pipeline between jobs,
+    not a live service). Returns ``{"recommendation", "action",
+    "stats"}`` with post-action stats. Single-writer like every
+    maintenance op here."""
+    before = index_stats(spark, path)
+    rec = before["recommendation"]
+    if rec == "rebuild":
+        if corpus is not None:
+            action, stats = "rebuild", rebuild_index(corpus, path)
+        elif before["files_per_cell_max"] >= FILES_COMPACT_CLIFF:
+            action, stats = "compact_no_corpus", compact_index(spark, path)
+        else:
+            action, stats = "skipped_no_corpus", before
+    elif rec == "compact":
+        action, stats = "compact", compact_index(spark, path)
+    else:
+        action, stats = "none", before
+    if vacuum and action in ("rebuild", "compact", "compact_no_corpus"):
+        vacuum_index(spark, path)
+    return {"recommendation": rec, "action": action, "stats": stats}
+
+
 def vacuum_index(spark: SparkSession, path: str) -> list[str]:
     """Remove superseded codes directories parked by earlier
     :func:`compact_index` calls and republish the manifest with an
@@ -320,10 +450,11 @@ def vacuum_index(spark: SparkSession, path: str) -> list[str]:
     with open(os.path.join(path, "index.json")) as fh:
         manifest = json.load(fh)
     stale = list(manifest.get("stale_dirs", []))
-    current = manifest.get("codes_dir", "codes")
+    live = {manifest.get("codes_dir", "codes"),
+            manifest.get("centroids_dir", "centroids")}
     removed = []
     for name in stale:
-        if name == current:  # never drop the live tier, even on a bad list
+        if name in live:  # never drop a live tier, even on a bad list
             continue
         shutil.rmtree(os.path.join(path, name), ignore_errors=True)
         removed.append(name)

@@ -482,3 +482,99 @@ def test_index_stats_empty_tier_returns_zeroed(spark, emb, tmp_path):
         "cell_skew": 0.0, "files": 0, "files_per_cell_max": 0,
         "recommendation": "empty",
     }
+
+
+def test_rebuild_index_retrains_and_parks_tiers(spark, emb, tmp_path):
+    """rebuild_index (round 11): the drift-cliff maintenance action.
+    Retraining republishes a versioned codes+centroids PAIR — searches
+    against the rebuilt index must equal a from-scratch build at the
+    new quantizer, both superseded dirs are parked until vacuum, and
+    k_cells tracks the trained centroid count."""
+    import os
+
+    from nexus_processor_spark.operators import vector_index
+
+    clean = emb.filter("vec_id < 100")
+    cents = clean.filter("vec_id < 4")
+    q = clean.filter("vec_id < 3")
+    path = str(tmp_path / "vidx_rb")
+    vector_index.build_ivf_int8_index(clean, cents, path)
+    # retrain with caller-supplied centroids: 5 cells (k_cells changes)
+    cents2 = clean.filter("vec_id >= 10 AND vec_id < 15")
+    after = vector_index.rebuild_index(clean, path, centroids=cents2)
+    assert after["rows"] == 100
+    manifest, _, _ = vector_index.open_index(spark, path)
+    assert manifest["k_cells"] == 5
+    assert manifest["codes_dir"].startswith("codes-")
+    assert manifest["centroids_dir"].startswith("centroids-")
+    assert manifest["stale_dirs"] == ["codes", "centroids"]
+    # pre-swap readers keep a consistent pair: both old dirs intact
+    assert os.path.exists(os.path.join(path, "codes"))
+    assert os.path.exists(os.path.join(path, "centroids"))
+    got = vector_index.search(spark, q, clean, path, 5, nprobe=2,
+                              candidates=20)
+    scratch = str(tmp_path / "vidx_scratch")
+    vector_index.build_ivf_int8_index(clean, cents2, scratch)
+    want = vector_index.search(spark, q, clean, scratch, 5, nprobe=2,
+                               candidates=20)
+    assert _collect_sorted(got, "query_id", "rank") == _collect_sorted(
+        want, "query_id", "rank")
+    # vacuum reclaims BOTH parked tiers, never the live pair
+    assert sorted(vector_index.vacuum_index(spark, path)) == [
+        "centroids", "codes"]
+    assert not os.path.exists(os.path.join(path, "codes"))
+    assert not os.path.exists(os.path.join(path, "centroids"))
+    assert os.path.exists(os.path.join(path, manifest["codes_dir"]))
+    assert os.path.exists(os.path.join(path, manifest["centroids_dir"]))
+    # the rebuilt index still serves identically post-vacuum
+    post = vector_index.search(spark, q, clean, path, 5, nprobe=2,
+                               candidates=20)
+    assert _collect_sorted(post, "query_id", "rank") == _collect_sorted(
+        want, "query_id", "rank")
+
+
+def test_maintain_index_executes_recommendation(
+        spark, emb, tmp_path, monkeypatch):
+    """maintain_index (round 11) closes the stats->action loop: it
+    EXECUTES whatever index_stats recommends — none at healthy dials,
+    compact at the accretion cliff, rebuild at the skew cliff (given a
+    corpus; degrading with an explicit action tag without one)."""
+    from nexus_processor_spark.operators import vector_index
+
+    clean = emb.filter("vec_id < 60")
+    cents = clean.filter("vec_id < 4")
+    path = str(tmp_path / "vidx_mt")
+    vector_index.build_ivf_int8_index(
+        clean.filter("vec_id < 40"), cents, path)
+    out = vector_index.maintain_index(spark, path)
+    assert (out["recommendation"], out["action"]) == ("ok", "none")
+
+    # accrete files, then lower the compact cliff onto the measured dial
+    vector_index.append_to_index(
+        clean.filter("vec_id >= 40 AND vec_id < 60"), path)
+    st = vector_index.index_stats(spark, path)
+    monkeypatch.setattr(
+        vector_index, "FILES_COMPACT_CLIFF", st["files_per_cell_max"])
+    out = vector_index.maintain_index(spark, path, vacuum=True)
+    assert (out["recommendation"], out["action"]) == (
+        "compact", "compact")
+    assert out["stats"]["files_per_cell_max"] == 1
+    manifest, _, _ = vector_index.open_index(spark, path)
+    assert manifest["stale_dirs"] == []  # vacuum=True reclaimed it
+
+    # skew cliff: rebuild needs the corpus; without one (and accretion
+    # back under its cliff post-compaction) it reports the skip
+    st = vector_index.index_stats(spark, path)
+    monkeypatch.setattr(
+        vector_index, "SKEW_REBUILD_CLIFF", st["cell_skew"])
+    out = vector_index.maintain_index(spark, path)
+    assert (out["recommendation"], out["action"]) == (
+        "rebuild", "skipped_no_corpus")
+    out = vector_index.maintain_index(spark, path, clean, vacuum=True)
+    assert (out["recommendation"], out["action"]) == (
+        "rebuild", "rebuild")
+    assert out["stats"]["rows"] == 60
+    manifest, _, _ = vector_index.open_index(spark, path)
+    assert manifest["codes_dir"].startswith("codes-")
+    assert manifest["centroids_dir"].startswith("centroids-")
+    assert manifest["stale_dirs"] == []

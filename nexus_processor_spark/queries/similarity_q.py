@@ -1198,3 +1198,38 @@ def q_vector_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["vector_index_search"] = q_vector_index_search
 # identical semantics to the in-memory composition: same oracle
 ORACLE["vector_index_search"] = ORACLE["ivf_int8_rerank_topk"]
+
+
+def q_vector_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full maintenance lifecycle, oracle-pinned as semantics-free:
+    build the IVF-int8 tier on HALF the corpus, append the other half
+    (multi-file cells), compact (one sorted file per cell),
+    rebuild with the SAME quantizer (versioned codes+centroids pair),
+    vacuum the parked tiers — then search. Every step is layout or
+    lifecycle only, so the result must still hash-match the plain
+    ivf_int8_rerank_topk SQL twin; a maintenance op that perturbed
+    ranking (e.g. a rebuild publishing new cells over old codes)
+    fails the gate. Twins the reference's table-maintenance story
+    (lakehouse_scripts/ingest_neutron_data.py:209-211's
+    append+rewrite discipline) on the vector tier."""
+    from nexus_processor_spark.operators import vector_index
+    from nexus_processor_spark.sources.tables import scratch_dir
+
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS)
+    path = scratch_dir("vector_index_lc")
+    vector_index.build_ivf_int8_index(
+        emb.filter(F.col("vec_id") % 2 == 0), cents, path)
+    vector_index.append_to_index(
+        emb.filter(F.col("vec_id") % 2 == 1), path)
+    vector_index.compact_index(spark, path)
+    vector_index.rebuild_index(emb, path, centroids=cents)
+    vector_index.vacuum_index(spark, path)
+    return vector_index.search(
+        spark, emb.filter(F.col("vec_id") < N_QUERIES), emb, path,
+        TOP_K, nprobe=NPROBE, candidates=INT8_CAND)
+
+
+QUERIES["vector_index_lifecycle"] = q_vector_index_lifecycle
+# maintenance must never change what a search returns: same oracle
+ORACLE["vector_index_lifecycle"] = ORACLE["ivf_int8_rerank_topk"]

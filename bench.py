@@ -104,6 +104,30 @@ def _note(msg: str) -> None:
           file=sys.stderr, flush=True)
 
 
+SECTION_NAMES = ("bigbench", "curatebench", "annbench", "annbench1m",
+                 "docsbench", "opsbench", "replaybench", "vecbench",
+                 "tablebench")
+
+
+def carry_sections(full: dict, prior: dict) -> dict:
+    """Sections this run did NOT execute (SPARK_GRAFT_BIGBENCH=0 debug
+    runs, or a budget skip) must not clobber a prior run's measured
+    values: r11 lost a completed 90-min sweep to a headline-only debug
+    rerun writing the same default artifact path. Carry each missing or
+    skipped section forward from ``prior`` with an explicit
+    ``carried_from_prior_run`` provenance marker (never carrying a
+    section that was itself a skip marker), mutating and returning
+    ``full``."""
+    for name in SECTION_NAMES:
+        entry = full.get(name)
+        ran_now = isinstance(entry, dict) and "skipped" not in entry
+        if not ran_now and name in prior:
+            carried = prior[name]
+            if isinstance(carried, dict) and "skipped" not in carried:
+                full[name] = {**carried, "carried_from_prior_run": True}
+    return full
+
+
 def ensure_big_events(spark) -> None:
     """Synthesize a seeded ~100M-row events table once (reused across
     rounds). Deterministic xxhash64-derived columns — no RNG state, so any
@@ -1800,24 +1824,12 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_SECTIONS",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_SECTIONS.json"))
-    # Sections this run did NOT execute (SPARK_GRAFT_BIGBENCH=0 debug
-    # runs, or a budget skip) must not clobber a prior run's measured
-    # values: r11 lost a completed 90-min sweep to a headline-only
-    # debug rerun of the same default path. Carry the prior section
-    # forward with an explicit provenance marker instead.
     try:
         with open(sections_path) as fh:
             prior = json.load(fh)
     except (OSError, ValueError):
         prior = {}
-    for name in ("bigbench", "curatebench", "annbench", "annbench1m",
-                 "docsbench", "opsbench", "replaybench", "vecbench",
-                 "tablebench"):
-        ran_now = name in full and "skipped" not in full.get(name, {})
-        if not ran_now and name in prior:
-            carried = prior[name]
-            if isinstance(carried, dict) and "skipped" not in carried:
-                full[name] = {**carried, "carried_from_prior_run": True}
+    carry_sections(full, prior)
     try:
         with open(sections_path, "w") as fh:
             json.dump(full, fh, indent=1)

@@ -1764,7 +1764,49 @@ def main() -> None:
         "sf": sf,
     }), flush=True)
 
+    # Artifact persistence is INCREMENTAL: rewrite the sidecar after the
+    # headline and again after every completed section, so a harness
+    # kill mid-sweep (the driver's bench timeout, an OOM in a later
+    # section) keeps everything measured so far — sections not yet run
+    # carry forward from the pre-run artifact with provenance markers.
+    # `prior` is snapshotted ONCE so our own intermediate writes are
+    # never mistaken for a previous run's measurements.
+    sections_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SECTIONS",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_SECTIONS.json"))
+    try:
+        with open(sections_path) as fh:
+            prior = json.load(fh)
+    except (OSError, ValueError):
+        prior = {}
+
+    def persist_artifact(results: dict, guard: dict | None = None) -> None:
+        full: dict = {
+            "metric": "headline_queries_total_runtime",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
+        if guard is not None:
+            full["codegen_fallbacks"] = len(guard["hits"])
+            full["codegen_fallbacks_allowed"] = len(guard["allowed"])
+        # EVERY section lands in the artifact keyed by its name (r5
+        # shipped a hand-maintained copy list that silently dropped
+        # tablebench)
+        for name, val in results.items():
+            if val is not None:
+                full[name] = val
+        carry_sections(full, prior)
+        try:
+            with open(sections_path, "w") as fh:
+                json.dump(full, fh, indent=1)
+        except OSError as exc:  # pragma: no cover - read-only fs fallback
+            _note(f"could not write {sections_path}: {exc}")
+
     results: dict[str, object] = {}
+    persist_artifact(results)
     if os.environ.get("SPARK_GRAFT_BIGBENCH", "1") != "0":
         # Ordered by signal value; each checks the remaining budget and
         # records a skip marker instead of risking a hard kill.
@@ -1792,6 +1834,7 @@ def main() -> None:
             s = time.monotonic()
             results[name] = fn()
             _note(f"{name} done in {time.monotonic() - s:.1f}s")
+            persist_artifact(results)
 
     total = round(sum(timings.values()), 3)
     # the guard reads the log BEFORE spark.stop() flushes/loses it;
@@ -1803,39 +1846,11 @@ def main() -> None:
               f"— see {guard_log}")
         for line in guard["hits"][:10]:
             _note(f"  {line[:200]}")
-    full = {
-        "metric": "headline_queries_total_runtime",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "codegen_fallbacks": len(guard["hits"]),
-        "codegen_fallbacks_allowed": len(guard["allowed"]),
-    }
-    # EVERY section lands in the artifact keyed by its name (r5 shipped
-    # a hand-maintained copy list that silently dropped tablebench)
-    for name, val in results.items():
-        if val is not None:
-            full[name] = val
     # The driver's tail capture parses only the LAST stdout line; the full
     # per-section payload overflows it (BENCH_r03 came back parsed:null).
-    # Persist the full result to a sidecar and keep the final line compact.
-    sections_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_SECTIONS",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_SECTIONS.json"))
-    try:
-        with open(sections_path) as fh:
-            prior = json.load(fh)
-    except (OSError, ValueError):
-        prior = {}
-    carry_sections(full, prior)
-    try:
-        with open(sections_path, "w") as fh:
-            json.dump(full, fh, indent=1)
-        _note(f"full bench sections written to {sections_path}")
-    except OSError as exc:  # pragma: no cover - read-only fs fallback
-        _note(f"could not write {sections_path}: {exc}")
+    # The sidecar holds the full result; the final line stays compact.
+    persist_artifact(results, guard)
+    _note(f"full bench sections written to {sections_path}")
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": total,

@@ -1800,8 +1800,12 @@ def main() -> None:
                 full[name] = val
         carry_sections(full, prior)
         try:
-            with open(sections_path, "w") as fh:
+            # atomic: a kill mid-write must not truncate the artifact
+            # the next write's carry pass (or the judge) reads
+            tmp = sections_path + ".tmp"
+            with open(tmp, "w") as fh:
                 json.dump(full, fh, indent=1)
+            os.replace(tmp, sections_path)
         except OSError as exc:  # pragma: no cover - read-only fs fallback
             _note(f"could not write {sections_path}: {exc}")
 

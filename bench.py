@@ -109,6 +109,60 @@ SECTION_NAMES = ("bigbench", "curatebench", "annbench", "annbench1m",
                  "tablebench")
 
 
+FOLD_EFF_K = 2.0
+
+
+def fold_efficiency_pin(variants: dict) -> dict:
+    """Compaction-regression pin for the curatebench variants, in
+    SECONDS PER COMMITTED MB rather than raw wall-clock ratio.
+
+    The r10/r11-first-half pin (`fold_wallclock_pin`: worst batch
+    <= 3.5x the variant median) was calibrated with ~15% noise
+    headroom on a quiet box — and the r11 full sweep then measured a
+    STEADY batch at 2.4x its identical-work neighbors (132.5s vs
+    27-52s, fold_mb 0) on the round's noisy box, so any raw
+    wall-clock ratio with that headroom pins box noise, not
+    compaction behavior. What the pin is actually for: a size-tiered
+    fold must cost proportional to the bytes it rewrites (an O(state)
+    scan or a fold rewriting more than its tiers blows that up). So
+    pin the worst fold batch's sec-per-committed-MB against the
+    steady batches' median sec-per-committed-MB: measured gen-3 fold
+    0.34 s/MB vs steady ~0.77 s/MB (folds are CHEAPER per byte —
+    sequential rewrite vs probe+join work), bound at ``FOLD_EFF_K``x
+    — ~4.5x headroom against noise while an O(state) fold still
+    trips it immediately. Byte volume itself (fold rewrites <= a
+    fixed multiple of the delta) stays pinned deterministically in
+    tests/test_state_store.py. Raw max_batch_over_median is kept per
+    variant as informational context, with no ok-judgment attached.
+    """
+    import statistics as _st
+
+    per_variant: dict = {}
+    ok = True
+    for name, v in variants.items():
+        batches = v.get("batches") or []
+        steady = [b for b in batches
+                  if not b.get("fold_mb") and b.get("commit_mb")]
+        folds = [b for b in batches
+                 if b.get("fold_mb") and b.get("commit_mb")]
+        row: dict = {
+            "max_batch_over_median": v.get("max_batch_over_median")}
+        if steady and folds:
+            steady_spm = _st.median(
+                b["sec"] / b["commit_mb"] for b in steady)
+            worst = max(folds, key=lambda b: b["sec"] / b["commit_mb"])
+            fold_spm = worst["sec"] / worst["commit_mb"]
+            row.update({
+                "steady_sec_per_mb": round(steady_spm, 3),
+                "worst_fold_sec_per_mb": round(fold_spm, 3),
+                "worst_fold_mb": worst["fold_mb"],
+                "ratio": round(fold_spm / steady_spm, 2),
+            })
+            ok = ok and fold_spm <= FOLD_EFF_K * steady_spm
+        per_variant[name] = row
+    return {"k": FOLD_EFF_K, "variants": per_variant, "ok": ok}
+
+
 def carry_sections(full: dict, prior: dict) -> dict:
     """Sections this run did NOT execute (SPARK_GRAFT_BIGBENCH=0 debug
     runs, or a budget skip) must not clobber a prior run's measured
@@ -734,31 +788,16 @@ def run_curate(spark) -> dict[str, object]:
             if k != "base_dedup_only" else v)
         for k, v in gate_sec.items()
     }
-    # fold wall-clock pin (VERDICT r9 next #4): in every variant the
-    # most expensive batch — fold/compaction batches included — must
-    # stay within K=3.5x of the variant's median batch. Calibration
-    # (measured solo on a quiet box, r10): the gen-2 fold (231 MB
-    # rewrite) runs 1.9x the steady batch, the gen-3 fold (540 MB —
-    # the 8-batch sweep's worst) runs 3.0x; r9's quoted "~1.9x spike"
-    # was the gen-2 fold only. K=3.5 bounds the measured gen-3 worst
-    # with ~15% noise headroom — a compaction regression (e.g. a fold
-    # rewriting more than its tiers) still trips it, while per-batch
-    # fold_mb in the output ties each spike to its rewrite volume.
-    ratios = {
-        name: v["max_batch_over_median"]
+    out["fold_efficiency_pin"] = fold_efficiency_pin({
+        name: v
         for name, v in (
             ("main", out), ("gates", out.get("gates")),
             ("folds", out.get("folds")),
             ("semantic", out.get("semantic")),
             ("semantic_hot", out.get("semantic_hot")),
         )
-        if isinstance(v, dict) and "max_batch_over_median" in v
-    }
-    out["fold_wallclock_pin"] = {
-        "k": 3.5,
-        "max_over_median": ratios,
-        "ok": all(r <= 3.5 for r in ratios.values()),
-    }
+        if isinstance(v, dict) and "batches" in v
+    })
     return out
 
 

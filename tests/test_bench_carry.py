@@ -58,3 +58,38 @@ def test_empty_prior_is_noop():
     full = {"value": 2.0}
     bench.carry_sections(full, {})
     assert full == {"value": 2.0}
+
+
+def test_fold_efficiency_pin_passes_on_proportional_folds():
+    # folds cheaper per committed MB than steady probe+join batches
+    v = {"folds": {"max_batch_over_median": 3.54, "batches": [
+        {"sec": 30.0, "commit_mb": 38.0, "fold_mb": 0.0},
+        {"sec": 132.0, "commit_mb": 38.0, "fold_mb": 0.0},  # noise batch
+        {"sec": 197.0, "commit_mb": 579.0, "fold_mb": 540.0},
+    ]}}
+    pin = bench.fold_efficiency_pin(v)
+    assert pin["ok"] is True
+    row = pin["variants"]["folds"]
+    assert row["worst_fold_mb"] == 540.0
+    assert row["ratio"] < 1.0  # sequential rewrite beats probe work
+    assert row["max_batch_over_median"] == 3.54  # informational only
+
+
+def test_fold_efficiency_pin_trips_on_superlinear_fold():
+    # a fold scanning O(state): huge seconds for its committed bytes
+    v = {"main": {"batches": [
+        {"sec": 30.0, "commit_mb": 38.0, "fold_mb": 0.0},
+        {"sec": 31.0, "commit_mb": 38.0, "fold_mb": 0.0},
+        {"sec": 500.0, "commit_mb": 80.0, "fold_mb": 40.0},
+    ]}}
+    pin = bench.fold_efficiency_pin(v)
+    assert pin["ok"] is False
+    assert pin["variants"]["main"]["ratio"] > bench.FOLD_EFF_K
+
+
+def test_fold_efficiency_pin_skips_variants_without_folds():
+    v = {"gates": {"max_batch_over_median": 1.2, "batches": [
+        {"sec": 10.0, "commit_mb": 20.0, "fold_mb": 0.0}]}}
+    pin = bench.fold_efficiency_pin(v)
+    assert pin["ok"] is True
+    assert "ratio" not in pin["variants"]["gates"]

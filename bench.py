@@ -174,11 +174,17 @@ def carry_sections(full: dict, prior: dict) -> dict:
     ``full``."""
     for name in SECTION_NAMES:
         entry = full.get(name)
-        ran_now = isinstance(entry, dict) and "skipped" not in entry
+        ran_now = (isinstance(entry, dict) and "skipped" not in entry
+                   and "error" not in entry)
         if not ran_now and name in prior:
             carried = prior[name]
-            if isinstance(carried, dict) and "skipped" not in carried:
-                full[name] = {**carried, "carried_from_prior_run": True}
+            if isinstance(carried, dict) and "skipped" not in carried \
+                    and "error" not in carried:
+                replacement = {**carried, "carried_from_prior_run": True}
+                if isinstance(entry, dict) and "error" in entry:
+                    # keep the failure visible next to the carried data
+                    replacement["error_this_run"] = entry["error"]
+                full[name] = replacement
     return full
 
 
@@ -1875,8 +1881,18 @@ def main() -> None:
                 results[name] = {"skipped": f"budget ({BENCH_BUDGET_S:.0f}s)"}
                 continue
             s = time.monotonic()
-            results[name] = fn()
-            _note(f"{name} done in {time.monotonic() - s:.1f}s")
+            try:
+                results[name] = fn()
+            except Exception as exc:  # one section must not kill the rest
+                # (the headline contract line is already on stdout, and
+                # completed sections are already persisted — record the
+                # failure in the artifact instead of aborting the run)
+                _note(f"{name} FAILED after {time.monotonic() - s:.1f}s: "
+                      f"{exc!r:.300}")
+                results[name] = {"error": f"{type(exc).__name__}: "
+                                          f"{str(exc)[:500]}"}
+            else:
+                _note(f"{name} done in {time.monotonic() - s:.1f}s")
             persist_artifact(results)
 
     total = round(sum(timings.values()), 3)

@@ -93,3 +93,19 @@ def test_fold_efficiency_pin_skips_variants_without_folds():
     pin = bench.fold_efficiency_pin(v)
     assert pin["ok"] is True
     assert "ratio" not in pin["variants"]["gates"]
+
+
+def test_errored_section_carries_prior_and_keeps_error_visible():
+    full = {"opsbench": {"error": "Py4JJavaError: boom"}}
+    prior = {"opsbench": {"qps": 9.0}}
+    bench.carry_sections(full, prior)
+    assert full["opsbench"] == {
+        "qps": 9.0, "carried_from_prior_run": True,
+        "error_this_run": "Py4JJavaError: boom"}
+
+
+def test_prior_error_section_is_not_carried():
+    full = {}
+    prior = {"opsbench": {"error": "boom"}}
+    bench.carry_sections(full, prior)
+    assert "opsbench" not in full

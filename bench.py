@@ -430,6 +430,7 @@ def run_curate(spark) -> dict[str, object]:
         gates: bool, *, n_batches: int = 5, mod: int | None = None,
         fold_factor: int | None = None, src=None, semantic: bool = False,
         sem_sizing: dict[str, int] | None = None,
+        reband_to: dict[str, int] | None = None,
     ) -> dict[str, object]:
         source = src if src is not None else docs
         state_dir = tempfile.mkdtemp(prefix="curate_bench_state_")
@@ -561,8 +562,15 @@ def run_curate(spark) -> dict[str, object]:
                             batch, metric_col="n_chars"))
                     # same sequence as curate._advance_state, on THIS
                     # store instance so its byte counters are readable
+                    # (incl. the app_meta banding stamp — without it
+                    # reband_semantic_state correctly refuses the state)
                     store.commit_delta(
-                        delta, version=b, fold_fn=curate._compact_state)
+                        delta, version=b, fold_fn=curate._compact_state,
+                        app_meta=(
+                            {"hash_fn": "md5",
+                             "sem_bands": int(kw["semantic_bands"]),
+                             "sem_planes": int(kw["semantic_planes"])}
+                            if semantic else None))
                     store.expire(keep_last=2)
                     # the gate pipeline's wall clock stops HERE — the
                     # recall ground truth below is bench-side
@@ -657,6 +665,33 @@ def run_curate(spark) -> dict[str, object]:
                             store.last_probe_meta_bytes / 1e6, 2),
                     }
                 out["probe_twins"] = twins
+            if reband_to is not None:
+                # State-migration cost at bench scale (VERDICT r10
+                # next #3, artifact-level complement to the
+                # bit-identity tests): re-key the finished sweep's
+                # state to the sizing a 10x corpus would need — the
+                # ONE-batch-job alternative to re-ingesting every
+                # batch at the new banding. Runs AFTER the batch loop,
+                # so sweep timings are untouched.
+                dest = tempfile.mkdtemp(prefix="curate_bench_reband_")
+                try:
+                    s = time.perf_counter()
+                    stats = curate.reband_semantic_state(
+                        spark, state_dir, dest,
+                        bands=int(reband_to["bands"]),
+                        planes=int(reband_to["planes"]))
+                    out["reband"] = {
+                        "sec": round(time.perf_counter() - s, 3),
+                        "sizing": dict(reband_to),
+                        "vcode_docs": stats["vcode_docs"],
+                        "vbkt_rows": stats["vbkt_rows"],
+                    }
+                except Exception as exc:  # instrumentation must not
+                    # discard the finished sweep's measurements
+                    out["reband"] = {"error": f"{type(exc).__name__}: "
+                                              f"{str(exc)[:300]}"}
+                finally:
+                    shutil.rmtree(dest, ignore_errors=True)
         finally:
             shutil.rmtree(state_dir, ignore_errors=True)
             shutil.rmtree(kept_dir, ignore_errors=True)
@@ -714,7 +749,12 @@ def run_curate(spark) -> dict[str, object]:
             int(DOCS_ROWS / 40 * sem_n_batches), 0.9)
         out["semantic"] = drive(
             gates=False, semantic=True, n_batches=sem_n_batches,
-            mod=40, src=docs_sem, sem_sizing=sizing)
+            mod=40, src=docs_sem, sem_sizing=sizing,
+            # migration-cost artifact: re-key the finished state to
+            # the sizing a 10x-grown corpus would need (VERDICT r10
+            # next #3's scale story)
+            reband_to=curate.suggest_semantic_banding(
+                int(DOCS_ROWS / 40 * sem_n_batches) * 10, 0.9))
         out["semantic"]["sizing"] = sizing
         batches = out["semantic"]["batches"]
         recalls = [x["sem_recall"] for x in batches
@@ -1854,6 +1894,13 @@ def main() -> None:
         except OSError as exc:  # pragma: no cover - read-only fs fallback
             _note(f"could not write {sections_path}: {exc}")
 
+    # SPARK_GRAFT_BENCH_ONLY=curatebench,annbench1m reruns just those
+    # sections; the others carry forward from the prior artifact with
+    # provenance markers instead of being dropped — the safe form of
+    # the headline-only debug rerun that cost r11 a finished sweep.
+    only = {s.strip()
+            for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+            if s.strip()}
     results: dict[str, object] = {}
     persist_artifact(results)
     if os.environ.get("SPARK_GRAFT_BIGBENCH", "1") != "0":
@@ -1876,6 +1923,8 @@ def main() -> None:
             ("tablebench", lambda: run_tables(spark), 240.0),
         )
         for name, fn, est in sections:
+            if only and name not in only:
+                continue  # absent from results -> carried from prior
             if _remaining() < est:
                 _note(f"skip {name}: {_remaining():.0f}s left < est {est:.0f}s")
                 results[name] = {"skipped": f"budget ({BENCH_BUDGET_S:.0f}s)"}

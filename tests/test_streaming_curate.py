@@ -1206,3 +1206,48 @@ def test_semantic_banding_sizing_rule():
     with pytest.raises(ValueError, match="raise the candidate budget"):
         curate.suggest_semantic_banding(
             1_000_000_000, 0.9, max_candidates_per_doc=0.001)
+
+
+def test_bench_direct_commit_state_is_rebandable(spark, tmp_path):
+    """curatebench's drive() commits deltas via store.commit_delta
+    directly (not _advance_state) so the store's byte counters stay
+    readable on the same handle — the app_meta banding stamp it passes
+    must yield a state reband_semantic_state accepts (round 11: the
+    stamp was missing, so the bench sweep's finished state could not
+    feed the migration-cost measurement)."""
+    import hashlib
+
+    import numpy as np
+
+    dim, n = 64, 12
+
+    def hvec(i):
+        raw = b"".join(
+            hashlib.sha256(f"bdc|{i}|{k}".encode()).digest()
+            for k in range(2))
+        return (np.frombuffer(raw, dtype=np.uint8)[:dim]
+                .astype(np.float64) - 127.5) / 127.5
+
+    schema = "doc_id long, text string, embedding array<float>"
+    b1 = spark.createDataFrame(
+        [(i, " ".join(f"d{i}w{j}" for j in range(20)),
+          [float(x) for x in hvec(i)]) for i in range(n)], schema)
+    a1 = curate.curate_batch(
+        b1, None, embedding_col="embedding", semantic_threshold=0.9,
+        semantic_dim=dim)
+    src = str(tmp_path / "src_direct")
+    store = curate.open_state(spark, src)
+    store.commit_delta(
+        curate._survivor_state(
+            a1.filter("keep"), text_col="text", id_col="doc_id",
+            embedding_col="embedding", semantic_dim=dim),
+        version=0, fold_fn=curate._compact_state,
+        app_meta={"hash_fn": "md5", "sem_bands": curate.SEM_BANDS,
+                  "sem_planes": curate.SEM_PLANES})
+
+    dest = str(tmp_path / "dest_direct")
+    out = curate.reband_semantic_state(
+        spark, src, dest, bands=16, planes=16)
+    assert out["vcode_docs"] == n
+    assert out["vbkt_rows"] == n * 16
+    assert curate.open_state(spark, dest).app_meta()["sem_bands"] == 16

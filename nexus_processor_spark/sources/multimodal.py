@@ -437,18 +437,54 @@ def _dhash(img: "np.ndarray", hash_size: int = 8) -> int:
     return out - (1 << 64) if out >= (1 << 63) else out
 
 
+def _dhash_digest_batch(payloads) -> list:
+    """Whole-batch dhash over the DIGEST decode (guide §4.2: one
+    vectorized numpy pass per Arrow batch instead of a per-row
+    decode->pad->mean->shift chain). Exactly equal to
+    ``_dhash(_decode_image_digest(p))`` per row — the digest image is
+    8x8 with 1x1 blocks, so the block-mean resize is the identity and
+    the padded 9th column replicates column 7 (its gradient bit is
+    always 0); equality is pinned by tests/test_multimodal.py."""
+    n = len(payloads)
+    digs = np.zeros((n, 32), dtype=np.uint8)
+    valid = np.zeros(n, dtype=bool)
+    for i, p in enumerate(payloads):
+        if p is not None:
+            digs[i] = np.frombuffer(hashlib.sha256(bytes(p)).digest(),
+                                    dtype=np.uint8)
+            valid[i] = True
+    imgs = np.tile(digs, 2).reshape(n, 8, 8)
+    bits = np.zeros((n, 8, 8), dtype=bool)
+    bits[:, :, :7] = imgs[:, :, 1:] > imgs[:, :, :-1]
+    packed = np.packbits(bits.reshape(n, 64), axis=1)
+    vals = np.frombuffer(packed.tobytes(), dtype=">u8").astype(
+        np.uint64).view(np.int64)
+    return [int(v) if ok else None for v, ok in zip(vals, valid)]
+
+
 def image_dhash(
     media: DataFrame, *, fake_decode: bool = False, decoder=None,
 ) -> DataFrame:
     """Per-image 64-bit perceptual difference hash (Arrow-batched, same
     decode gate as ``extract_image_features``) — the media analog of the
     text fingerprint: identical and near-identical frames collide or
-    land within a small Hamming distance."""
+    land within a small Hamming distance.
+
+    The digest decoder takes the vectorized whole-batch kernel
+    (:func:`_dhash_digest_batch`); real/fake codecs keep the per-row
+    decode loop (their output shape isn't known batch-wide)."""
     decode = decoder or (
         _decode_image_fake if fake_decode else _decode_image_real)
+    vectorized = decode is _decode_image_digest
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
+            if vectorized:
+                yield pd.DataFrame({
+                    "media_id": batch["media_id"],
+                    "dhash": _dhash_digest_batch(batch["payload"]),
+                })
+                continue
             out = []
             for media_id, payload in zip(batch["media_id"], batch["payload"]):
                 if payload is None:
@@ -481,6 +517,16 @@ def image_near_dup_pairs(
     hashes = image_dhash(media, fake_decode=fake_decode, decoder=decoder).filter(
         F.col("dhash").isNotNull()
     ).select(F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash"))
+    # The banded self-join reads the hash table TWICE (probe + build of
+    # the band equi-join); unpersisted, Catalyst re-runs the whole
+    # decode->dhash Python stage per side (plan showed two MapInPandas
+    # over two full scans). Persist the (id, hash) projection — 16
+    # bytes/row, the lightweight proxy of guide §8 — so the media bytes
+    # are decoded exactly once; the eager count keeps the two join
+    # branches from racing to materialize it. At warehouse scale this
+    # projection is what you'd checkpoint to the lake.
+    hashes = hashes.persist()
+    hashes.count()
     cands = simhash_band_candidates(hashes, bits=64, hamming_max=hamming_max)
     return (
         cands.select(

@@ -124,6 +124,19 @@ def test_dhash_matches_reference_formula():
     assert multimodal._dhash(img2) == -1
 
 
+def test_dhash_digest_batch_matches_per_row():
+    import numpy as np
+
+    payloads = [b"", b"a", b"same-bytes", None, b"x" * 1000,
+                bytes(range(256)), b"\x00", None]
+    got = multimodal._dhash_digest_batch(payloads)
+    want = [None if p is None else
+            multimodal._dhash(
+                multimodal._decode_image_digest(p).astype(np.float64))
+            for p in payloads]
+    assert got == want
+
+
 def test_image_near_dup_pairs_banded(spark):
     # duplicate payloads collide exactly; distinct ones stay apart
     rows = [

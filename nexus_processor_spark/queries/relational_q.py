@@ -74,23 +74,53 @@ def q_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join with small-dim broadcasts (J1 chain)."""
+    """TPC-H Q5 shape: 6-way join with small-dim broadcasts (J1 chain).
+
+    The region restriction is applied FIRST, as broadcast SEMI-joins on
+    the two mid-size dims (customer, supplier) against the 5 ASIA
+    nations, not as the last join in the chain: the old shape ran every
+    fact row of all 5 regions through the whole join pipeline and
+    discarded ~4/5 of the work at the final broadcast, while here the
+    dim shuffles and the fact stream are cut ~5x at the earliest join.
+    Semi-join (not inner pre-join) on purpose: Spark's non-CBO size
+    estimate for a LeftSemi output is the left side's own size, so at
+    bench scale the filtered dims keep auto-broadcasting (plan stays
+    all-broadcast, zero fact shuffle), while at cluster scale the same
+    code degrades to pre-filtered shuffle joins — an inner pre-join's
+    blown-up output estimate instead forced a SortMergeJoin of the fact
+    table even when the dims fit. n_name is attached AFTER the
+    aggregation (25-row agg output x 5-row nation broadcast): attaching
+    it pre-agg made Catalyst subsume the semi-join into an inner join
+    on the same key, recreating the bad estimate; post-agg it also
+    narrows the agg key to an int. n_name<->n_nationkey is 1:1, so the
+    algebra is unchanged (oracle-pinned)."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
-    cust = _t(spark, sf_dir, "customer")
-    sup = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= _ntz("1996-01-01")) & (F.col("o_orderdate") < _ntz("1998-01-01"))
     )
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    nation_asia = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    asia_keys = F.broadcast(nation_asia.select("n_nationkey"))
+    cust = _t(spark, sf_dir, "customer").join(
+        asia_keys, F.col("c_nationkey") == F.col("n_nationkey"), "semi"
+    )
+    sup = _t(spark, sf_dir, "supplier").join(
+        asia_keys, F.col("s_nationkey") == F.col("n_nationkey"), "semi"
+    )
+    per_nation = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(sup, (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("n_name")
+        .groupBy(cust.c_nationkey)
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return (
+        per_nation.join(
+            F.broadcast(nation_asia), per_nation.c_nationkey == nation_asia.n_nationkey
+        ).select("n_name", "revenue")
     )
 
 

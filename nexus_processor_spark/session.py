@@ -28,6 +28,13 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce post-shuffle partitions purely by the advisory byte size
+    # instead of stopping at defaultParallelism: partition counts then
+    # derive from DATA VOLUME at any scale (a KB-sized aggregate tail
+    # becomes 1 task, a 2 GB shuffle still fans out to ~32 x 64 MB), the
+    # scale-adaptive sizing the optimization guide prescribes over
+    # core-count constants.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Dims and operator-internal side tables up to this size broadcast

@@ -694,10 +694,20 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: nation-pair trade volume with a disjunctive join
     predicate over two roles of the same dim.
 
-    Scale notes: nation is broadcast twice (once per role), supplier is
-    broadcast (always ~1e-4 of lineitem), and the pair filter is applied
-    *after* the cheap broadcast joins so the only shuffles are the
-    lineitem->orders->customer chain on their natural keys.
+    Scale notes (optimization r11): the pair restriction is applied
+    BEFORE the expensive joins, not as a post-join filter — only 2/25
+    nations can ever satisfy the disjunction, so (a) supplier joins in
+    already restricted to the pair (attaching supp_nation from the same
+    2-row broadcast), and that broadcast join runs FIRST so the fact
+    stream entering the lineitem->orders shuffle — the query's largest —
+    is cut ~12x; (b) customer is pre-filtered with a broadcast LeftSemi
+    (semi keeps the dim's own size estimate, so it still broadcasts at
+    bench scale and degrades to a 12x-smaller shuffle at cluster scale —
+    same reasoning as q_region_revenue), with cust_nation attached by a
+    25-row broadcast afterwards. With both sides pinned to the pair, the
+    original disjunction reduces to supp_nation != cust_nation
+    (combos (A,B)/(B,A) keep, (A,A)/(B,B) drop) — identical result,
+    oracle-pinned.
     """
     nation = _t(spark, sf_dir, "nation")
     pair = ("NATION_3", "NATION_7")
@@ -706,24 +716,27 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _ntz("1998-01-01"))
     )
     orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    sup = _t(spark, sf_dir, "supplier")
-    n1 = nation.select(
-        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    pair_n = nation.filter(F.col("n_name").isin(*pair))
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(pair_n.select(
+            F.col("n_nationkey").alias("s_nkey"),
+            F.col("n_name").alias("supp_nation"),
+        )),
+        F.col("s_nationkey") == F.col("s_nkey"),
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(pair_n.select(F.col("n_nationkey").alias("pk"))),
+        F.col("c_nationkey") == F.col("pk"), "semi",
     )
     n2 = nation.select(
         F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
     )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
-        .filter(
-            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
-            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
-        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
             "cust_nation",
@@ -744,6 +757,16 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     The share division is computed on *rounded* numerator/denominator so
     both engines divide identical decimals (their double-sum accumulation
     orders differ).
+
+    Scale notes (optimization r11): the customer-region restriction
+    (1/5 of customers) is applied as a broadcast LeftSemi pre-filter on
+    customer instead of two post-join broadcasts (n1 + region) at the
+    END of the chain — no output column came from either, so the semi
+    replaces both joins outright, the customer shuffle carries 1/5 of
+    rows at cluster scale, and the fact stream is cut 5x at the cust
+    join instead of after every join. Semi (not inner) keeps customer's
+    own size estimate — same local-broadcast/cluster-shuffle adaptivity
+    as q_region_revenue. Identical result, oracle-pinned.
     """
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
@@ -753,10 +776,12 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= _ntz("1996-01-01"))
         & (F.col("o_orderdate") < _ntz("1998-01-01"))
     )
-    cust = _t(spark, sf_dir, "customer")
     li = _t(spark, sf_dir, "lineitem")
-    n1 = nation.select(
-        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    asia_keys = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("ak"))
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(asia_keys), F.col("c_nationkey") == F.col("ak"), "semi"
     )
     n2 = nation.select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
@@ -768,8 +793,6 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nkey"))
-        .join(F.broadcast(region), F.col("c_rkey") == region.r_regionkey)
         .join(F.broadcast(n2), sup.s_nationkey == F.col("s_nkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(

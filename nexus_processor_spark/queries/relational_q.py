@@ -923,6 +923,17 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-order aggregate (distinct suppliers, distinct late suppliers) —
     a single shuffle on orderkey replaces two correlated probes, which is
     the form that survives 100 TB. Late = shipped >90 days after order.
+
+    Optimization r11: the culprit supplier is recovered from the SAME
+    aggregate — on qualifying orders n_late_supp == 1, so
+    ``max(when(is_late, l_suppkey))`` IS the sole late supplier — where
+    the previous form re-computed the lineitem x orders join a second
+    time for a distinct (orderkey, late-supplier) projection and joined
+    it back (Catalyst does not share the subtree: the second consumer's
+    pushed is_late filter makes the copies differ). One corpus join pass,
+    one shuffle, no pair-distinct, no join-back: plan went 2 fact joins +
+    4 Exchange -> 1 fact join + 2 Exchange. Identical result
+    (oracle-pinned).
     """
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = _t(spark, sf_dir, "lineitem")
@@ -942,18 +953,11 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
             "n_late_supp"
         ),
+        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("l_suppkey"),
     )
-    culprit = (
-        lines.filter(F.col("is_late"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .join(
-            per_order.filter(
-                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
-            ),
-            "l_orderkey",
-        )
-    )
+    culprit = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey", "l_suppkey")
     return (
         culprit.join(F.broadcast(sup), culprit.l_suppkey == sup.s_suppkey)
         .groupBy("s_name")

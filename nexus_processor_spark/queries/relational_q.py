@@ -1123,8 +1123,14 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = national.groupBy("l_partkey").agg(
         F.sum("l_quantity").alias("part_qty")
     )
-    total = national.agg(
-        (F.sum("l_quantity") * F.lit(0.002)).alias("threshold")
+    # The global threshold derives from the per-part aggregate (sum of
+    # per-group sums == global sum, exact: quantities are small-integer
+    # doubles) instead of a second aggregate over `national` — the two
+    # consumers then share ONE fact pass via ReuseExchange (identical
+    # exchange subtrees) where the old form scanned lineitem twice
+    # (optimization r11; plan: 2 lineitem scans -> 1 + ReusedExchange).
+    total = per_part.agg(
+        (F.sum("part_qty") * F.lit(0.002)).alias("threshold")
     )
     return (
         per_part.join(F.broadcast(total))
@@ -1206,12 +1212,26 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ntz("1997-01-01"))
         & (F.col("l_shipdate") < _ntz("1998-01-01"))
     )
-    bolt_lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # The explicit isnotnull(l_suppkey) mirrors the constraint the final
+    # semi-join pushes into ONE copy of the shared subtree; stating it on
+    # the source keeps both copies canonically equal so AQE stage reuse
+    # fires (without it the two lineitem scan filters differ and the
+    # fact is scanned twice — verified in the UI stage list). No-op
+    # semantically: l_suppkey is a non-null key.
+    bolt_lines = li.filter(F.col("l_suppkey").isNotNull()).join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    )
     per_pair = bolt_lines.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("pair_qty")
     )
-    per_part = bolt_lines.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum("l_quantity").alias("part_qty")
+    # Per-part totals derive from the (part, supplier) aggregate (sum of
+    # per-supplier sums == part sum, exact: integer-valued doubles)
+    # instead of a second aggregate over `bolt_lines` — both consumers
+    # then share ONE fact pass via AQE stage reuse where the old form
+    # scanned lineitem twice (optimization r11; runtime evidence: the
+    # second branch's scan stage is SKIPPED in the UI stage list).
+    per_part = per_pair.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("pair_qty").alias("part_qty")
     )
     dominating = (
         per_pair.join(F.broadcast(per_part), per_pair.l_partkey == per_part.pk)

@@ -428,10 +428,16 @@ def dup_clusters(
     race-free contract, and the right default posture for a dedup whose
     under-merged clusters would ship duplicates).
     """
+    # One explode pass symmetrizes the edges — a union of two selects
+    # of ``pairs`` would execute the upstream pair pipeline (banded
+    # minhash + verify when fed from minhash_dedup_pairs) twice before
+    # the checkpoint cuts the lineage.
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"),
-                                  F.col("id_a").alias("dst")))
+        pairs.select(F.explode(F.array(
+            F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+            F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+        )).alias("_e"))
+        .select("_e.src", "_e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -1058,21 +1064,37 @@ def neardup_eval(
         rows_per_band=rows_per_band, shingle_words=shingle_words,
         threshold=threshold,
     ).select("id_a", "id_b")
-    n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
-    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
-    n_hit = pred.join(truth, ["id_a", "id_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_hit"))
+    # All three counts come from ONE full-outer join of the two pair
+    # sets with presence markers — consuming `pred` and `truth` once
+    # each. The previous three-branch form (`pred.agg`, `truth.agg`,
+    # `pred SEMI truth` then agg) re-ran BOTH expensive pipelines
+    # (banded minhash + exact-Jaccard verify) a second time: the
+    # semi-join pushes isnotnull constraints into only its copies of
+    # the subtrees, so neither static ReuseExchange nor AQE stage reuse
+    # ever dedups them (the same one-sided-constraint breaker the Q20
+    # fix documents). Pair sets are banding-collapsed and small; the
+    # one extra (id_a, id_b) shuffle is noise next to a whole second
+    # corpus pass. Counts are identical, so the declared query's hash
+    # is unchanged.
+    both = (
+        pred.withColumn("_p", F.lit(1))
+        .join(truth.withColumn("_t", F.lit(1)), ["id_a", "id_b"],
+              "full_outer")
+    )
+    counts = both.agg(
+        F.count("_p").alias("n_pred"),
+        F.count("_t").alias("n_true"),
+        F.count(F.when(F.col("_p").isNotNull() & F.col("_t").isNotNull(),
+                       F.lit(1))).alias("n_hit"),
+    )
     rate = lambda num, den: F.when(  # noqa: E731
         F.col(den) > 0,
         F.round(F.lit(1e6) * F.col(num) / F.col(den), 0).cast("long"),
     )
-    return (
-        n_pred.crossJoin(F.broadcast(n_true)).crossJoin(F.broadcast(n_hit))
-        .select(
-            "n_pred", "n_true", "n_hit",
-            rate("n_hit", "n_pred").alias("precision_e6"),
-            rate("n_hit", "n_true").alias("recall_e6"),
-        )
+    return counts.select(
+        "n_pred", "n_true", "n_hit",
+        rate("n_hit", "n_pred").alias("precision_e6"),
+        rate("n_hit", "n_true").alias("recall_e6"),
     )
 
 

@@ -25,10 +25,19 @@ from pyspark.sql import functions as F
 
 def _sym(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Both directions of each undirected edge, self-loops dropped,
-    deduplicated."""
+    deduplicated.
+
+    One explode pass, NOT a union of two selects of ``edges``: a union
+    duplicates the upstream subtree, and the edge relations fed in here
+    are often whole pipelines (the verified minhash pair set), which a
+    union would execute twice per action."""
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     return (
-        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        e.select(F.explode(F.array(
+            F.struct(F.col("s"), F.col("d")),
+            F.struct(F.col("d").alias("s"), F.col("s").alias("d")),
+        )).alias("_e"))
+        .select("_e.s", "_e.d")
         .filter(F.col("s") != F.col("d"))
         .distinct()
     )
@@ -56,10 +65,18 @@ def triangle_count(
     their degree on one side of the join. Vertices in no triangle are
     absent (left-join against ``degrees`` to zero-fill if needed).
     """
+    # Materialize the oriented edge list once: it is consumed THREE
+    # times below (both wedge legs + the closing-probe semi-join), and
+    # without the lineage cut each consumption re-executes the entire
+    # upstream edge pipeline (for the dup-pair graph queries that is a
+    # full banded-minhash + verify pass, ×3). Same discipline as
+    # ``pagerank``'s per-iteration checkpoint; the oriented pair set is
+    # collapsed and small.
     oriented = (
         _sym(edges, src, dst)
         .filter(F.col("s") < F.col("d"))
         .select(F.col("s").alias("a"), F.col("d").alias("b"))
+        .localCheckpoint(eager=True)
     )
     wedge = (
         oriented.select(F.col("a"), F.col("b"))

@@ -445,10 +445,13 @@ def contamination_scores(
     from nexus_processor_spark.functions.text import word_shingles_text
 
     eval_id = eval_id_col or id_col
+    # benchmark-sized and consumed 2-3 times (totals, the optional df
+    # cap, the probe join's broadcast build) — materialize once so the
+    # eval explode doesn't re-run per consumer
     eg = eval_df.select(
         F.col(eval_id).alias("eval_id"),
         F.explode(word_shingles_text(text_col, n)).alias("gram"),
-    )
+    ).localCheckpoint(eager=True)
     # denominator = the eval doc's FULL distinct gram count (computed
     # before the df cap, so capping can only lower a containment score,
     # never inflate one)
@@ -509,10 +512,18 @@ def decontaminate_bloom(
         bloom_filter_candidates,
     )
 
+    # Materialize the eval gram set once: it feeds BOTH the bloom build
+    # and the exact verification semi-join, and the bloom's position
+    # table (≤ bits rows) once: the k-probe filter broadcasts it k
+    # times, and without the lineage cuts every one of those consumers
+    # re-ran the eval-side explode+distinct (7 scans of the input in
+    # the declared query's before-plan; 2 after). Both tables are
+    # bounded by the eval set / bits, never the 100 TB side.
     eval_grams = eval_df.select(
         F.explode(word_shingles_text(text_col, n)).alias("gram")
-    ).distinct()
-    bloom = bloom_build(eval_grams, "gram", bits=bits, k=k)
+    ).distinct().localCheckpoint(eager=True)
+    bloom = bloom_build(eval_grams, "gram", bits=bits, k=k).localCheckpoint(
+        eager=True)
     corpus_grams = corpus.select(
         F.col(id_col), F.explode(word_shingles_text(text_col, n)).alias("gram")
     )
@@ -554,6 +565,12 @@ def source_overlap(
             F.explode(word_shingles_text(text_col, ngram_words)).alias("g"),
         )
         .distinct()
+        # three consumers below (sizes + both self-join sides); the cut
+        # makes the corpus explode + distinct shuffle run ONCE instead
+        # of per consumer (before-plan: 4 corpus scans; after: 1) —
+        # cheaper at every scale, since each re-run WAS itself a
+        # corpus-scale (src, gram) shuffle on top of the scan
+        .localCheckpoint(eager=True)
     )
     sizes = grams.groupBy("src").agg(F.count("*").alias("n"))
     a = grams.select(F.col("src").alias("source_a"), "g")
@@ -1294,10 +1311,13 @@ def dsir_logweights(
     integer SUM — addition-order-free, hash-matched by the DuckDB
     oracle. Docs with no tokens score 0.
 
-    Scale shape: the corpus pays ONE token explode and one
-    ``groupBy(id)`` (map-side combinable); the two distribution tables
-    are dim-row aggregates that broadcast. No reference counterpart —
-    the reference engine has no data-selection operators.
+    Scale shape: the corpus pays TWO token explodes — the per-bucket
+    distribution aggregate, then the scoring pass whose ``groupBy(id)``
+    is map-side combinable — and the target pays one; the token TOTALS
+    derive from the per-bucket counts instead of dedicated full-input
+    count passes (see the in-body comment). The distribution tables are
+    dim-row aggregates that broadcast. No reference counterpart — the
+    reference engine has no data-selection operators.
 
     Output: ``(id_col, logw_e6 bigint)``, one row per corpus doc.
     """
@@ -1317,17 +1337,29 @@ def dsir_logweights(
     tgt_b = bucketed(target)
     raw_n = corp_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_rn"))
     tgt_n = tgt_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_tn"))
-    raw_t = corp_b.agg(F.count(F.lit(1)).alias("_rt"))
-    tgt_t = tgt_b.agg(F.count(F.lit(1)).alias("_tt"))
     dom = spark.range(dim).select(F.col("id").cast("int").alias("bucket"))
     smoothed = lambda n, t: (  # noqa: E731  (n+1)/(N+dim), both integers
         (F.coalesce(n, F.lit(0)) + F.lit(1.0)) / (t + F.lit(float(dim)))
     )
+    # The token totals are the SUMS of the per-bucket counts (every
+    # token lands in exactly one bucket of [0, dim)), so they are
+    # derived from the dim-row joined table via an unpartitioned window
+    # — NOT via `corp_b.agg(count)` / `tgt_b.agg(count)`, each of which
+    # re-runs a full explode+md5 pass of its input (exchange reuse
+    # cannot dedup an agg branch against a differently-grouped one).
+    # The window moves <= dim (8192 max) rows to one task inside a
+    # subtree that broadcasts anyway. Same exact integers, so the
+    # declared dsir_* query hashes are unchanged; measured 3 corpus
+    # passes -> 2 (see OPTIMIZATION_r11.md).
+    whole = Window.partitionBy()
     lr = (
         dom.join(F.broadcast(raw_n), "bucket", "left")
         .join(F.broadcast(tgt_n), "bucket", "left")
-        .crossJoin(F.broadcast(raw_t))
-        .crossJoin(F.broadcast(tgt_t))
+        .select(
+            "bucket", "_rn", "_tn",
+            F.sum(F.coalesce(F.col("_rn"), F.lit(0))).over(whole).alias("_rt"),
+            F.sum(F.coalesce(F.col("_tn"), F.lit(0))).over(whole).alias("_tt"),
+        )
         .select(
             "bucket",
             F.round(

@@ -124,13 +124,26 @@ def interval_concurrency(
     are applied before ends, so a session beginning exactly when another
     finishes sees both alive. ``id_cols`` flow through as tiebreaks for
     fully deterministic running values."""
-    starts = intervals.select(
-        F.col(start_col).alias("t"), F.lit(1).alias("delta"), *id_cols
+    # One explode pass emits both endpoints (a starts∪ends union would
+    # duplicate the upstream subtree — for the session-concurrency
+    # query that is the whole gap-sessionize window pipeline), and the
+    # endpoint stream is materialized once: the two-phase running sum
+    # below consumes it twice (bucket sums + the probe join), which
+    # without the lineage cut would re-run the upstream again. Endpoint
+    # rows are narrow (t, delta, ids) — 2 per interval. Before-plan: 4
+    # scans of the event table; after: 1.
+    ends = F.array(
+        F.struct(F.col(start_col).alias("t"), F.lit(1).alias("delta"),
+                 *[F.col(c) for c in id_cols]),
+        F.struct(F.col(end_col).alias("t"), F.lit(-1).alias("delta"),
+                 *[F.col(c) for c in id_cols]),
     )
-    ends = intervals.select(
-        F.col(end_col).alias("t"), F.lit(-1).alias("delta"), *id_cols
+    deltas = (
+        intervals.select(F.explode(ends).alias("_e"))
+        .select("_e.*")
+        .filter(F.col("t").isNotNull())
+        .localCheckpoint(eager=True)
     )
-    deltas = starts.unionByName(ends).filter(F.col("t").isNotNull())
     # +1 sorts before -1 at equal t via negated delta in the tiebreak
     out = distributed_running_sum(
         deltas.withColumn("_nd", -F.col("delta")),

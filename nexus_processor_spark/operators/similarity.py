@@ -257,18 +257,36 @@ def hard_negative_triplets(
         F.desc("cos"), "vec_id"
     )
     ranked = scored.withColumn("rn", F.row_number().over(w))
-    pos = ranked.filter(F.col("_same") & (F.col("rn") == 1)).select(
-        "query_id",
-        F.col("vec_id").alias("pos_id"),
-        F.col("cos").alias("pos_cos"),
+    # Cut to the surviving rows FIRST (1 positive + <= neg_k negatives
+    # per anchor), then attach the positive to its anchor's negative
+    # rows with a second window over the k-bounded remainder. The
+    # former pos/neg branch-and-join form consumed `ranked` twice, and
+    # each consumption re-ran the whole scored pass (broadcast GEMM
+    # over the corpus + the rank shuffle) — 2x the query's entire cost,
+    # visible as doubled embedding scans in the before-plan. The inner
+    # join's semantics are preserved: anchors missing a positive drop
+    # via the null filter, anchors missing negatives emit no rows.
+    kept = ranked.filter(
+        (F.col("_same") & (F.col("rn") == 1))
+        | (~F.col("_same") & (F.col("rn") <= neg_k))
     )
-    neg = ranked.filter(~F.col("_same") & (F.col("rn") <= neg_k)).select(
-        "query_id",
-        F.col("vec_id").alias("neg_id"),
-        F.col("cos").alias("neg_cos"),
-        F.col("rn").cast("long").alias("neg_rank"),
+    wq = Window.partitionBy("query_id")
+    pos = F.max(
+        F.when(F.col("_same"),
+               F.struct(F.col("vec_id"), F.col("cos")))
+    ).over(wq)
+    return (
+        kept.withColumn("_pos", pos)
+        .filter(~F.col("_same") & F.col("_pos").isNotNull())
+        .select(
+            "query_id",
+            F.col("_pos.vec_id").alias("pos_id"),
+            F.col("_pos.cos").alias("pos_cos"),
+            F.col("vec_id").alias("neg_id"),
+            F.col("cos").alias("neg_cos"),
+            F.col("rn").cast("long").alias("neg_rank"),
+        )
     )
-    return pos.join(neg, "query_id")
 
 
 def cosine_near_dup_pairs(
@@ -822,27 +840,28 @@ def recall_at_k(
     truth — the eval every ANN index needs before it replaces the
     brute-force path.
 
-    Both inputs are (query, neighbor) relations (extra columns ignored).
-    Per query: |approx ∩ exact| / k; queries with zero approx hits still
-    appear (recall 0.0 — an index that silently drops queries must not
-    inflate its average). The join is per-query equi (never data-scale),
-    one aggregate per side.
+    Both inputs are (query, neighbor) SETS (extra columns ignored; the
+    approx side is deduped defensively). Per query: |approx ∩ exact| / k;
+    queries with zero approx hits still appear (recall 0.0 — an index
+    that silently drops queries must not inflate its average). The join
+    is per-query equi (never data-scale).
+
+    Shape: ONE left join from the truth side with a presence marker,
+    counting matches per query. The former two-branch form (semi-join
+    for hits + ``ex.select(query).distinct()`` for the query universe)
+    consumed ``exact`` twice — and the ground-truth side is typically
+    the EXPENSIVE brute-force top-k, which really ran twice: the
+    semi-join pushes isnotnull into only its copy of the subtree, so
+    exchange/stage reuse never dedups the branches (the one-sided-
+    constraint breaker OPTIMIZATION_r11.md documents).
     """
     ex = exact.select(query_col, id_col)
-    ap = approx.select(query_col, id_col)
-    hits = (
-        ap.join(ex, [query_col, id_col], "left_semi")
-        .groupBy(query_col)
-        .agg(F.count(F.lit(1)).alias("_hits"))
-    )
+    ap = approx.select(query_col, id_col).distinct().withColumn(
+        "_a", F.lit(1))
     return (
-        ex.select(query_col).distinct()
-        .join(hits, query_col, "left")
-        .select(
-            query_col,
-            (F.coalesce(F.col("_hits"), F.lit(0)) / F.lit(float(k)))
-            .alias("recall"),
-        )
+        ex.join(ap, [query_col, id_col], "left")
+        .groupBy(query_col)
+        .agg((F.count("_a") / F.lit(float(k))).alias("recall"))
     )
 
 

@@ -256,10 +256,15 @@ def kmv_set_ops(
 
     One row: ``n_union_draws, n_common_draws, union_est, inter_jaccard,
     inter_est, a_est, b_est``. Bounded work everywhere: both sketches
-    are <= k rows by construction.
+    are <= k rows by construction — which is why each input is
+    materialized (localCheckpoint) up front: every side is consumed
+    THREE times below (union draws, common draws, own estimate), and
+    without the lineage cut each consumption re-executes the sketch's
+    whole upstream corpus pipeline (measured as 6 corpus scans in the
+    declared kmv_set_ops query's before-plan).
     """
-    a = sketch_a.select("h")
-    b = sketch_b.select("h")
+    a = sketch_a.select("h").localCheckpoint(eager=True)
+    b = sketch_b.select("h").localCheckpoint(eager=True)
     u = _k_smallest(a.unionByName(b).distinct(), k)
     common = a.join(b, "h")  # draws present in both sketches
     stats = (
@@ -335,7 +340,7 @@ def _rho_case(v: Column, w: int = HLL_W) -> Column:
 
 def hll_registers(
     items: DataFrame, key_col: str, *, by: str | None = None,
-    w: int = HLL_W,
+    w: int = HLL_W, union_label: str | None = None,
 ) -> DataFrame:
     """HyperLogLog register table: ``([by], bucket, rho)`` with at most
     4096 rows per group. Bucket = first 3 md5 hex chars; rho = first
@@ -358,9 +363,18 @@ def hll_registers(
     collapses each task to <= 4096 register rows map-side, so a key
     dedup first only ADDS a vocab-wide shuffle (measured 26s vs 17.8s
     at 2M docs) — unlike ``cms_build``, whose win comes from shrinking
-    its x-depth explode, which HLL doesn't have."""
+    its x-depth explode, which HLL doesn't have.
+
+    ``union_label`` (requires ``by``) additionally emits the all-groups
+    union register table in the SAME aggregate — grouping sets
+    ``((by, bucket), (bucket))``, union rows labeled ``union_label`` —
+    identical values to ``hll_merge(registers.drop(by))`` (register-wise
+    max is associative) for ONE pass over the input instead of the merge
+    branch re-running the whole md5 lineage a second time."""
     if not 1 <= w <= 60:
         raise ValueError(f"w must be in [1, 60], got {w}")
+    if union_label is not None and not by:
+        raise ValueError("union_label requires by")
     keys = [by] if by else []
     h = F.md5(F.col(key_col).cast("string"))
     bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
@@ -368,11 +382,24 @@ def hll_registers(
     v = F.conv(F.substring(h, 4, n_hex), 16, 10).cast("long")
     if 4 * n_hex != w:  # top w bits of the sliced hex chars
         v = F.shiftright(v, 4 * n_hex - w)
+    base = items.select(
+        *keys, bucket.alias("bucket"), _rho_case(v, w).alias("_r"))
+    if union_label is None:
+        return (
+            base.groupBy(*keys, "bucket")
+            .agg(F.max("_r").cast("long").alias("rho"))
+        )
     return (
-        items.select(
-            *keys, bucket.alias("bucket"), _rho_case(v, w).alias("_r"))
-        .groupBy(*keys, "bucket")
-        .agg(F.max("_r").cast("long").alias("rho"))
+        base.groupingSets([[by, "bucket"], ["bucket"]], by, "bucket")
+        # grouping() (not a null test) marks the union rows, so a NULL
+        # group value in the data keeps its own register table
+        .agg(F.max("_r").cast("long").alias("rho"),
+             F.grouping(by).alias("_g"))
+        .select(
+            F.when(F.col("_g") == 1, F.lit(union_label))
+            .otherwise(F.col(by)).alias(by),
+            "bucket", "rho",
+        )
     )
 
 

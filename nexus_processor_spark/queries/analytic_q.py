@@ -138,27 +138,32 @@ def q_hll_distinct_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
     guaranteed (see ``sketch.hll_estimate``)."""
     from nexus_processor_spark.operators.sketch import (
         hll_estimate,
-        hll_merge,
         hll_registers,
     )
 
     e = load_table(spark, sf_dir, "events").select(
         F.col("event_type").alias("bank"), "user_id"
     )
-    regs = hll_registers(e, "user_id", by="bank")
+    # One md5 register pass for per-bank AND union rows (grouping sets
+    # inside hll_registers; identical values to the hll_merge branch it
+    # replaces — register-wise max is associative), and one rollup pass
+    # for per-bank AND global exact distincts. The previous four-branch
+    # form (registers, merge-of-registers, per-bank exact, global
+    # exact) re-ran the event scan per branch — 4 scans, 2 of them
+    # full md5 passes, visible in the before-plan.
+    regs = hll_registers(e, "user_id", by="bank", union_label="__union__")
     per = hll_estimate(regs, by="bank")
-    union_est = hll_estimate(hll_merge(regs.drop("bank"))).select(
-        F.lit("__union__").alias("bank"), "est_distinct"
+    exact = (
+        e.rollup("bank")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+             F.grouping("bank").alias("_g"))
+        .select(
+            F.when(F.col("_g") == 1, F.lit("__union__"))
+            .otherwise(F.col("bank")).alias("bank"),
+            "exact_distinct",
+        )
     )
-    exact = e.groupBy("bank").agg(
-        F.countDistinct("user_id").cast("long").alias("exact_distinct")
-    )
-    exact_all = e.agg(
-        F.countDistinct("user_id").cast("long").alias("exact_distinct")
-    ).select(F.lit("__union__").alias("bank"), "exact_distinct")
-    return per.unionByName(union_est).join(
-        exact.unionByName(exact_all), "bank"
-    )
+    return per.join(exact, "bank")
 
 
 CONCURRENCY_GRID = 86400.0  # day buckets over the ~30-day domain

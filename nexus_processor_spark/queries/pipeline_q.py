@@ -331,9 +331,16 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = _docs(spark, sf_dir).select(
         "source", F.explode(F.split("text", " ")).alias("tok")
-    )
-    a = kmv_sketch(toks.filter(F.col("source") == "src0"), "tok", k=KMV_K)
-    b = kmv_sketch(toks.filter(F.col("source") == "src1"), "tok", k=KMV_K)
+    ).filter(F.col("source").isin("src0", "src1"))
+    # ONE corpus pass builds both sides (grouped sketch == per-filter
+    # sketch: the (source, tok) dedup and per-source top-k draws are
+    # identical); the 2x256-row result splits per side. Two separate
+    # kmv_sketch calls each re-scanned the whole corpus with a
+    # non-pruning source filter.
+    sk = kmv_sketch(toks, "tok", k=KMV_K, by="source").localCheckpoint(
+        eager=True)  # 2x256 rows; both side-splits read this, not the corpus
+    a = sk.filter(F.col("source") == "src0").drop("source")
+    b = sk.filter(F.col("source") == "src1").drop("source")
     return kmv_set_ops(a, b, k=KMV_K)
 
 

@@ -332,18 +332,21 @@ def extract_changes(
         F.struct(*[F.col(c) for c in cols]).alias("_nv"),
         F.lit(True).alias("_in_new"),
     )
+    # The upsert and tombstone conditions are mutually exclusive, so
+    # ONE filter + conditional projection emits both row kinds from a
+    # single pass over the join — the former upserts/deletes union
+    # consumed the full-outer join twice, re-scanning and re-joining
+    # BOTH snapshots per branch (4 scans in the declared
+    # orders_cdc_extract query's before-plan; 2 after).
     j = o.join(n, key_col, "full_outer")
-    upserts = j.filter(
-        F.col("_in_new").isNotNull()
-        & (F.col("_in_old").isNull() | ~F.col("_ov").eqNullSafe(F.col("_nv")))
-    ).select(
+    in_new = F.col("_in_new").isNotNull()
+    changed = F.col("_in_old").isNull() | ~F.col("_ov").eqNullSafe(
+        F.col("_nv"))
+    new_types = dict(new.dtypes)
+    return j.filter((in_new & changed) | ~in_new).select(
         key_col,
-        *[F.col(f"_nv.{c}").alias(c) for c in cols],
-        F.lit(False).alias(delete_col),
+        *[F.when(in_new, F.col(f"_nv.{c}"))
+          .otherwise(F.lit(None).cast(new_types[c])).alias(c)
+          for c in cols],
+        (~in_new).alias(delete_col),
     )
-    deletes = j.filter(F.col("_in_new").isNull()).select(
-        key_col,
-        *[F.lit(None).cast(dict(new.dtypes)[c]).alias(c) for c in cols],
-        F.lit(True).alias(delete_col),
-    )
-    return upserts.unionByName(deletes)

@@ -253,3 +253,40 @@ def test_hll_wide_rho_extends_range(spark):
 
     with pytest.raises(ValueError, match="w must be"):
         sk.hll_registers(keys, "k", w=0)
+
+
+def test_hll_union_label_matches_merge_branch(spark):
+    """The grouping-sets union rows must equal hll_merge of the per-group
+    registers, register for register (the single-pass optimization must
+    not change a single value), and a NULL group value must keep its own
+    register table instead of being folded into the union."""
+    from nexus_processor_spark.operators.sketch import (
+        hll_merge,
+        hll_registers,
+    )
+
+    items = spark.range(5000).select(
+        F.when(F.col("id") % 3 == 0, F.lit("a"))
+        .when(F.col("id") % 3 == 1, F.lit("b"))
+        .otherwise(F.lit(None)).alias("g"),
+        F.col("id").cast("string").alias("key"),
+    )
+    fused = hll_registers(items, "key", by="g", union_label="__u__")
+    plain = hll_registers(items, "key", by="g")
+    merged = hll_merge(plain.drop("g")).select(
+        F.lit("__u__").alias("g"), "bucket", "rho")
+    want = plain.unionByName(merged)
+    got = sorted(
+        ((r.g, r.bucket, r.rho) for r in fused.collect()),
+        key=lambda t: (t[0] is None, t))
+    exp = sorted(
+        ((r.g, r.bucket, r.rho) for r in want.collect()),
+        key=lambda t: (t[0] is None, t))
+    assert got == exp
+    # null-group registers survive as their own group
+    assert any(g is None for g, _, _ in got)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="union_label requires by"):
+        hll_registers(items, "key", union_label="__u__")

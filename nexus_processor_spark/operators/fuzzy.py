@@ -60,10 +60,16 @@ def edit_distance_pairs(
     k = int(max_dist)
     if k < 1:
         raise ValueError("max_dist must be >= 1")
+    # (_id, _s, _l) is consumed FOUR times below (index, probe grid,
+    # and both short-string sides) — materialize it once so the source
+    # scan (and its full text-column read, when _s is a projection of a
+    # document table) doesn't re-run per consumer. Rows are id + the
+    # edit-distance key string: proportional to the input, never wider.
     base = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_s"))
         .filter(F.col("_s").isNotNull())
         .withColumn("_l", F.length("_s").cast("int"))
+        .localCheckpoint(eager=True)
     )
     long_side = base.filter(F.col("_l") >= k + 1)
 

@@ -831,9 +831,14 @@ def downsample_lttb(
     sc = [F.col(c) for c in series_cols]
     t, v = F.col(time_col), F.col(value_col)
 
+    # per-series span is bounded by the series count and consumed by
+    # BOTH event passes below (bucketing for the envelope aggregate,
+    # bucketing for the final argmax) — materialize once so its event
+    # scan doesn't re-run inside each consumer (4 scans -> the
+    # algorithm's 3-pass floor)
     span = events.groupBy(*sc).agg(
         F.min(time_col).alias("_ts0"), F.max(time_col).alias("_ts1")
-    )
+    ).localCheckpoint(eager=True)
     e = events.join(F.broadcast(span), list(series_cols))
     frac = (t - F.col("_ts0")) / (F.col("_ts1") - F.col("_ts0"))
     bucket = F.when(

@@ -359,12 +359,18 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold compare so both engines compare identical doubles."""
     ev = _events(spark, sf_dir).filter(F.col("value").isNotNull()) \
         .select("bank", "value")
+    # exact MAD is inherently 3 passes (median -> MAD -> threshold);
+    # materializing the two per-bank aggregates pins it AT 3 — without
+    # the cuts the med subtree re-ran inside both downstream branches
+    # (4 event scans in the before-plan)
     med = ev.groupBy("bank").agg(
-        F.expr("percentile(value, 0.5)").alias("_med"))
+        F.expr("percentile(value, 0.5)").alias("_med")) \
+        .localCheckpoint(eager=True)
     dev = ev.join(F.broadcast(med), "bank").withColumn(
         "_ad", F.round(F.abs(F.col("value") - F.col("_med")), 6))
     stats = dev.groupBy("bank").agg(
-        F.round(F.expr("percentile(_ad, 0.5)"), 6).alias("_mad"))
+        F.round(F.expr("percentile(_ad, 0.5)"), 6).alias("_mad")) \
+        .localCheckpoint(eager=True)
     flagged = dev.join(F.broadcast(stats), "bank").withColumn(
         "_out", (F.col("_ad") > 3 * F.col("_mad")).cast("long"))
     return flagged.groupBy("bank").agg(

@@ -103,6 +103,12 @@ WINDOW_ALLOWED = {
     "tokens_encoded": "vocab rank over .limit(VOCAB_SIZE) head",
     "dsir_select": "rank over the .limit(k) TakeOrdered head",
     "token_coverage": "running sum over the .limit(k) vocab head",
+    # token totals derived from the per-bucket counts via a whole-frame
+    # sum over the spark.range(dim)-joined table: <= dim (8192 max)
+    # rows by construction, replaces two full corpus count passes
+    # (pipeline.dsir_logweights in-body comment)
+    "dsir_weights": "total-token sums over the dim-row bucket table",
+    "dsir_weights_hidim": "total-token sums over the dim-row bucket table",
 }
 
 

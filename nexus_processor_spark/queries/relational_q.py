@@ -76,24 +76,25 @@ def q_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with small-dim broadcasts (J1 chain).
 
-    The region restriction is applied FIRST, as broadcast SEMI-joins on
-    the two mid-size dims (customer, supplier) against the 5 ASIA
-    nations, not as the last join in the chain: the old shape ran every
-    fact row of all 5 regions through the whole join pipeline and
-    discarded ~4/5 of the work at the final broadcast, while here the
-    dim shuffles and the fact stream are cut ~5x at the earliest join.
-    Semi-join (not inner pre-join) on purpose: Spark's non-CBO size
-    estimate for a LeftSemi output is the left side's own size, so at
-    bench scale the filtered dims keep auto-broadcasting (plan stays
-    all-broadcast, zero fact shuffle), while at cluster scale the same
-    code degrades to pre-filtered shuffle joins — an inner pre-join's
-    blown-up output estimate instead forced a SortMergeJoin of the fact
-    table even when the dims fit. n_name is attached AFTER the
-    aggregation (25-row agg output x 5-row nation broadcast): attaching
-    it pre-agg made Catalyst subsume the semi-join into an inner join
-    on the same key, recreating the bad estimate; post-agg it also
-    narrows the agg key to an int. n_name<->n_nationkey is 1:1, so the
-    algebra is unchanged (oracle-pinned)."""
+    The region restriction is applied FIRST, not as the last join in
+    the chain: the old shape ran every fact row of all 5 regions
+    through the whole join pipeline and discarded ~4/5 of the work at
+    the final broadcast, while here the dim shuffles and the fact
+    stream are cut ~5x at the earliest join. The restriction lands on
+    customer/supplier as a literal ``isin`` over the ASIA nation keys —
+    a BOUNDED driver read (nation is <= 25 rows at every TPC-H scale
+    factor), so the predicate reaches both parquet scans as
+    PushedFilters ``In(c_nationkey, ...)`` and no broadcast hash
+    relation is built or probed for it at any scale. (r11 history: an
+    inner pre-join's blown-up non-CBO size estimate forced a
+    SortMergeJoin of the fact table; broadcast LeftSemi joins fixed
+    that but added two broadcast build/probe jobs per action — the
+    in-list keeps the semi's estimate behaviour with a filter's plan.
+    A/B at sf0.1: wash within box noise, 11/23 paired wins.)
+    n_name is attached AFTER the aggregation (25-row agg output x
+    5-row nation broadcast), narrowing the agg key to an int.
+    n_name<->n_nationkey is 1:1, so the algebra is unchanged
+    (oracle-pinned)."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -103,12 +104,13 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation_asia = nation.join(
         F.broadcast(region), nation.n_regionkey == region.r_regionkey
     ).select("n_nationkey", "n_name")
-    asia_keys = F.broadcast(nation_asia.select("n_nationkey"))
-    cust = _t(spark, sf_dir, "customer").join(
-        asia_keys, F.col("c_nationkey") == F.col("n_nationkey"), "semi"
+    # bounded collect: <= 25 nation rows exist at every scale factor
+    asia_keys = [r[0] for r in nation_asia.select("n_nationkey").collect()]
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(asia_keys)
     )
-    sup = _t(spark, sf_dir, "supplier").join(
-        asia_keys, F.col("s_nationkey") == F.col("n_nationkey"), "semi"
+    sup = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey").isin(asia_keys)
     )
     per_nation = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)

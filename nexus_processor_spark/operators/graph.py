@@ -121,9 +121,12 @@ def pagerank(
     that appear.
     """
     sym = _sym(edges, src, dst).localCheckpoint(eager=True)
+    # deg is consumed TWICE per iteration (rank/deg contribution and the
+    # zero-fill join) — without the cut every iteration re-aggregates
+    # the whole edge set twice (2 x iterations redundant passes)
     deg = sym.groupBy(F.col("s").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
-    )
+    ).localCheckpoint(eager=True)
     n = deg.count()
     if n == 0:
         return deg.select("id", F.lit(0.0).alias("rank"))

@@ -26,6 +26,7 @@ length <= 2k). A real corpus dedups empty/near-empty texts upstream.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -64,12 +65,18 @@ def edit_distance_pairs(
     # and both short-string sides) — materialize it once so the source
     # scan (and its full text-column read, when _s is a projection of a
     # document table) doesn't re-run per consumer. Rows are id + the
-    # edit-distance key string: proportional to the input, never wider.
+    # edit-distance key string: proportional to the input, never wider —
+    # which is why this is a PERSIST, not a localCheckpoint: a local
+    # checkpoint of an input-proportional table pins executor disk and
+    # is not fault-tolerant (an executor loss kills the job instead of
+    # recomputing the lost blocks from lineage). MEMORY_AND_DISK keeps
+    # the single-materialization plan (InMemoryTableScan x4) and spills
+    # under pressure.
     base = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_s"))
         .filter(F.col("_s").isNotNull())
         .withColumn("_l", F.length("_s").cast("int"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     long_side = base.filter(F.col("_l") >= k + 1)
 

@@ -19,6 +19,7 @@ PageRank-style centrality. All are DataFrame compositions:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -67,16 +68,20 @@ def triangle_count(
     """
     # Materialize the oriented edge list once: it is consumed THREE
     # times below (both wedge legs + the closing-probe semi-join), and
-    # without the lineage cut each consumption re-executes the entire
+    # without the cache each consumption re-executes the entire
     # upstream edge pipeline (for the dup-pair graph queries that is a
-    # full banded-minhash + verify pass, ×3). Same discipline as
-    # ``pagerank``'s per-iteration checkpoint; the oriented pair set is
-    # collapsed and small.
+    # full banded-minhash + verify pass, ×3). PERSIST, not a local
+    # checkpoint: the oriented edge list is proportional to the input
+    # graph (huge on real graphs), and a localCheckpoint of it pins
+    # executor disk while dropping fault tolerance — an executor loss
+    # kills the job instead of recomputing the lost blocks.
+    # MEMORY_AND_DISK keeps the single-materialization plan
+    # (InMemoryTableScan x3) and spills under pressure.
     oriented = (
         _sym(edges, src, dst)
         .filter(F.col("s") < F.col("d"))
         .select(F.col("s").alias("a"), F.col("d").alias("b"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     wedge = (
         oriented.select(F.col("a"), F.col("b"))
@@ -120,10 +125,16 @@ def pagerank(
     in an edge relation by construction; ranks sum to ~1 over vertices
     that appear.
     """
-    sym = _sym(edges, src, dst).localCheckpoint(eager=True)
+    # sym is input-proportional and consumed every iteration: persist
+    # (fault-tolerant, disk-spilling) rather than localCheckpoint —
+    # same reasoning as ``triangle_count``'s oriented edge list.
+    sym = _sym(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
     # deg is consumed TWICE per iteration (rank/deg contribution and the
     # zero-fill join) — without the cut every iteration re-aggregates
-    # the whole edge set twice (2 x iterations redundant passes)
+    # the whole edge set twice (2 x iterations redundant passes). deg
+    # stays a localCheckpoint: it doubles as the lineage cut the
+    # driver-looped iteration needs (bounded: one row per vertex that
+    # the rank vector itself already materializes per round).
     deg = sym.groupBy(F.col("s").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
     ).localCheckpoint(eager=True)

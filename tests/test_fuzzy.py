@@ -100,3 +100,29 @@ def test_no_cartesian_in_main_path_plan(spark):
     # main path must be a hash equi-join on the segment key
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or \
         "ShuffledHashJoin" in plan
+
+
+def test_base_is_disk_backed_persist_not_local_checkpoint(spark):
+    # The (id, string, len) base is proportional to the input: it must
+    # be a fault-tolerant, disk-spilling persist (MEMORY_AND_DISK), not
+    # a localCheckpoint (which pins executor disk and kills the job on
+    # executor loss). Single materialization: the cache is read by all
+    # four consumers, and no ExistingRDD (localCheckpoint residue)
+    # appears in the plan.
+    df = spark.range(50).select(
+        F.col("id"),
+        F.concat(F.lit("p_"), (F.col("id") % 11).cast("string")).alias("s"),
+    )
+    out = edit_distance_pairs(df, id_col="id", text_col="s", max_dist=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "ExistingRDD" not in plan
+    # storage level of the cached base: memory+disk (spillable)
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = jmap.values().iterator()
+    levels = []
+    while it.hasNext():
+        levels.append(it.next().getStorageLevel())
+    assert any(
+        lvl.useDisk() and lvl.useMemory() for lvl in levels
+    ), [str(lv) for lv in levels]

@@ -260,6 +260,7 @@ def test_stream_count_sink_drains_exactly_once(tmp_path, capsys):
     assert "streamed 0 events" in capsys.readouterr().err
 
 
+@pytest.mark.slow
 def test_replay_flight_server_serves_events(tmp_path, capsys):
     import json as _json
     import threading

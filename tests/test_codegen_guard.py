@@ -52,6 +52,7 @@ def test_scan_missing_log_raises(tmp_path):
         codegen_guard.scan(str(tmp_path / "never_written.log"))
 
 
+@pytest.mark.slow
 def test_guard_catches_live_janino_bailout(tmp_path):
     """End-to-end red run: a fresh JVM (subprocess — log4j2 config is
     launch-time) with capture_confs runs a 3000-expression concat that

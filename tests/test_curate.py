@@ -59,6 +59,7 @@ def test_curate_without_eval_has_no_contamination_stage(corpus):
     assert kept == {1, 4, 5}
 
 
+@pytest.mark.slow
 def test_curate_cli(spark, corpus, eval_df, tmp_path):
     from nexus_processor_spark.__main__ import main
 

@@ -464,6 +464,7 @@ def test_incremental_near_dup_rejects_scheme_mismatch(spark):
     ).collect()
 
 
+@pytest.mark.slow
 def test_dup_clusters_require_convergence_raises_on_cap(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "id_a long, id_b long")

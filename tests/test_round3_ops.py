@@ -155,6 +155,7 @@ def test_bm25_ranking_properties(spark):
     assert all(r.bm25 > 0 for r in out.values())  # Lucene idf never negative
 
 
+@pytest.mark.slow
 def test_prefix_filter_random_corpus_exactness(spark):
     """Randomized exactness: prefix filtering must equal brute force on a
     high-collision corpus (tiny vocab => dense similarity structure),
@@ -195,6 +196,7 @@ def test_duplicate_ngram_hash_path_matches_string_path(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_incremental_near_dup_against_index(spark):
     near_a = "the quick brown fox jumps over the lazy dog again and again today"
     near_b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
@@ -221,6 +223,7 @@ def test_incremental_near_dup_against_index(spark):
     assert not any(n == 102 or i == 4 for n, i in out)
 
 
+@pytest.mark.slow
 def test_incremental_near_dup_shingleless_docs_never_match(spark):
     corpus = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     idx = dedup.build_minhash_index(corpus)
@@ -341,6 +344,7 @@ def test_hashed_features_and_dense_assembly(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, xx.collect()))
 
 
+@pytest.mark.slow
 def test_round3_plan_shapes(spark):
     """Physical-plan pins for the round's scale claims."""
     from nexus_processor_spark.operators import similarity
@@ -372,6 +376,7 @@ def test_round3_plan_shapes(spark):
     assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
 
 
+@pytest.mark.slow
 def test_minhash_index_survives_parquet_roundtrip(spark, tmp_path):
     """The near-dup index is a plain table: write it to the lake, read it
     back cold, and the incremental gate produces identical matches."""

@@ -86,6 +86,7 @@ def test_probe_has_no_false_negatives_randomized(spark, tmp_path):
     assert len(got) < len(all_keys) / 3
 
 
+@pytest.mark.slow
 def test_probe_equals_full_scan_semantics(spark, tmp_path):
     """curate_batch decisions through the store handle == decisions
     through the full-state DataFrame (the oracle path), end to end on
@@ -118,6 +119,7 @@ def test_probe_equals_full_scan_semantics(spark, tmp_path):
     assert store.probe_bytes_total < total * 3  # 3 probes ran
 
 
+@pytest.mark.slow
 def test_probe_bytes_stay_flat_as_state_grows_10x(spark, tmp_path):
     """THE r5 scale pin (VERDICT next #1): fixed probe, state grown 10x
     — per-probe bytes read must not track state size. The probe keys
@@ -163,6 +165,7 @@ def test_probe_bytes_stay_flat_as_state_grows_10x(spark, tmp_path):
     assert store.last_probe_meta_bytes == 0
 
 
+@pytest.mark.slow
 def test_fold_keeps_single_commit_bounded_over_32_batches(spark, tmp_path):
     """Tiered-compaction pin (VERDICT r5 next #2): across 32 equal
     deltas no single commit writes more than a fixed multiple of the
@@ -227,6 +230,7 @@ def test_retention_contract_keep_last_two(spark, tmp_path):
     assert store.read_kind("md5").count() == 25
 
 
+@pytest.mark.slow
 def test_store_probes_add_no_shuffle_joins(spark, tmp_path):
     """The store-path twin of test_streaming_curate's broadcast-only
     invariant: pruned probe reads must still join the batch via
@@ -253,6 +257,7 @@ def test_store_probes_add_no_shuffle_joins(spark, tmp_path):
     assert warm == cold
 
 
+@pytest.mark.slow
 def test_probe_bytes_flat_across_fold_generations(spark, tmp_path):
     """VERDICT r6 next #1: bucket-file SIZE, not bucket count, is the
     invariant. Under the old 256-bucket cap a tier-folded directory's
@@ -299,6 +304,7 @@ def test_probe_bytes_flat_across_fold_generations(spark, tmp_path):
     assert store.last_probe_meta_bytes == 0
 
 
+@pytest.mark.slow
 def test_sharded_bloom_sidecars_layout_and_pruning(spark, tmp_path):
     """A directory with more buckets than one bloom group writes one
     sidecar PER GROUP (never the legacy single file), and a probe
@@ -409,6 +415,7 @@ def test_empty_delta_and_empty_probe(spark, tmp_path):
     assert none.count() == 0 and "key" in none.columns
 
 
+@pytest.mark.slow
 def test_probe_distributed_matches_driver_probe(spark, tmp_path):
     """The executor-side probe twin must return EXACTLY the driver
     probe's rows (same blooms, same arithmetic -> same candidate set),
@@ -515,6 +522,7 @@ def test_small_unhinted_delta_keeps_driver_build(spark, tmp_path):
     assert "small07" in got
 
 
+@pytest.mark.slow
 def test_fold_bloom_build_stays_o_buckets_on_driver(
         spark, tmp_path, monkeypatch):
     """The distributed (fold-sized) bloom build must write its shards

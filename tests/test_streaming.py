@@ -454,6 +454,7 @@ def test_windowed_unique_counts_match_batch_distinct(spark, tmp_path):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_funnel_join_left_outer_emits_abandonment(spark, tmp_path):
     """leftOuter funnel: unmatched first-side rows surface with null
     second_time once the watermark passes their horizon."""
@@ -690,6 +691,7 @@ def test_closed_sessions_timeout_eviction_matches_batch(spark, tmp_path):
     assert not any(u == "C" for u, *_ in got)
 
 
+@pytest.mark.slow
 def test_closed_sessions_straggler_bridges_buffered_sessions(spark, tmp_path):
     """The watermark-exact buffering contract (the exact scenario the
     r7 advisor flagged): gap=30min, watermark delay=10min. Batch 1 has

@@ -106,6 +106,7 @@ def test_curate_batch_decontamination_gate(spark):
     assert audit[3] == (True, None)
 
 
+@pytest.mark.slow
 def test_curate_stream_exactly_once_across_drains(spark, tmp_path):
     """File-source drains: each batch curated against the state built by
     every earlier batch; re-draining with no new files changes nothing."""
@@ -198,6 +199,7 @@ def _mk_docs(prefix, n, base_id):
     ]
 
 
+@pytest.mark.slow
 def test_state_advance_is_o_delta_not_o_corpus(spark, tmp_path):
     """The scale pin for the log-structured state: each batch's commit
     writes ONE new data directory whose size tracks the batch's delta —
@@ -247,6 +249,7 @@ def test_state_advance_is_o_delta_not_o_corpus(spark, tmp_path):
     assert st.filter("kind = 'md5'").count() == 80 + 3 * 20
 
 
+@pytest.mark.slow
 def test_state_compaction_folds_the_log(spark, tmp_path):
     """fold_factor=2: whenever two directories share a size tier they
     fold into one, so manifest fan-in stays bounded while decisions
@@ -370,6 +373,7 @@ def test_quality_gate_single_batch_matches_curate_corpus(spark):
     assert got[3] == (False, "near_dup")
 
 
+@pytest.mark.slow
 def test_quality_gate_accumulates_across_batches(spark, tmp_path):
     """The stream gates each batch on the distribution of EVERY doc seen
     so far (state qhist + batch), not the batch alone — and the counts
@@ -443,6 +447,7 @@ def test_stream_exposes_repetition_and_decontamination_gates(spark, tmp_path):
                    3: (False, "contaminated")}
 
 
+@pytest.mark.slow
 def test_state_probes_add_no_shuffle_joins(spark, tmp_path):
     """The accumulated state is unbounded; every probe against it must
     be a broadcast of batch-derived keys (state scanned, never
@@ -474,6 +479,7 @@ def test_state_probes_add_no_shuffle_joins(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_xxhash64_scale_dial_same_decisions(spark):
     """hash_fn='xxhash64' (the ~2.5x scale dial) must make the same
     keep/drop decisions as the md5 oracle scheme on clear-cut data —
@@ -537,6 +543,7 @@ def test_stream_refuses_hash_fn_switch(spark, tmp_path):
         drain("md5")
 
 
+@pytest.mark.slow
 def test_curate_batch_distributed_probe_mode_equal(spark, tmp_path):
     """open_state(probe_mode="distributed") routes the state probes
     through the executor-side bloom test — curation decisions must be
@@ -565,6 +572,7 @@ def test_curate_batch_distributed_probe_mode_equal(spark, tmp_path):
         curate.open_state(spark, sd, probe_mode="bogus")
 
 
+@pytest.mark.slow
 def test_curate_stream_distributed_probe_mode_end_to_end(spark, tmp_path):
     """The probe_mode dial threads through curate_stream: a two-drain
     run with executor-side probes makes the same decisions as the
@@ -600,6 +608,7 @@ def test_curate_stream_distributed_probe_mode_end_to_end(spark, tmp_path):
     assert (1, True, None) in got and (2, True, None) in got
 
 
+@pytest.mark.slow
 def test_all_gates_audit_cost_flat_as_state_grows(spark, tmp_path):
     """VERDICT r8 next #7: the all-gates audit cost is not
     state-coupled. With every gate on (accumulated quality quantile,
@@ -682,6 +691,7 @@ def test_semantic_gate_cold_batch(spark):
     }
 
 
+@pytest.mark.slow
 def test_semantic_gate_against_state_store(spark, tmp_path):
     """Cross-batch: batch 2's doc drops against batch 1's KEPT vector
     through the store's bloom-pruned vbkt/vcode probes."""
@@ -708,6 +718,7 @@ def test_semantic_gate_against_state_store(spark, tmp_path):
     assert store.probe_bytes_total >= 0
 
 
+@pytest.mark.slow
 def test_semantic_gate_stream_end_to_end(spark, tmp_path):
     src = tmp_path / "incoming"
     src.mkdir()
@@ -739,6 +750,7 @@ def test_semantic_gate_stream_end_to_end(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_semantic_gate_distributed_probe_mode_equal(spark, tmp_path):
     """The semantic kinds (vbkt/vcode) through probe_mode="distributed"
     must produce the same drop decisions as the driver-probe path."""
@@ -796,6 +808,7 @@ def test_sem_tables_arrow_equals_native(spark):
         assert n_probe == n_store * probes  # per-band fanout exact
 
 
+@pytest.mark.slow
 def test_semantic_handles_exposed_and_drive_pattern_cross_batch(
     spark, tmp_path
 ):
@@ -834,6 +847,7 @@ def test_semantic_handles_exposed_and_drive_pattern_cross_batch(
     assert got == {2: "semantic_dup"}
 
 
+@pytest.mark.slow
 def test_stream_refuses_semantic_banding_switch(spark, tmp_path):
     src = tmp_path / "incoming"
     src.mkdir()
@@ -971,6 +985,7 @@ def test_semantic_max_bucket_caps_candidates_not_collapse(spark):
     assert all(got[i] is False for i in range(1, 40))
 
 
+@pytest.mark.slow
 def test_semantic_max_bucket_batch_cap_does_not_gag_state_probe(
         spark, tmp_path):
     """The mega-bucket cap is scoped PER JOIN (ADVICE r10): a bucket
@@ -1008,6 +1023,7 @@ def test_semantic_max_bucket_batch_cap_does_not_gag_state_probe(
     assert got == {i: (False, "semantic_dup") for i in range(1, 5)}, got
 
 
+@pytest.mark.slow
 def test_semantic_gate_near_dup_recall_floor(spark, tmp_path):
     """Recall of the cross-batch semantic gate against EXACT-cosine
     ground truth (VERDICT r9 next #1 — the gate's one previously
@@ -1087,6 +1103,7 @@ def test_semantic_gate_near_dup_recall_floor(spark, tmp_path):
     assert r2 >= r0, (r0, r2)
 
 
+@pytest.mark.slow
 def test_reband_semantic_state_matches_from_scratch(spark, tmp_path):
     """Live re-banding (VERDICT r10 next #3): migrating a state's vbkt
     rows from 8x8 to 16x16 via the stored int8 codes produces the SAME
@@ -1208,6 +1225,7 @@ def test_semantic_banding_sizing_rule():
             1_000_000_000, 0.9, max_candidates_per_doc=0.001)
 
 
+@pytest.mark.slow
 def test_bench_direct_commit_state_is_rebandable(spark, tmp_path):
     """curatebench's drive() commits deltas via store.commit_delta
     directly (not _advance_state) so the store's byte counters stay

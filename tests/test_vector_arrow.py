@@ -484,6 +484,7 @@ def test_index_stats_empty_tier_returns_zeroed(spark, emb, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_rebuild_index_retrains_and_parks_tiers(spark, emb, tmp_path):
     """rebuild_index (round 11): the drift-cliff maintenance action.
     Retraining republishes a versioned codes+centroids PAIR — searches
@@ -533,6 +534,7 @@ def test_rebuild_index_retrains_and_parks_tiers(spark, emb, tmp_path):
         want, "query_id", "rank")
 
 
+@pytest.mark.slow
 def test_maintain_index_executes_recommendation(
         spark, emb, tmp_path, monkeypatch):
     """maintain_index (round 11) closes the stats->action loop: it

@@ -91,8 +91,23 @@ SNAP_DIR = str(Path(__file__).resolve().parent / ".benchdata" / "snapbig")
 # 7200 (r11): the first full r11 sweep measured 5390s on a ~1.6x-slower
 # box (curatebench alone 3099s) and skipped docsbench+tablebench at the
 # old 5400 budget; 7200 covers the measured total + tail sections.
-BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "7200"))
+# 3000 (r12): BOTH r11 driver bench runs were timeout-killed (rc 124 in
+# BENCH_r11 and BENCH_r11_c8) because the default sweep outgrew the
+# driver's wall-clock budget (r10's 3272s sweep completed; r11's
+# 5200-9700s did not). The default budget now targets the r10-proven
+# envelope: sections that do not fit record a skip marker and carry
+# forward from the prior artifact instead of being killed mid-run.
+# Set SPARK_GRAFT_BENCH_BUDGET=10800 for the full unattended sweep.
+BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "3000"))
 _T_START = time.monotonic()
+
+# Core count is part of the bench contract: the driver re-runs the
+# bench at a lower $SPARK_GRAFT_CPUS to measure scaling, and r11's
+# 8-core rerun overwrote the 32-core sections artifact. Sections now
+# land in a per-core-count artifact (below), and `cpus` is emitted in
+# the one-line JSON so the scaling probe can verify the env var is
+# honored (session.py builds local[$SPARK_GRAFT_CPUS]).
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def _remaining() -> float:
@@ -104,9 +119,9 @@ def _note(msg: str) -> None:
           file=sys.stderr, flush=True)
 
 
-SECTION_NAMES = ("bigbench", "curatebench", "annbench", "annbench1m",
-                 "docsbench", "opsbench", "replaybench", "vecbench",
-                 "tablebench")
+SECTION_NAMES = ("scaling", "bigbench", "curatebench", "annbench",
+                 "annbench1m", "docsbench", "opsbench", "replaybench",
+                 "vecbench", "tablebench")
 
 
 FOLD_EFF_K = 2.0
@@ -171,7 +186,12 @@ def carry_sections(full: dict, prior: dict) -> dict:
     skipped section forward from ``prior`` with an explicit
     ``carried_from_prior_run`` provenance marker (never carrying a
     section that was itself a skip marker), mutating and returning
-    ``full``."""
+    ``full``. Never carry across core counts (r12): a prior artifact
+    measured at a different $SPARK_GRAFT_CPUS is a different machine
+    shape, not a prior run of THIS measurement (artifacts missing the
+    ``cpus`` field predate the per-cpus split and were all 32-core)."""
+    if int(prior.get("cpus", 32)) != CPUS:
+        return full
     for name in SECTION_NAMES:
         entry = full.get(name)
         ran_now = (isinstance(entry, dict) and "skipped" not in entry
@@ -698,11 +718,17 @@ def run_curate(spark) -> dict[str, object]:
         return out
 
     out = drive(gates=False)
-    out["gates"] = drive(gates=True)
+    # r12: the variants check the remaining budget like the top-level
+    # sections do — a curatebench that starts inside budget must not
+    # carry the whole run past the driver's timeout on a slow box.
+    out["gates"] = (drive(gates=True) if _remaining() > 400
+                    else {"skipped": "budget"})
     # 8 x ~100k batches at T=2: gen-1 folds by commit 2, gen-2 by
     # commit 4, gen-3 by commit 8 — probe_mb through the fold batches
     # is the r6 next-#1 pin
-    out["folds"] = drive(gates=False, n_batches=8, mod=20, fold_factor=2)
+    out["folds"] = (
+        drive(gates=False, n_batches=8, mod=20, fold_factor=2)
+        if _remaining() > 500 else {"skipped": "budget"})
     # semantic-dedup variant: ~50k docs/batch carrying a 64-dim
     # embedding (vecbig joined on doc_id mod 999_961 — the offset is
     # ≡ 1 (mod 40), so a doc's twin lands in the NEXT driven batch:
@@ -738,13 +764,19 @@ def run_curate(spark) -> dict[str, object]:
                 .cast("float")))
             .drop("_eps")
         )
-        # flatness sweep (VERDICT r10 next #1): 5 batches at the
+        # flatness sweep (VERDICT r10 next #1): batches at the
         # sizing suggest_semantic_banding prescribes for the run's
         # FINAL kept corpus (~n_batches * 2M/40 docs), so the last
         # batch probes a state the banding was sized for. The r10
         # 3-batch run at hand-picked 16x16+2 bought recall 0.998-1.0
-        # but left cost scaling unproven (26.6/205/160 s — not flat).
-        sem_n_batches = 5
+        # but left cost scaling unproven (26.6/205/160 s — not flat);
+        # r11 ran 5 batches and committed the flat result (max/median
+        # 1.08, recall 0.9998-1.0). r12 defaults back to 3 (still >= 3
+        # steady batches for the slope pin) so the default sweep fits
+        # the driver's wall budget — the 5-batch evidence stands in the
+        # committed r11 artifact, and SPARK_GRAFT_SEM_BATCHES=5 re-runs
+        # it in full for unattended sweeps.
+        sem_n_batches = int(os.environ.get("SPARK_GRAFT_SEM_BATCHES", "3"))
         sizing = curate.suggest_semantic_banding(
             int(DOCS_ROWS / 40 * sem_n_batches), 0.9)
         out["semantic"] = drive(
@@ -1108,6 +1140,28 @@ def run_big(spark, qs) -> dict[str, object]:
             "events_per_sec": round(BIG_ROWS / best),
         }
     return out
+
+
+def run_scaling(spark, qs) -> dict[str, object]:
+    """Cheap data-scale core-scaling probe (VERDICT r11 next #7): the
+    flagship rollup at 100M rows at THIS run's core count, recorded
+    with ``cpus`` so the driver's low-core rerun produces a directly
+    comparable entry in its own per-cpus artifact (r11 had to
+    reconstruct core scaling from a clobbered file). Runs FIRST so even
+    a timeout-killed sweep carries it (artifacts write incrementally);
+    the one-time 100M-row synthesis happens outside the timed reps and
+    is reused by every later section."""
+    ensure_big_events(spark)
+    best = float("inf")
+    for _ in range(2):
+        s = time.perf_counter()
+        qs["timeslice_interval"](spark, BIG_DIR).write.format(
+            "noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - s)
+        spark.catalog.clearCache()
+    return {"cpus": CPUS, "rows": BIG_ROWS,
+            "flagship_sec": round(best, 3),
+            "flagship_events_per_sec": round(BIG_ROWS / best)}
 
 
 VEC_ROWS = int(os.environ.get("SPARK_GRAFT_BIG_VECS", "1000000"))
@@ -1847,7 +1901,48 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpus": CPUS,
     }), flush=True)
+
+    # Headline BATCHED wall-clock (r12, guide §2.6): the 18 queries are
+    # independent, and at sf0.1 most are 3-15 AQE job round-trips of
+    # ~50-100 ms each — the orchestration floor, not compute. A bounded
+    # thread pool overlaps those round-trips (job N+1's tasks back-fill
+    # executors idled by job N's tail), which is how a real multi-query
+    # workload would drive this engine. This is an ADDITIONAL
+    # measurement with a DIFFERENT methodology (concurrent wall-clock,
+    # no per-query isolation): ``value`` and ``queries`` above keep the
+    # sequential warm-up + best-of-3 methodology of every prior round,
+    # so round-over-round comparisons are untouched; the batched total
+    # is reported as its own field. clearCache runs once per rep, not
+    # per query — a per-query clear would unpersist a CONCURRENT
+    # query's operator-internal projection mid-flight.
+    batch_workers = int(os.environ.get("SPARK_GRAFT_BATCH_WORKERS", "4"))
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _run_one(name: str) -> None:
+        spark.sparkContext.setJobDescription(f"batched: {name}")
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()
+
+    batched_best = float("inf")
+    for _ in range(2):  # best-of-2: plans are already JIT-warm from the
+        t0 = time.perf_counter()  # sequential reps above
+        with ThreadPoolExecutor(max_workers=batch_workers) as pool:
+            list(pool.map(_run_one, HEADLINE))
+        batched_best = min(batched_best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    batched = {
+        "wall_sec": round(batched_best, 3),
+        "workers": batch_workers,
+        "reps": 2,
+        "sequential_sec": round(sum(timings.values()), 3),
+        "note": "concurrent wall-clock over the same queries; "
+                "'value'/'queries' keep the sequential methodology",
+    }
+    _note(f"headline batched ({batch_workers} workers): "
+          f"{batched['wall_sec']}s wall vs "
+          f"{batched['sequential_sec']}s sequential")
 
     # Artifact persistence is INCREMENTAL: rewrite the sidecar after the
     # headline and again after every completed section, so a harness
@@ -1856,10 +1951,16 @@ def main() -> None:
     # carry forward from the pre-run artifact with provenance markers.
     # `prior` is snapshotted ONCE so our own intermediate writes are
     # never mistaken for a previous run's measurements.
+    # Per-core-count artifact (r12, VERDICT r11 next #2): the 8-core
+    # scaling rerun must never clobber the 32-core sweep. 32 cores keeps
+    # the legacy name (every committed artifact so far); any other core
+    # count gets its own file.
+    default_sections = ("BENCH_SECTIONS.json" if CPUS == 32
+                        else f"BENCH_SECTIONS_c{CPUS}.json")
     sections_path = os.environ.get(
         "SPARK_GRAFT_BENCH_SECTIONS",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_SECTIONS.json"))
+                     default_sections))
     try:
         with open(sections_path) as fh:
             prior = json.load(fh)
@@ -1873,6 +1974,8 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "cpus": CPUS,
+            "headline_batched": batched,
         }
         if guard is not None:
             full["codegen_fallbacks"] = len(guard["hits"])
@@ -1910,17 +2013,23 @@ def main() -> None:
         # artifacts, and the wide-text doc sections leave enough old-gen
         # churn behind to OOM a later multi-batch curation sweep
         # (measured at 16g)
+        # Estimates are skip thresholds (a section only starts when at
+        # least this much budget remains); r12 re-calibrated them to
+        # measured section walls so a section no longer starts at
+        # remaining ~= a third of its real cost and blows through the
+        # driver's timeout.
         sections = (
-            ("bigbench", lambda: run_big(spark, qs), 600.0),
-            ("curatebench", lambda: run_curate(spark), 600.0),
-            ("annbench", lambda: run_ann(spark), 300.0),
+            ("scaling", lambda: run_scaling(spark, qs), 600.0),
+            ("bigbench", lambda: run_big(spark, qs), 700.0),
+            ("curatebench", lambda: run_curate(spark), 1500.0),
+            ("annbench", lambda: run_ann(spark), 400.0),
             # r10: +drift/compaction audit (~3-4 min)
-            ("annbench1m", lambda: run_ann_1m(spark), 480.0),
-            ("docsbench", lambda: run_docs(spark), 600.0),
-            ("opsbench", lambda: run_ops(spark), 240.0),
-            ("replaybench", lambda: run_replay(spark, sf_dir), 120.0),
+            ("annbench1m", lambda: run_ann_1m(spark), 700.0),
+            ("docsbench", lambda: run_docs(spark), 800.0),
+            ("opsbench", lambda: run_ops(spark), 300.0),
+            ("replaybench", lambda: run_replay(spark, sf_dir), 150.0),
             ("vecbench", lambda: run_vecs(spark), 360.0),
-            ("tablebench", lambda: run_tables(spark), 240.0),
+            ("tablebench", lambda: run_tables(spark), 300.0),
         )
         for name, fn, est in sections:
             if only and name not in only:
@@ -1965,6 +2074,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpus": CPUS,
+        "batched_wall_sec": batched["wall_sec"],
         "codegen_fallbacks": len(guard["hits"]),
     }), flush=True)
     spark.stop()

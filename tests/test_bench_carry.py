@@ -109,3 +109,29 @@ def test_prior_error_section_is_not_carried():
     prior = {"opsbench": {"error": "boom"}}
     bench.carry_sections(full, prior)
     assert "opsbench" not in full
+
+
+def test_carry_refused_across_core_counts():
+    # r12: an artifact measured at a different $SPARK_GRAFT_CPUS is a
+    # different machine shape — never carried (the r11 8-core rerun
+    # clobber-class, now also guarded at the carry layer).
+    full = {}
+    prior = {"cpus": 8, "bigbench": {"rows": 5}}
+    bench.carry_sections(full, prior)
+    assert "bigbench" not in full
+
+
+def test_carry_treats_missing_cpus_as_32():
+    # artifacts that predate the per-cpus split were all 32-core
+    full = {}
+    prior = {"bigbench": {"rows": 5}}
+    bench.carry_sections(full, prior)
+    assert (("bigbench" in full) == (bench.CPUS == 32))
+
+
+def test_scaling_section_is_carryable():
+    full = {}
+    prior = {"cpus": bench.CPUS,
+             "scaling": {"cpus": bench.CPUS, "flagship_sec": 5.0}}
+    bench.carry_sections(full, prior)
+    assert full["scaling"]["carried_from_prior_run"] is True

@@ -1917,7 +1917,12 @@ def main() -> None:
     # is reported as its own field. clearCache runs once per rep, not
     # per query — a per-query clear would unpersist a CONCURRENT
     # query's operator-internal projection mid-flight.
-    batch_workers = int(os.environ.get("SPARK_GRAFT_BATCH_WORKERS", "4"))
+    # 8 workers measured as the knee on local[32] at sf0.1 (batched
+    # wall: 2 workers 6.05s, 4 3.3-4.1s, 6 3.44s, 8 2.85s, 12 2.86s vs
+    # ~10s sequential): these are AQE-floor jobs of a few tasks each,
+    # so far more than the guide's 2-3 in-flight heavy jobs overlap
+    # profitably before the scheduler saturates.
+    batch_workers = int(os.environ.get("SPARK_GRAFT_BATCH_WORKERS", "8"))
     from concurrent.futures import ThreadPoolExecutor
 
     def _run_one(name: str) -> None:

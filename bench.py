@@ -124,6 +124,34 @@ SECTION_NAMES = ("scaling", "bigbench", "curatebench", "annbench",
                  "vecbench", "tablebench")
 
 
+def box_fingerprint() -> dict:
+    """Identify the box a sections artifact was measured on (VERDICT
+    r11 "What's wrong" #7: commit artifacts with a box fingerprint so
+    cross-box absolute totals are legibly non-comparable instead of
+    silently shopped). Two parts: the CPU model string and a fixed
+    single-thread pure-Python workload (best-of-3), which moves with
+    the box/VM-host speed the round logs keep re-measuring (the same
+    tree benched 11.7s and 18.2s twenty minutes apart on one box)."""
+    model = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+        best = min(best, time.perf_counter() - t0)
+    return {"cpu_model": model, "nproc": os.cpu_count(),
+            "spin_ms": round(best * 1000, 1)}
+
+
 FOLD_EFF_K = 2.0
 
 
@@ -1153,11 +1181,18 @@ def run_scaling(spark, qs) -> dict[str, object]:
     is reused by every later section."""
     ensure_big_events(spark)
     best = float("inf")
-    for _ in range(2):
+    # Rep 0 is untimed (same methodology as the headline loop): this
+    # section runs FIRST, immediately after the one-time 8 GB synthesis,
+    # so its first execution pays JIT + cold page cache + synthesis
+    # writeback — measured 22.2s vs the 6.2s steady state bigbench saw
+    # for the IDENTICAL plan minutes later in the same JVM. The scaling
+    # ratio must compare steady states, not cold starts.
+    for rep in range(3):
         s = time.perf_counter()
         qs["timeslice_interval"](spark, BIG_DIR).write.format(
             "noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - s)
+        if rep > 0:
+            best = min(best, time.perf_counter() - s)
         spark.catalog.clearCache()
     return {"cpus": CPUS, "rows": BIG_ROWS,
             "flagship_sec": round(best, 3),
@@ -1972,6 +2007,8 @@ def main() -> None:
     except (OSError, ValueError):
         prior = {}
 
+    box = box_fingerprint()
+
     def persist_artifact(results: dict, guard: dict | None = None) -> None:
         full: dict = {
             "metric": "headline_queries_total_runtime",
@@ -1980,6 +2017,7 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "cpus": CPUS,
+            "box": box,
             "headline_batched": batched,
         }
         if guard is not None:
